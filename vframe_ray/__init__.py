@@ -1,0 +1,27 @@
+"""vframe_ray — a Ray-Data-native fulltext engine.
+
+A from-scratch re-expression of the capabilities of vframeio/vframe
+(frame-level metadata extraction + search over media collections) as an
+inverted-index build + BM25 top-k query engine over Parquet transcript
+tables, built on ``ray.data.Dataset`` pipelines.
+
+Layout
+------
+- ``config``     engine configuration dataclasses (analyzer, BM25, index)
+  — analog of the reference's ModelZoo YAML registry
+  (reference: src/vframe/settings/app_cfg.py:191-213, models/dnn.py:21-135)
+- ``analyze``    text normalization + tokenization (vectorized)
+- ``oracle``     single-process BM25 oracle — the conformance authority
+  (replaces the reference's golden example outputs, see SURVEY.md §5)
+- ``corpus``     deterministic synthetic transcripts + query-set generators
+- ``sources``    parquet readers with column pruning / predicate pushdown
+  (reference: src/commands/pipe/open.py, src/vframe/models/media.py:73-218)
+- ``stages``     reusable Dataset stage functions (tokenize, stats, dedup,
+  text-quality, similarity, sessionize, multimodal stubs)
+- ``index``      postings codec, segment build, query execution (BM25 / WAND)
+- ``pipelines``  end-to-end pipelines incl. relational query showcase
+- ``state``      lineage manifests + checkpoint/resume
+  (reference: src/commands/dedup/sha256.py:74-105 incremental cache)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,128 @@
+"""Distributed index build — the flagship pipeline.
+
+Recasts the reference's flagship `vf pipe open … detect … save-detections`
+lifecycle (reference: src/cli.py:100-124 coroutine chain;
+src/commands/pipe/open.py:93-116 source loop; detect.py:82-168 inference;
+save-detections.py:49-75 sink) as one streaming Ray Data pipeline:
+
+    read_parquet(transcripts)                       # source (pruned columns)
+      .map_batches(TokenizeStage, actor pool)       # stateful per-batch map
+      .groupby(segment_id)                          # THE shuffle (doc->segment)
+      .map_groups(build_segment)                    # stateful per-group sink
+    + term_stats(tokenized)                         # salted groupby(term) merge
+    -> index_dir/{segments/*, global/*, config.json, manifest.json}
+
+Scale notes (designed for 10^12 turns / ~100 TB; tested single-node):
+- ONE all-to-all exchange moves each token exactly once, keyed by
+  ``hash(conv_id) % num_segments``; group size = segment size is bounded
+  by choosing ``num_segments`` ≈ corpus_bytes / ~1-2 GB, so a builder
+  task's memory is capped by config, not data size.
+- global df/cf never requires a second pass over raw text: it is a
+  salted two-phase aggregate over per-batch partials (stages/stats.py),
+  and N/avgdl fold out of per-segment manifests.
+- every segment directory is written atomically with a lineage
+  fingerprint; re-running `build_index` over the same input skips
+  finished segments (checkpoint/resume, state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import EngineConfig
+from ..state.manifest import read_json, write_json
+from ..stages.stats import salted_sum
+from ..stages.tokenize import TokenizeStage
+from .segment import build_segment
+
+
+def build_index(ds: "ray.data.Dataset", index_dir: str,
+                cfg: EngineConfig | None = None, *,
+                tokenize_batch_size: int = 4096,
+                tokenize_concurrency=None,
+                compute_term_stats: bool = True) -> dict:
+    """Build an inverted index from a transcripts Dataset.
+
+    ``ds`` must have columns (conv_id, turn_idx, text); extra columns are
+    dropped at the earliest stage (prune-at-the-read is the caller's job
+    via ``read_parquet(columns=...)``).
+    """
+    cfg = (cfg or EngineConfig()).validate()
+    os.makedirs(index_dir, exist_ok=True)
+
+    ds = ds.select_columns(["conv_id", "turn_idx", "text"])
+
+    tok_kwargs = dict(batch_format="pyarrow", batch_size=tokenize_batch_size,
+                      zero_copy_batch=True)
+    if tokenize_concurrency is not None:
+        tokenized = ds.map_batches(
+            TokenizeStage,
+            fn_constructor_kwargs=dict(cfg=cfg.analyzer,
+                                       num_segments=cfg.index.num_segments),
+            concurrency=tokenize_concurrency, **tok_kwargs)
+    else:
+        tokenized = ds.map_batches(
+            TokenizeStage(cfg.analyzer, num_segments=cfg.index.num_segments),
+            **tok_kwargs)
+
+    def _build_group(group: pa.Table) -> pa.Table:
+        seg_id = int(group["segment_id"][0].as_py())
+        m = build_segment(group, seg_id, index_dir, cfg)
+        return pa.table({
+            "segment": pa.array([m["segment"]]),
+            "segment_id": pa.array([m["segment_id"]], pa.int32()),
+            "n_docs": pa.array([m["n_docs"]], pa.int64()),
+            "n_terms": pa.array([m["n_terms"]], pa.int64()),
+            "total_len": pa.array([m["total_len"]], pa.int64()),
+            "postings_bytes": pa.array([m["postings_bytes"]], pa.int64()),
+        })
+
+    manifests = (tokenized
+                 .groupby("segment_id")
+                 .map_groups(_build_group, batch_format="pyarrow"))
+    seg_rows = manifests.take_all()      # one tiny row per segment
+
+    os.makedirs(os.path.join(index_dir, "global"), exist_ok=True)
+    if compute_term_stats:
+        # Global df/cf = salted two-phase Sum over the per-segment term
+        # tables (already ≤ 1 row per term per segment — the partials were
+        # produced as a side effect of segment building, so raw text is
+        # never read twice).  Analog of merge-json's reduce over per-shard
+        # outputs (reference: src/commands/utils/merge-json.py:18-46).
+        term_files = [
+            os.path.join(index_dir, "segments", r["segment"], "terms.parquet")
+            for r in seg_rows]
+        seg_terms = ray.data.read_parquet(term_files,
+                                          columns=["term", "df", "cf"])
+        salted_sum(seg_terms, "term", ["df", "cf"],
+                   cfg.index.salt_factor).write_parquet(
+            os.path.join(index_dir, "global", "terms"))
+
+    n_docs = sum(r["n_docs"] for r in seg_rows)
+    total_len = sum(r["total_len"] for r in seg_rows)
+    stats = {
+        "n_docs": int(n_docs),
+        "total_len": int(total_len),
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "n_segments_built": len(seg_rows),
+        "postings_bytes": int(sum(r["postings_bytes"] for r in seg_rows)),
+    }
+    write_json(os.path.join(index_dir, "global", "stats.json"), stats)
+    write_json(os.path.join(index_dir, "config.json"), cfg.to_dict())
+    write_json(os.path.join(index_dir, "manifest.json"), {
+        "segments": sorted(r["segment"] for r in seg_rows),
+        "stats": stats,
+    })
+    return stats
+
+
+def load_index_meta(index_dir: str) -> tuple[dict, dict, list[str]]:
+    """(config dict, stats dict, segment dirs) of a finished index."""
+    cfg = read_json(os.path.join(index_dir, "config.json"))
+    man = read_json(os.path.join(index_dir, "manifest.json"))
+    segs = [os.path.join(index_dir, "segments", s) for s in man["segments"]]
+    return cfg, man["stats"], segs

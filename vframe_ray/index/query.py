@@ -1,0 +1,353 @@
+"""BM25 top-k query execution: per-segment scoring + global merge.
+
+Per-segment scoring recasts the reference's classification top-k
+(reference: src/vframe/image/processors/base.py:134-146 —
+``np.argsort(preds)[::-1][:limit]`` above a threshold) into a bounded
+top-k heap over BM25 scores, with two interchangeable scorers:
+
+- ``score_full``  — exact term-at-a-time vectorized accumulation
+  (decode every posting, numpy adds); the oracle-shaped baseline.
+- ``score_bmw``   — document-at-a-time with WAND pivoting and
+  block-max pruning: per-term global upper bounds drive the pivot,
+  per-block (max_tf, min_dl) bounds skip whole 128-doc blocks without
+  decoding them (north_star: "document-at-a-time posting-list
+  intersection with block-max WAND pruning and a bounded top-k heap").
+
+Rank-identity guarantees (tested vs the oracle and vs each other):
+- per-doc score sums contributions in ascending query-term order →
+  bit-identical float64 vs the single-process oracle;
+- heap entries are (score, -doc_local): within a segment doc_local
+  order IS (conv_id, turn_idx) order, so the worst heap element is the
+  lowest score with the largest key — exact oracle tie-break;
+- WAND prunes only when bound < θ (strictly), so boundary ties that the
+  tie-break could still admit are never lost.
+
+Distributed plan (scatter-gather, no posting ever crosses the network
+at query time): segment list Dataset → actor-pool ``map_batches``
+(searchers hold docmaps; queries + global df broadcast via ``ray.put``)
+→ per-(query, segment) top-k rows → ``groupby(query_id).map_groups``
+global merge (k·S tiny rows) → ranked table.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..analyze import Tokenizer
+from ..config import BM25Config, EngineConfig
+from .codec import TermPostings, decode_all, decode_block
+from .segment import SegmentReader
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+class SegmentSearcher:
+    """Scores queries against one segment (docmap resident; postings read
+    per query term with parquet predicate pushdown)."""
+
+    def __init__(self, seg_dir: str, bm25: BM25Config, n_docs_global: int,
+                 avgdl: float, global_df: dict[str, int],
+                 block_size: int = 128):
+        self.r = SegmentReader(seg_dir)
+        self.bm25 = bm25
+        self.block_size = block_size
+        self.avgdl = avgdl if avgdl > 0 else 1.0
+        self.idf = {t: idf(n_docs_global, df) for t, df in global_df.items()}
+        # doc-length norm denominator component, precomputed per doc
+        self.norm = bm25.k1 * (1.0 - bm25.b
+                               + bm25.b * self.r.doclen / self.avgdl)
+
+    # ---------- exact baseline: term-at-a-time vectorized ----------
+
+    def score_full(self, terms: list[str], k: int,
+                   postings: dict[str, TermPostings] | None = None
+                   ) -> list[tuple[float, int]]:
+        """Returns [(score, doc_local)] sorted (score desc, doc_local asc).
+
+        Accumulates per ascending term order into a dense float64 array →
+        summation order per doc identical to the oracle's.
+        """
+        if postings is None:
+            postings = self.r.load_terms(terms)
+        scores = np.zeros(self.r.n_docs, dtype=np.float64)
+        seen = np.zeros(self.r.n_docs, dtype=bool)
+        k1 = self.bm25.k1
+        for t in sorted(terms):
+            tp = postings.get(t)
+            if tp is None:
+                continue
+            docs, tfs = decode_all(tp, self.block_size)
+            tfs = tfs.astype(np.float64)
+            # evaluation order fixed as idf * (tf*(k1+1)) / (tf+norm) —
+            # bit-identical to the oracle (SURVEY.md §7.4)
+            contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
+                / (tfs + self.norm[docs])
+            scores[docs] += contrib
+            seen[docs] = True
+        cand = np.flatnonzero(seen)
+        if cand.size == 0:
+            return []
+        order = np.lexsort((cand, -scores[cand]))[:k]
+        return [(float(scores[cand[i]]), int(cand[i])) for i in order]
+
+    # ---------- block-max WAND ----------
+
+    def _term_contrib(self, t_idf: float, tf: float, dl_norm: float) -> float:
+        k1 = self.bm25.k1
+        # same association as the oracle: idf * (tf*(k1+1)) / (tf+norm)
+        return t_idf * (tf * (k1 + 1.0)) / (tf + dl_norm)
+
+    def _block_ub(self, t_idf: float, max_tf: int, min_dl: int) -> float:
+        """Upper bound of the term's contribution within a block: the BM25
+        term is increasing in tf and decreasing in dl."""
+        k1, b = self.bm25.k1, self.bm25.b
+        norm = k1 * (1.0 - b + b * min_dl / self.avgdl)
+        return t_idf * max_tf * (k1 + 1.0) / (max_tf + norm)
+
+    def score_bmw(self, terms: list[str], k: int,
+                  postings: dict[str, TermPostings] | None = None
+                  ) -> list[tuple[float, int]]:
+        """Document-at-a-time block-max WAND; exact same output contract as
+        ``score_full`` (asserted in tests)."""
+        if postings is None:
+            postings = self.r.load_terms(terms)
+        terms = sorted(t for t in terms if t in postings)
+        if not terms:
+            return []
+        bs = self.block_size
+
+        class Cur:
+            __slots__ = ("term", "tidf", "tp", "bi", "docs", "tfs", "i",
+                         "doc", "ub", "block_ubs")
+
+        curs: list[Cur] = []
+        for t in terms:
+            tp = postings[t]
+            c = Cur()
+            c.term, c.tp = t, tp
+            c.tidf = self.idf.get(t, 0.0)
+            c.block_ubs = np.array([
+                self._block_ub(c.tidf, int(tp.block_max_tf[bi]),
+                               int(tp.block_min_dl[bi]))
+                for bi in range(tp.n_blocks)])
+            c.ub = float(c.block_ubs.max()) if tp.n_blocks else 0.0
+            c.bi = 0
+            c.docs, c.tfs = decode_block(tp, 0, bs)
+            c.i = 0
+            c.doc = int(c.docs[0])
+            curs.append(c)
+
+        def advance(c: Cur, target: int) -> None:
+            """Move cursor to first doc >= target, skipping whole blocks."""
+            tp = c.tp
+            if target > int(tp.block_last_doc[c.bi]):
+                nbi = int(np.searchsorted(tp.block_last_doc, target))
+                if nbi >= tp.n_blocks:
+                    c.doc = -1          # exhausted
+                    return
+                c.bi = nbi
+                c.docs, c.tfs = decode_block(tp, nbi, bs)
+                c.i = 0
+            j = int(np.searchsorted(c.docs, target, side="left")) \
+                if c.docs[c.i] < target else c.i
+            while j < len(c.docs) and c.docs[j] < target:
+                j += 1
+            if j >= len(c.docs):
+                # target <= block_last_doc guarantees presence; next block
+                c.bi += 1
+                if c.bi >= tp.n_blocks:
+                    c.doc = -1
+                    return
+                c.docs, c.tfs = decode_block(tp, c.bi, bs)
+                c.i = 0
+            else:
+                c.i = j
+            c.doc = int(c.docs[c.i])
+
+        def step(c: Cur) -> None:
+            c.i += 1
+            if c.i >= len(c.docs):
+                c.bi += 1
+                if c.bi >= c.tp.n_blocks:
+                    c.doc = -1
+                    return
+                c.docs, c.tfs = decode_block(c.tp, c.bi, bs)
+                c.i = 0
+            c.doc = int(c.docs[c.i])
+
+        heap: list[tuple[float, int]] = []   # (score, -doc_local) min-heap
+        theta = -math.inf
+
+        live = [c for c in curs if c.doc >= 0]
+        while live:
+            live.sort(key=lambda c: c.doc)
+            # WAND pivot: first prefix whose UB sum can beat theta
+            acc, pivot = 0.0, -1
+            for pi, c in enumerate(live):
+                acc += c.ub
+                if acc >= theta:        # >= : never lose boundary ties
+                    pivot = pi
+                    break
+            if pivot < 0:
+                break
+            pivot_doc = live[pivot].doc
+            if live[0].doc == pivot_doc:
+                # block-max refinement: tighter bound from current blocks.
+                # Must include EVERY cursor sitting at pivot_doc — cursors
+                # beyond the pivot index may also be at it and contribute.
+                bacc = 0.0
+                for c in live:
+                    if c.doc == pivot_doc:
+                        bacc += float(c.block_ubs[c.bi])
+                if bacc >= theta:
+                    # score pivot_doc exactly, ascending term order
+                    dl_norm = float(self.norm[pivot_doc])
+                    s = 0.0
+                    for c in sorted((c for c in live if c.doc == pivot_doc),
+                                    key=lambda c: c.term):
+                        s += self._term_contrib(c.tidf, float(c.tfs[c.i]),
+                                                dl_norm)
+                    entry = (s, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                        if len(heap) == k:
+                            theta = heap[0][0]
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                        theta = heap[0][0]
+                for c in [c for c in live if c.doc == pivot_doc]:
+                    step(c)
+            else:
+                # advance a cursor strictly before the pivot doc (largest UB
+                # → fastest theta growth); such a cursor exists because
+                # live[0].doc != pivot_doc and live is doc-sorted
+                lead = max((c for c in live[:pivot] if c.doc < pivot_doc),
+                           key=lambda c: c.ub)
+                advance(lead, pivot_doc)
+            live = [c for c in live if c.doc >= 0]
+
+        out = sorted(((s, -nd) for s, nd in heap),
+                     key=lambda sd: (-sd[0], sd[1]))
+        return [(float(s), int(d)) for s, d in out]
+
+    def search(self, queries: list[tuple[int, list[str], int]],
+               use_bmw: bool = True) -> pa.Table:
+        """queries: [(query_id, sorted_terms, k)] -> result rows table."""
+        qid_out, conv_out, turn_out, score_out, rank_out = [], [], [], [], []
+        for qid, terms, k in queries:
+            hits = (self.score_bmw if use_bmw else self.score_full)(terms, k)
+            for rank, (s, d) in enumerate(hits, start=1):
+                qid_out.append(qid)
+                conv_out.append(self.r.conv_id[d].as_py())
+                turn_out.append(self.r.turn_idx[d].as_py())
+                score_out.append(s)
+                rank_out.append(rank)
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pa.array(conv_out, pa.string()),
+            "turn_idx": pa.array(turn_out, pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+
+def _global_df_for_terms(index_dir: str, terms: set[str]) -> dict[str, int]:
+    """Driver-side lookup of global df for the query's terms only — a
+    broadcast-small-side join (reference analog: labels.txt lookup loaded
+    into each processor, base.py:47-55)."""
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    if not files or not terms:
+        return {}
+    t = pq.ParquetDataset(files, filters=[("term", "in", sorted(terms))]
+                          ).read(columns=["term", "df"])
+    return dict(zip(t["term"].to_pylist(),
+                    (int(x) for x in t["df"].to_pylist())))
+
+
+class _SearcherStage:
+    """Actor: holds broadcast queries + global stats; scores each incoming
+    batch of segment paths."""
+
+    def __init__(self, queries_ref, bm25_dict: dict, n_docs: int,
+                 avgdl: float, gdf_ref, use_bmw: bool, block_size: int):
+        self.queries = ray.get(queries_ref)
+        self.gdf = ray.get(gdf_ref)
+        self.bm25 = BM25Config(**bm25_dict)
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.use_bmw = use_bmw
+        self.block_size = block_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, self.bm25, self.n_docs, self.avgdl,
+                                self.gdf, block_size=self.block_size)
+            tables.append(s.search(self.queries, use_bmw=self.use_bmw))
+        return pa.concat_tables(tables)
+
+
+def search_index(index_dir: str, queries: list[dict],
+                 cfg: EngineConfig | None = None, *,
+                 use_bmw: bool = True, concurrency=(1, 8)) -> pa.Table:
+    """Distributed top-k search.
+
+    queries: [{"query_id", "query_text", "k"}] →
+    table (query_id, rank, conv_id, turn_idx, score) sorted by
+    (query_id, rank); global order = (score desc, conv_id, turn_idx).
+    """
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    # the stored index config is authoritative for analyzer/scoring params
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+
+    q_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    hits = seg_ds.map_batches(
+        _SearcherStage,
+        fn_constructor_kwargs=dict(
+            queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+            n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
+            use_bmw=use_bmw, block_size=cfg.index.block_size),
+        batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+
+    ks = {qid: k for qid, _, k in parsed}
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = int(group["query_id"][0].as_py())
+        df = group.to_pandas().sort_values(
+            ["score", "conv_id", "turn_idx"],
+            ascending=[False, True, True]).head(ks.get(qid, 10))
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+        return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
+                                        "turn_idx", "score"]],
+                                    preserve_index=False)
+
+    merged = hits.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    out = pa.Table.from_pandas(
+        merged.to_pandas().sort_values(["query_id", "rank"]),
+        preserve_index=False)
+    return out.cast(pa.schema([
+        ("query_id", pa.int32()), ("rank", pa.int32()),
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("score", pa.float64())]))

@@ -1,0 +1,220 @@
+"""Immutable index segments: build (from an in-memory doc group), write, read.
+
+A segment is the target's analog of the reference's per-file sink with an
+open/append/close lifecycle (reference: src/commands/pipe/save-video.py:37-107
+— stateful writer opened on first frame, released on last) combined with its
+serialized ``FileMeta`` + ``frames_meta`` interchange record (reference:
+src/vframe/models/cvmodels.py:301-341): an on-disk unit of index state plus a
+manifest header that later runs re-hydrate.
+
+Layout of one segment directory::
+
+    seg-00042/
+      docs.parquet     doc_local:int64, conv_id:string, turn_idx:int32,
+                       doclen:int32        (sorted by (conv_id, turn_idx))
+      terms.parquet    term, df, cf, blob + block metadata (sorted by term)
+      manifest.json    counts, byte sizes, input fingerprint (lineage)
+
+``doc_local`` is the rank of (conv_id, turn_idx) *within the segment* — no
+global doc-id assignment (and therefore no global sort) exists anywhere in
+the engine; global identity is the (conv_id, turn_idx) key itself and
+tie-breaks use it directly (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import EngineConfig
+from ..state.manifest import (completed_segment, fingerprint_rows, write_atomic_dir,
+                              write_json)
+from .codec import TermPostings, encode_postings
+
+TERMS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),            # segment-local doc frequency
+    ("cf", pa.int64()),            # segment-local collection frequency
+    ("n_docs", pa.int64()),
+    ("blob", pa.large_binary()),
+    ("block_last_doc", pa.list_(pa.int64())),
+    ("block_max_tf", pa.list_(pa.int32())),
+    ("block_min_dl", pa.list_(pa.int32())),
+    ("block_doc_off", pa.list_(pa.int64())),
+    ("block_tf_off", pa.list_(pa.int64())),
+    ("tf_section_off", pa.int64()),
+    ("pos_section_off", pa.int64()),
+])
+
+
+def build_segment(group: pa.Table, segment_id: int, index_dir: str,
+                  cfg: EngineConfig) -> dict:
+    """Build + atomically write one segment from its doc group.
+
+    ``group`` columns: conv_id, turn_idx, text, tokens(large_list<string>),
+    doclen(int32).  Arrives in arbitrary row order (shuffle output) — sorted
+    here, mirroring the reference's per-container ordering restoration
+    requirement (SURVEY.md §2.9).
+
+    Resume: if a finished segment with the same input fingerprint already
+    exists, it is left untouched and its manifest returned (reference
+    pattern: dedup/sha256.py:82-105 — only new inputs are processed).
+    """
+    group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = group["conv_id"].combine_chunks()
+    turn = group["turn_idx"].combine_chunks()
+    texts = group["text"].combine_chunks()
+    fp = fingerprint_rows(conv.to_pylist(), turn.to_pylist(), texts.to_pylist())
+
+    seg_name = f"seg-{segment_id:05d}"
+    seg_dir = os.path.join(index_dir, "segments", seg_name)
+    if completed_segment(seg_dir, fp):
+        from ..state.manifest import read_json
+        return read_json(os.path.join(seg_dir, "manifest.json"))
+
+    tokens = group["tokens"].combine_chunks()
+    doclens = group["doclen"].combine_chunks().to_numpy(zero_copy_only=False)
+    n_docs = group.num_rows
+
+    flat = pc.list_flatten(tokens)
+    parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    n_tok = len(flat_np)
+
+    if n_tok:
+        # token position within its doc (0-based ordinal)
+        doc_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(doclens[:-1], out=doc_starts[1:])
+        positions = np.arange(n_tok, dtype=np.int64) - doc_starts[parents]
+        # factorize terms; np.unique returns terms sorted ascending
+        terms_sorted, codes = np.unique(flat_np, return_inverse=True)
+        # order postings by (term, doc, position)
+        order = np.lexsort((positions, parents, codes))
+        t_s, d_s, p_s = codes[order], parents[order], positions[order]
+        # run boundaries of (term, doc) pairs -> tf per posting
+        new_pair = np.empty(n_tok, dtype=bool)
+        new_pair[0] = True
+        np.logical_or(t_s[1:] != t_s[:-1], d_s[1:] != d_s[:-1], out=new_pair[1:])
+        pair_starts = np.flatnonzero(new_pair)
+        tf = np.diff(np.append(pair_starts, n_tok))
+        pair_term = t_s[pair_starts]
+        pair_doc = d_s[pair_starts]
+        # per-term slices over the pair arrays
+        new_term = np.empty(len(pair_starts), dtype=bool)
+        new_term[0] = True
+        np.not_equal(pair_term[1:], pair_term[:-1], out=new_term[1:])
+        term_starts = np.flatnonzero(new_term)
+        term_ends = np.append(term_starts[1:], len(pair_starts))
+    else:
+        terms_sorted = np.empty(0, dtype=object)
+        term_starts = term_ends = pair_starts = np.empty(0, dtype=np.int64)
+        pair_doc = tf = p_s = np.empty(0, dtype=np.int64)
+
+    bs = cfg.index.block_size
+    rows: dict[str, list] = {k.name: [] for k in TERMS_SCHEMA}
+    for ti in range(len(terms_sorted)):
+        lo, hi = term_starts[ti], term_ends[ti]
+        docs_t = pair_doc[lo:hi].astype(np.int64)
+        tfs_t = tf[lo:hi].astype(np.int64)
+        if cfg.index.store_positions:
+            pos_lo = pair_starts[lo]
+            pos_hi = pair_starts[hi] if hi < len(pair_starts) else n_tok
+            pos_t = p_s[pos_lo:pos_hi]
+        else:
+            pos_t = None
+        tp = encode_postings(docs_t, tfs_t, doclens[docs_t], pos_t, bs)
+        rows["term"].append(str(terms_sorted[ti]))
+        rows["df"].append(len(docs_t))
+        rows["cf"].append(int(tfs_t.sum()))
+        rows["n_docs"].append(tp.n_docs)
+        rows["blob"].append(tp.blob)
+        rows["block_last_doc"].append(tp.block_last_doc.tolist())
+        rows["block_max_tf"].append(tp.block_max_tf.tolist())
+        rows["block_min_dl"].append(tp.block_min_dl.tolist())
+        rows["block_doc_off"].append(tp.block_doc_off.tolist())
+        rows["block_tf_off"].append(tp.block_tf_off.tolist())
+        rows["tf_section_off"].append(tp.tf_section_off)
+        rows["pos_section_off"].append(tp.pos_section_off)
+
+    terms_table = pa.table(rows, schema=TERMS_SCHEMA)
+    docs_table = pa.table({
+        "doc_local": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "conv_id": conv,
+        "turn_idx": pc.cast(turn, pa.int32()),
+        "doclen": pa.array(doclens.astype(np.int32)),
+    })
+
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=seg_name + ".tmp.",
+                           dir=os.path.join(index_dir, "segments"))
+    try:
+        pq.write_table(docs_table, os.path.join(tmp, "docs.parquet"))
+        pq.write_table(terms_table, os.path.join(tmp, "terms.parquet"),
+                       row_group_size=4096)
+        manifest = {
+            "segment": seg_name,
+            "segment_id": int(segment_id),
+            "n_docs": int(n_docs),
+            "n_terms": int(len(terms_sorted)),
+            "total_len": int(doclens.sum()),
+            "postings_bytes": int(sum(len(b) for b in rows["blob"])),
+            "input_fingerprint": fp,
+        }
+        write_json(os.path.join(tmp, "manifest.json"), manifest)
+        write_atomic_dir(tmp, seg_dir)
+    except BaseException:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return manifest
+
+
+class SegmentReader:
+    """Read-side handle on one segment: docmap resident, postings read
+    per-term with parquet predicate pushdown (terms.parquet is sorted by
+    term with small row groups, so a term lookup touches few row groups —
+    the analog of the reference's labels lookup held in each processor,
+    base.py:47-55)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.conv_id = d["conv_id"].combine_chunks()
+        self.turn_idx = d["turn_idx"].combine_chunks()
+        self.doclen = d["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.n_docs = d.num_rows
+
+    def load_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        if not terms:
+            return {}
+        t = pq.read_table(
+            os.path.join(self.seg_dir, "terms.parquet"),
+            filters=[("term", "in", list(terms))],
+        )
+        out: dict[str, TermPostings] = {}
+        for row in t.to_pylist():
+            out[row["term"]] = TermPostings(
+                n_docs=row["n_docs"],
+                blob=row["blob"],
+                block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
+                block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int32),
+                block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int32),
+                block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
+                block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
+                tf_section_off=row["tf_section_off"],
+                pos_section_off=row["pos_section_off"],
+            )
+        return out
+
+    def local_df(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        t = pq.read_table(os.path.join(self.seg_dir, "terms.parquet"),
+                          columns=["term", "df"],
+                          filters=[("term", "in", list(terms))])
+        return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
