@@ -1,44 +1,487 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``       — flagship: build the documents index at sf0.001 and
+  run the fixed BM25 query set.
+- ``queries()``     — one entry per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data long tail).  Each callable takes
+  ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
+  query, same column names/types.  Non-SQL-expressible ops (LSH, simhash,
+  engine-internal pipelines over the synthetic transcripts) are listed in
+  ``queries()`` only → driver records rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from vframe_ray.analyze import Tokenizer, sql_tokens_cte
+from vframe_ray.pipelines import relational as rel
+from vframe_ray.pipelines.flagship import (DOC_QUERIES, bm25_documents,
+                                           documents_index,
+                                           phrase_match_documents)
+from vframe_ray.stages.textquality import LANG_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (tokenization rule lives in vframe_ray.analyze)
+# ---------------------------------------------------------------------------
+
+_TOK = "WITH" + sql_tokens_cte("documents", "text", "doc_id")
+
+_BM25_PARAMS = dict(k1=1.2, b=0.75)
+
+
+def _bm25_sql() -> str:
+    tok = Tokenizer()
+    qterms, qks = [], []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _langid_sql() -> str:
+    vals = []
+    for lang in sorted(LANG_STOPWORDS):
+        for w in sorted(LANG_STOPWORDS[lang]):
+            vals.append(f"('{lang}', '{w}')")
+    return f"""{_TOK},
+ l(lang, term) AS (VALUES {', '.join(vals)}),
+ scores AS (SELECT t._id, l.lang, count(*) AS s
+            FROM tok t JOIN l ON t.term = l.term GROUP BY t._id, l.lang),
+ best AS (SELECT _id, lang,
+                 row_number() OVER (PARTITION BY _id
+                                    ORDER BY s DESC, lang) AS rn
+          FROM scores WHERE s > 0)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON b._id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id"""
+
+
+_EN = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
+
+
+# ---------------------------------------------------------------------------
+# query callables (each takes sf_dir)
+# ---------------------------------------------------------------------------
+
+def _q_bm25(sf_dir: str):
+    return bm25_documents(sf_dir)
+
+
+def _q_phrase(sf_dir: str):
+    return phrase_match_documents(sf_dir, "batch batch")
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import quality_features
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = quality_features(ds).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "n_tokens", "n_distinct"]]
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import quality_features
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = quality_features(ds).to_pandas().sort_values("doc_id")
+    return out[["doc_id", "avg_token_len", "stopword_ratio"]].reset_index(
+        drop=True)
+
+
+def _q_langid(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import langid
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return langid(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_term_df(sf_dir: str):
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import term_stats
+    from vframe_ray.stages.tokenize import tokenize
+    tokenized = tokenize(documents_as_transcripts(sf_dir))
+    df = term_stats(tokenized).to_pandas()
+    df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return df[["term", "df", "cf"]].reset_index(drop=True)
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Min
+    from vframe_ray.stages.dedup import add_content_hash
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    hashed = ds.map_batches(lambda b: add_content_hash(b),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    out = hashed.groupby("text_sha").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Count(alias_name="n_dups"))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "n_dups"]]
+
+
+def _q_jaccard(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.dedup import jaccard_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    out["jaccard_r"] = out["jaccard"].round(6)
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out[["id_a", "id_b", "jaccard_r"]].astype(
+        {"id_a": "int64", "id_b": "int64"})
+
+
+def _q_cosine(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.similarity import cosine_topk
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "<", 5)])
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qt["vec_id"].to_pylist(),
+                               qt["embedding"].to_pylist())}
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, queries, k=10).to_pandas()
+    out["sim_r"] = out["sim"].round(6)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.sessionize import sessionize
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    df = sessionize(ds, gap_seconds=1800).to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    df = df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    for c in ("session_start", "session_end"):
+        df[c] = df[c].astype("datetime64[us]")
+    return df
+
+
+def _q_tumbling(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.sessionize import tumbling_window
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    df = tumbling_window(ds).to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    df["avg_value"] = df["avg_value"].round(6)
+    df["day"] = df["day"].astype("datetime64[us]")
+    return df.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+# ------------------------------ rows-only (non-SQL-expressible) entries
+
+def _q_minhash(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.dedup import minhash_candidates
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    df = minhash_candidates(ds, n=3).to_pandas()
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.dedup import simhash_table
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return simhash_table(ds).to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import fingerprints
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+
+
+def _q_lsh_ann(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.similarity import lsh_topk
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "<", 3)])
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qt["vec_id"].to_pylist(),
+                               qt["embedding"].to_pylist())}
+    dim = len(next(iter(queries.values())))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, k=5, dim=dim).to_pandas()
+
+
+def _q_transcripts_bm25(sf_dir: str):
+    """Engine over the synthetic transcripts corpus (multi-turn, planted
+    skew/dups — FIXTURES.md §1); validated against the in-process oracle
+    in pytest, rows-only here."""
+    import ray.data
+    from vframe_ray.corpus import generate_queries, write_transcripts
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+    from vframe_ray.config import EngineConfig, IndexConfig
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
+    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
+        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
+    index_dir = f"/tmp/vframe_ray_cache/tidx-{tag}"
+    cfg = EngineConfig(index=IndexConfig(num_segments=8))
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        ds = ray.data.read_parquet(corpus_dir,
+                                   columns=["conv_id", "turn_idx", "text"])
+        build_index(ds, index_dir, cfg)
+    return search_index(index_dir, generate_queries(n_terms=2000)).to_pandas()
+
+
+def _q_near_dedup(sf_dir: str):
+    """Within-conversation near-dedup over synthetic transcripts
+    (skip-phash semantics); rows-only."""
+    import ray.data
+    from vframe_ray.corpus import write_transcripts
+    from vframe_ray.stages.dedup import near_dedup_in_conversation
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
+    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
+        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
+    ds = ray.data.read_parquet(corpus_dir,
+                               columns=["conv_id", "turn_idx", "text"])
+    out = near_dedup_in_conversation(ds, threshold=0.8)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"])
+    return df[["conv_id", "turn_idx"]].reset_index(drop=True)
+
+
+def _q_media_stub(sf_dir: str):
+    """Multimodal plumbing: binary payload column → actor-pool decode /
+    feature-extract with poison-row capture; deterministic fake decoder
+    (no image libs in env); rows-only."""
+    import ray.data
+    from vframe_ray.stages.multimodal import image_features, synth_media_table
+    ds = ray.data.from_arrow(synth_media_table(128))
+    df = image_features(ds).to_pandas().sort_values("media_id")
+    return df[["media_id", "width", "height", "error"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return bm25_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship fulltext engine
+        "bm25_topk": _q_bm25,
+        "phrase_match": _q_phrase,
+        "term_df_topk": _q_term_df,
+        # text analysis
+        "token_count": _q_token_count,
+        "quality_features": _q_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard,
+        "minhash_candidates": _q_minhash,
+        "simhash": _q_simhash,
+        "near_dedup_conversations": _q_near_dedup,
+        # similarity search
+        "cosine_topk": _q_cosine,
+        "lsh_ann_topk": _q_lsh_ann,
+        # relational / dataflow operators
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "top_orders": rel.top_orders,
+        "filter_project_events": rel.filter_project_events,
+        "distinct_event_types": rel.distinct_event_types,
+        "union_high_value": rel.union_high_value,
+        "semi_join_orders": rel.semi_join_orders,
+        "order_priority_histogram": rel.order_priority_histogram,
+        # streaming-shaped
+        "sessionize": _q_sessionize,
+        "tumbling_window": _q_tumbling,
+        # engine-internal (synthetic transcripts / media) — rows-only
+        "transcripts_bm25": _q_transcripts_bm25,
+        "media_features_stub": _q_media_stub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _bm25_sql(),
+        "phrase_match": (
+            "SELECT doc_id FROM documents "
+            "WHERE ' ' || lower(text) || ' ' LIKE '% batch batch %' "
+            "ORDER BY doc_id"),
+        "term_df_topk": f"""{_TOK}
+SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",
+        "token_count": f"""{_TOK},
+ c AS (SELECT _id, count(*)::BIGINT AS n_tokens,
+              count(DISTINCT term)::BIGINT AS n_distinct
+       FROM tok GROUP BY _id)
+SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.n_distinct, 0) AS n_distinct
+FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
+        "quality_features": f"""{_TOK},
+ c AS (SELECT _id,
+              count(*) AS n,
+              sum(length(term))::DOUBLE AS tok_chars,
+              sum(CASE WHEN term IN ({_EN}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+       FROM tok GROUP BY _id)
+SELECT d.doc_id,
+       coalesce(c.tok_chars / greatest(c.n, 1), 0.0) AS avg_token_len,
+       coalesce(c.n_stop / greatest(c.n, 1), 0.0) AS stopword_ratio
+FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
+        "langid": _langid_sql(),
+        "dedup_exact": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
+            "FROM documents GROUP BY text ORDER BY doc_id"),
+        "jaccard_pairs": f"""{_TOK},
+ pos AS (SELECT doc_id AS _id, lower(text) AS lt FROM documents),
+ toks AS (SELECT _id, string_split(lt, ' ') AS arr FROM pos),
+ idx AS (SELECT _id, arr,
+                unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS i
+         FROM toks),
+ sh AS (SELECT DISTINCT _id, s FROM (
+          SELECT _id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+          FROM idx
+          UNION ALL
+          SELECT _id, array_to_string(arr, ' ') AS s FROM toks
+          WHERE len(arr) < 3 AND len(arr) > 0)),
+ sz AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+ inter AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+           GROUP BY a._id, b._id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard_r
+FROM inter JOIN sz sa ON sa._id = id_a JOIN sz sb ON sb._id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+ORDER BY id_a, id_b""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+ sims AS (SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+          FROM q, embeddings e),
+ ranked AS (SELECT qid, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM sims)
+SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id,
+       round(sim, 6) AS sim_r
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+        "top_orders": """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+        "filter_project_events": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND value > 50.0 ORDER BY event_id""",
+        "distinct_event_types": """
+SELECT event_type, count(*)::BIGINT AS n_events FROM events
+GROUP BY event_type ORDER BY event_type""",
+        "union_high_value": """
+SELECT event_id, value FROM events WHERE value > 99.0
+UNION ALL
+SELECT event_id, value FROM events WHERE value < 1.0
+ORDER BY event_id""",
+        "semi_join_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey""",
+        "order_priority_histogram": """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (SELECT *, (sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                 )::BIGINT AS session_idx
+       FROM o)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+        "tumbling_window": """
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+    }

@@ -1,0 +1,186 @@
+"""Relational operator showcase over the TPC-H-ish test tables.
+
+Maps the reference's generic dataflow operators (SURVEY.md §2.2/2.4/2.5/2.6:
+filters, predicates, joins-by-lookup, grouped aggregation, sort/limit,
+distinct, union) onto Dataset primitives, with the scale idioms the
+reference lacks: pruned reads, vectorized batch predicates, broadcast
+small-side joins (``ray.put`` once — reference analog: priors join,
+media.py:79-111), partial aggregation before the shuffle.
+
+Every function takes ``sf_dir`` and returns a Dataset/DataFrame whose
+column names match the paired SQL oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None, filter=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns, filter=filter)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem (reference analog:
+    summarize-json's per-label detection counts, summarize-json.py:29-105).
+    Derived column vectorized in Arrow; groupby keys are low-cardinality
+    so the shuffle moves partial aggregates only."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=(pc.field("l_shipdate") < pc.scalar(
+                   pd.Timestamp("1998-09-01"))))
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"))
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        df[c] = df[c].round(4)
+    return df.reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str):
+    """3-table star join with BOTH small sides broadcast: customer and
+    nation are read once on the driver, shipped via ``ray.put``, and each
+    orders batch does two vectorized map lookups — no shuffle join
+    (reference analog: filename→filepath dict lookup,
+    media-attrs-filter.py:114-121)."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    lookup_ref = ray.put((c2n, n2name))
+
+    class JoinStage:
+        def __init__(self):
+            self.c2n, self.n2name = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            nk = df["o_custkey"].map(self.c2n)
+            df["n_name"] = nk.map(self.n2name)
+            out = df.groupby("n_name", as_index=False).agg(
+                revenue_partial=("o_totalprice", "sum"),
+                n_orders_partial=("o_orderkey", "count"))
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = orders.map_batches(JoinStage, batch_format="pyarrow",
+                                  concurrency=(1, 4))
+    out = partials.groupby("n_name").aggregate(
+        Sum("revenue_partial", alias_name="revenue"),
+        Sum("n_orders_partial", alias_name="n_orders"))
+    df = out.to_pandas().sort_values("n_name").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def top_orders(sf_dir: str, k: int = 50):
+    """Global sort+limit (reference analog: cache sort before keep-first,
+    dedup/sha256.py:127-131).  Per-block top-k partials would be the
+    optimization at scale; Dataset.sort().limit() already prunes blocks."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    df = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+          .limit(k).to_pandas())
+    return df
+
+
+def filter_project_events(sf_dir: str):
+    """Pushdown filter + projection (reference analog: skip-file attribute
+    predicates registered as reader pre-filters, skip-file.py:30-75)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"],
+               filter=((pc.field("event_type") == pc.scalar("purchase"))
+                       & (pc.field("value") > pc.scalar(50.0))))
+    df = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df[["event_id", "user_id", "value"]]
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct + count (reference analog: drop duplicate filenames,
+    media-attrs-filter.py:63). Pre-aggregated: one partial row per type
+    per batch crosses the shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            n_partial=("user_id", "count"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_partial", alias_name="n_events")))
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def union_high_value(sf_dir: str):
+    """Union of two filtered branches (reference analog: merge-json list
+    concat, merge-json.py:41-46), then distinct count."""
+    a = _read(sf_dir, "events", columns=["event_id", "value"],
+              filter=(pc.field("value") > pc.scalar(99.0)))
+    b = _read(sf_dir, "events", columns=["event_id", "value"],
+              filter=(pc.field("value") < pc.scalar(1.0)))
+    u = a.union(b)
+    return u.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def semi_join_orders(sf_dir: str):
+    """Broadcast semi-join: orders whose customer is in the BUILDING
+    segment (reference analog: cache anti/semi-join via isin,
+    dedup/sha256.py:82-88).  Key set broadcast, `is_in` filter per batch."""
+    keys = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+                 filter=(pc.field("c_mktsegment") == pc.scalar("BUILDING"))
+                 ).to_pandas()["c_custkey"].to_numpy()
+    key_ref = ray.put(keys)
+
+    class SemiStage:
+        def __init__(self):
+            self.keys = pa.array(ray.get(key_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["o_custkey"], value_set=self.keys)
+            return t.filter(mask)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.map_batches(SemiStage, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def order_priority_histogram(sf_dir: str):
+    """Date-range filter + count by category, two-phase (reference
+    analog: media-attrs-summarize bucketed counts)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"],
+               filter=((pc.field("o_orderdate")
+                        >= pc.scalar(pd.Timestamp("1995-01-01")))
+                       & (pc.field("o_orderdate")
+                          < pc.scalar(pd.Timestamp("1996-01-01")))))
+    out = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"))
+    return out.to_pandas().sort_values("o_orderpriority").reset_index(
+        drop=True)

@@ -1,0 +1,137 @@
+"""Multimodal (image/audio/video) stages — real Ray-side plumbing,
+stubbed decoders.
+
+The reference's core business is media decode + model inference
+(reference: src/vframe/models/media.py:343-384 frame iteration;
+src/vframe/image/processors/base.py:57-83 preprocess+forward;
+src/vframe/utils/video_utils.py:42-204 threaded decode).  The media
+libraries (OpenCV, PIL, ffmpeg) are NOT in this container, so the
+decode kernels here are deterministic fakes behind the same interface —
+but everything Ray-visible is real and tested: the binary-column
+schema, actor-pool signature, batch sizing for large payloads, and the
+output layout.
+
+Schema convention for opaque media columns::
+
+    media_id:string, payload:binary, media_type:string ('image'|...),
+    meta:string (JSON: width/height/codec/... — FileMeta analog,
+    cvmodels.py:301-341)
+
+Swap ``FakeImageDecoder`` for a cv2/PIL implementation on a cluster
+with the libs installed; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+
+class FakeImageDecoder:
+    """Deterministic stand-in for cv2.imdecode: payload bytes -> a small
+    pseudo-image whose pixels derive from the payload hash.  Raises on
+    empty payload like a real decoder would on a corrupt file
+    (media.py:357-366 per-file error capture)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload:
+            raise ValueError("empty payload (corrupt media)")
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → feature-extract each image payload.
+
+    Decoder + 'model' built once per actor (detect.py:73 pattern).
+    Output: (media_id, width, height, feature:list<float>(8), error).
+    Corrupt payloads are captured per row, not fatal (the reference's
+    per-file try/except, media.py:289-307) — the errors side-table
+    pattern of media-attrs.py:79-92.
+    """
+
+    def __init__(self, real_decoder: bool = False):
+        if real_decoder:
+            raise NotImplementedError(
+                "no image libraries in this environment; install cv2/PIL "
+                "and implement decode() — Ray plumbing is unchanged")
+        self.decoder = FakeImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, feats, errs = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            ids.append(mid)
+            try:
+                img = self.decoder.decode(payload)
+                ws.append(img.shape[1])
+                hs.append(img.shape[0])
+                # 'feature' = per-channel mean/std (stands in for the
+                # L2-normalized embedding of features.py:50)
+                f = np.concatenate([img.mean(axis=(0, 1)),
+                                    img.std(axis=(0, 1))])
+                n = np.linalg.norm(f)
+                feats.append((f / n if n else f).astype(np.float32).tolist())
+                errs.append(None)
+            except Exception as e:          # poison-row quarantine
+                ws.append(0)
+                hs.append(0)
+                # empty (not null) feature: keeps the column a plain
+                # variable-length list — Ray's tensor-extension autocast
+                # rejects nulls in uniform-length list columns
+                feats.append([])
+                errs.append(str(e))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+            "error": pa.array(errs, pa.string()),
+        })
+
+
+def image_features(ds, *, concurrency=(1, 4), batch_size: int = 64):
+    """Small batch_size on purpose: binary payloads are wide, so
+    batch × concurrency must fit the worker heap (guide: memory-aware
+    sizing for large binary rows)."""
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(real_decoder=False))
+
+
+def frame_sample(ds, every_n: int = 5):
+    """Frame decimation on a video-frames table (media_id, frame_idx, …):
+    keep every Nth frame — the reference's skip-interval
+    (skip-interval.py:21-45), vectorized modulo."""
+    import pyarrow.compute as pc
+
+    def dec(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.mod_checked(t["frame_idx"], pa.scalar(every_n)), pa.scalar(0))
+        return t.filter(keep)
+
+    return ds.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus for tests (binary payloads with a
+    couple of planted corrupt rows)."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        ids.append(f"img-{i:05d}")
+        if i % 17 == 13:
+            payloads.append(b"")                    # corrupt
+        else:
+            payloads.append(rng.bytes(128))
+        metas.append(json.dumps({"codec": "fake", "n": i}))
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "meta": pa.array(metas, pa.string()),
+    })

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (list<float>).
+
+The reference extracts L2-normalized CNN feature vectors and compares
+them by cosine similarity against rolling state (reference:
+src/commands/pipe/features.py:33-68; skip-cnn.py:62-91
+``cosine_similarity(feat_cur, feat_pre)``).  Here that capability
+becomes corpus-scale top-k retrieval:
+
+- ``cosine_topk``  — brute-force exact: the query matrix is broadcast
+  once (``ray.put``), each batch does one numpy matmul, keeps its local
+  top-k, and a tiny global merge finishes (scatter-gather; no shuffle
+  of the embedding table itself).
+- ``lsh_topk``     — the scale path: random-hyperplane (SRP) bucket
+  signatures put near vectors in the same bucket; queries only scan
+  their own bucket's rows.  Approximate; recall grows with n_tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteForceStage:
+    """Holds the broadcast, pre-normalized query matrix; emits each
+    batch's local top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)                   # {qid: vector}
+        self.qids = np.array(sorted(q))
+        self.Q = _normalize(np.stack([q[i] for i in self.qids]))
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(np.stack(
+            batch[self.vec_col].to_pandas().to_numpy()))
+        sims = self.Q @ M.T                        # (nq, nrows)
+        out_q, out_id, out_sim = [], [], []
+        k = min(self.k, sims.shape[1])
+        for r, qid in enumerate(self.qids):
+            row = sims[r]
+            top = np.argpartition(-row, k - 1)[:k]
+            for j in top:
+                out_q.append(int(qid))
+                out_id.append(int(ids[j]))
+                out_sim.append(float(row[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
+        })
+
+
+def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                batch_size: int = 4096, concurrency=(1, 4)) -> pa.Table:
+    """Exact cosine top-k of every query vector against the dataset.
+
+    Result (query_id, rank, id, sim) with deterministic tie-break on
+    ascending id.  Queries broadcast once via ``ray.put`` (the guide's
+    small-side pattern) — never re-shipped per batch.
+    """
+    q_ref = ray.put({int(i): np.asarray(v, dtype=np.float64)
+                     for i, v in queries.items()})
+    partial = ds.map_batches(
+        _BruteForceStage,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "sim"]]
+
+    merged = partial.groupby("query_id").map_groups(merge,
+                                                    batch_format="pandas")
+    out = merged.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class SRPBucketStage:
+    """Signed-random-projection bucket signature per row (one per hash
+    table): near-duplicate embeddings collide with high probability."""
+
+    def __init__(self, dim: int, n_bits: int = 12, n_tables: int = 4,
+                 seed: int = 42, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.vec_col = vec_col
+        self.n_tables = n_tables
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def signatures(self, M: np.ndarray) -> np.ndarray:
+        """(n_tables, nrows) int64 bucket ids."""
+        out = np.empty((self.n_tables, M.shape[0]), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (self.planes[t] @ M.T) > 0            # (n_bits, nrows)
+            out[t] = (bits.T @ self.weights)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = _normalize(np.stack(batch[self.vec_col].to_pandas().to_numpy()))
+        sigs = self.signatures(M)
+        n = M.shape[0]
+        tables = np.repeat(np.arange(self.n_tables, dtype=np.int32), n)
+        cols = {name: pa.concat_arrays([batch[name].combine_chunks()]
+                                       * self.n_tables)
+                for name in batch.column_names}
+        cols["table_id"] = pa.array(tables)
+        cols["bucket"] = pa.array(sigs.reshape(-1))
+        return pa.table(cols)
+
+
+def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
+             dim: int, n_bits: int = 10, n_tables: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k: rows and queries are SRP-bucketed; each
+    (table, bucket) group scans only its own rows against the queries that
+    hash there.  The scale path when brute force (O(N·Q)) is too much —
+    the shuffle key is (table_id, bucket), never all-pairs."""
+    stage = SRPBucketStage(dim, n_bits, n_tables, vec_col=vec_col)
+    qids = sorted(queries)
+    Qm = _normalize(np.stack([np.asarray(queries[i], dtype=np.float64)
+                              for i in qids]))
+    qsig = stage.signatures(Qm)                     # (n_tables, nq)
+    # query lookup per (table, bucket)
+    qmap: dict[tuple[int, int], list[int]] = {}
+    for t in range(n_tables):
+        for qi, qid in enumerate(qids):
+            qmap.setdefault((t, int(qsig[t, qi])), []).append(qi)
+    qmap_ref = ray.put((qmap, Qm, qids))
+
+    bucketed = ds.map_batches(stage, batch_format="pyarrow")
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        qmap_l, Qm_l, qids_l = ray.get(qmap_ref)
+        t = int(g["table_id"].iloc[0])
+        b = int(g["bucket"].iloc[0])
+        wanted = qmap_l.get((t, b))
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                              id_col: pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        if not wanted:
+            return empty
+        M = _normalize(np.stack(g[vec_col].to_numpy()))
+        ids = g[id_col].to_numpy()
+        sims = Qm_l[wanted] @ M.T
+        rows = []
+        for r, qi in enumerate(wanted):
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims[r], kk - 1)[:kk]
+            for j in top:
+                rows.append((int(qids_l[qi]), int(ids[j]),
+                             float(sims[r, j])))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["query_id", id_col, "sim"])
+
+    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        scan, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(id_col)
+             .sort_values(["sim", id_col], ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "sim"]]
+
+    merged = cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = merged.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)
