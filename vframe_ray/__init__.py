@@ -25,3 +25,7 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from .runtime import tune_memory as _tune_memory
+
+_tune_memory()    # see runtime.py: first-touch page-fault stalls in workers

@@ -48,9 +48,17 @@ def generate_transcripts(n_turns: int, seed: int = SEED,
     """Seeded transcripts table with exactly the input_hint schema."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(n_terms))
-    # Zipf ranks for the body of the distribution
+    # Zipf ranks for the body of the distribution; sampled via inverse-CDF
+    # (searchsorted on the cumulative), so drawing k tokens is O(k log V)
+    # instead of rng.choice(p=...)'s O(k·V)
     zipf_p = 1.0 / np.arange(1, n_terms + 1) ** 1.1
     zipf_p /= zipf_p.sum()
+    zipf_cum = np.cumsum(zipf_p)
+
+    def draw(k: int) -> np.ndarray:
+        return np.minimum(
+            np.searchsorted(zipf_cum, rng.random(k), side="right"),
+            n_terms - 1)
 
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
@@ -87,7 +95,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED,
                 prev_tokens = toks
             else:
                 ntok = int(rng.integers(3, 40))
-                toks = list(vocab[rng.choice(n_terms, size=ntok, p=zipf_p)])
+                toks = list(vocab[draw(ntok)])
                 for hot in HOT_TERMS:                       # planted hot head
                     if rng.random() < 0.4:
                         toks.insert(int(rng.integers(0, len(toks) + 1)), hot)
@@ -119,7 +127,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED,
             texts[d] = texts[s]
     # one very long outlier turn
     long_i = int(rng.integers(0, n))
-    texts[long_i] = " ".join(vocab[rng.choice(n_terms, size=20_000, p=zipf_p)])
+    texts[long_i] = " ".join(vocab[draw(20_000)])
 
     return pa.table({
         "conv_id": pa.array(conv_ids, pa.string()),

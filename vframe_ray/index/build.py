@@ -35,15 +35,38 @@ import ray.data
 
 from ..config import EngineConfig
 from ..state.manifest import read_json, write_json
-from ..stages.stats import salted_sum
+
 from ..stages.tokenize import TokenizeStage
 from .segment import build_segment
+
+
+class SegmentBuilderStage:
+    """Actor-pool segment builder (reference pattern: stateful sink with
+    open/append/close lifecycle, save-video.py:37-107).  One group =
+    one segment; each actor builds many segments over its lifetime."""
+
+    def __init__(self, index_dir: str, cfg: EngineConfig):
+        self.index_dir = index_dir
+        self.cfg = cfg
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        seg_id = int(group["segment_id"][0].as_py())
+        m = build_segment(group, seg_id, self.index_dir, self.cfg)
+        return pa.table({
+            "segment": pa.array([m["segment"]]),
+            "segment_id": pa.array([m["segment_id"]], pa.int32()),
+            "n_docs": pa.array([m["n_docs"]], pa.int64()),
+            "n_terms": pa.array([m["n_terms"]], pa.int64()),
+            "total_len": pa.array([m["total_len"]], pa.int64()),
+            "postings_bytes": pa.array([m["postings_bytes"]], pa.int64()),
+        })
 
 
 def build_index(ds: "ray.data.Dataset", index_dir: str,
                 cfg: EngineConfig | None = None, *,
                 tokenize_batch_size: int = 4096,
                 tokenize_concurrency=None,
+                build_concurrency: int | None = None,
                 compute_term_stats: bool = True) -> dict:
     """Build an inverted index from a transcripts Dataset.
 
@@ -69,38 +92,51 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
             TokenizeStage(cfg.analyzer, num_segments=cfg.index.num_segments),
             **tok_kwargs)
 
-    def _build_group(group: pa.Table) -> pa.Table:
-        seg_id = int(group["segment_id"][0].as_py())
-        m = build_segment(group, seg_id, index_dir, cfg)
-        return pa.table({
-            "segment": pa.array([m["segment"]]),
-            "segment_id": pa.array([m["segment_id"]], pa.int32()),
-            "n_docs": pa.array([m["n_docs"]], pa.int64()),
-            "n_terms": pa.array([m["n_terms"]], pa.int64()),
-            "total_len": pa.array([m["total_len"]], pa.int64()),
-            "postings_bytes": pa.array([m["postings_bytes"]], pa.int64()),
-        })
+    if build_concurrency is None:
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        # A SMALL pool of persistent builder actors, each handling several
+        # segments sequentially, beats one task per segment on hosts where
+        # fresh-page faults are expensive (runtime.py): the actor's malloc
+        # arena is retained (mallopt), so segment 2..k on the same actor
+        # run nearly fault-free.  num_cpus stays 1 and the pool is capped
+        # well under the cluster size so read/tokenize are never starved
+        # (a pool that reserves every CPU deadlocks the streaming
+        # executor — guide §actor pools).
+        build_concurrency = max(1, ncpu // 4)
 
     manifests = (tokenized
                  .groupby("segment_id")
-                 .map_groups(_build_group, batch_format="pyarrow"))
+                 .map_groups(SegmentBuilderStage,
+                             fn_constructor_kwargs=dict(index_dir=index_dir,
+                                                        cfg=cfg),
+                             batch_format="pyarrow",
+                             concurrency=build_concurrency,
+                             num_cpus=1))
     seg_rows = manifests.take_all()      # one tiny row per segment
 
     os.makedirs(os.path.join(index_dir, "global"), exist_ok=True)
     if compute_term_stats:
-        # Global df/cf = salted two-phase Sum over the per-segment term
-        # tables (already ≤ 1 row per term per segment — the partials were
-        # produced as a side effect of segment building, so raw text is
-        # never read twice).  Analog of merge-json's reduce over per-shard
-        # outputs (reference: src/commands/utils/merge-json.py:18-46).
+        # Global df/cf = one Sum-groupby over the per-segment term tables.
+        # Those tables are already the maximally pre-aggregated partials
+        # (≤ 1 row per term per segment, produced as a side effect of
+        # segment building — raw text is never read twice), so even the
+        # hottest term contributes at most n_segments tiny rows and needs
+        # no further salting (the salted path, stages/stats.salted_sum,
+        # exists for token-level aggregation where skew is real).  Analog
+        # of merge-json's reduce over per-shard outputs (reference:
+        # src/commands/utils/merge-json.py:18-46).
+        from ray.data.aggregate import Sum
         term_files = [
             os.path.join(index_dir, "segments", r["segment"], "terms.parquet")
             for r in seg_rows]
         seg_terms = ray.data.read_parquet(term_files,
                                           columns=["term", "df", "cf"])
-        salted_sum(seg_terms, "term", ["df", "cf"],
-                   cfg.index.salt_factor).write_parquet(
-            os.path.join(index_dir, "global", "terms"))
+        (seg_terms.groupby("term")
+         .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+         .write_parquet(os.path.join(index_dir, "global", "terms")))
 
     n_docs = sum(r["n_docs"] for r in seg_rows)
     total_len = sum(r["total_len"] for r in seg_rows)

@@ -36,6 +36,7 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -321,32 +322,62 @@ def search_index(index_dir: str, queries: list[dict],
 
     q_ref = ray.put(parsed)
     gdf_ref = ray.put(gdf)
+    stage_kwargs = dict(
+        queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
+        use_bmw=use_bmw, block_size=cfg.index.block_size)
 
     seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    hits = seg_ds.map_batches(
-        _SearcherStage,
-        fn_constructor_kwargs=dict(
-            queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
-            n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
-            use_bmw=use_bmw, block_size=cfg.index.block_size),
-        batch_format="pyarrow", batch_size=1, concurrency=concurrency)
-
     ks = {qid: k for qid, _, k in parsed}
+    max_hits = sum(ks.values()) * len(seg_dirs)
 
-    def merge(group: pa.Table) -> pa.Table:
-        qid = int(group["query_id"][0].as_py())
-        df = group.to_pandas().sort_values(
-            ["score", "conv_id", "turn_idx"],
-            ascending=[False, True, True]).head(ks.get(qid, 10))
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
-        return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
-                                        "turn_idx", "score"]],
-                                    preserve_index=False)
+    if max_hits <= 1_000_000:
+        # Small scatter-gather: per-segment top-k as plain TASKS (reuse
+        # warm workers, no actor-pool spin-up) and merge the ≤1M candidate
+        # rows on the driver — one round-trip, no shuffle.
+        def _task(batch: pa.Table) -> pa.Table:
+            stage = _SearcherStage(**stage_kwargs)
+            return stage(batch)
 
-    merged = hits.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+        hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                                  batch_size=1)
+        df = hits.to_pandas()
+        outs = []
+        for qid, _, k in parsed:
+            g = df[df["query_id"] == qid].sort_values(
+                ["score", "conv_id", "turn_idx"],
+                ascending=[False, True, True]).head(k).reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+            outs.append(g[["query_id", "rank", "conv_id", "turn_idx",
+                           "score"]])
+        merged_df = (pd.concat(outs, ignore_index=True) if outs
+                     else pd.DataFrame(columns=["query_id", "rank",
+                                                "conv_id", "turn_idx",
+                                                "score"]))
+    else:
+        # Large fan-in: distributed merge via groupby(query_id) so no
+        # single process holds every candidate row.
+        hits = seg_ds.map_batches(_SearcherStage,
+                                  fn_constructor_kwargs=stage_kwargs,
+                                  batch_format="pyarrow", batch_size=1,
+                                  concurrency=concurrency)
+
+        def merge(group: pa.Table) -> pa.Table:
+            qid = int(group["query_id"][0].as_py())
+            df = group.to_pandas().sort_values(
+                ["score", "conv_id", "turn_idx"],
+                ascending=[False, True, True]).head(ks.get(qid, 10))
+            df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+            return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
+                                            "turn_idx", "score"]],
+                                        preserve_index=False)
+
+        merged = hits.groupby("query_id").map_groups(merge,
+                                                     batch_format="pyarrow")
+        merged_df = merged.to_pandas()
+
     out = pa.Table.from_pandas(
-        merged.to_pandas().sort_values(["query_id", "rank"]),
-        preserve_index=False)
+        merged_df.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(pa.schema([
         ("query_id", pa.int32()), ("rank", pa.int32()),
         ("conv_id", pa.string()), ("turn_idx", pa.int32()),

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 from ..config import EngineConfig
 from ..state.manifest import (completed_segment, fingerprint_rows, write_atomic_dir,
                               write_json)
-from .codec import TermPostings, encode_postings
+from .codec import TermPostings, encode_postings_batch
 
 TERMS_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -69,7 +69,7 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
     conv = group["conv_id"].combine_chunks()
     turn = group["turn_idx"].combine_chunks()
     texts = group["text"].combine_chunks()
-    fp = fingerprint_rows(conv.to_pylist(), turn.to_pylist(), texts.to_pylist())
+    fp = fingerprint_rows(conv, turn, texts)
 
     seg_name = f"seg-{segment_id:05d}"
     seg_dir = os.path.join(index_dir, "segments", seg_name)
@@ -83,16 +83,29 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
 
     flat = pc.list_flatten(tokens)
     parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
-    flat_np = flat.to_numpy(zero_copy_only=False)
-    n_tok = len(flat_np)
+    n_tok = len(flat)
 
     if n_tok:
         # token position within its doc (0-based ordinal)
         doc_starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(doclens[:-1], out=doc_starts[1:])
         positions = np.arange(n_tok, dtype=np.int64) - doc_starts[parents]
-        # factorize terms; np.unique returns terms sorted ascending
-        terms_sorted, codes = np.unique(flat_np, return_inverse=True)
+        # factorize terms WITHOUT materializing Python strings:
+        # dictionary_encode is a C++ hash table (no per-token PyObjects —
+        # np.unique on an object array is 10-20× slower and allocation-
+        # heavy), then remap dictionary codes into sorted-term space
+        # (UTF-8 byte order == np.unique's lexicographic order for our
+        # [a-z0-9] tokens).
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        raw_codes = denc.indices.to_numpy(zero_copy_only=False)
+        vocab = denc.dictionary
+        sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(vocab), dtype=np.int64)
+        codes = rank[raw_codes]
+        terms_sorted = vocab.take(pa.array(sort_idx))
         # order postings by (term, doc, position)
         order = np.lexsort((positions, parents, codes))
         t_s, d_s, p_s = codes[order], parents[order], positions[order]
@@ -111,37 +124,44 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
         term_starts = np.flatnonzero(new_term)
         term_ends = np.append(term_starts[1:], len(pair_starts))
     else:
-        terms_sorted = np.empty(0, dtype=object)
+        terms_sorted = pa.array([], pa.string())
         term_starts = term_ends = pair_starts = np.empty(0, dtype=np.int64)
         pair_doc = tf = p_s = np.empty(0, dtype=np.int64)
 
     bs = cfg.index.block_size
-    rows: dict[str, list] = {k.name: [] for k in TERMS_SCHEMA}
-    for ti in range(len(terms_sorted)):
-        lo, hi = term_starts[ti], term_ends[ti]
-        docs_t = pair_doc[lo:hi].astype(np.int64)
-        tfs_t = tf[lo:hi].astype(np.int64)
-        if cfg.index.store_positions:
-            pos_lo = pair_starts[lo]
-            pos_hi = pair_starts[hi] if hi < len(pair_starts) else n_tok
-            pos_t = p_s[pos_lo:pos_hi]
-        else:
-            pos_t = None
-        tp = encode_postings(docs_t, tfs_t, doclens[docs_t], pos_t, bs)
-        rows["term"].append(str(terms_sorted[ti]))
-        rows["df"].append(len(docs_t))
-        rows["cf"].append(int(tfs_t.sum()))
-        rows["n_docs"].append(tp.n_docs)
-        rows["blob"].append(tp.blob)
-        rows["block_last_doc"].append(tp.block_last_doc.tolist())
-        rows["block_max_tf"].append(tp.block_max_tf.tolist())
-        rows["block_min_dl"].append(tp.block_min_dl.tolist())
-        rows["block_doc_off"].append(tp.block_doc_off.tolist())
-        rows["block_tf_off"].append(tp.block_tf_off.tolist())
-        rows["tf_section_off"].append(tp.tf_section_off)
-        rows["pos_section_off"].append(tp.pos_section_off)
-
-    terms_table = pa.table(rows, schema=TERMS_SCHEMA)
+    if len(terms_sorted):
+        pair_doc64 = pair_doc.astype(np.int64)
+        tf64 = tf.astype(np.int64)
+        positions_all = p_s if cfg.index.store_positions else None
+        encoded = encode_postings_batch(term_starts, pair_doc64, tf64,
+                                        doclens[pair_doc64], positions_all, bs)
+        df_arr = (term_ends - term_starts).astype(np.int64)
+        cf_arr = np.add.reduceat(tf64, term_starts)
+        terms_table = pa.table({
+            "term": terms_sorted,
+            "df": pa.array(df_arr),
+            "cf": pa.array(cf_arr.astype(np.int64)),
+            "n_docs": pa.array([tp.n_docs for tp in encoded], pa.int64()),
+            "blob": pa.array([tp.blob for tp in encoded], pa.large_binary()),
+            "block_last_doc": pa.array(
+                [tp.block_last_doc for tp in encoded],
+                pa.list_(pa.int64())),
+            "block_max_tf": pa.array(
+                [tp.block_max_tf for tp in encoded], pa.list_(pa.int32())),
+            "block_min_dl": pa.array(
+                [tp.block_min_dl for tp in encoded], pa.list_(pa.int32())),
+            "block_doc_off": pa.array(
+                [tp.block_doc_off for tp in encoded], pa.list_(pa.int64())),
+            "block_tf_off": pa.array(
+                [tp.block_tf_off for tp in encoded], pa.list_(pa.int64())),
+            "tf_section_off": pa.array(
+                [tp.tf_section_off for tp in encoded], pa.int64()),
+            "pos_section_off": pa.array(
+                [tp.pos_section_off for tp in encoded], pa.int64()),
+        }, schema=TERMS_SCHEMA)
+    else:
+        terms_table = pa.table({k.name: [] for k in TERMS_SCHEMA},
+                               schema=TERMS_SCHEMA)
     docs_table = pa.table({
         "doc_local": pa.array(np.arange(n_docs, dtype=np.int64)),
         "conv_id": conv,
@@ -162,7 +182,7 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
             "n_docs": int(n_docs),
             "n_terms": int(len(terms_sorted)),
             "total_len": int(doclens.sum()),
-            "postings_bytes": int(sum(len(b) for b in rows["blob"])),
+            "postings_bytes": int(terms_table["blob"].nbytes),
             "input_fingerprint": fp,
         }
         write_json(os.path.join(tmp, "manifest.json"), manifest)

@@ -41,22 +41,35 @@ def q1_pricing_summary(sf_dir: str):
                filter=(pc.field("l_shipdate") < pc.scalar(
                    pd.Timestamp("1998-09-01"))))
 
-    def derive(t: pa.Table) -> pa.Table:
-        disc = pc.multiply(t["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc)
+    def partial(t: pa.Table) -> pa.Table:
+        # batch-level combiner: collapse each block to ≤ |groups| rows so
+        # the exchange moves partial aggregates, not 600k rows (the
+        # guide's "pre-aggregate before the shuffle"; Ray's groupby alone
+        # would sort the full dataset by key first)
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_p=("l_quantity", "sum"),
+            sum_base_price_p=("l_extendedprice", "sum"),
+            sum_disc_price_p=("disc_price", "sum"),
+            count_order_p=("l_quantity", "count"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="count_order"))
-    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_p", alias_name="sum_qty"),
+        Sum("sum_base_price_p", alias_name="sum_base_price"),
+        Sum("sum_disc_price_p", alias_name="sum_disc_price"),
+        Sum("count_order_p", alias_name="count_order"))
+    df = out.to_pandas()
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df = df.sort_values(["l_returnflag", "l_linestatus"])
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
         df[c] = df[c].round(4)
-    return df.reset_index(drop=True)
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]].reset_index(
+        drop=True)
 
 
 def revenue_by_nation(sf_dir: str):

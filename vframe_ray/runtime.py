@@ -1,0 +1,55 @@
+"""Process-level runtime tuning applied wherever vframe_ray code runs.
+
+First-touch page-fault mitigation
+---------------------------------
+On this class of host (snapshot-restored VM / lazily-backed guest
+memory), the FIRST touch of a fresh anonymous page costs 30µs-1ms —
+numpy kernels measured 100-1000× slower inside freshly-forked Ray
+workers than in a warmed process.  Two compounding causes, two fixes:
+
+1. numpy ≥1.18 madvises ``MADV_HUGEPAGE`` for large buffers; with THP
+   ``madvise``+defrag the first touch stalls on synchronous compaction.
+   → ``prctl(PR_SET_THP_DISABLE)`` opts the process out (~40× better).
+2. glibc serves large allocations via fresh ``mmap`` and returns them
+   with ``munmap`` on free, so EVERY big numpy temporary re-faults new
+   pages forever (the guest kernel keeps handing out never-touched
+   physical pages).  → raise ``M_MMAP_THRESHOLD`` / ``M_TRIM_THRESHOLD``
+   so big buffers come from the retained heap arena: each worker pays
+   the fault-in once for its peak working set, then reuses warm pages
+   (measured: 64 MB fill 0.11s first round, 0.006s after — vs 4.6s
+   per round untuned).
+
+Called at package import, so every Ray worker that deserializes one of
+our UDFs (thereby importing vframe_ray) is tuned before the hot loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+_PR_SET_THP_DISABLE = 41
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+_done = False
+
+
+def tune_memory() -> bool:
+    """Disable THP + retain the malloc arena for this process (idempotent)."""
+    global _done
+    if _done:
+        return True
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.prctl(_PR_SET_THP_DISABLE, 1, 0, 0, 0)
+        libc.mallopt(_M_MMAP_THRESHOLD, 1 << 29)    # big allocs from heap
+        libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)    # never give heap back
+        _done = True
+    except Exception:
+        return False
+    return True
+
+
+# backwards-compatible name
+disable_thp = tune_memory

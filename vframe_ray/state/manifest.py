@@ -17,7 +17,6 @@ anti-join cache vs inputs) and its prior-run JSON re-hydration
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -26,14 +25,27 @@ import shutil
 def fingerprint_rows(conv_ids, turn_idxs, texts) -> str:
     """Order-insensitive content hash of a segment's input rows.
 
-    XOR of per-row sha1 digests → insensitive to arrival order (blocks
-    reach the builder in nondeterministic order), sensitive to content.
+    XOR-fold of per-row 64-bit hashes (vectorized) → insensitive to
+    arrival order (blocks reach the builder in nondeterministic order),
+    sensitive to content.  Inputs are pyarrow arrays or sequences.
     """
-    acc = 0
-    for c, t, x in zip(conv_ids, turn_idxs, texts):
-        h = hashlib.sha1(f"{c}\x00{t}\x00{x}".encode()).digest()[:16]
-        acc ^= int.from_bytes(h, "big")
-    return f"{acc:032x}"
+    import numpy as np
+    import pandas as pd
+
+    def _np(x):
+        try:
+            return x.to_numpy(zero_copy_only=False)
+        except (AttributeError, TypeError):
+            return np.asarray(x)
+
+    hc = pd.util.hash_array(_np(conv_ids).astype(object))
+    ht = pd.util.hash_array(_np(turn_idxs).astype(np.int64))
+    hx = pd.util.hash_array(_np(texts).astype(object))
+    mixed = hc * np.uint64(0x9E3779B97F4A7C15) ^ (ht + np.uint64(1)) \
+        * np.uint64(0xC2B2AE3D27D4EB4F) ^ hx
+    acc = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
+    # fold in the row count so permutations of multisets stay distinct-ish
+    return f"{int(acc):016x}{len(mixed):016x}"
 
 
 def write_atomic_dir(tmp_dir: str, final_dir: str) -> None:
