@@ -62,9 +62,10 @@ def run_bench() -> dict:
     from vframe_ray.index.query import search_index
 
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    n_turns = CORPUS_TURNS.get(tag, 100_000)
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS",
+                                 CORPUS_TURNS.get(tag, 100_000)))
     cdir = corpus_dir(tag, n_turns)
-    cfg = EngineConfig(index=IndexConfig(num_segments=16))
+    cfg = EngineConfig(index=IndexConfig(num_segments=64))
     queries = generate_queries()
     timings: dict[str, float] = {}
 
@@ -133,7 +134,13 @@ def run_scaling() -> None:
     """Same job, fresh processes, two parallelism levels."""
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # a 4× corpus for scaling runs so parallel work dominates the
+        # per-execution serial floor (~5s: sort coordination, planning,
+        # actor-pool spin-up) — at 600k turns that floor alone caps
+        # efficiency near 0.6 regardless of the engine
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_TURNS=os.environ.get("GRAFT_SCALING_TURNS",
+                                                    "2400000"))
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True)
         line = [l for l in proc.stdout.strip().splitlines()

@@ -6,7 +6,7 @@ src/commands/pipe/open.py:93-116 source loop; detect.py:82-168 inference;
 save-detections.py:49-75 sink) as one streaming Ray Data pipeline:
 
     read_parquet(transcripts)                       # source (pruned columns)
-      .map_batches(TokenizeStage, actor pool)       # stateful per-batch map
+      .map_batches(assign segment_id)               # cheap pre-shuffle map
       .groupby(segment_id)                          # THE shuffle (doc->segment)
       .map_groups(build_segment)                    # stateful per-group sink
     + term_stats(tokenized)                         # salted groupby(term) merge
@@ -36,30 +36,31 @@ import ray.data
 from ..config import EngineConfig
 from ..state.manifest import read_json, write_json
 
-from ..stages.tokenize import TokenizeStage
+from ..stages.tokenize import assign_segment_ids
 from .segment import build_segment
 
 
 class SegmentBuilderStage:
     """Actor-pool segment builder (reference pattern: stateful sink with
     open/append/close lifecycle, save-video.py:37-107).  One group =
-    one segment; each actor builds many segments over its lifetime."""
+    one segment; each actor builds many segments over its lifetime.
+
+    Output rows are the segment's (term, df, cf) partials so the global
+    term-stats merge happens in the SAME execution (no second pipeline,
+    no re-read of terms.parquet); the per-segment manifest goes to disk
+    and is collected by the driver afterwards."""
 
     def __init__(self, index_dir: str, cfg: EngineConfig):
         self.index_dir = index_dir
         self.cfg = cfg
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
         seg_id = int(group["segment_id"][0].as_py())
         m = build_segment(group, seg_id, self.index_dir, self.cfg)
-        return pa.table({
-            "segment": pa.array([m["segment"]]),
-            "segment_id": pa.array([m["segment_id"]], pa.int32()),
-            "n_docs": pa.array([m["n_docs"]], pa.int64()),
-            "n_terms": pa.array([m["n_terms"]], pa.int64()),
-            "total_len": pa.array([m["total_len"]], pa.int64()),
-            "postings_bytes": pa.array([m["postings_bytes"]], pa.int64()),
-        })
+        seg_dir = os.path.join(self.index_dir, "segments", m["segment"])
+        return _pq.read_table(os.path.join(seg_dir, "terms.parquet"),
+                              columns=["term", "df", "cf"])
 
 
 def build_index(ds: "ray.data.Dataset", index_dir: str,
@@ -67,6 +68,7 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
                 tokenize_batch_size: int = 4096,
                 tokenize_concurrency=None,
                 build_concurrency: int | None = None,
+                use_actor_pool: bool = True,
                 compute_term_stats: bool = True) -> dict:
     """Build an inverted index from a transcripts Dataset.
 
@@ -79,64 +81,86 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
 
     ds = ds.select_columns(["conv_id", "turn_idx", "text"])
 
-    tok_kwargs = dict(batch_format="pyarrow", batch_size=tokenize_batch_size,
-                      zero_copy_batch=True)
-    if tokenize_concurrency is not None:
-        tokenized = ds.map_batches(
-            TokenizeStage,
-            fn_constructor_kwargs=dict(cfg=cfg.analyzer,
-                                       num_segments=cfg.index.num_segments),
-            concurrency=tokenize_concurrency, **tok_kwargs)
-    else:
-        tokenized = ds.map_batches(
-            TokenizeStage(cfg.analyzer, num_segments=cfg.index.num_segments),
-            **tok_kwargs)
+    # Pre-shuffle stage only assigns segment ids; tokenization happens
+    # INSIDE the builder actors after the exchange, so the shuffle moves
+    # raw text (≈2.5× smaller than exploded token lists).  Tokenize-first
+    # remains available for pipelines that consume the tokens column
+    # directly (stages/tokenize.py).
+    def _assign(batch: pa.Table) -> pa.Table:
+        seg = assign_segment_ids(batch["conv_id"], cfg.index.num_segments)
+        return batch.append_column("segment_id", pa.array(seg, pa.int32()))
+
+    tokenized = ds.map_batches(_assign, batch_format="pyarrow",
+                               batch_size=tokenize_batch_size,
+                               zero_copy_batch=True)
 
     if build_concurrency is None:
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        # A SMALL pool of persistent builder actors, each handling several
+        # A pool of persistent builder actors, each handling several
         # segments sequentially, beats one task per segment on hosts where
         # fresh-page faults are expensive (runtime.py): the actor's malloc
         # arena is retained (mallopt), so segment 2..k on the same actor
         # run nearly fault-free.  num_cpus stays 1 and the pool is capped
-        # well under the cluster size so read/tokenize are never starved
-        # (a pool that reserves every CPU deadlocks the streaming
-        # executor — guide §actor pools).
-        build_concurrency = max(1, ncpu // 4)
+        # under the cluster size so the read stage is never starved (a
+        # pool that reserves every CPU deadlocks the streaming executor —
+        # guide §actor pools).  ncpu//2 measured best on 8..32 cpus with
+        # num_segments ≥ 4× pool size.
+        build_concurrency = max(1, min(ncpu // 2,
+                                       cfg.index.num_segments))
 
-    manifests = (tokenized
-                 .groupby("segment_id")
-                 .map_groups(SegmentBuilderStage,
-                             fn_constructor_kwargs=dict(index_dir=index_dir,
-                                                        cfg=cfg),
-                             batch_format="pyarrow",
-                             concurrency=build_concurrency,
-                             num_cpus=1))
-    seg_rows = manifests.take_all()      # one tiny row per segment
+    if use_actor_pool:
+        seg_terms = (tokenized
+                     .groupby("segment_id")
+                     .map_groups(SegmentBuilderStage,
+                                 fn_constructor_kwargs=dict(
+                                     index_dir=index_dir, cfg=cfg),
+                                 batch_format="pyarrow",
+                                 concurrency=build_concurrency,
+                                 num_cpus=1))
+    else:
+        # task-based builders: no per-execution actor spawn; groups run on
+        # the session's default (already-warm) worker pool
+        stage = SegmentBuilderStage(index_dir, cfg)
+
+        def build_group(group: pa.Table) -> pa.Table:
+            return stage(group)
+
+        seg_terms = (tokenized
+                     .groupby("segment_id")
+                     .map_groups(build_group, batch_format="pyarrow"))
 
     os.makedirs(os.path.join(index_dir, "global"), exist_ok=True)
     if compute_term_stats:
-        # Global df/cf = one Sum-groupby over the per-segment term tables.
-        # Those tables are already the maximally pre-aggregated partials
-        # (≤ 1 row per term per segment, produced as a side effect of
-        # segment building — raw text is never read twice), so even the
+        # Global df/cf = one Sum-groupby over the per-segment (term, df,
+        # cf) partials STREAMED OUT of the builder stage — the maximally
+        # pre-aggregated form (≤ 1 row per term per segment), so even the
         # hottest term contributes at most n_segments tiny rows and needs
         # no further salting (the salted path, stages/stats.salted_sum,
-        # exists for token-level aggregation where skew is real).  Analog
-        # of merge-json's reduce over per-shard outputs (reference:
+        # exists for token-level aggregation where skew is real).  One
+        # execution covers shuffle + build + stats merge.  Analog of
+        # merge-json's reduce over per-shard outputs (reference:
         # src/commands/utils/merge-json.py:18-46).
         from ray.data.aggregate import Sum
-        term_files = [
-            os.path.join(index_dir, "segments", r["segment"], "terms.parquet")
-            for r in seg_rows]
-        seg_terms = ray.data.read_parquet(term_files,
-                                          columns=["term", "df", "cf"])
         (seg_terms.groupby("term")
          .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
          .write_parquet(os.path.join(index_dir, "global", "terms")))
+    else:
+        seg_terms.materialize()
+
+    # collect per-segment manifests from disk (written atomically by the
+    # builders; tiny JSON each)
+    seg_root = os.path.join(index_dir, "segments")
+    expected = {f"seg-{i:05d}" for i in range(cfg.index.num_segments)}
+    seg_rows = []
+    for name in sorted(os.listdir(seg_root)):
+        if name not in expected:        # stale/tmp dirs from other configs
+            continue
+        mpath = os.path.join(seg_root, name, "manifest.json")
+        if os.path.exists(mpath):
+            seg_rows.append(read_json(mpath))
 
     n_docs = sum(r["n_docs"] for r in seg_rows)
     total_len = sum(r["total_len"] for r in seg_rows)

@@ -77,8 +77,18 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
         from ..state.manifest import read_json
         return read_json(os.path.join(seg_dir, "manifest.json"))
 
-    tokens = group["tokens"].combine_chunks()
-    doclens = group["doclen"].combine_chunks().to_numpy(zero_copy_only=False)
+    if "tokens" in group.column_names:
+        tokens = group["tokens"].combine_chunks()
+        doclens = group["doclen"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+    else:
+        # tokenize-in-builder path: the shuffle moved RAW text (≈2.5×
+        # smaller than exploded token lists); the analyzer runs here,
+        # vectorized over the whole sorted group
+        from ..analyze import Tokenizer
+        tok = Tokenizer(cfg.analyzer)
+        tokens = tok.tokenize_array(texts)
+        doclens = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
     n_docs = group.num_rows
 
     flat = pc.list_flatten(tokens)
