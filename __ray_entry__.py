@@ -220,6 +220,53 @@ def _q_tumbling(sf_dir: str):
     return df.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def _q_redact(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textops import redact
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = redact(ds, pattern="(batch|spark)", replacement="■").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "text_redacted"]]
+
+
+def _q_caption(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textops import caption
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "lang",
+                                        "n_chars"])
+    out = caption(ds, ["source", "lang", "doc_id", "n_chars"]).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "caption"]]
+
+
+def _q_decimate(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textops import decimate
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "value"])
+    out = decimate(ds, 7, idx_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_summarize(sf_dir: str):
+    """Per-source corpus summary (reference analog: summarize-json's
+    per-label grouped counts, summarize-json.py:29-105)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Mean, Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+        Max("n_chars", alias_name="max_chars"))
+    df = out.to_pandas().sort_values("source").reset_index(drop=True)
+    df["avg_chars"] = df["avg_chars"].round(6)
+    return df
+
+
 # ------------------------------ rows-only (non-SQL-expressible) entries
 
 def _q_minhash(sf_dir: str):
@@ -340,6 +387,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": _q_cosine,
         "lsh_ann_topk": _q_lsh_ann,
+        # per-row transforms (redact/caption/decimate — reference
+        # pipe redact/caption/skip-interval analogs)
+        "redact_text": _q_redact,
+        "caption_template": _q_caption,
+        "decimate_events": _q_decimate,
+        "summarize_by_source": _q_summarize,
         # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -423,6 +476,23 @@ WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
 SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id,
        round(sim, 6) AS sim_r
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "redact_text": """
+SELECT doc_id, regexp_replace(text, '(batch|spark)', '■', 'g')
+       AS text_redacted
+FROM documents ORDER BY doc_id""",
+        "caption_template": """
+SELECT doc_id, source || ':' || lang || ':' || doc_id || ':' || n_chars
+       AS caption
+FROM documents ORDER BY doc_id""",
+        "decimate_events": """
+SELECT event_id, user_id, value FROM events
+WHERE event_id % 7 = 0 ORDER BY event_id""",
+        "summarize_by_source": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY source ORDER BY source""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

@@ -339,8 +339,11 @@ def search_index(index_dir: str, queries: list[dict],
             stage = _SearcherStage(**stage_kwargs)
             return stage(batch)
 
+        # several segments per task: task-launch overhead amortizes and
+        # the task count stays ~O(cpus) even with hundreds of segments
+        seg_batch = max(1, len(seg_dirs) // 64)
         hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                                  batch_size=1)
+                                  batch_size=seg_batch)
         df = hits.to_pandas()
         outs = []
         for qid, _, k in parsed:

@@ -107,12 +107,9 @@ def frame_sample(ds, every_n: int = 5):
     """Frame decimation on a video-frames table (media_id, frame_idx, …):
     keep every Nth frame — the reference's skip-interval
     (skip-interval.py:21-45), vectorized modulo."""
-    import pyarrow.compute as pc
-
     def dec(t: pa.Table) -> pa.Table:
-        keep = pc.equal(
-            pc.mod_checked(t["frame_idx"], pa.scalar(every_n)), pa.scalar(0))
-        return t.filter(keep)
+        idx = t["frame_idx"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(idx % every_n == 0))
 
     return ds.map_batches(dec, batch_format="pyarrow", zero_copy_batch=True)
 
