@@ -1,0 +1,76 @@
+"""Query-path equivalence + randomized rank-identity property test."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.util import SMALL_CFG
+from vframe_ray.corpus import generate_queries
+from vframe_ray.index.query import search_index
+
+
+def test_distributed_merge_equals_driver_merge(ray_session, small_index_dir):
+    queries = generate_queries(n_terms=800)[:6]
+    a = search_index(small_index_dir, queries)             # driver merge
+    b = search_index(small_index_dir, queries,
+                     driver_merge_max_rows=0)              # groupby merge
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_query_service_equals_search_index(ray_session, small_index_dir):
+    from vframe_ray.index.query import QueryService
+    queries = generate_queries(n_terms=800)[:8]
+    want = search_index(small_index_dir, queries)
+    svc = QueryService(small_index_dir, n_actors=3)
+    try:
+        got = svc.search(queries)
+        got2 = svc.search(queries)           # repeated call, warm actors
+        assert got.to_pylist() == want.to_pylist()
+        assert got2.to_pylist() == want.to_pylist()
+    finally:
+        svc.shutdown()
+
+
+def test_randomized_corpora_rank_identical(ray_session, tmp_path):
+    """Property test: random tiny corpora, engine == oracle on every
+    query (catches segment-boundary / tie-break / empty-doc edges the
+    fixed corpus misses)."""
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.oracle import OracleIndex
+
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        rows = []
+        n_conv = int(rng.integers(3, 12))
+        for c in range(n_conv):
+            for t in range(int(rng.integers(1, 6))):
+                n = int(rng.integers(0, 8))
+                text = " ".join(rng.choice(vocab, n)) if n else ""
+                rows.append((f"conv{c:03d}", t, text))
+        oracle = OracleIndex(rows, SMALL_CFG)
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows]),
+        })
+        idx = str(tmp_path / f"idx{trial}")
+        cfg = EngineConfig(index=IndexConfig(
+            num_segments=int(rng.integers(1, 5)), block_size=4))
+        build_index(ray.data.from_arrow(tbl), idx, cfg)
+        queries = [{"query_id": i, "query_text": q, "k": int(rng.integers(1, 8))}
+                   for i, q in enumerate(
+                       [vocab[0], " ".join(rng.choice(vocab, 3)),
+                        "absentterm", vocab[5] + " " + vocab[5]])]
+        res = search_index(idx, queries, cfg=cfg)
+        got: dict[int, list] = {}
+        for r in res.to_pylist():
+            got.setdefault(r["query_id"], []).append(
+                (r["conv_id"], r["turn_idx"], r["score"]))
+        for q in queries:
+            exp = [(h.conv_id, h.turn_idx, h.score)
+                   for h in oracle.search(q["query_text"], q["k"])]
+            assert got.get(q["query_id"], []) == exp, \
+                (trial, q["query_text"])

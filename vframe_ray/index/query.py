@@ -72,12 +72,15 @@ class SegmentSearcher:
     # ---------- exact baseline: term-at-a-time vectorized ----------
 
     def score_full(self, terms: list[str], k: int,
-                   postings: dict[str, TermPostings] | None = None
+                   postings: dict[str, TermPostings] | None = None,
+                   decode_cache: dict | None = None
                    ) -> list[tuple[float, int]]:
         """Returns [(score, doc_local)] sorted (score desc, doc_local asc).
 
         Accumulates per ascending term order into a dense float64 array →
         summation order per doc identical to the oracle's.
+        ``decode_cache`` memoizes decoded (docs, tfs) per term so a batch
+        of queries sharing terms decodes each posting list once.
         """
         if postings is None:
             postings = self.r.load_terms(terms)
@@ -88,7 +91,12 @@ class SegmentSearcher:
             tp = postings.get(t)
             if tp is None:
                 continue
-            docs, tfs = decode_all(tp, self.block_size)
+            if decode_cache is not None and t in decode_cache:
+                docs, tfs = decode_cache[t]
+            else:
+                docs, tfs = decode_all(tp, self.block_size)
+                if decode_cache is not None:
+                    decode_cache[t] = (docs, tfs)
             tfs = tfs.astype(np.float64)
             # evaluation order fixed as idf * (tf*(k1+1)) / (tf+norm) —
             # bit-identical to the oracle (SURVEY.md §7.4)
@@ -242,12 +250,33 @@ class SegmentSearcher:
                      key=lambda sd: (-sd[0], sd[1]))
         return [(float(s), int(d)) for s, d in out]
 
+    # Above ~this many candidate postings, the vectorized TAAT scorer
+    # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
+    # candidate sets dense; WAND's skipping pays off only when sparse).
+    BMW_MAX_CANDIDATES = 4096
+
     def search(self, queries: list[tuple[int, list[str], int]],
                use_bmw: bool = True) -> pa.Table:
-        """queries: [(query_id, sorted_terms, k)] -> result rows table."""
+        """queries: [(query_id, sorted_terms, k)] -> result rows table.
+
+        Postings for the UNION of all query terms are read once per call
+        (one parquet filter read per segment, not one per query) and
+        shared across queries; each query picks BMW or vectorized-full
+        scoring by candidate count — both are exact, so the choice never
+        changes results (asserted in tests).
+        """
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+                           ) if queries else []
+        postings = self.r.load_terms(all_terms)
+        decode_cache: dict = {}
         qid_out, conv_out, turn_out, score_out, rank_out = [], [], [], [], []
         for qid, terms, k in queries:
-            hits = (self.score_bmw if use_bmw else self.score_full)(terms, k)
+            n_cand = sum(postings[t].n_docs for t in terms if t in postings)
+            if use_bmw and n_cand <= self.BMW_MAX_CANDIDATES:
+                hits = self.score_bmw(terms, k, postings=postings)
+            else:
+                hits = self.score_full(terms, k, postings=postings,
+                                       decode_cache=decode_cache)
             for rank, (s, d) in enumerate(hits, start=1):
                 qid_out.append(qid)
                 conv_out.append(self.r.conv_id[d].as_py())
@@ -300,9 +329,97 @@ class _SearcherStage:
         return pa.concat_tables(tables)
 
 
+@ray.remote
+class _ShardSearcher:
+    """Persistent query-serving actor owning a shard of segments: docmaps
+    + doc-length norms resident across queries (the reference pattern of
+    scorer state loaded once per worker, detect.py:73 / base.py:47-55)."""
+
+    def __init__(self, seg_dirs: list[str], bm25_dict: dict, n_docs: int,
+                 avgdl: float, block_size: int):
+        from ..runtime import tune_memory
+        tune_memory()
+        self.searchers = [
+            SegmentSearcher(d, BM25Config(**bm25_dict), n_docs, avgdl, {},
+                            block_size=block_size)
+            for d in seg_dirs]
+
+    def search(self, parsed: list[tuple[int, list[str], int]],
+               idf_map: dict[str, float], use_bmw: bool = True):
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search(parsed, use_bmw=use_bmw))
+        return pa.concat_tables(rows)
+
+
+class QueryService:
+    """Long-lived BM25 top-k query service over a finished index.
+
+    Spawns ``n_actors`` shard searchers once (segments round-robin);
+    each ``search()`` call tokenizes, looks up global df for the query
+    terms (small parquet filter read), fans out to every shard, and
+    merges the per-shard top-k on the driver.  Amortizes docmap loads
+    and actor spin-up across calls — the serving-path counterpart of the
+    one-shot :func:`search_index`.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 8,
+                 cfg: EngineConfig | None = None):
+        from .build import load_index_meta
+        cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+        self.cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
+            else cfg.validate()
+        self.index_dir = index_dir
+        self.stats = stats
+        self.tok = Tokenizer(self.cfg.analyzer)
+        n_actors = max(1, min(n_actors, len(seg_dirs)))
+        shards = [seg_dirs[i::n_actors] for i in range(n_actors)]
+        bm25_dict = {"k1": self.cfg.bm25.k1, "b": self.cfg.bm25.b}
+        self.actors = [
+            _ShardSearcher.remote(sh, bm25_dict, stats["n_docs"],
+                                  stats["avgdl"],
+                                  self.cfg.index.block_size)
+            for sh in shards]
+
+    def search(self, queries: list[dict], use_bmw: bool = True) -> pa.Table:
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("k", 10))) for q in queries]
+        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+            else set()
+        gdf = _global_df_for_terms(self.index_dir, terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search.remote(parsed, idf_map, use_bmw)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        ks = {qid: k for qid, _, k in parsed}
+        outs = []
+        for qid, _, k in parsed:
+            g = df[df["query_id"] == qid].sort_values(
+                ["score", "conv_id", "turn_idx"],
+                ascending=[False, True, True]).head(k).reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+            outs.append(g[["query_id", "rank", "conv_id", "turn_idx",
+                           "score"]])
+        merged = (pd.concat(outs, ignore_index=True) if outs
+                  else pd.DataFrame(columns=["query_id", "rank", "conv_id",
+                                             "turn_idx", "score"]))
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            pa.schema([("query_id", pa.int32()), ("rank", pa.int32()),
+                       ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                       ("score", pa.float64())]))
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 def search_index(index_dir: str, queries: list[dict],
                  cfg: EngineConfig | None = None, *,
-                 use_bmw: bool = True, concurrency=(1, 8)) -> pa.Table:
+                 use_bmw: bool = True, concurrency=(1, 8),
+                 driver_merge_max_rows: int = 1_000_000) -> pa.Table:
     """Distributed top-k search.
 
     queries: [{"query_id", "query_text", "k"}] →
@@ -331,7 +448,7 @@ def search_index(index_dir: str, queries: list[dict],
     ks = {qid: k for qid, _, k in parsed}
     max_hits = sum(ks.values()) * len(seg_dirs)
 
-    if max_hits <= 1_000_000:
+    if max_hits <= driver_merge_max_rows:
         # Small scatter-gather: per-segment top-k as plain TASKS (reuse
         # warm workers, no actor-pool spin-up) and merge the ≤1M candidate
         # rows on the driver — one round-trip, no shuffle.
