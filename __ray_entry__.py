@@ -310,6 +310,42 @@ def _q_lsh_ann(sf_dir: str):
     return lsh_topk(ds, queries, k=5, dim=dim).to_pandas()
 
 
+def _q_ivf_ann(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.similarity import ivf_topk
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "<", 3)])
+    queries = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(qt["vec_id"].to_pylist(),
+                               qt["embedding"].to_pylist())}
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=3).to_pandas()
+
+
+def _q_transcripts_bm25_filtered(sf_dir: str):
+    """Attribute-filtered BM25 over synthetic transcripts (role ==
+    assistant) — skip-labels semantics at query time; rank-identity vs
+    the oracle is covered in pytest; rows-only here."""
+    import ray.data
+    from vframe_ray.corpus import generate_queries, write_transcripts
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+    from vframe_ray.config import EngineConfig, IndexConfig
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
+    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
+        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
+    index_dir = f"/tmp/vframe_ray_cache/tidx-attr-{tag}"
+    cfg = EngineConfig(index=IndexConfig(num_segments=8))
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        ds = ray.data.read_parquet(
+            corpus_dir, columns=["conv_id", "turn_idx", "text", "role"])
+        build_index(ds, index_dir, cfg, attribute_cols=["role"])
+    return search_index(index_dir, generate_queries(n_terms=2000)[:8],
+                        predicates=["role == assistant"]).to_pandas()
+
+
 def _q_transcripts_bm25(sf_dir: str):
     """Engine over the synthetic transcripts corpus (multi-turn, planted
     skew/dups — FIXTURES.md §1); validated against the in-process oracle
@@ -387,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": _q_cosine,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         # per-row transforms (redact/caption/decimate — reference
         # pipe redact/caption/skip-interval analogs)
         "redact_text": _q_redact,
@@ -407,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
+        "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
         "media_features_stub": _q_media_stub,
     }
 

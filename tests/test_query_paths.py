@@ -31,6 +31,47 @@ def test_query_service_equals_search_index(ray_session, small_index_dir):
         svc.shutdown()
 
 
+def test_predicate_filtered_search(ray_session, small_corpus_dir, tmp_path):
+    """Attribute-filtered BM25 (role == assistant) rank-identical to the
+    oracle with the same predicate — skip-labels semantics at query time."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from vframe_ray.index.build import build_index
+    from vframe_ray.oracle import OracleIndex
+
+    src = pq.ParquetDataset(small_corpus_dir).read(
+        columns=["conv_id", "turn_idx", "text", "role"])
+    rows = [(c, t, x, {"role": r}) for c, t, x, r in
+            zip(src["conv_id"].to_pylist(), src["turn_idx"].to_pylist(),
+                src["text"].to_pylist(), src["role"].to_pylist())]
+    oracle = OracleIndex(rows, SMALL_CFG)
+
+    idx = str(tmp_path / "attr_idx")
+    ds = ray.data.read_parquet(small_corpus_dir,
+                               columns=["conv_id", "turn_idx", "text",
+                                        "role"])
+    build_index(ds, idx, SMALL_CFG, attribute_cols=["role"])
+
+    queries = generate_queries(n_terms=800)[:6]
+    res = search_index(idx, queries, predicates=["role == assistant"])
+    got: dict[int, list] = {}
+    for r in res.to_pylist():
+        got.setdefault(r["query_id"], []).append(
+            (r["conv_id"], r["turn_idx"], r["score"]))
+    n_nonempty = 0
+    for q in queries:
+        exp = [(h.conv_id, h.turn_idx, h.score)
+               for h in oracle.search(q["query_text"], q["k"],
+                                      predicate=lambda a:
+                                      a["role"] == "assistant")]
+        assert got.get(q["query_id"], []) == exp, q["query_text"]
+        n_nonempty += bool(exp)
+    assert n_nonempty > 0                      # the filter isn't vacuous
+    # and filtered results differ from unfiltered (predicate has effect)
+    unfiltered = search_index(idx, queries)
+    assert unfiltered.to_pylist() != res.to_pylist()
+
+
 def test_randomized_corpora_rank_identical(ray_session, tmp_path):
     """Property test: random tiny corpora, engine == oracle on every
     query (catches segment-boundary / tie-break / empty-doc edges the

@@ -130,6 +130,20 @@ def test_lsh_topk_recall(ray_session):
     assert 0 in ids and 42 in ids
 
 
+def test_ivf_topk_recall(ray_session):
+    from vframe_ray.stages.similarity import ivf_topk
+    rng = np.random.default_rng(8)
+    M = rng.standard_normal((400, 16)).astype(np.float32)
+    M[77] = M[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(M.tolist(), pa.list_(pa.float32()))})
+    out = ivf_topk(ray.data.from_arrow(tbl), {3: M[3].astype(np.float64)},
+                   k=3, n_centroids=8, n_probe=3).to_pandas()
+    ids = set(out["vec_id"].astype(int))
+    assert 3 in ids and 77 in ids        # self + planted neighbor found
+    assert list(out.sort_values("rank")["vec_id"])[:2] == [3, 77]
+
+
 def test_sessionize_matches_pandas(ray_session):
     from vframe_ray.stages.sessionize import sessionize
     rng = np.random.default_rng(11)

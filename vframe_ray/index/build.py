@@ -69,17 +69,21 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
                 tokenize_concurrency=None,
                 build_concurrency: int | None = None,
                 use_actor_pool: bool = True,
+                attribute_cols: list[str] | None = None,
                 compute_term_stats: bool = True) -> dict:
     """Build an inverted index from a transcripts Dataset.
 
     ``ds`` must have columns (conv_id, turn_idx, text); extra columns are
-    dropped at the earliest stage (prune-at-the-read is the caller's job
-    via ``read_parquet(columns=...)``).
+    dropped at the earliest stage unless listed in ``attribute_cols``
+    (e.g. role/tool/ts), which are carried into each segment's docmap so
+    queries can filter on them (the reference's attribute pre-filters,
+    skip-file.py / skip-labels.py, applied at query time).
     """
     cfg = (cfg or EngineConfig()).validate()
     os.makedirs(index_dir, exist_ok=True)
 
-    ds = ds.select_columns(["conv_id", "turn_idx", "text"])
+    attribute_cols = list(attribute_cols or [])
+    ds = ds.select_columns(["conv_id", "turn_idx", "text"] + attribute_cols)
 
     # Pre-shuffle stage only assigns segment ids; tokenization happens
     # INSIDE the builder actors after the exchange, so the shuffle moves

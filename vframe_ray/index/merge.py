@@ -1,0 +1,113 @@
+"""Index merge: combine several finished indexes into one.
+
+The index-level analog of `vf utils merge-json` (reference:
+src/commands/utils/merge-json.py:18-46 — concatenate per-shard detection
+JSONs into one), and the standing answer to the reference's manual
+sharding workflow (`--slice a b` CLI shards + merge, open.py:22-37):
+build shards independently (e.g. one index per input partition / day /
+source), then merge.
+
+Because segments are immutable and self-contained (doc ids are
+segment-local; global stats fold out of manifests), a merge is pure
+metadata + file placement:
+
+- each source segment is hard-linked (or copied) into the target under a
+  fresh sequential segment id;
+- global stats (N, total_len, avgdl) are summed from source manifests;
+- global term df/cf re-merges the per-segment term tables (same salted-
+  combiner groupby the build uses).
+
+Constraint checked: identical analyzer + BM25 + block_size configs —
+merging indexes with different tokenization would be semantically wrong
+(same rule the reference applies implicitly by merging runs of the same
+model config).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import ray.data
+
+from ..state.manifest import read_json, write_json
+
+
+def merge_indexes(src_dirs: list[str], out_dir: str, *,
+                  link: bool = True) -> dict:
+    """Merge finished indexes at ``src_dirs`` into ``out_dir``."""
+    if not src_dirs:
+        raise ValueError("need at least one source index")
+    cfgs = [read_json(os.path.join(d, "config.json")) for d in src_dirs]
+    for c in cfgs[1:]:
+        for key in ("analyzer", "bm25"):
+            if c[key] != cfgs[0][key]:
+                raise ValueError(f"cannot merge indexes with different "
+                                 f"{key} configs")
+        if c["index"]["block_size"] != cfgs[0]["index"]["block_size"]:
+            raise ValueError("cannot merge indexes with different "
+                             "block_size")
+
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "global"), exist_ok=True)
+
+    seg_names: list[str] = []
+    n_docs = total_len = postings_bytes = 0
+    new_id = 0
+    term_files: list[str] = []
+    for d in src_dirs:
+        man = read_json(os.path.join(d, "manifest.json"))
+        for seg in man["segments"]:
+            src_seg = os.path.join(d, "segments", seg)
+            name = f"seg-{new_id:05d}"
+            dst_seg = os.path.join(out_dir, "segments", name)
+            if os.path.exists(dst_seg):
+                shutil.rmtree(dst_seg)
+            if link:
+                os.makedirs(dst_seg)
+                for f in os.listdir(src_seg):
+                    os.link(os.path.join(src_seg, f),
+                            os.path.join(dst_seg, f))
+            else:
+                shutil.copytree(src_seg, dst_seg)
+            m = read_json(os.path.join(dst_seg, "manifest.json"))
+            m["segment"] = name
+            m["segment_id"] = new_id
+            m["merged_from"] = src_seg
+            # manifest.json is a hard link to the source's file — replace
+            # it with an independent copy before rewriting
+            os.unlink(os.path.join(dst_seg, "manifest.json"))
+            write_json(os.path.join(dst_seg, "manifest.json"), m)
+            seg_names.append(name)
+            n_docs += m["n_docs"]
+            total_len += m["total_len"]
+            postings_bytes += m["postings_bytes"]
+            term_files.append(os.path.join(dst_seg, "terms.parquet"))
+            new_id += 1
+
+    # re-merge global term stats over all segments (same combiner+groupby
+    # shape as build_index)
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return pa.table({"term": g["term"], "df": g["df_sum"],
+                         "cf": g["cf_sum"]})
+
+    (ray.data.read_parquet(term_files, columns=["term", "df", "cf"])
+     .map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
+     .groupby("term")
+     .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+     .write_parquet(os.path.join(out_dir, "global", "terms")))
+
+    stats = {"n_docs": n_docs, "total_len": total_len,
+             "avgdl": (total_len / n_docs) if n_docs else 0.0,
+             "n_segments_built": len(seg_names),
+             "postings_bytes": postings_bytes}
+    write_json(os.path.join(out_dir, "global", "stats.json"), stats)
+    write_json(os.path.join(out_dir, "config.json"), cfgs[0])
+    write_json(os.path.join(out_dir, "manifest.json"),
+               {"segments": sorted(seg_names), "stats": stats,
+                "merged_from": [os.path.abspath(d) for d in src_dirs]})
+    return stats

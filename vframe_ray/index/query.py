@@ -73,7 +73,8 @@ class SegmentSearcher:
 
     def score_full(self, terms: list[str], k: int,
                    postings: dict[str, TermPostings] | None = None,
-                   decode_cache: dict | None = None
+                   decode_cache: dict | None = None,
+                   doc_mask: np.ndarray | None = None
                    ) -> list[tuple[float, int]]:
         """Returns [(score, doc_local)] sorted (score desc, doc_local asc).
 
@@ -104,6 +105,9 @@ class SegmentSearcher:
                 / (tfs + self.norm[docs])
             scores[docs] += contrib
             seen[docs] = True
+        if doc_mask is not None:
+            seen &= doc_mask           # attribute predicate (skip-labels
+            # analog): masked docs can never enter the result set
         cand = np.flatnonzero(seen)
         if cand.size == 0:
             return []
@@ -125,7 +129,8 @@ class SegmentSearcher:
         return t_idf * max_tf * (k1 + 1.0) / (max_tf + norm)
 
     def score_bmw(self, terms: list[str], k: int,
-                  postings: dict[str, TermPostings] | None = None
+                  postings: dict[str, TermPostings] | None = None,
+                  doc_mask: np.ndarray | None = None
                   ) -> list[tuple[float, int]]:
         """Document-at-a-time block-max WAND; exact same output contract as
         ``score_full`` (asserted in tests)."""
@@ -219,7 +224,8 @@ class SegmentSearcher:
                 for c in live:
                     if c.doc == pivot_doc:
                         bacc += float(c.block_ubs[c.bi])
-                if bacc >= theta:
+                if bacc >= theta and (doc_mask is None
+                                      or doc_mask[pivot_doc]):
                     # score pivot_doc exactly, ascending term order
                     dl_norm = float(self.norm[pivot_doc])
                     s = 0.0
@@ -256,27 +262,35 @@ class SegmentSearcher:
     BMW_MAX_CANDIDATES = 4096
 
     def search(self, queries: list[tuple[int, list[str], int]],
-               use_bmw: bool = True) -> pa.Table:
+               use_bmw: bool = True,
+               predicates: list[str] | None = None) -> pa.Table:
         """queries: [(query_id, sorted_terms, k)] -> result rows table.
 
         Postings for the UNION of all query terms are read once per call
         (one parquet filter read per segment, not one per query) and
         shared across queries; each query picks BMW or vectorized-full
         scoring by candidate count — both are exact, so the choice never
-        changes results (asserted in tests).
+        changes results (asserted in tests).  ``predicates`` are
+        ``attr op value`` strings ANDed over docmap attribute columns.
         """
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
         postings = self.r.load_terms(all_terms)
         decode_cache: dict = {}
+        doc_mask = None
+        if predicates:
+            from ..sources.readers import compile_mask
+            doc_mask = compile_mask(predicates)(self.r.docs)
         qid_out, conv_out, turn_out, score_out, rank_out = [], [], [], [], []
         for qid, terms, k in queries:
             n_cand = sum(postings[t].n_docs for t in terms if t in postings)
             if use_bmw and n_cand <= self.BMW_MAX_CANDIDATES:
-                hits = self.score_bmw(terms, k, postings=postings)
+                hits = self.score_bmw(terms, k, postings=postings,
+                                      doc_mask=doc_mask)
             else:
                 hits = self.score_full(terms, k, postings=postings,
-                                       decode_cache=decode_cache)
+                                       decode_cache=decode_cache,
+                                       doc_mask=doc_mask)
             for rank, (s, d) in enumerate(hits, start=1):
                 qid_out.append(qid)
                 conv_out.append(self.r.conv_id[d].as_py())
@@ -311,7 +325,8 @@ class _SearcherStage:
     batch of segment paths."""
 
     def __init__(self, queries_ref, bm25_dict: dict, n_docs: int,
-                 avgdl: float, gdf_ref, use_bmw: bool, block_size: int):
+                 avgdl: float, gdf_ref, use_bmw: bool, block_size: int,
+                 predicates: list[str] | None = None):
         self.queries = ray.get(queries_ref)
         self.gdf = ray.get(gdf_ref)
         self.bm25 = BM25Config(**bm25_dict)
@@ -319,13 +334,15 @@ class _SearcherStage:
         self.avgdl = avgdl
         self.use_bmw = use_bmw
         self.block_size = block_size
+        self.predicates = predicates
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
         for seg_dir in batch["seg_dir"].to_pylist():
             s = SegmentSearcher(seg_dir, self.bm25, self.n_docs, self.avgdl,
                                 self.gdf, block_size=self.block_size)
-            tables.append(s.search(self.queries, use_bmw=self.use_bmw))
+            tables.append(s.search(self.queries, use_bmw=self.use_bmw,
+                                   predicates=self.predicates))
         return pa.concat_tables(tables)
 
 
@@ -345,11 +362,13 @@ class _ShardSearcher:
             for d in seg_dirs]
 
     def search(self, parsed: list[tuple[int, list[str], int]],
-               idf_map: dict[str, float], use_bmw: bool = True):
+               idf_map: dict[str, float], use_bmw: bool = True,
+               predicates: list[str] | None = None):
         rows = []
         for s in self.searchers:
             s.idf = idf_map
-            rows.append(s.search(parsed, use_bmw=use_bmw))
+            rows.append(s.search(parsed, use_bmw=use_bmw,
+                                 predicates=predicates))
         return pa.concat_tables(rows)
 
 
@@ -382,7 +401,8 @@ class QueryService:
                                   self.cfg.index.block_size)
             for sh in shards]
 
-    def search(self, queries: list[dict], use_bmw: bool = True) -> pa.Table:
+    def search(self, queries: list[dict], use_bmw: bool = True,
+               predicates: list[str] | None = None) -> pa.Table:
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))),
                    int(q.get("k", 10))) for q in queries]
@@ -390,7 +410,7 @@ class QueryService:
             else set()
         gdf = _global_df_for_terms(self.index_dir, terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search.remote(parsed, idf_map, use_bmw)
+        futs = [a.search.remote(parsed, idf_map, use_bmw, predicates)
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         ks = {qid: k for qid, _, k in parsed}
@@ -419,6 +439,7 @@ class QueryService:
 def search_index(index_dir: str, queries: list[dict],
                  cfg: EngineConfig | None = None, *,
                  use_bmw: bool = True, concurrency=(1, 8),
+                 predicates: list[str] | None = None,
                  driver_merge_max_rows: int = 1_000_000) -> pa.Table:
     """Distributed top-k search.
 
@@ -442,7 +463,8 @@ def search_index(index_dir: str, queries: list[dict],
     stage_kwargs = dict(
         queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
-        use_bmw=use_bmw, block_size=cfg.index.block_size)
+        use_bmw=use_bmw, block_size=cfg.index.block_size,
+        predicates=predicates)
 
     seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
     ks = {qid: k for qid, _, k in parsed}

@@ -172,12 +172,19 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
     else:
         terms_table = pa.table({k.name: [] for k in TERMS_SCHEMA},
                                schema=TERMS_SCHEMA)
-    docs_table = pa.table({
+    doc_cols = {
         "doc_local": pa.array(np.arange(n_docs, dtype=np.int64)),
         "conv_id": conv,
         "turn_idx": pc.cast(turn, pa.int32()),
         "doclen": pa.array(doclens.astype(np.int32)),
-    })
+    }
+    # attribute columns (role/tool/ts/…) ride along in the docmap for
+    # query-time predicates (skip-labels analog, media.py:399-411)
+    for name in group.column_names:
+        if name not in ("conv_id", "turn_idx", "text", "tokens", "doclen",
+                        "segment_id"):
+            doc_cols[name] = group[name].combine_chunks()
+    docs_table = pa.table(doc_cols)
 
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=seg_name + ".tmp.",
@@ -214,6 +221,7 @@ class SegmentReader:
     def __init__(self, seg_dir: str):
         self.seg_dir = seg_dir
         d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.docs = d                  # full docmap incl. attribute columns
         self.conv_id = d["conv_id"].combine_chunks()
         self.turn_idx = d["turn_idx"].combine_chunks()
         self.doclen = d["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)

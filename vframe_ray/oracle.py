@@ -37,15 +37,20 @@ class OracleIndex:
     """Naive in-memory inverted index over (conv_id, turn_idx, text) rows."""
 
     def __init__(self, rows, cfg: EngineConfig | None = None):
+        """rows: (conv_id, turn_idx, text) or (conv_id, turn_idx, text,
+        attrs_dict) — attrs enable predicate-filtered search."""
         self.cfg = (cfg or EngineConfig()).validate()
         tok = Tokenizer(self.cfg.analyzer)
         self.doc_keys: list[tuple[str, int]] = []
         self.doclens: list[int] = []
+        self.attrs: list[dict] = []
         self.postings: dict[str, list[tuple[int, int]]] = {}  # term -> [(doc, tf)]
         self.positions: dict[tuple[str, int], list[int]] = {}  # (term, doc) -> pos
         # sort docs by (conv_id, turn_idx) so internal ids follow key order
         rows = sorted(rows, key=lambda r: (r[0], r[1]))
-        for conv_id, turn_idx, text in rows:
+        for row in rows:
+            conv_id, turn_idx, text = row[0], row[1], row[2]
+            self.attrs.append(row[3] if len(row) > 3 else {})
             did = len(self.doc_keys)
             self.doc_keys.append((conv_id, int(turn_idx)))
             toks = tok.tokenize(text)
@@ -77,8 +82,10 @@ class OracleIndex:
                 s += self.idf(t) * (tf * (bm25.k1 + 1.0)) / (tf + norm)
         return s
 
-    def search(self, query: str, k: int = 10) -> list[Hit]:
-        """Exact top-k: score every candidate doc, sort, cut."""
+    def search(self, query: str, k: int = 10,
+               predicate=None) -> list[Hit]:
+        """Exact top-k: score every candidate doc, sort, cut.
+        ``predicate``: optional callable(attrs_dict) -> bool filter."""
         if self.n_docs == 0:
             return []
         tok = Tokenizer(self.cfg.analyzer)
@@ -86,6 +93,8 @@ class OracleIndex:
         cand: set[int] = set()
         for t in terms:
             cand.update(d for d, _ in self.postings.get(t, ()))
+        if predicate is not None:
+            cand = {d for d in cand if predicate(self.attrs[d])}
         bm25 = self.cfg.bm25
         scored = [(self.score_doc(d, terms, bm25), d) for d in cand]
         scored.sort(key=lambda sd: (-sd[0], self.doc_keys[sd[1]]))

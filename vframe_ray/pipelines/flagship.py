@@ -58,9 +58,15 @@ def documents_as_transcripts(sf_dir: str) -> "ray.data.Dataset":
 
 def documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     """Build (or resume — finished segments are skipped) the documents
-    index for this sf dir; returns the index dir."""
+    index for this sf dir; returns the index dir.  The cache dir embeds a
+    config fingerprint so a stale cache from an older engine config can
+    never serve queries."""
+    import hashlib
+    import json as _json
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = os.path.join(CACHE_ROOT, f"docs-{tag}")
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-{tag}-{cfg_fp}")
     manifest = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(manifest):
         build_index(documents_as_transcripts(sf_dir), index_dir, cfg)

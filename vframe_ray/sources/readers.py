@@ -47,6 +47,38 @@ def compile_predicate(expr: str):
     return _OPS[op](pc.field(attr), pc.scalar(val))
 
 
+def compile_mask(predicates: list[str]):
+    """Compile ``attr op value`` triples to a vectorized row-mask function
+    ``pa.Table -> np.ndarray[bool]`` (ANDed).  The query-time counterpart
+    of :func:`compile_predicate`'s scan-time pushdown — used to filter
+    docmap attributes during scoring (skip-labels analog)."""
+    import numpy as np
+    import pandas as pd
+
+    parsed = []
+    for expr in predicates:
+        parts = expr.split(None, 2)
+        if len(parts) != 3 or parts[1] not in _OPS:
+            raise ValueError(f"predicate must be 'attr op value', "
+                             f"got {expr!r}")
+        parsed.append((parts[0], _OPS[parts[1]], parts[2].strip("'\"")))
+
+    def mask(table) -> "np.ndarray":
+        m = np.ones(table.num_rows, dtype=bool)
+        for attr, op, raw in parsed:
+            col = table[attr].to_numpy(zero_copy_only=False)
+            val: object = raw
+            kind = np.asarray(col).dtype.kind
+            if kind in "iuf":
+                val = float(raw) if "." in raw else int(raw)
+            elif kind == "M":
+                val = np.datetime64(pd.Timestamp(raw))
+            m &= op(col, val)
+        return m
+
+    return mask
+
+
 def transcript_files(path: str) -> list[str]:
     """Resolve a file, directory, or glob to a sorted parquet file list
     (the reference's sorted glob_multi, file_utils / media.py:155-160)."""

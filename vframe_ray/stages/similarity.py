@@ -94,6 +94,101 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Tiny Lloyd's k-means on a driver-side sample (normalized rows) —
+    enough to place IVF centroids; not a general-purpose trainer."""
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)),
+                          replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)       # cosine on unit rows
+        for j in range(len(C)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                C[j] = c / n if n else C[j]
+    return C
+
+
+def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
+             n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 2048, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Train centroids on a driver-side sample (``ds.random_sample``-style
+    limit — one small read), assign every row to its nearest centroid in
+    a ``map_batches`` (one pass, no shuffle of the vectors beyond the
+    bucket groupby), then scan only the ``n_probe`` closest buckets per
+    query.  The classic scale path when brute force is too much and SRP
+    recall is too coarse; recall grows with n_probe.
+    """
+    sample_rows = ds.limit(sample_size).to_pandas()
+    S = _normalize(np.stack(sample_rows[vec_col].to_numpy()))
+    C = _kmeans(S, n_centroids, seed=seed)
+    c_ref = ray.put(C)
+
+    class AssignStage:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(np.stack(batch[vec_col].to_pandas().to_numpy()))
+            cid = np.argmax(M @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("centroid", pa.array(cid))
+
+    bucketed = ds.map_batches(AssignStage, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    qids = sorted(queries)
+    Qm = _normalize(np.stack([np.asarray(queries[i], dtype=np.float64)
+                              for i in qids]))
+    qsims = Qm @ C.T                                     # (nq, n_centroids)
+    probe = np.argsort(-qsims, axis=1)[:, :n_probe]
+    qmap: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe[qi]:
+            qmap.setdefault(int(c), []).append(qi)
+    qmap_ref = ray.put((qmap, Qm, qids))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        qmap_l, Qm_l, qids_l = ray.get(qmap_ref)
+        wanted = qmap_l.get(int(g["centroid"].iloc[0]))
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                              id_col: pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        if not wanted:
+            return empty
+        M = _normalize(np.stack(g[vec_col].to_numpy()))
+        ids = g[id_col].to_numpy()
+        sims = Qm_l[wanted] @ M.T
+        rows = []
+        kk = min(k, sims.shape[1])
+        for r, qi in enumerate(wanted):
+            top = np.argpartition(-sims[r], kk - 1)[:kk]
+            for j in top:
+                rows.append((int(qids_l[qi]), int(ids[j]),
+                             float(sims[r, j])))
+        return pd.DataFrame(rows, columns=["query_id", id_col, "sim"]) \
+            if rows else empty
+
+    cand = bucketed.groupby("centroid").map_groups(scan,
+                                                   batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(id_col)
+             .sort_values(["sim", id_col], ascending=[False, True]).head(k)
+             .reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", id_col, "sim"]]
+
+    merged = cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+    out = merged.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 class SRPBucketStage:
     """Signed-random-projection bucket signature per row (one per hash
     table): near-duplicate embeddings collide with high probability."""
