@@ -109,6 +109,43 @@ def test_resume_skips_finished_segments(ray_session, small_corpus_dir,
                 == mtimes_before[s], f"{s} was rebuilt"
 
 
+def test_resume_from_interrupted_build(ray_session, small_corpus_dir,
+                                       tmp_path):
+    """FIXTURES.md §6: a killed build leaves a SUBSET of finished atomic
+    segments and no top-level manifest.  Resume completes the remainder
+    and the final index is byte-identical to an uninterrupted build."""
+    import shutil
+    ref = str(tmp_path / "ref")
+    ds = read_transcripts(small_corpus_dir,
+                          columns=["conv_id", "turn_idx", "text"])
+    build_index(ds, ref, SMALL_CFG)
+    _, _, ref_segs = load_index_meta(ref)
+
+    # interrupted state: first 2 finished segments only, nothing else
+    part = str(tmp_path / "part")
+    os.makedirs(os.path.join(part, "segments"))
+    for s in ref_segs[:2]:
+        shutil.copytree(s, os.path.join(part, "segments",
+                                        os.path.basename(s)))
+    ds2 = read_transcripts(small_corpus_dir,
+                           columns=["conv_id", "turn_idx", "text"])
+    build_index(ds2, part, SMALL_CFG)
+
+    _, _, part_segs = load_index_meta(part)
+    assert [os.path.basename(s) for s in part_segs] \
+        == [os.path.basename(s) for s in ref_segs]
+    for a, b in zip(ref_segs, part_segs):
+        for f in ("docs.parquet", "terms.parquet"):
+            assert open(os.path.join(a, f), "rb").read() \
+                == open(os.path.join(b, f), "rb").read(), (a, f)
+    # the 2 pre-existing segments were not rebuilt (same bytes is implied
+    # above; manifests carry the same fingerprints)
+    for a, b in zip(ref_segs[:2], part_segs[:2]):
+        ma = json.load(open(os.path.join(a, "manifest.json")))
+        mb = json.load(open(os.path.join(b, "manifest.json")))
+        assert ma["input_fingerprint"] == mb["input_fingerprint"]
+
+
 def test_manifest_lineage_fields(small_index_dir):
     _, _, seg_dirs = load_index_meta(small_index_dir)
     for d in seg_dirs:
