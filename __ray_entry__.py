@@ -102,6 +102,128 @@ ORDER BY d.doc_id"""
 
 _EN = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
 
+# SQL fragments shared with the engine's hash kernels (stages/hashing.py):
+# token_hash64 == first 8 md5 bytes big-endian == hex-prefix cast.
+_TH64 = "('0x' || substr(md5({col}), 1, 16))::UBIGINT"
+_U64_MOD = "18446744073709551616"          # 2^64
+_I64_MIN_U = "9223372036854775808"         # 2^63
+
+
+def _u64_to_i64(expr: str) -> str:
+    return (f"CASE WHEN ({expr}) IS NULL THEN 0 "
+            f"WHEN ({expr}) >= {_I64_MIN_U} "
+            f"THEN (({expr})::HUGEINT - {_U64_MOD})::BIGINT "
+            f"ELSE ({expr})::BIGINT END")
+
+
+def _fingerprint_sql() -> str:
+    """Order-sensitive doc fingerprint — bit-identical to
+    FingerprintStage (stages/textquality.py): XOR over positions of
+    (token_hash64 * (2*pos+1)) mod 2^64."""
+    th = _TH64.format(col="term")
+    return f"""{_TOK},
+ h AS (SELECT _id, {th} AS th, pos FROM tok),
+ m AS (SELECT _id,
+              ((th::HUGEINT * (2*pos + 1)) % {_U64_MOD})::UBIGINT AS v
+       FROM h),
+ f AS (SELECT _id, bit_xor(v) AS fpu FROM m GROUP BY _id)
+SELECT d.doc_id, {_u64_to_i64('f.fpu')} AS fingerprint
+FROM documents d LEFT JOIN f ON f._id = d.doc_id ORDER BY d.doc_id"""
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash — bit-identical to SimHashStage (stages/dedup.py):
+    bit j set iff the +1/-1 vote over token-hash bits is positive."""
+    th = _TH64.format(col="term")
+    return f"""{_TOK},
+ h AS (SELECT _id, {th} AS th FROM tok),
+ nn AS (SELECT _id, count(*) AS n FROM h GROUP BY _id),
+ b AS (SELECT _id, j, sum(((th >> j) & 1)::BIGINT) AS cnt
+       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) bits
+       GROUP BY _id, j),
+ s AS (SELECT b._id,
+              sum(CASE WHEN 2*b.cnt > nn.n
+                       THEN ((1::UBIGINT) << b.j)::HUGEINT ELSE 0 END) AS hu
+       FROM b JOIN nn ON nn._id = b._id GROUP BY b._id)
+SELECT d.doc_id, {_u64_to_i64('s.hu')} AS simhash
+FROM documents d LEFT JOIN s ON s._id = d.doc_id ORDER BY d.doc_id"""
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """Distinct (_id, s) n-token shingles from the shared tok CTE —
+    exactly stages/hashing.shingle_rows (ADVICE.md: no ad-hoc
+    string_split; the analyzer rule lives in sql_tokens_cte)."""
+    from vframe_ray.stages.hashing import sql_shingles_cte
+    return sql_shingles_cte(n)
+
+
+def _jaccard_sql(threshold: float = 0.5, max_df: int = 1000) -> str:
+    """Exact pairwise Jaccard over shingles with df <= max_df (the
+    deterministic hot-shingle rule of stages/dedup.jaccard_pairs);
+    set sizes are full shingle-set sizes."""
+    return f"""{_TOK},{_shingle_cte(3)},
+ sz AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+ cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+ inter AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+           WHERE a.s IN (SELECT s FROM cold)
+           GROUP BY a._id, b._id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard_r
+FROM inter JOIN sz sa ON sa._id = id_a JOIN sz sb ON sb._id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def _minhash_sql() -> str:
+    """LSH band-collision candidate pairs — identical to
+    minhash_candidates (stages/dedup.py): 31-bit universal hashes of
+    md5-derived shingle hashes, band key = joined raw signature values.
+    Permutation params come from the very stage instance the engine
+    runs, so engine and oracle can never drift."""
+    from vframe_ray.stages.dedup import MinHashStage
+    st = MinHashStage()                     # default num_perm=64, bands=16
+    pvals = ", ".join(f"({i}, {int(a)}, {int(b)})"
+                      for i, (a, b) in enumerate(zip(st.a, st.b)))
+    th = _TH64.format(col="s")
+    return f"""{_TOK},{_shingle_cte(3)},
+ shh AS (SELECT _id, {th} % 2147483647 AS h FROM sh),
+ p(perm, a, b) AS (VALUES {pvals}),
+ sig AS (SELECT _id, p.perm, min((p.a * shh.h + p.b) % 2147483647) AS v
+         FROM shh CROSS JOIN p GROUP BY _id, p.perm),
+ bk AS (SELECT _id, (perm // {st.rows_per_band})::INT AS band,
+               string_agg(v, '-' ORDER BY perm) AS key
+        FROM sig GROUP BY _id, band),
+ cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                            AND a._id < b._id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b
+FROM cand ORDER BY id_a, id_b"""
+
+
+def _near_dedup_sql(threshold: float = 0.8) -> str:
+    """Rolling previous-KEPT near-dedup (skip-phash semantics) over
+    documents grouped by source, ordered by doc_id — the recursive
+    keep-chain is SQL-expressible per group (bounded group size)."""
+    j = ("len(list_intersect(o.s, r.ks))::DOUBLE"
+         " / len(list_distinct(list_concat(o.s, r.ks)))")
+    kept = (f"(len(list_distinct(list_concat(o.s, r.ks))) = 0 "
+            f"OR {j} < {threshold})")
+    return f"""WITH RECURSIVE {sql_tokens_cte('documents', 'text', 'doc_id')},
+ ss AS (SELECT _id, list(DISTINCT term) AS s FROM tok GROUP BY _id),
+ ord AS (SELECT d.doc_id, d.source,
+                row_number() OVER (PARTITION BY d.source
+                                   ORDER BY d.doc_id) AS rn,
+                CASE WHEN ss.s IS NULL THEN []::VARCHAR[] ELSE ss.s END AS s
+         FROM documents d LEFT JOIN ss ON ss._id = d.doc_id),
+ rec AS (
+   SELECT source, rn, doc_id, TRUE AS kept, s AS ks FROM ord WHERE rn = 1
+   UNION ALL
+   SELECT o.source, o.rn, o.doc_id, {kept} AS kept,
+          CASE WHEN {kept} THEN o.s ELSE r.ks END AS ks
+   FROM rec r JOIN ord o ON o.source = r.source AND o.rn = r.rn + 1)
+SELECT doc_id, source FROM rec WHERE kept ORDER BY doc_id"""
+
 
 # ---------------------------------------------------------------------------
 # query callables (each takes sf_dir)
@@ -267,14 +389,13 @@ def _q_summarize(sf_dir: str):
     return df
 
 
-# ------------------------------ rows-only (non-SQL-expressible) entries
-
 def _q_minhash(sf_dir: str):
     import ray.data
     from vframe_ray.stages.dedup import minhash_candidates
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    df = minhash_candidates(ds, n=3).to_pandas()
+    df = minhash_candidates(ds, n=3).to_pandas()[["id_a", "id_b"]]
+    df = df.astype({"id_a": "int64", "id_b": "int64"})
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -296,7 +417,27 @@ def _q_fingerprint(sf_dir: str):
         drop=True)
 
 
+def _q_near_dedup(sf_dir: str):
+    """Rolling previous-kept near-dedup (skip-phash semantics) over
+    documents lifted into conversations (conv = source, order = doc_id);
+    oracle = recursive-CTE keep chain."""
+    import ray.data
+    from vframe_ray.stages.dedup import near_dedup_in_conversation
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+    out = near_dedup_in_conversation(ds, threshold=0.8, n=1,
+                                     conv_col="source", order_col="doc_id")
+    df = out.to_pandas()[["doc_id", "source"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lsh_ann(sf_dir: str):
+    """SRP-LSH near-duplicate retrieval with planted exact copies: the
+    corpus is embeddings ∪ copies of the 3 query vectors (vec_id+10000);
+    identical vectors hash to identical buckets in EVERY table, so the
+    sim≈1 hits are guaranteed — the oracle recomputes them by exact
+    brute force.  (Approximate-recall behavior of lsh_topk is covered by
+    tests/test_stages.py::test_lsh_topk_recall.)"""
     import ray.data
     from vframe_ray.stages.similarity import lsh_topk
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -305,12 +446,30 @@ def _q_lsh_ann(sf_dir: str):
                for i, v in zip(qt["vec_id"].to_pylist(),
                                qt["embedding"].to_pylist())}
     dim = len(next(iter(queries.values())))
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-    return lsh_topk(ds, queries, k=5, dim=dim).to_pandas()
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    copies = pa.table({
+        "vec_id": pc.add(qt["vec_id"], 10000),
+        "embedding": qt["embedding"],
+    })
+    ds = base.union(ray.data.from_arrow(copies))
+    df = lsh_topk(ds, queries, k=5, dim=dim).to_pandas()
+    df["sim_r"] = df["sim"].round(6)
+    df = df[df["sim_r"] >= 1.0]
+    # re-rank on the ROUNDED sims (raw float ties can split by a BLAS
+    # ulp across batches; the oracle ranks on the rounded value too)
+    df = df.sort_values(["query_id", "sim_r", "vec_id"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype("int32") + 1
+    return df[["query_id", "rank", "vec_id", "sim_r"]].reset_index(drop=True)
 
 
 def _q_ivf_ann(sf_dir: str):
+    """IVF with exhaustive probing (n_probe = n_centroids): the bucketed
+    assign/scan/merge machinery must reproduce the exact brute-force
+    top-k — a full value check of the IVF plumbing.  (Approximate
+    n_probe < C recall is covered by test_ivf_topk_recall.)"""
     import ray.data
     from vframe_ray.stages.similarity import ivf_topk
     qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -320,7 +479,9 @@ def _q_ivf_ann(sf_dir: str):
                                qt["embedding"].to_pylist())}
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    return ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=3).to_pandas()
+    df = ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=8).to_pandas()
+    df["sim_r"] = df["sim"].round(6)
+    return df[["query_id", "rank", "vec_id", "sim_r"]].reset_index(drop=True)
 
 
 def _q_transcripts_bm25_filtered(sf_dir: str):
@@ -368,32 +529,21 @@ def _q_transcripts_bm25(sf_dir: str):
     return search_index(index_dir, generate_queries(n_terms=2000)).to_pandas()
 
 
-def _q_near_dedup(sf_dir: str):
-    """Within-conversation near-dedup over synthetic transcripts
-    (skip-phash semantics); rows-only."""
-    import ray.data
-    from vframe_ray.corpus import write_transcripts
-    from vframe_ray.stages.dedup import near_dedup_in_conversation
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
-    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
-        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
-    ds = ray.data.read_parquet(corpus_dir,
-                               columns=["conv_id", "turn_idx", "text"])
-    out = near_dedup_in_conversation(ds, threshold=0.8)
-    df = out.to_pandas().sort_values(["conv_id", "turn_idx"])
-    return df[["conv_id", "turn_idx"]].reset_index(drop=True)
-
-
 def _q_media_stub(sf_dir: str):
-    """Multimodal plumbing: binary payload column → actor-pool decode /
-    feature-extract with poison-row capture; deterministic fake decoder
-    (no image libs in env); rows-only."""
+    """Multimodal plumbing over a REAL driver table: documents lifted to
+    (media_id, payload:binary), actor-pool header probe with poison-row
+    capture — header rule deliberately SQL-computable so the oracle
+    checks the full binary-column pipeline value-for-value.  (The
+    feature-extract decoder variant with planted corrupt payloads stays
+    pytest-covered: test_media_stub_poison_rows.)"""
     import ray.data
-    from vframe_ray.stages.multimodal import image_features, synth_media_table
-    ds = ray.data.from_arrow(synth_media_table(128))
-    df = image_features(ds).to_pandas().sort_values("media_id")
-    return df[["media_id", "width", "height", "error"]].reset_index(drop=True)
+    from vframe_ray.stages.multimodal import media_header_probe, text_as_payload
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    df = media_header_probe(text_as_payload(ds)).to_pandas()
+    df["error"] = df["error"].fillna("")
+    df["media_id"] = df["media_id"].astype(str)
+    return df.sort_values("media_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -480,27 +630,52 @@ FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text ORDER BY doc_id"),
-        "jaccard_pairs": f"""{_TOK},
- pos AS (SELECT doc_id AS _id, lower(text) AS lt FROM documents),
- toks AS (SELECT _id, string_split(lt, ' ') AS arr FROM pos),
- idx AS (SELECT _id, arr,
-                unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS i
-         FROM toks),
- sh AS (SELECT DISTINCT _id, s FROM (
-          SELECT _id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-          FROM idx
-          UNION ALL
-          SELECT _id, array_to_string(arr, ' ') AS s FROM toks
-          WHERE len(arr) < 3 AND len(arr) > 0)),
- sz AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
- inter AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
-           GROUP BY a._id, b._id)
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
-       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard_r
-FROM inter JOIN sz sa ON sa._id = id_a JOIN sz sb ON sb._id = id_b
-WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
-ORDER BY id_a, id_b""",
+        "jaccard_pairs": _jaccard_sql(threshold=0.5, max_df=1000),
+        "fingerprint": _fingerprint_sql(),
+        "simhash": _simhash_sql(),
+        "minhash_candidates": _minhash_sql(),
+        "near_dedup_conversations": _near_dedup_sql(threshold=0.8),
+        "media_features_stub": """
+SELECT doc_id::VARCHAR AS media_id,
+       strlen(text)::BIGINT AS nbytes,
+       CASE WHEN strlen(text) > 0
+            THEN (1 + (strlen(text) * 7) % 640)::INT END AS width,
+       CASE WHEN strlen(text) > 0
+            THEN (1 + (strlen(text) * 13) % 480)::INT END AS height,
+       CASE WHEN strlen(text) > 0 THEN '' ELSE 'empty payload' END
+         AS error
+FROM documents ORDER BY media_id""",
+        "lsh_ann_topk": """
+WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, embedding FROM embeddings
+            WHERE vec_id < 3),
+ q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 3),
+ sims AS (SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+          FROM q, e2 e),
+ hits AS (SELECT qid, vec_id, round(sim, 6) AS sim_r FROM sims
+          WHERE round(sim, 6) >= 1.0),
+ ranked AS (SELECT qid, vec_id, sim_r,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim_r DESC, vec_id) AS rank
+            FROM hits)
+SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id, sim_r
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+        "ivf_ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+ sims AS (SELECT q.qid, e.vec_id,
+                 list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+          FROM q, embeddings e),
+ ranked AS (SELECT qid, vec_id, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id) AS rank
+            FROM sims)
+SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id,
+       round(sim, 6) AS sim_r
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
         "cosine_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 5),

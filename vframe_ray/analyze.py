@@ -91,15 +91,19 @@ class Tokenizer:
 
 def sql_tokens_cte(table: str = "documents", text_col: str = "text",
                    id_col: str = "doc_id") -> str:
-    """DuckDB CTE producing (id, term, pos) identical to Tokenizer.tokenize.
+    """DuckDB CTE producing (_id, term, pos) identical to
+    ``Tokenizer.tokenize`` (pos = 0-based token ordinal; DuckDB zips
+    parallel ``unnest`` calls of equal-length lists).
 
     Shared by every SQL oracle in ``__ray_entry__.oracle_sql`` so the token
     rule lives in exactly one place.
     """
     return f"""
   tok AS (
-    SELECT {id_col} AS _id,
-           unnest(list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
-                              t -> t <> '')) AS term
-    FROM {table}
+    SELECT _id, unnest(arr) AS term,
+           unnest(generate_series(0, len(arr) - 1)) AS pos
+    FROM (SELECT {id_col} AS _id,
+                 list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'),
+                             t -> t <> '') AS arr
+          FROM {table})
   )"""

@@ -103,6 +103,63 @@ def image_features(ds, *, concurrency=(1, 4), batch_size: int = 64):
                           fn_constructor_kwargs=dict(real_decoder=False))
 
 
+class HeaderProbeStage:
+    """Actor-pool stage probing media-header attributes from an opaque
+    ``payload`` binary column (the reference's `utils media-attrs` —
+    media-attrs.py:40-92: per-file width/height/type + errors capture) —
+    with a DELIBERATELY SQL-computable fake header rule so the DuckDB
+    oracle can validate the full actor-pool + poison-row plumbing
+    value-for-value:
+
+        nbytes = len(payload)
+        width  = 1 + (nbytes * 7)  % 640
+        height = 1 + (nbytes * 13) % 480
+        empty payload -> error row (width/height NULL, error set)
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        nbytes = pc.binary_length(payload).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ok = nbytes > 0
+        width = np.where(ok, 1 + (nbytes * 7) % 640, 0).astype(np.int32)
+        height = np.where(ok, 1 + (nbytes * 13) % 480, 0).astype(np.int32)
+        err = pa.array([None if o else "empty payload" for o in ok],
+                       pa.string())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "nbytes": pa.array(nbytes),
+            "width": pa.Array.from_pandas(width, mask=~ok, type=pa.int32()),
+            "height": pa.Array.from_pandas(height, mask=~ok,
+                                           type=pa.int32()),
+            "error": err,
+        })
+
+
+def media_header_probe(ds, *, concurrency=(1, 4), batch_size: int = 256):
+    """Actor-pool header probe over (media_id, payload) rows."""
+    return ds.map_batches(HeaderProbeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def text_as_payload(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Lift a text table into the opaque-media shape (media_id, payload):
+    payload = utf-8 bytes — the deterministic stand-in corpus for the
+    binary-column pipeline when no real media exists in the testbed."""
+    import pyarrow.compute as pc
+
+    def lift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": pc.cast(t[id_col], pa.string()),
+            "payload": pc.cast(t[text_col], pa.binary()),
+        })
+
+    return ds.map_batches(lift, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def frame_sample(ds, every_n: int = 5):
     """Frame decimation on a video-frames table (media_id, frame_idx, …):
     keep every Nth frame — the reference's skip-interval

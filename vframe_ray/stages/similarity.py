@@ -125,7 +125,23 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
     query.  The classic scale path when brute force is too much and SRP
     recall is too coarse; recall grows with n_probe.
     """
-    sample_rows = ds.limit(sample_size).to_pandas()
+    # Deterministic, order-independent training sample: keep rows whose
+    # Knuth-hashed id falls in the smallest hash band, sized ~2×
+    # sample_size, then cap.  (ds.limit() took the FIRST N rows — biased
+    # on sorted input; a hash band samples uniformly across the corpus
+    # without a shuffle or an RNG.)
+    n_total = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+    cut = np.uint64(int(frac * 2**32))
+
+    def hash_band(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return t.filter(pa.array(h < cut))
+
+    sample_rows = (ds.map_batches(hash_band, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .limit(sample_size).to_pandas())
     S = _normalize(np.stack(sample_rows[vec_col].to_numpy()))
     C = _kmeans(S, n_centroids, seed=seed)
     c_ref = ray.put(C)

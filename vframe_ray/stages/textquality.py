@@ -7,22 +7,26 @@ trio (reference: src/commands/utils/media-attrs.py → media-attrs-filter
 global stats): flat per-doc feature columns computed in a vectorized
 ``map_batches``, filterable by the predicate DSL, aggregable.
 
-Every feature in ``quality_features`` is deliberately SQL-expressible so
-the DuckDB oracle can validate it value-for-value.
+Every stage is fully vectorized — tokens are flattened once per batch
+with Arrow kernels and reduced per-row with numpy ``reduceat``/
+``bincount``; md5 hashing runs once per *unique* token (stages/
+hashing.py).  No per-row or per-token Python loops anywhere.
+
+Every feature (including the fingerprint and simhash definitions) is
+deliberately SQL-expressible so the DuckDB oracle can validate it
+value-for-value.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analyze import Tokenizer
+from .hashing import dict_hash_u64, flat_tokens, segment_reduce
 
-# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# Tiny per-language stopword lists for the stopword-hit heuristic
 # language-ID.  Deterministic; ties broken by language name ascending.
 LANG_STOPWORDS: dict[str, frozenset] = {
     "en": frozenset("the and of to in is you that it he was for on are as with his they i at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if".split()),
@@ -33,33 +37,58 @@ LANG_STOPWORDS: dict[str, frozenset] = {
 }
 
 
+def _distinct_per_row(flat: pa.Array, parents: np.ndarray,
+                      n_rows: int) -> np.ndarray:
+    """Distinct-token count per row: dictionary codes + lexsort +
+    adjacent-dup drop (no Python sets)."""
+    if len(flat) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, parents))
+    ps, cs = parents[order], codes[order]
+    keep = np.empty(len(ps), dtype=bool)
+    keep[0] = True
+    np.logical_or(ps[1:] != ps[:-1], cs[1:] != cs[:-1], out=keep[1:])
+    return np.bincount(ps[keep], minlength=n_rows).astype(np.int64)
+
+
 class QualityStage:
-    """Per-doc quality features, vectorized (pandas string kernels):
+    """Per-doc quality features, vectorized end-to-end:
     n_tokens, n_distinct, avg_token_len, stopword_ratio (EN list),
-    punct_ratio, upper_ratio, digit_ratio."""
+    punct_ratio (share of chars outside ``[0-9A-Za-z\\s]`` — the
+    self-consistent ASCII rule; not driver-oracle-checked)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
         self.tok = Tokenizer()
+        self.stop_arr = pa.array(sorted(LANG_STOPWORDS["en"]), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pandas().fillna("")
-        toks = [self.tok.tokenize(t) for t in texts]
-        n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
-        n_distinct = np.array([len(set(t)) for t in toks], dtype=np.int64)
-        tok_chars = np.array([sum(len(w) for w in t) for t in toks],
-                             dtype=np.float64)
-        stop = LANG_STOPWORDS["en"]
-        n_stop = np.array([sum(w in stop for w in t) for t in toks],
-                          dtype=np.int64)
-        n_chars = texts.str.len().to_numpy(dtype=np.float64)
-        n_alpha = np.array([sum(c.isalnum() or c.isspace() for c in t)
-                            for t in texts], dtype=np.float64)
-        safe_tok = np.maximum(n_tokens, 1).astype(np.float64)
+        texts = batch[self.text_col].combine_chunks() \
+            if isinstance(batch[self.text_col], pa.ChunkedArray) \
+            else batch[self.text_col]
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
+        parents, flat, counts = flat_tokens(self.tok, texts)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tok_chars = np.bincount(parents, weights=tok_lens, minlength=n)
+        is_stop = pc.is_in(flat, value_set=self.stop_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_stop = np.bincount(parents, weights=is_stop, minlength=n)
+        n_distinct = _distinct_per_row(flat, parents, n)
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_alpha = pc.count_substring_regex(texts, pattern=r"[0-9A-Za-z\s]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        safe_tok = np.maximum(counts, 1).astype(np.float64)
         safe_chars = np.maximum(n_chars, 1.0)
         return pa.table({
             self.id_col: batch[self.id_col],
-            "n_tokens": pa.array(n_tokens),
+            "n_tokens": pa.array(counts),
             "n_distinct": pa.array(n_distinct),
             "avg_token_len": pa.array(tok_chars / safe_tok),
             "stopword_ratio": pa.array(n_stop / safe_tok),
@@ -73,28 +102,36 @@ def quality_features(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 class LangIdStage:
-    """Stopword-hit language ID (n-gram-free heuristic): predicted lang =
-    argmax over languages of stopword hits; 'und' (undetermined) when no
-    list scores > 0.  Ties broken by language code ascending (stable).
+    """Stopword-hit language ID: predicted lang = argmax over languages of
+    stopword hits; 'und' when no list scores > 0.  Ties broken by language
+    code ascending (numpy argmax returns the first maximum and the score
+    matrix columns are lang-sorted — stable by construction).
 
-    Stateful analyzer built once per actor (reference pattern:
-    haardetect.py:78-79 cascade loaded once)."""
+    Stateful analyzer + value sets built once per actor (reference
+    pattern: haardetect.py:78-79 cascade loaded once)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
         self.tok = Tokenizer()
         self.langs = sorted(LANG_STOPWORDS)
+        self.value_sets = [pa.array(sorted(LANG_STOPWORDS[lang]), pa.string())
+                           for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch[self.text_col].to_pylist():
-            toks = self.tok.tokenize(t)
-            best_lang, best = "und", 0
-            for lang in self.langs:
-                score = sum(w in LANG_STOPWORDS[lang] for w in toks)
-                if score > best:
-                    best, best_lang = score, lang
-            preds.append(best_lang)
+        texts = pc.fill_null(batch[self.text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        parents, flat, _counts = flat_tokens(self.tok, texts)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, vs in enumerate(self.value_sets):
+            hit = pc.is_in(flat, value_set=vs) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            scores[:, li] = np.bincount(parents, weights=hit, minlength=n)
+        best = np.argmax(scores, axis=1)            # first max = lang asc
+        best_score = scores[np.arange(n), best]
+        langs = np.array(self.langs, dtype=object)
+        preds = np.where(best_score > 0, langs[best], "und")
         return pa.table({self.id_col: batch[self.id_col],
                          "pred_lang": pa.array(preds, pa.string())})
 
@@ -107,34 +144,40 @@ def langid(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 class FingerprintStage:
-    """Deterministic 64-bit document fingerprint: polynomial rolling hash
-    over the token stream (order-sensitive, unlike the bag-of-words
-    hashes) — the analog of the reference's per-file sha256 identity
+    """Deterministic 64-bit document fingerprint, order-sensitive:
+
+        fp(doc) = XOR over positions i of
+                  (token_hash64(tok_i) * (2*i + 1)) mod 2**64
+        (empty doc -> 0)
+
+    Position-weighting by the odd constant ``2i+1`` (a bijection mod
+    2**64) makes token order matter, unlike the bag-of-words hashes; the
+    whole pipeline — md5 per unique token, wrap-around multiply, per-row
+    XOR — is numpy-vectorized and bit-for-bit reproducible in DuckDB
+    (``bit_xor`` + HUGEINT modmul; see ``oracle_sql['fingerprint']``).
+    The analog of the reference's per-file sha256 identity
     (file_utils.py:50-60) but over normalized tokens so formatting
     changes don't alter it."""
-
-    B = np.uint64(1000003)
-    MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
         self.tok = Tokenizer()
 
-    def fingerprint(self, tokens: list[str]) -> int:
-        h = np.uint64(1469598103934665603)          # FNV offset
-        for t in tokens:
-            th = np.uint64(int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
-            h = ((h * self.B) & self.MOD_MASK) ^ th
-        return int(h)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(self.tok.tokenize(t))
-               for t in batch[self.text_col].to_pylist()]
+        texts = pc.fill_null(batch[self.text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, flat, counts = flat_tokens(self.tok, texts)
+        th = dict_hash_u64(flat)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(len(th), dtype=np.int64) - starts[parents] \
+            if len(th) else np.empty(0, dtype=np.int64)
+        weighted = th * (2 * pos.astype(np.uint64) + np.uint64(1))
+        fp = segment_reduce(np.bitwise_xor, weighted, counts, empty=0)
         return pa.table({
             self.id_col: batch[self.id_col],
-            "fingerprint": pa.array(np.array(fps, dtype=np.uint64)
-                                    .astype(np.int64)),
+            "fingerprint": pa.array(fp.astype(np.int64)),
         })
 
 
