@@ -42,7 +42,10 @@ _TOK = "WITH" + sql_tokens_cte("documents", "text", "doc_id")
 _BM25_PARAMS = dict(k1=1.2, b=0.75)
 
 
-def _bm25_sql() -> str:
+def _bm25_scores_prefix() -> str:
+    """Shared CTE chain computing (query_id, doc_id, score) for
+    DOC_QUERIES plus the per-query k table ``qk`` — the SQL mirror of the
+    engine's BM25 (identical idf/tf/norm association order)."""
     tok = Tokenizer()
     qterms, qks = [], []
     for q in DOC_QUERIES:
@@ -70,7 +73,11 @@ def _bm25_sql() -> str:
    FROM q JOIN tf ON tf.term = q.term
           JOIN df ON df.term = q.term
           JOIN dl_all ON dl_all._id = tf._id, stats
-   GROUP BY q.query_id, tf._id),
+   GROUP BY q.query_id, tf._id)"""
+
+
+def _bm25_sql() -> str:
+    return f"""{_bm25_scores_prefix()},
  ranked AS (SELECT query_id, doc_id, score,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, doc_id) AS rank
@@ -78,6 +85,31 @@ def _bm25_sql() -> str:
 SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
        r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
 FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _bm25_conv_sql(where: str = "") -> str:
+    """DOC_QUERIES over documents lifted to conversations (conv_id =
+    source, turn_idx = rank of doc_id within source) — identical scores
+    (same doc contents, same stats), conversation-shaped identity keys
+    and the engine's (score desc, conv_id, turn_idx) tie-break.
+    ``where`` filters hits BEFORE ranking (attribute predicate at query
+    time; global stats stay unfiltered — the skip-labels contract)."""
+    return f"""{_bm25_scores_prefix()},
+ cm AS (SELECT doc_id, source, lang,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id) - 1)::INT AS turn_idx
+        FROM documents),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, cm.source,
+                                               cm.turn_idx) AS rank
+            FROM scores s JOIN cm ON cm.doc_id = s.doc_id {where})
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       cm.source AS conv_id, cm.turn_idx, round(r.score, 6) AS score_r
+FROM ranked r JOIN cm ON cm.doc_id = r.doc_id
+              JOIN qk ON qk.query_id = r.query_id
 WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
@@ -484,49 +516,24 @@ def _q_ivf_ann(sf_dir: str):
     return df[["query_id", "rank", "vec_id", "sim_r"]].reset_index(drop=True)
 
 
-def _q_transcripts_bm25_filtered(sf_dir: str):
-    """Attribute-filtered BM25 over synthetic transcripts (role ==
-    assistant) — skip-labels semantics at query time; rank-identity vs
-    the oracle is covered in pytest; rows-only here."""
-    import ray.data
-    from vframe_ray.corpus import generate_queries, write_transcripts
-    from vframe_ray.index.build import build_index
-    from vframe_ray.index.query import search_index
-    from vframe_ray.config import EngineConfig, IndexConfig
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
-    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
-        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
-    index_dir = f"/tmp/vframe_ray_cache/tidx-attr-{tag}"
-    cfg = EngineConfig(index=IndexConfig(num_segments=8))
-    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        ds = ray.data.read_parquet(
-            corpus_dir, columns=["conv_id", "turn_idx", "text", "role"])
-        build_index(ds, index_dir, cfg, attribute_cols=["role"])
-    return search_index(index_dir, generate_queries(n_terms=2000)[:8],
-                        predicates=["role == assistant"]).to_pandas()
-
-
 def _q_transcripts_bm25(sf_dir: str):
-    """Engine over the synthetic transcripts corpus (multi-turn, planted
-    skew/dups — FIXTURES.md §1); validated against the in-process oracle
-    in pytest, rows-only here."""
-    import ray.data
-    from vframe_ray.corpus import generate_queries, write_transcripts
-    from vframe_ray.index.build import build_index
-    from vframe_ray.index.query import search_index
-    from vframe_ray.config import EngineConfig, IndexConfig
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    corpus_dir = f"/tmp/vframe_ray_cache/transcripts-{tag}"
-    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
-        write_transcripts(corpus_dir, 5000, rows_per_file=1000, n_terms=2000)
-    index_dir = f"/tmp/vframe_ray_cache/tidx-{tag}"
-    cfg = EngineConfig(index=IndexConfig(num_segments=8))
-    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-        ds = ray.data.read_parquet(corpus_dir,
-                                   columns=["conv_id", "turn_idx", "text"])
-        build_index(ds, index_dir, cfg)
-    return search_index(index_dir, generate_queries(n_terms=2000)).to_pandas()
+    """Multi-turn BM25: documents lifted to conversations (conv_id =
+    source, turn_idx = rank within source), indexed with the ``lang``
+    attribute column, queried with DOC_QUERIES — same scores as
+    bm25_topk, conversation-shaped identity; full SQL oracle.  (The
+    synthetic multi-turn transcript corpus with planted skew/dups stays
+    covered by pytest rank-identity tests, FIXTURES.md §1.)"""
+    from vframe_ray.pipelines.flagship import bm25_conversations
+    return bm25_conversations(sf_dir)
+
+
+def _q_transcripts_bm25_filtered(sf_dir: str):
+    """Attribute-filtered BM25 (lang == en OR de) — skip-labels + the
+    OR-composed predicate DSL at query time; scores unchanged, hits
+    masked before ranking; full SQL oracle."""
+    from vframe_ray.pipelines.flagship import bm25_conversations
+    return bm25_conversations(sf_dir,
+                              predicates=["lang == en or lang == de"])
 
 
 def _q_media_stub(sf_dir: str):
@@ -767,4 +774,7 @@ SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round(sum(value), 6) AS sum_value,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+        "transcripts_bm25": _bm25_conv_sql(),
+        "transcripts_bm25_filtered": _bm25_conv_sql(
+            "WHERE cm.lang IN ('en', 'de')"),
     }

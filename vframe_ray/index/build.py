@@ -50,14 +50,17 @@ class SegmentBuilderStage:
     no re-read of terms.parquet); the per-segment manifest goes to disk
     and is collected by the driver afterwards."""
 
-    def __init__(self, index_dir: str, cfg: EngineConfig):
+    def __init__(self, index_dir: str, cfg: EngineConfig,
+                 run_id: str | None = None):
         self.index_dir = index_dir
         self.cfg = cfg
+        self.run_id = run_id
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.parquet as _pq
         seg_id = int(group["segment_id"][0].as_py())
-        m = build_segment(group, seg_id, self.index_dir, self.cfg)
+        m = build_segment(group, seg_id, self.index_dir, self.cfg,
+                          run_id=self.run_id)
         seg_dir = os.path.join(self.index_dir, "segments", m["segment"])
         return _pq.read_table(os.path.join(seg_dir, "terms.parquet"),
                               columns=["term", "df", "cf"])
@@ -79,8 +82,10 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
     queries can filter on them (the reference's attribute pre-filters,
     skip-file.py / skip-labels.py, applied at query time).
     """
+    import uuid
     cfg = (cfg or EngineConfig()).validate()
     os.makedirs(index_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
 
     attribute_cols = list(attribute_cols or [])
     ds = ds.select_columns(["conv_id", "turn_idx", "text"] + attribute_cols)
@@ -120,14 +125,15 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
                      .groupby("segment_id")
                      .map_groups(SegmentBuilderStage,
                                  fn_constructor_kwargs=dict(
-                                     index_dir=index_dir, cfg=cfg),
+                                     index_dir=index_dir, cfg=cfg,
+                                     run_id=run_id),
                                  batch_format="pyarrow",
                                  concurrency=build_concurrency,
                                  num_cpus=1))
     else:
         # task-based builders: no per-execution actor spawn; groups run on
         # the session's default (already-warm) worker pool
-        stage = SegmentBuilderStage(index_dir, cfg)
+        stage = SegmentBuilderStage(index_dir, cfg, run_id=run_id)
 
         def build_group(group: pa.Table) -> pa.Table:
             return stage(group)
@@ -167,17 +173,27 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
     else:
         seg_terms.materialize()
 
-    # collect per-segment manifests from disk (written atomically by the
-    # builders; tiny JSON each)
+    # collect ONLY the segments this run claimed (built or fingerprint-
+    # validated); a stale seg dir left by a prior build over different
+    # input is deleted, never folded into the manifest (ADVICE.md)
+    import shutil
     seg_root = os.path.join(index_dir, "segments")
-    expected = {f"seg-{i:05d}" for i in range(cfg.index.num_segments)}
+    claims_dir = os.path.join(index_dir, "claims", run_id)
     seg_rows = []
-    for name in sorted(os.listdir(seg_root)):
-        if name not in expected:        # stale/tmp dirs from other configs
-            continue
-        mpath = os.path.join(seg_root, name, "manifest.json")
-        if os.path.exists(mpath):
-            seg_rows.append(read_json(mpath))
+    claimed: set[str] = set()
+    if os.path.isdir(claims_dir):
+        for name in sorted(os.listdir(claims_dir)):
+            m = read_json(os.path.join(claims_dir, name))
+            seg_rows.append(m)
+            claimed.add(m["segment"])
+    expected = {f"seg-{i:05d}" for i in range(cfg.index.num_segments)}
+    for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) \
+            else []:
+        if name in expected and name not in claimed:
+            print(f"[build_index] removing stale unclaimed segment {name}",
+                  flush=True)
+            shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "claims"), ignore_errors=True)
 
     n_docs = sum(r["n_docs"] for r in seg_rows)
     total_len = sum(r["total_len"] for r in seg_rows)

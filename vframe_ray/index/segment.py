@@ -52,8 +52,20 @@ TERMS_SCHEMA = pa.schema([
 ])
 
 
+def _write_claim(index_dir: str, run_id: str | None, manifest: dict) -> None:
+    """Record that THIS run produced (or validated) the segment — the
+    driver collects only claimed segments into the index manifest, so a
+    stale seg dir left by a prior build over different input can never
+    be silently folded in (ADVICE.md round 1)."""
+    if run_id is None:
+        return
+    cdir = os.path.join(index_dir, "claims", run_id)
+    os.makedirs(cdir, exist_ok=True)
+    write_json(os.path.join(cdir, manifest["segment"] + ".json"), manifest)
+
+
 def build_segment(group: pa.Table, segment_id: int, index_dir: str,
-                  cfg: EngineConfig) -> dict:
+                  cfg: EngineConfig, run_id: str | None = None) -> dict:
     """Build + atomically write one segment from its doc group.
 
     ``group`` columns: conv_id, turn_idx, text, tokens(large_list<string>),
@@ -69,13 +81,22 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
     conv = group["conv_id"].combine_chunks()
     turn = group["turn_idx"].combine_chunks()
     texts = group["text"].combine_chunks()
-    fp = fingerprint_rows(conv, turn, texts)
+    # attribute columns that will land in the docmap are part of the
+    # lineage fingerprint (ADVICE.md: attribute-only input changes must
+    # invalidate the segment)
+    attr = {name: group[name].combine_chunks()
+            for name in group.column_names
+            if name not in ("conv_id", "turn_idx", "text", "tokens",
+                            "doclen", "segment_id")}
+    fp = fingerprint_rows(conv, turn, texts, extra_cols=attr)
 
     seg_name = f"seg-{segment_id:05d}"
     seg_dir = os.path.join(index_dir, "segments", seg_name)
     if completed_segment(seg_dir, fp):
         from ..state.manifest import read_json
-        return read_json(os.path.join(seg_dir, "manifest.json"))
+        m = read_json(os.path.join(seg_dir, "manifest.json"))
+        _write_claim(index_dir, run_id, m)
+        return m
 
     if "tokens" in group.column_names:
         tokens = group["tokens"].combine_chunks()
@@ -208,6 +229,7 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    _write_claim(index_dir, run_id, manifest)
     return manifest
 
 

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import EngineConfig, IndexConfig
-from ..index.build import build_index, load_index_meta
+from ..index.build import build_index
 from ..index.query import search_index
 
 CACHE_ROOT = "/tmp/vframe_ray_cache"
@@ -73,6 +73,63 @@ def documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     return index_dir
 
 
+def documents_as_conversations(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> MULTI-TURN transcripts: conv_id = source, turn_idx =
+    rank of doc_id within its source, ``lang`` carried as a docmap
+    attribute for query-time predicates (skip-labels analog).  The same
+    doc contents as :func:`documents_as_transcripts`, so BM25 stats and
+    scores are identical — only the identity keys change, which makes
+    the conversation-shaped result SQL-oracle-checkable."""
+    import pandas as pd
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "source", "lang"])
+
+    def to_conv(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id")
+        return pd.DataFrame({
+            "conv_id": g["source"].to_numpy(),
+            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "text": g["text"].to_numpy(),
+            "lang": g["lang"].to_numpy(),
+        })
+
+    return ds.groupby("source").map_groups(to_conv, batch_format="pandas")
+
+
+def conversations_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
+    """Build (or resume) the conversation-shaped documents index with the
+    ``lang`` attribute column; cache dir embeds the config fingerprint
+    (VERDICT round 1: unfingerprinted tidx-* caches could serve stale
+    indexes after a config change)."""
+    import hashlib
+    import json as _json
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"conv-{tag}-{cfg_fp}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_index(documents_as_conversations(sf_dir), index_dir, cfg,
+                    attribute_cols=["lang"])
+    return index_dir
+
+
+def bm25_conversations(sf_dir: str,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """DOC_QUERIES over the conversation-shaped index; result
+    (query_id, rank, conv_id, turn_idx, score_r) — optionally filtered by
+    docmap-attribute predicates at scoring time (global stats stay
+    unfiltered, the skip-labels contract)."""
+    index_dir = conversations_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES, predicates=predicates)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "conv_id": res["conv_id"],
+        "turn_idx": res["turn_idx"],
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_documents(sf_dir: str) -> pa.Table:
     """Run DOC_QUERIES; result (query_id, rank, doc_id, score_r) in the
     exact shape of the SQL oracle (score rounded to 6 dp — engine and
@@ -94,42 +151,17 @@ def phrase_match_documents(sf_dir: str, phrase: str = "batch batch"
     """Docs containing the exact consecutive token phrase — exercises the
     positional postings (reference analog: ordered per-frame metadata;
     the oracle is a LIKE over the space-joined corpus, exact because the
-    synthetic documents are single-space token streams)."""
-    from ..analyze import Tokenizer
-    from ..index.codec import decode_all
-    from ..index.segment import SegmentReader
+    synthetic documents are single-space token streams).
+
+    Runs on the DISTRIBUTED phrase path: positional intersection inside
+    per-segment tasks via :func:`phrase_search_index` (the round-1
+    driver-side segment loop is gone)."""
+    from ..index.query import phrase_search_index
 
     index_dir = documents_index(sf_dir)
-    cfg_d, _, seg_dirs = load_index_meta(index_dir)
-    bs = cfg_d["index"]["block_size"]
-    terms = Tokenizer().tokenize(phrase)
-
-    out: list[int] = []
-    for seg in seg_dirs:
-        r = SegmentReader(seg)
-        tps = r.load_terms(sorted(set(terms)))
-        if any(t not in tps for t in terms):
-            continue
-        # doc -> positions per phrase slot
-        slot_pos: list[dict[int, np.ndarray]] = []
-        for t in terms:
-            docs, tfs, pos = decode_all(tps[t], bs, with_positions=True)
-            offs = np.zeros(len(docs) + 1, dtype=np.int64)
-            np.cumsum(tfs, out=offs[1:])
-            slot_pos.append({int(d): pos[offs[i]:offs[i + 1]]
-                             for i, d in enumerate(docs)})
-        cand = set(slot_pos[0])
-        for m in slot_pos[1:]:
-            cand &= set(m)
-        for d in sorted(cand):
-            ok = slot_pos[0][d]
-            for i, m in enumerate(slot_pos[1:], start=1):
-                ok = ok[np.isin(ok + i, m[d])]
-                if not len(ok):
-                    break
-            if len(ok):
-                out.append(int(r.conv_id[d].as_py()))
-    return pa.table({"doc_id": pa.array(sorted(out), pa.int64())})
+    hits = phrase_search_index(index_dir,
+                               [{"query_id": 0, "phrase": phrase}])
+    return pa.table({"doc_id": pc.cast(hits["conv_id"], pa.int64())})
 
 
 def entry_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:

@@ -26,55 +26,97 @@ _OPS = {
 }
 
 
+def _parse_triple(part: str) -> tuple[str, str, str, bool]:
+    """One ``[not] attr op value`` clause -> (attr, op, raw, negated)."""
+    part = part.strip()
+    neg = False
+    if part.lower().startswith("not "):
+        neg = True
+        part = part[4:].strip()
+    bits = part.split(None, 2)
+    if len(bits) != 3 or bits[1] not in _OPS:
+        raise ValueError(
+            f"predicate clause must be '[not] attr op value', got {part!r}")
+    return bits[0], bits[1], bits[2].strip("'\""), neg
+
+
+def parse_predicates(predicates: list[str]
+                     ) -> list[tuple[str, str, str, bool]]:
+    """Flatten a predicate list into its clauses (for validation)."""
+    out = []
+    for expr in predicates:
+        for part in expr.split(" or "):
+            out.append(_parse_triple(part))
+    return out
+
+
 def compile_predicate(expr: str):
-    """Compile one ``attr op value`` triple to a pyarrow dataset expression.
+    """Compile one predicate string to a pyarrow dataset expression.
 
-    Mirrors the reference's operator table (click_utils.py:139-152):
-    e.g. ``"turn_idx >= 3"``, ``"role == user"``, ``"ts < 2024-06-01"``.
+    Grammar (mirrors the reference's operator table plus its
+    OR-composition and ``--keep`` inversion semantics,
+    click_utils.py:139-207 / skip-detections.py:30-53):
+
+        clause   := ['not '] attr op value
+        expr     := clause [' or ' clause]...
+
+    e.g. ``"turn_idx >= 3"``, ``"role == user or role == tool"``,
+    ``"not lang == zh"``, ``"ts < 2024-06-01"``.  List elements passed
+    to the readers are ANDed; ``or`` binds within one element.
     """
-    parts = expr.split(None, 2)
-    if len(parts) != 3 or parts[1] not in _OPS:
-        raise ValueError(f"predicate must be 'attr op value', got {expr!r}")
-    attr, op, raw = parts
-    val: object
-    try:
-        val = int(raw)
-    except ValueError:
+    combined = None
+    for part in expr.split(" or "):
+        attr, op, raw, neg = _parse_triple(part)
+        val: object
         try:
-            val = float(raw)
+            val = int(raw)
         except ValueError:
-            val = raw.strip("'\"")
-    return _OPS[op](pc.field(attr), pc.scalar(val))
+            try:
+                val = float(raw)
+            except ValueError:
+                val = raw
+        e = _OPS[op](pc.field(attr), pc.scalar(val))
+        if neg:
+            e = ~e
+        combined = e if combined is None else combined | e
+    return combined
 
 
-def compile_mask(predicates: list[str]):
-    """Compile ``attr op value`` triples to a vectorized row-mask function
-    ``pa.Table -> np.ndarray[bool]`` (ANDed).  The query-time counterpart
+def compile_mask(predicates: list[str], *, keep: bool = True):
+    """Compile predicate strings to a vectorized row-mask function
+    ``pa.Table -> np.ndarray[bool]`` (elements ANDed, ``or`` within an
+    element, ``not`` prefix per clause; ``keep=False`` inverts the whole
+    mask — the reference's ``--keep`` flag).  The query-time counterpart
     of :func:`compile_predicate`'s scan-time pushdown — used to filter
     docmap attributes during scoring (skip-labels analog)."""
     import numpy as np
     import pandas as pd
 
-    parsed = []
-    for expr in predicates:
-        parts = expr.split(None, 2)
-        if len(parts) != 3 or parts[1] not in _OPS:
-            raise ValueError(f"predicate must be 'attr op value', "
-                             f"got {expr!r}")
-        parsed.append((parts[0], _OPS[parts[1]], parts[2].strip("'\"")))
+    parsed = [[_parse_triple(part) for part in expr.split(" or ")]
+              for expr in predicates]
 
     def mask(table) -> "np.ndarray":
         m = np.ones(table.num_rows, dtype=bool)
-        for attr, op, raw in parsed:
-            col = table[attr].to_numpy(zero_copy_only=False)
-            val: object = raw
-            kind = np.asarray(col).dtype.kind
-            if kind in "iuf":
-                val = float(raw) if "." in raw else int(raw)
-            elif kind == "M":
-                val = np.datetime64(pd.Timestamp(raw))
-            m &= op(col, val)
-        return m
+        for clauses in parsed:
+            mm = np.zeros(table.num_rows, dtype=bool)
+            for attr, opname, raw, neg in clauses:
+                if attr not in table.column_names:
+                    raise ValueError(
+                        f"predicate references unknown column {attr!r}; "
+                        f"available: {sorted(table.column_names)}")
+                col = table[attr].to_numpy(zero_copy_only=False)
+                val: object = raw
+                kind = np.asarray(col).dtype.kind
+                if kind in "iuf":
+                    val = float(raw) if "." in raw else int(raw)
+                elif kind == "M":
+                    val = np.datetime64(pd.Timestamp(raw))
+                c = _OPS[opname](col, val)
+                if neg:
+                    c = ~c
+                mm |= c
+            m &= mm
+        return m if keep else ~m
 
     return mask
 

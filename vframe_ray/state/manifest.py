@@ -22,12 +22,19 @@ import os
 import shutil
 
 
-def fingerprint_rows(conv_ids, turn_idxs, texts) -> str:
+def fingerprint_rows(conv_ids, turn_idxs, texts,
+                     extra_cols: dict | None = None) -> str:
     """Order-insensitive content hash of a segment's input rows.
 
     XOR-fold of per-row 64-bit hashes (vectorized) → insensitive to
     arrival order (blocks reach the builder in nondeterministic order),
     sensitive to content.  Inputs are pyarrow arrays or sequences.
+
+    ``extra_cols`` (name -> array) folds every attribute column that
+    lands in the docmap into the per-row hash — ADVICE.md round 1: a
+    resumed build over input whose attributes changed (text unchanged)
+    must NOT skip the segment, or predicate-filtered search silently
+    serves stale attribute values.
     """
     import numpy as np
     import pandas as pd
@@ -43,6 +50,16 @@ def fingerprint_rows(conv_ids, turn_idxs, texts) -> str:
     hx = pd.util.hash_array(_np(texts).astype(object))
     mixed = hc * np.uint64(0x9E3779B97F4A7C15) ^ (ht + np.uint64(1)) \
         * np.uint64(0xC2B2AE3D27D4EB4F) ^ hx
+    for name in sorted(extra_cols or {}):
+        col = _np(extra_cols[name]).astype(object)
+        # name folded in so renaming a column changes the fingerprint
+        salt = np.uint64(
+            int(pd.util.hash_array(np.array([name], dtype=object))[0]) | 1)
+        # bijective mix (xor then odd multiply), NOT a plain xor of the
+        # column hash: a constant column xored per row would cancel out
+        # of the fold whenever the row count is even
+        mixed = (mixed ^ pd.util.hash_array(col) * salt) \
+            * np.uint64(0xFF51AFD7ED558CCD)
     acc = np.bitwise_xor.reduce(mixed) if len(mixed) else np.uint64(0)
     # fold in the row count so permutations of multisets stay distinct-ish
     return f"{int(acc):016x}{len(mixed):016x}"
