@@ -516,6 +516,29 @@ def _q_ivf_ann(sf_dir: str):
     return df[["query_id", "rank", "vec_id", "sim_r"]].reset_index(drop=True)
 
 
+def _q_snippets(sf_dir: str):
+    """Result presentation (pipe draw analog): top-k hits of DOC_QUERIES[0]
+    with matched terms «highlighted» in the text; oracle recomputes the
+    same regexp_replace over the SQL-ranked hits."""
+    from vframe_ray.pipelines.flagship import search_snippets
+    return search_snippets(sf_dir)
+
+
+def _snippets_sql() -> str:
+    from vframe_ray.stages.snippets import highlight_pattern
+    tok = Tokenizer()
+    q = DOC_QUERIES[0]
+    pattern = highlight_pattern(tok.tokenize(q["query_text"]))
+    return f"""{_bm25_scores_prefix()},
+ ranked AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM scores WHERE query_id = {q['query_id']})
+SELECT r.rank::INT AS rank, d.doc_id, round(r.score, 6) AS score_r,
+       regexp_replace(d.text, '{pattern}', '«\\0»', 'g') AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= {q['k']} ORDER BY rank"""
+
+
 def _q_transcripts_bm25(sf_dir: str):
     """Multi-turn BM25: documents lifted to conversations (conv_id =
     source, turn_idx = rank within source), indexed with the ``lang``
@@ -566,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "phrase_match": _q_phrase,
         "term_df_topk": _q_term_df,
+        "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
         "quality_features": _q_quality,
@@ -774,6 +798,7 @@ SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round(sum(value), 6) AS sum_value,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+        "search_snippets": _snippets_sql(),
         "transcripts_bm25": _bm25_conv_sql(),
         "transcripts_bm25_filtered": _bm25_conv_sql(
             "WHERE cm.lang IN ('en', 'de')"),

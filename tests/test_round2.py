@@ -261,3 +261,69 @@ def test_header_probe_poison_rows(ray_session):
     assert out.loc[1, "error"] == "empty payload"
     assert np.isnan(out.loc[1, "width"])
     assert out.loc[2, "height"] == 1 + (100 * 13) % 480
+
+
+# -------------------------------------------- registry / sinks / snippets
+
+def test_registry_builtins_and_plugins(tmp_path):
+    from vframe_ray import registry
+    assert "langid" in registry.available()
+    assert callable(registry.get("minhash_candidates"))
+    with pytest.raises(KeyError, match="unknown stage"):
+        registry.get("nope")
+    # plugin dir: a module that registers a stage on import
+    plug = tmp_path / "plugins"
+    plug.mkdir()
+    (plug / "myplug.py").write_text(
+        "from vframe_ray.registry import register\n"
+        "@register('my_custom_stage')\n"
+        "def my_custom_stage(ds):\n"
+        "    return ds\n")
+    loaded = registry.load_plugins([str(plug)])
+    assert loaded and "my_custom_stage" in registry.available()
+
+
+def test_cli_stages_lists(capsys):
+    from vframe_ray.__main__ import main
+    assert main(["stages"]) == 0
+    out = capsys.readouterr().out
+    assert '"stage": "langid"' in out
+
+
+def test_save_files_modes(ray_session, tmp_path):
+    from vframe_ray.stages.sinks import save_files
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    files = []
+    for i in range(3):
+        f = src_dir / f"f{i}.txt"
+        f.write_text(f"content {i}")
+        files.append(str(f))
+    files.append(str(src_dir / "missing.txt"))        # poison row
+    ds = ray.data.from_arrow(pa.table({"filepath": pa.array(files)}))
+    out = save_files(ds, str(tmp_path / "out"), mode="copy").to_pandas()
+    ok = out[out["error"].isna()]
+    assert len(ok) == 3
+    for p in ok["saved_path"]:
+        assert os.path.exists(p)
+    assert len(out[out["error"].notna()]) == 1
+    # symlink mode
+    out2 = save_files(ds.filter(lambda r: "missing" not in r["filepath"]),
+                      str(tmp_path / "ln"), mode="symlink").to_pandas()
+    assert all(os.path.islink(p) for p in out2["saved_path"])
+
+
+def test_snippet_highlight(ray_session):
+    from vframe_ray.stages.snippets import highlight_hits
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["spark and window functions",
+                          "nothing relevant", "window window"])})
+    hits = pa.table({"doc_id": pa.array([0, 2], pa.int64()),
+                     "rank": pa.array([1, 2], pa.int32())})
+    out = highlight_hits(ray.data.from_arrow(docs), hits,
+                         ["spark", "window"]).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "snippet"] == "«spark» and «window» functions"
+    assert out.loc[1, "snippet"] == "«window» «window»"

@@ -65,6 +65,42 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_stages(args) -> int:
+    """List registered stages (built-ins + plugin dirs) — the analog of
+    the reference's configurable command groups (config.yaml:32-71)."""
+    from . import registry
+    if args.plugins:
+        registry.load_plugins(args.plugins)
+    else:
+        registry.load_plugins()          # $VFRAME_RAY_PLUGINS, if set
+    for name in registry.available():
+        fn = registry.get(name)
+        doc = (fn.__doc__ or "").strip().splitlines()
+        print(json.dumps({"stage": name,
+                          "doc": doc[0] if doc else ""}))
+    return 0
+
+
+def cmd_apply(args) -> int:
+    """Run one registered stage over parquet input -> parquet output."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+    from . import registry
+    if args.plugins:
+        registry.load_plugins(args.plugins)
+    else:
+        registry.load_plugins()
+    fn = registry.get(args.stage)
+    kwargs = json.loads(args.args) if args.args else {}
+    ds = ray.data.read_parquet(args.input,
+                               columns=args.columns or None)
+    out = fn(ds, **kwargs)
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": args.stage, "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .index.build import load_index_meta
     cfg, stats, segs = load_index_meta(args.index)
@@ -102,6 +138,21 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="show index stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    st = sub.add_parser("stages", help="list registered stages")
+    st.add_argument("--plugins", action="append",
+                    help="plugin directory, repeatable")
+    st.set_defaults(fn=cmd_stages)
+
+    ap = sub.add_parser("apply", help="run a registered stage over parquet")
+    ap.add_argument("--stage", required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--columns", action="append")
+    ap.add_argument("--args", help="JSON kwargs for the stage")
+    ap.add_argument("--plugins", action="append")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.set_defaults(fn=cmd_apply)
 
     args = p.parse_args(argv)
     return args.fn(args)

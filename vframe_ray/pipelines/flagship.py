@@ -164,6 +164,30 @@ def phrase_match_documents(sf_dir: str, phrase: str = "batch batch"
     return pa.table({"doc_id": pc.cast(hits["conv_id"], pa.int64())})
 
 
+def search_snippets(sf_dir: str, query: dict | None = None) -> pa.Table:
+    """Top-k BM25 hits with matched terms highlighted in the text — the
+    `pipe draw` result-presentation analog (draw.py:68-168) as a final
+    ``map_batches`` over the corpus.  Returns
+    (rank, doc_id, score_r, snippet) sorted by rank."""
+    from ..analyze import Tokenizer
+    from ..stages.snippets import highlight_hits
+
+    query = query or DOC_QUERIES[0]
+    index_dir = documents_index(sf_dir)
+    res = search_index(index_dir, [query])
+    hits = pa.table({
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+    terms = Tokenizer().tokenize(query["query_text"])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = highlight_hits(ds, hits, terms).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("rank"),
+                                preserve_index=False)
+
+
 def entry_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
     """The driver smoke entry: build + query, return ranked hits."""
     return bm25_documents(sf_dir)

@@ -45,15 +45,17 @@ def q1_pricing_summary(sf_dir: str):
         # batch-level combiner: collapse each block to ≤ |groups| rows so
         # the exchange moves partial aggregates, not 600k rows (the
         # guide's "pre-aggregate before the shuffle"; Ray's groupby alone
-        # would sort the full dataset by key first)
-        df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_p=("l_quantity", "sum"),
-            sum_base_price_p=("l_extendedprice", "sum"),
-            sum_disc_price_p=("disc_price", "sum"),
-            count_order_p=("l_quantity", "count"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # would sort the full dataset by key first).  Arrow-native
+        # TableGroupBy — no pandas round-trip in the hot path.
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_qty_p", "sum_base_price_p",
+                                 "sum_disc_price_p", "count_order_p"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -78,26 +80,35 @@ def revenue_by_nation(sf_dir: str):
     orders batch does two vectorized map lookups — no shuffle join
     (reference analog: filename→filepath dict lookup,
     media-attrs-filter.py:114-121)."""
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    lookup_ref = ray.put((c2n, n2name))
+    # broadcast COLUMNAR lookups, not Python dicts: at sf≥10 a dict of
+    # the whole customer table is GBs of PyObjects; two Arrow arrays +
+    # pc.index_in gather are zero-copy in the object store (round-1
+    # VERDICT 'What's wrong' #7)
+    import pyarrow.parquet as pq
+    cust_t = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat_t = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    # customer key -> nation name resolved ONCE on the small side, so the
+    # per-batch stage does a single index_in + take
+    nk_idx = pc.index_in(cust_t["c_nationkey"],
+                         value_set=nat_t["n_nationkey"].combine_chunks())
+    cust_name = nat_t["n_name"].combine_chunks().take(nk_idx.combine_chunks())
+    lookup_ref = ray.put((cust_t["c_custkey"].combine_chunks(), cust_name))
 
     class JoinStage:
         def __init__(self):
-            self.c2n, self.n2name = ray.get(lookup_ref)
+            self.keys, self.names = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            nk = df["o_custkey"].map(self.c2n)
-            df["n_name"] = nk.map(self.n2name)
-            out = df.groupby("n_name", as_index=False).agg(
-                revenue_partial=("o_totalprice", "sum"),
-                n_orders_partial=("o_orderkey", "count"))
-            return pa.Table.from_pandas(out, preserve_index=False)
+            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
+            names = self.names.take(idx if not isinstance(
+                idx, pa.ChunkedArray) else idx.combine_chunks())
+            t = batch.append_column("n_name", names)
+            g = t.group_by("n_name").aggregate([
+                ("o_totalprice", "sum"), ([], "count_all")])
+            return g.rename_columns(["n_name", "revenue_partial",
+                                     "n_orders_partial"])
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -140,9 +151,8 @@ def distinct_event_types(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            n_partial=("user_id", "count"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = t.group_by("event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n_partial"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("event_type")

@@ -1,0 +1,69 @@
+"""Result presentation: highlighted snippets for query hits.
+
+The reference's `pipe draw` renders detection results onto frames for
+human inspection (reference: src/commands/pipe/draw.py:68-168 — boxes,
+labels, colors composited per frame).  The text engine's analog marks
+the matched query terms in each hit's text: a final ``map_batches`` over
+the corpus that filters to the hit set (broadcast via ``ray.put``) and
+wraps matches in «» — fully vectorized (RE2 kernel), and the highlight
+rule is SQL-expressible so the DuckDB oracle validates it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def highlight_pattern(terms: list[str]) -> str:
+    """Word-boundary alternation over the (deduped, sorted) terms —
+    identical semantics in RE2 (Arrow kernel) and DuckDB."""
+    return r"\b(" + "|".join(re.escape(t) for t in sorted(set(terms))) \
+        + r")\b"
+
+
+def highlight_hits(ds, hits: pa.Table, terms: list[str], *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   open_mark: str = "«", close_mark: str = "»"):
+    """Join the (small) hit table against the corpus Dataset and emit
+    highlighted snippets.
+
+    ``hits`` columns: ``id_col`` + any presentation columns to carry
+    through (rank, score...).  The hit table is broadcast ONCE
+    (``ray.put``); each corpus batch filters by ``is_in`` and gathers the
+    presentation columns with ``index_in`` — no shuffle join for a
+    driver-small hit set.
+    Returns a Dataset of hits.columns + ``snippet``.
+    """
+    pattern = highlight_pattern(terms)
+    repl = open_mark + "\\0" + close_mark
+    hits_ref = ray.put(hits)
+
+    def stage(t: pa.Table) -> pa.Table:
+        h = ray.get(hits_ref)
+        keys = h[id_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pc.index_in(t[id_col], value_set=keys)
+        sel = pc.is_valid(idx)
+        t = t.filter(sel)
+        idx = idx.filter(sel)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        snip = pc.replace_substring_regex(t[text_col], pattern=pattern,
+                                          replacement=repl)
+        cols = {}
+        for name in h.column_names:
+            col = h[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(idx)
+        cols["snippet"] = snip
+        return pa.table(cols)
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          zero_copy_batch=True)
