@@ -5,10 +5,13 @@
 - ``queries()``     — one entry per implemented operator/pipeline from
   SURVEY.md §2 (+ the training-data long tail).  Each callable takes
   ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
-- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible
-  query, same column names/types.  Non-SQL-expressible ops (LSH, simhash,
-  engine-internal pipelines over the synthetic transcripts) are listed in
-  ``queries()`` only → driver records rows-only checks.
+- ``oracle_sql()``  — DuckDB-equivalent SQL for EVERY query (33/33; no
+  rows-only entries).  The hash-based ops (fingerprint/simhash/minhash)
+  share one SQL-portable primitive — token_hash64 = first 8 md5 bytes —
+  with the engine kernels (stages/hashing.py), so the oracle recomputes
+  them bit-exactly; approximate ANN paths are pinned down via planted
+  exact copies (LSH) and exhaustive probing (IVF), with approximate
+  recall covered in pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -224,11 +227,14 @@ def _minhash_sql() -> str:
  sig AS (SELECT _id, p.perm, min((p.a * shh.h + p.b) % 2147483647) AS v
          FROM shh CROSS JOIN p GROUP BY _id, p.perm),
  bk AS (SELECT _id, (perm // {st.rows_per_band})::INT AS band,
-               string_agg(v, '-' ORDER BY perm) AS key
+               {', '.join(f"max(CASE WHEN perm % {st.rows_per_band} = {j} "
+                          f"THEN v END) AS k{j}"
+                          for j in range(st.rows_per_band))}
         FROM sig GROUP BY _id, band),
  cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
-          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-                            AND a._id < b._id)
+          FROM bk a JOIN bk b ON a.band = b.band AND a._id < b._id
+           AND {' AND '.join(f'a.k{j} = b.k{j}'
+                             for j in range(st.rows_per_band))})
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b
 FROM cand ORDER BY id_a, id_b"""
 

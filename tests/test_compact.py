@@ -1,0 +1,75 @@
+"""Compaction: merged-segment index must answer every query identically
+to the many-segment index it came from (scores bit-exact, ranks, ties,
+phrases, predicates)."""
+
+import os
+
+import pytest
+
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.corpus import generate_queries
+from vframe_ray.index.build import load_index_meta
+from vframe_ray.index.compact import compact_index
+from vframe_ray.index.query import (QueryService, phrase_search_index,
+                                    search_index)
+
+
+@pytest.fixture(scope="module")
+def compacted_dir(ray_session, small_index_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("compacted"))
+    stats = compact_index(small_index_dir, out, target_segments=2)
+    _, src_stats, src_segs = load_index_meta(small_index_dir)
+    assert stats["n_docs"] == src_stats["n_docs"]
+    assert stats["total_len"] == src_stats["total_len"]
+    assert stats["n_segments_built"] == 2 < len(src_segs)
+    return out
+
+
+def test_compacted_rank_identical(ray_session, small_index_dir,
+                                  compacted_dir):
+    queries = generate_queries(n_terms=800)
+    a = search_index(small_index_dir, queries)
+    b = search_index(compacted_dir, queries)
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_compacted_phrases_identical(ray_session, small_index_dir,
+                                     compacted_dir, small_corpus_dir):
+    import pyarrow.parquet as pq
+    from vframe_ray.analyze import Tokenizer
+    tok = Tokenizer()
+    t = pq.ParquetDataset(small_corpus_dir).read(columns=["text"])
+    phrases = []
+    for txt in t["text"].to_pylist():
+        ts = tok.tokenize(txt)
+        if len(ts) >= 3:
+            phrases.append(" ".join(ts[:3]))
+        if len(phrases) >= 3:
+            break
+    qs = [{"query_id": i, "phrase": p} for i, p in enumerate(phrases)]
+    a = phrase_search_index(small_index_dir, qs)
+    b = phrase_search_index(compacted_dir, qs)
+    assert a.to_pylist() == b.to_pylist()
+    assert a.num_rows > 0
+
+
+def test_compacted_service_and_resume(ray_session, compacted_dir,
+                                      small_index_dir):
+    queries = generate_queries(n_terms=800)[:6]
+    want = search_index(small_index_dir, queries)
+    svc = QueryService(compacted_dir, n_actors=2)
+    try:
+        got = svc.search(queries)
+        got2 = svc.search(queries)       # warm decode/postings caches
+        assert got.to_pylist() == want.to_pylist()
+        assert got2.to_pylist() == want.to_pylist()
+    finally:
+        svc.shutdown()
+    # re-compaction resumes (same fingerprints -> mtimes unchanged)
+    seg0 = os.path.join(compacted_dir, "segments", "seg-00000",
+                        "terms.parquet")
+    m0 = os.path.getmtime(seg0)
+    compact_index(small_index_dir, compacted_dir, target_segments=2)
+    assert os.path.getmtime(seg0) == m0

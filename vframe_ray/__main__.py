@@ -65,6 +65,16 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .index.compact import compact_index
+    stats = compact_index(args.index, args.out,
+                          target_segments=args.segments)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
 def cmd_stages(args) -> int:
     """List registered stages (built-ins + plugin dirs) — the analog of
     the reference's configurable command groups (config.yaml:32-71)."""
@@ -138,6 +148,13 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="show index stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    cp = sub.add_parser("compact", help="merge small segments for serving")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--segments", type=int, default=64)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stages", help="list registered stages")
     st.add_argument("--plugins", action="append",

@@ -57,6 +57,11 @@ class SegmentSearcher:
     """Scores queries against one segment (docmap resident; postings read
     per query term with parquet predicate pushdown)."""
 
+    # decoded-postings cache budget per searcher (bytes of docs+tfs
+    # arrays); persistent searchers (QueryService shards) amortize
+    # parquet read + varint decode across calls under this cap
+    DECODE_CACHE_BYTES = 64 << 20
+
     def __init__(self, seg_dir: str, bm25: BM25Config, n_docs_global: int,
                  avgdl: float, global_df: dict[str, int],
                  block_size: int = 128):
@@ -68,6 +73,54 @@ class SegmentSearcher:
         # doc-length norm denominator component, precomputed per doc
         self.norm = bm25.k1 * (1.0 - bm25.b
                                + bm25.b * self.r.doclen / self.avgdl)
+        # (term -> (docs, tfs)) decoded cache, LRU by insertion order
+        from collections import OrderedDict
+        self._decode_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._decode_cache_bytes = 0
+        # (term -> TermPostings) raw postings cache for repeated terms
+        self._postings_cache: "OrderedDict[str, TermPostings]" = OrderedDict()
+        self._postings_cache_bytes = 0
+        self._absent: set[str] = set()   # terms known absent here
+
+    def load_terms_cached(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Postings for ``terms``, reading only cache misses from parquet
+        (one filtered read per call).  Persistent searchers skip the
+        read entirely on repeated query vocabularies."""
+        hit = {t: self._postings_cache[t] for t in terms
+               if t in self._postings_cache}
+        # negative entries: terms known absent from this segment
+        missing = [t for t in terms
+                   if t not in hit and t not in self._absent]
+        if missing:
+            fresh = self.r.load_terms(missing)
+            for t in missing:
+                tp = fresh.get(t)
+                if tp is None:
+                    self._absent.add(t)
+                    continue
+                hit[t] = tp
+                self._postings_cache[t] = tp
+                self._postings_cache_bytes += len(tp.blob) + 200
+            while self._postings_cache_bytes > self.DECODE_CACHE_BYTES \
+                    and self._postings_cache:
+                _t, _tp = self._postings_cache.popitem(last=False)
+                self._postings_cache_bytes -= len(_tp.blob) + 200
+        return hit
+
+    def _decode_cached(self, t: str, tp: TermPostings):
+        from .codec import decode_all
+        cached = self._decode_cache.get(t)
+        if cached is not None:
+            self._decode_cache.move_to_end(t)
+            return cached
+        docs, tfs = decode_all(tp, self.block_size)
+        self._decode_cache[t] = (docs, tfs)
+        self._decode_cache_bytes += docs.nbytes + tfs.nbytes
+        while self._decode_cache_bytes > self.DECODE_CACHE_BYTES \
+                and self._decode_cache:
+            _t, (_d, _f) = self._decode_cache.popitem(last=False)
+            self._decode_cache_bytes -= _d.nbytes + _f.nbytes
+        return docs, tfs
 
     # ---------- exact baseline: term-at-a-time vectorized ----------
 
@@ -94,10 +147,11 @@ class SegmentSearcher:
                 continue
             if decode_cache is not None and t in decode_cache:
                 docs, tfs = decode_cache[t]
+            elif decode_cache is None:
+                docs, tfs = self._decode_cached(t, tp)
             else:
                 docs, tfs = decode_all(tp, self.block_size)
-                if decode_cache is not None:
-                    decode_cache[t] = (docs, tfs)
+                decode_cache[t] = (docs, tfs)
             tfs = tfs.astype(np.float64)
             # evaluation order fixed as idf * (tf*(k1+1)) / (tf+norm) —
             # bit-identical to the oracle (SURVEY.md §7.4)
@@ -328,6 +382,13 @@ class SegmentSearcher:
     # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
     # candidate sets dense; WAND's skipping pays off only when sparse).
     BMW_MAX_CANDIDATES = 4096
+    # ...and below ~this many docs per segment there is nothing worth
+    # skipping: the whole posting list decodes in a handful of blocks
+    # and one vectorized TAAT pass beats the Python pivot loop (measured
+    # 15ms vs 2.4ms per query on 9.4k-doc segments at 9.6M-doc scale).
+    # Both scorers are exact, so the choice never changes results
+    # (asserted in tests/test_query_paths.py).
+    BMW_MIN_DOCS = 65536
 
     def search(self, queries: list[tuple[int, list[str], int]],
                use_bmw: bool = True,
@@ -343,8 +404,7 @@ class SegmentSearcher:
         """
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
-        postings = self.r.load_terms(all_terms)
-        decode_cache: dict = {}
+        postings = self.load_terms_cached(all_terms)
         doc_mask = None
         if predicates:
             from ..sources.readers import compile_mask
@@ -352,12 +412,12 @@ class SegmentSearcher:
         qid_out, conv_out, turn_out, score_out = [], [], [], []
         for qid, terms, k in queries:
             n_cand = sum(postings[t].n_docs for t in terms if t in postings)
-            if use_bmw and n_cand <= self.BMW_MAX_CANDIDATES:
+            if use_bmw and n_cand <= self.BMW_MAX_CANDIDATES \
+                    and self.r.n_docs >= self.BMW_MIN_DOCS:
                 hits = self.score_bmw(terms, k, postings=postings,
                                       doc_mask=doc_mask)
             else:
                 hits = self.score_full(terms, k, postings=postings,
-                                       decode_cache=decode_cache,
                                        doc_mask=doc_mask)
             for s, d in hits:
                 qid_out.append(qid)

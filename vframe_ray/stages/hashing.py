@@ -30,11 +30,29 @@ U64 = np.uint64
 
 def md5_u64(strings) -> np.ndarray:
     """64-bit md5 prefix per string (uint64).  Call on *unique* values
-    (a dictionary), never on a raw token stream."""
-    if isinstance(strings, (pa.Array, pa.ChunkedArray)):
+    (a dictionary), never on a raw token stream.
+
+    For Arrow string arrays the hash runs over memoryview slices of the
+    value buffer directly — no per-element Python str materialization or
+    re-encode (~2× over a to_pylist loop)."""
+    md5 = hashlib.md5
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if isinstance(strings, pa.Array) and pa.types.is_string(strings.type) \
+            and strings.null_count == 0:
+        bufs = strings.buffers()          # [validity, offsets, data]
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=len(strings) + 1 + strings.offset)
+        offs = offs[strings.offset:]
+        data = memoryview(bufs[2])
+        return np.fromiter(
+            (int.from_bytes(md5(data[offs[i]:offs[i + 1]]).digest()[:8],
+                            "big") for i in range(len(strings))),
+            dtype=np.uint64, count=len(strings))
+    if isinstance(strings, pa.Array):
         strings = strings.to_pylist()
     return np.array(
-        [int.from_bytes(hashlib.md5((s or "").encode()).digest()[:8], "big")
+        [int.from_bytes(md5((s or "").encode()).digest()[:8], "big")
          for s in strings],
         dtype=np.uint64)
 

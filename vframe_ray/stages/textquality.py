@@ -82,8 +82,13 @@ class QualityStage:
         n_distinct = _distinct_per_row(flat, parents, n)
         n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        n_alpha = pc.count_substring_regex(texts, pattern=r"[0-9A-Za-z\s]") \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
+        # alnum-ish chars = token chars (the [a-z0-9]+ runs cover every
+        # alnum char) + whitespace; plain substring counts beat a regex
+        # char-class scan ~20x (memchr vs RE2 per char)
+        n_ws = sum(pc.count_substring(texts, w)
+                   .to_numpy(zero_copy_only=False)
+                   for w in (" ", "\t", "\n", "\r"))
+        n_alpha = tok_chars + n_ws.astype(np.float64)
         safe_tok = np.maximum(counts, 1).astype(np.float64)
         safe_chars = np.maximum(n_chars, 1.0)
         return pa.table({
