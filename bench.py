@@ -163,9 +163,15 @@ def run_scaling() -> None:
                                                     "9600000"))
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True)
-        line = [l for l in proc.stdout.strip().splitlines()
-                if l.startswith("{")][-1]
-        results[ncpu] = json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(f"--- bench subprocess (cpus={ncpu}) failed "
+                             f"rc={proc.returncode}; stderr tail:\n")
+            sys.stderr.write("\n".join(
+                proc.stderr.strip().splitlines()[-25:]) + "\n")
+            raise RuntimeError(f"bench subprocess failed at {ncpu} cpus")
+        results[ncpu] = json.loads(lines[-1])
     t8 = results[8]["turns_indexed_per_sec"]
     t32 = results[32]["turns_indexed_per_sec"]
     eff = (t32 / t8) / (32 / 8)

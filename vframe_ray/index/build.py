@@ -197,12 +197,19 @@ def build_index(ds: "ray.data.Dataset", index_dir: str,
 
     n_docs = sum(r["n_docs"] for r in seg_rows)
     total_len = sum(r["total_len"] for r in seg_rows)
+    build_ms = [r.get("build_ms", 0) for r in seg_rows]
     stats = {
         "n_docs": int(n_docs),
         "total_len": int(total_len),
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
         "n_segments_built": len(seg_rows),
         "postings_bytes": int(sum(r["postings_bytes"] for r in seg_rows)),
+        # per-partition throughput summary (per-segment detail lives in
+        # each segment's manifest.json: n_docs / build_ms / postings_bytes)
+        "segment_build_ms_sum": int(sum(build_ms)),
+        "segment_build_ms_max": int(max(build_ms)) if build_ms else 0,
+        "docs_per_sec_per_builder": round(
+            1000.0 * n_docs / sum(build_ms), 1) if sum(build_ms) else 0.0,
     }
     write_json(os.path.join(index_dir, "global", "stats.json"), stats)
     write_json(os.path.join(index_dir, "config.json"), cfg.to_dict())

@@ -77,6 +77,8 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
     exists, it is left untouched and its manifest returned (reference
     pattern: dedup/sha256.py:82-105 — only new inputs are processed).
     """
+    import time as _time
+    t_start = _time.monotonic()
     group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     conv = group["conv_id"].combine_chunks()
     turn = group["turn_idx"].combine_chunks()
@@ -222,6 +224,9 @@ def build_segment(group: pa.Table, segment_id: int, index_dir: str,
             "total_len": int(doclens.sum()),
             "postings_bytes": int(terms_table["blob"].nbytes),
             "input_fingerprint": fp,
+            # per-partition throughput metric (north rule: "emitting
+            # per-partition throughput and postings-size metrics")
+            "build_ms": int((_time.monotonic() - t_start) * 1000),
         }
         write_json(os.path.join(tmp, "manifest.json"), manifest)
         write_atomic_dir(tmp, seg_dir)
