@@ -147,9 +147,12 @@ def write_transcripts(out_dir: str, n_turns: int, seed: int = SEED,
     tbl = generate_transcripts(n_turns, seed=seed, n_terms=n_terms)
     rng = np.random.default_rng(seed + 1)
     perm = rng.permutation(tbl.num_rows)
-    tbl = tbl.take(pa.array(perm))
+    # take per output file, not once for the whole table: a single take
+    # concatenates into one chunk and overflows int32 string offsets
+    # past 2 GB of text (~15M turns)
     for fi, lo in enumerate(range(0, tbl.num_rows, rows_per_file)):
-        pq.write_table(tbl.slice(lo, rows_per_file),
+        idx = perm[lo:lo + rows_per_file]
+        pq.write_table(tbl.take(pa.array(idx)),
                        os.path.join(out_dir, f"part-{fi:05d}.parquet"))
     return out_dir
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 
 _U64 = np.uint64
 _SEVEN = _U64(7)
@@ -92,6 +93,82 @@ def decode_varint(buf: bytes | memoryview | np.ndarray, count: int | None = None
     if count is not None and vals.size != count:
         raise ValueError(f"decoded {vals.size} varints, expected {count}")
     return vals
+
+
+def _cumsum_with_resets(x: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each index in ``starts`` (sorted,
+    starts[0] == 0): one global cumsum + per-segment carry subtraction."""
+    y = np.cumsum(x)
+    if len(starts) > 1:
+        carry = np.zeros(len(starts), dtype=y.dtype)
+        carry[1:] = y[starts[1:] - 1]
+        y -= np.repeat(carry, np.diff(np.append(starts, len(x))))
+    return y
+
+
+def decode_terms_bulk(terms_table, block_size: int,
+                      with_positions: bool = False):
+    """Bulk-decode EVERY term of a segment's terms table in three varint
+    passes total (docs / tfs / positions), instead of 2-3 numpy-dispatch
+    calls per term — the per-term overhead dominates bulk decodes of
+    small-segment vocabularies (segment compaction: ~10× on 9.4k-doc
+    segments).
+
+    ``terms_table``: pyarrow table with TERMS_SCHEMA columns.
+    Returns (term_offsets int64[n_terms+1] into the pair arrays,
+    doc_ids, tfs[, positions]) — pair order is (term, doc) ascending,
+    identical to concatenating :func:`decode_all` per term (tested).
+    """
+    n_terms = terms_table.num_rows
+    if n_terms == 0:
+        e = np.empty(0, dtype=np.int64)
+        return (np.zeros(1, dtype=np.int64), e, e, e) if with_positions \
+            else (np.zeros(1, dtype=np.int64), e, e)
+    n_docs = terms_table["n_docs"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tf_off = terms_table["tf_section_off"].to_numpy(zero_copy_only=False)
+    pos_off = terms_table["pos_section_off"].to_numpy(zero_copy_only=False)
+    blobs = terms_table["blob"]
+    if isinstance(blobs, pa.ChunkedArray):
+        blobs = blobs.combine_chunks()
+    # zero-copy section slicing straight off the value buffer
+    bufs = blobs.buffers()                  # [validity, offsets, data]
+    boffs = np.frombuffer(bufs[1], dtype=np.int64,
+                          count=n_terms + 1 + blobs.offset)[blobs.offset:]
+    data = memoryview(bufs[2])
+    # three concatenated sections, one decode each
+    doc_bytes = b"".join(
+        data[boffs[i]:boffs[i] + tf_off[i]] for i in range(n_terms))
+    tf_bytes = b"".join(
+        data[boffs[i] + tf_off[i]:boffs[i] + pos_off[i]]
+        for i in range(n_terms))
+    term_offs = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(n_docs, out=term_offs[1:])
+    total = int(term_offs[-1])
+    deltas = decode_varint(doc_bytes, total).astype(np.int64)
+    tfs = decode_varint(tf_bytes, total).astype(np.int64)
+    # doc-id cumsum resets at every BLOCK start of every term
+    nblocks = (n_docs + block_size - 1) // block_size
+    nb_off = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=nb_off[1:])
+    tot_blocks = int(nb_off[-1])
+    within = np.arange(tot_blocks, dtype=np.int64) \
+        - np.repeat(nb_off[:-1], nblocks)
+    block_starts = np.repeat(term_offs[:-1], nblocks) + within * block_size
+    doc_ids = _cumsum_with_resets(deltas, block_starts)
+    if not with_positions:
+        return term_offs, doc_ids, tfs
+    pos_bytes = b"".join(
+        data[boffs[i] + pos_off[i]:boffs[i + 1]] for i in range(n_terms))
+    pdel = decode_varint(pos_bytes).astype(np.int64)
+    if pdel.size:
+        # position cumsum resets at every (term, doc) pair start
+        pair_starts = np.zeros(total, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=pair_starts[1:])
+        pos = _cumsum_with_resets(pdel, pair_starts)
+    else:
+        pos = pdel
+    return term_offs, doc_ids, tfs, pos
 
 
 @dataclass
@@ -316,14 +393,25 @@ def decode_block(tp: TermPostings, block_idx: int, block_size: int
 
 def decode_all(tp: TermPostings, block_size: int,
                with_positions: bool = False):
-    """Decode full postings -> (doc_ids, tfs[, positions list-offsets + flat])."""
-    parts_d, parts_t = [], []
-    for bi in range(tp.n_blocks):
-        d, t = decode_block(tp, bi, block_size)
-        parts_d.append(d)
-        parts_t.append(t)
-    doc_ids = np.concatenate(parts_d)
-    tfs = np.concatenate(parts_t)
+    """Decode full postings -> (doc_ids, tfs[, positions list-offsets + flat]).
+
+    Single varint pass per section (docs / tfs) rather than one per
+    block: each block's first delta is the block's absolute first doc
+    id (``decode_block`` cumsums within the block from zero), so the
+    full-stream cumsum just subtracts the carry at block starts — the
+    same trick the position section uses.  ~8× fewer numpy dispatches
+    for many-term bulk decodes (segment compaction)."""
+    mv = memoryview(tp.blob)
+    deltas = decode_varint(mv[int(tp.block_doc_off[0]) if tp.n_blocks
+                              else 0:tp.tf_section_off], tp.n_docs)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    if tp.n_blocks > 1:
+        block_starts = np.arange(0, tp.n_docs, block_size)[1:]
+        carry = doc_ids[block_starts - 1]
+        doc_ids[block_starts[0]:] -= np.repeat(
+            carry, np.diff(np.append(block_starts, tp.n_docs)))
+    tfs = decode_varint(mv[tp.tf_section_off:tp.pos_section_off],
+                        tp.n_docs).astype(np.int64)
     if not with_positions:
         return doc_ids, tfs
     pdel = decode_varint(memoryview(tp.blob)[tp.pos_section_off:]).astype(np.int64)

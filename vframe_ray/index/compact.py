@@ -36,25 +36,8 @@ import ray.data
 
 from ..config import EngineConfig
 from ..state.manifest import read_json, write_atomic_dir, write_json
-from .codec import TermPostings, decode_all, encode_postings_batch
+from .codec import encode_postings_batch
 from .segment import TERMS_SCHEMA
-
-
-def _rows_to_postings(t: pa.Table) -> dict[str, TermPostings]:
-    out: dict[str, TermPostings] = {}
-    for row in t.to_pylist():
-        out[row["term"]] = TermPostings(
-            n_docs=row["n_docs"],
-            blob=row["blob"],
-            block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
-            block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int32),
-            block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int32),
-            block_doc_off=np.asarray(row["block_doc_off"], dtype=np.int64),
-            block_tf_off=np.asarray(row["block_tf_off"], dtype=np.int64),
-            tf_section_off=row["tf_section_off"],
-            pos_section_off=row["pos_section_off"],
-        )
-    return out
 
 
 def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
@@ -82,21 +65,26 @@ def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
     doclen = merged_docs["doclen"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
 
-    # ---- gather + remap postings per term across sources
-    acc: dict[str, list] = {}
+    # ---- bulk-decode every source segment (3 varint passes each),
+    # remap doc ids, tag pairs with merged-vocabulary term codes
+    from .codec import decode_terms_bulk
     src_fps = []
+    seg_terms_l, seg_ndocs_l = [], []
+    dids_l, tfs_l, pos_l = [], [], []
     for si, d in enumerate(seg_dirs):
         src_fps.append(read_json(os.path.join(d, "manifest.json"))
                        ["input_fingerprint"])
         tt = pq.read_table(os.path.join(d, "terms.parquet"))
-        for term, tp in _rows_to_postings(tt).items():
-            if has_pos:
-                dids, tfs, pos = decode_all(tp, bs, with_positions=True)
-            else:
-                dids, tfs = decode_all(tp, bs)
-                pos = None
-            acc.setdefault(term, []).append(
-                (new_of_concat[offsets[si] + dids], tfs, pos))
+        if has_pos:
+            toffs, dids, tfs, pos = decode_terms_bulk(tt, bs,
+                                                      with_positions=True)
+            pos_l.append(pos)
+        else:
+            toffs, dids, tfs = decode_terms_bulk(tt, bs)
+        seg_terms_l.append(np.asarray(tt["term"].to_pylist(), dtype=object))
+        seg_ndocs_l.append(np.diff(toffs))
+        dids_l.append(new_of_concat[offsets[si] + dids])
+        tfs_l.append(tfs)
 
     # resume: same sources -> same output
     fp = hashlib.sha1("|".join(sorted(src_fps)).encode()).hexdigest()
@@ -106,38 +94,38 @@ def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
     if completed_segment(seg_dir, fp):
         return read_json(os.path.join(seg_dir, "manifest.json"))
 
-    # ---- flatten to (term, doc)-sorted pair arrays, re-encode
-    terms_sorted = sorted(acc)
-    pair_docs_l, pair_tfs_l, pos_l, term_starts = [], [], [], []
-    cursor = 0
-    for term in terms_sorted:
-        parts = acc[term]
-        dids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        o = np.argsort(dids, kind="stable")     # docmaps disjoint: unique ids
-        term_starts.append(cursor)
-        cursor += len(dids)
-        pair_docs_l.append(dids[o])
-        pair_tfs_l.append(tfs[o])
+    # merged vocabulary + per-pair term codes
+    all_terms = np.concatenate(seg_terms_l) if seg_terms_l else \
+        np.empty(0, dtype=object)
+    vocab = np.unique(all_terms)
+    terms_sorted = vocab.tolist()
+    if len(vocab):
+        codes_per_entry = np.searchsorted(vocab, all_terms)
+        ndocs_per_entry = np.concatenate(seg_ndocs_l)
+        pair_term = np.repeat(codes_per_entry, ndocs_per_entry)
+        pair_docs_u = np.concatenate(dids_l)
+        pair_tfs_u = np.concatenate(tfs_l).astype(np.int64)
+        # (term, doc)-sort of all pairs (docmaps disjoint: ids unique/term)
+        o = np.lexsort((pair_docs_u, pair_term))
+        pair_docs = pair_docs_u[o]
+        pair_tfs = pair_tfs_u[o]
+        positions = None
         if has_pos:
-            # per-pair position slices, gathered in sorted-pair order
-            pos = np.concatenate([p[2] for p in parts]) if parts else \
-                np.empty(0, dtype=np.int64)
-            starts = np.zeros(len(tfs), dtype=np.int64)
-            np.cumsum(tfs[:-1], out=starts[1:])
-            tfs_s = tfs[o]
-            total = int(tfs_s.sum())
-            out_starts = np.zeros(len(tfs_s), dtype=np.int64)
-            np.cumsum(tfs_s[:-1], out=out_starts[1:])
-            idx = np.repeat(starts[o] - out_starts, tfs_s) \
+            pos_all = np.concatenate(pos_l)
+            starts = np.zeros(len(pair_tfs_u), dtype=np.int64)
+            np.cumsum(pair_tfs_u[:-1], out=starts[1:])
+            out_starts = np.zeros(len(pair_tfs), dtype=np.int64)
+            np.cumsum(pair_tfs[:-1], out=out_starts[1:])
+            total = int(pair_tfs.sum())
+            idx = np.repeat(starts[o] - out_starts, pair_tfs) \
                 + np.arange(total, dtype=np.int64)
-            pos_l.append(pos[idx])
-
-    if terms_sorted:
-        pair_docs = np.concatenate(pair_docs_l)
-        pair_tfs = np.concatenate(pair_tfs_l).astype(np.int64)
-        positions = np.concatenate(pos_l) if has_pos else None
-        term_starts_np = np.asarray(term_starts, dtype=np.int64)
+            positions = pos_all[idx]
+        # per-term runs in the sorted pair arrays
+        pt_sorted = pair_term[o]
+        new_term = np.empty(len(pt_sorted), dtype=bool)
+        new_term[0] = True
+        np.not_equal(pt_sorted[1:], pt_sorted[:-1], out=new_term[1:])
+        term_starts_np = np.flatnonzero(new_term)
         encoded = encode_postings_batch(term_starts_np, pair_docs, pair_tfs,
                                         doclen[pair_docs], positions, bs)
         term_ends = np.append(term_starts_np[1:], len(pair_docs))
