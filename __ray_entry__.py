@@ -295,6 +295,15 @@ def _q_quality(sf_dir: str):
         drop=True)
 
 
+def _q_bpe_count(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import bpe_token_count
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return bpe_token_count(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import langid
@@ -408,6 +417,19 @@ def _q_decimate(sf_dir: str):
                                columns=["event_id", "user_id", "value"])
     out = decimate(ds, 7, idx_col="event_id").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_rollup(sf_dir: str):
+    """Group-change-flush sink semantics (save-gif/save-video analog):
+    one joined transcript per conversation (conv = source, ordered by
+    doc_id)."""
+    import ray.data
+    from vframe_ray.stages.sessionize import rollup_conversations
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+    out = rollup_conversations(ds, conv_col="source", order_col="doc_id",
+                               text_col="text", sep="\n").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def _q_summarize(sf_dir: str):
@@ -598,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_count,
         "quality_features": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -617,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_template": _q_caption,
         "decimate_events": _q_decimate,
         "summarize_by_source": _q_summarize,
+        "conversation_rollup": _q_rollup,
         # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -663,6 +687,11 @@ SELECT d.doc_id,
        coalesce(c.tok_chars / greatest(c.n, 1), 0.0) AS avg_token_len,
        coalesce(c.n_stop / greatest(c.n, 1), 0.0) AS stopword_ratio
 FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
+        "bpe_token_count": r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id""",
         "langid": _langid_sql(),
         "dedup_exact": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
@@ -737,6 +766,10 @@ FROM documents ORDER BY doc_id""",
         "decimate_events": """
 SELECT event_id, user_id, value FROM events
 WHERE event_id % 7 = 0 ORDER BY event_id""",
+        "conversation_rollup": """
+SELECT source, count(*)::BIGINT AS n_turns,
+       string_agg(text, chr(10) ORDER BY doc_id) AS transcript
+FROM documents GROUP BY source ORDER BY source""",
         "summarize_by_source": """
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_chars)::BIGINT AS total_chars,

@@ -82,6 +82,7 @@ def _register_builtins() -> None:
         "decimate": textops.decimate,
         "quality_features": textquality.quality_features,
         "langid": textquality.langid,
+        "bpe_token_count": textquality.bpe_token_count,
         "fingerprints": textquality.fingerprints,
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -93,6 +94,7 @@ def _register_builtins() -> None:
         "lsh_topk": similarity.lsh_topk,
         "ivf_topk": similarity.ivf_topk,
         "sessionize": sessionize.sessionize,
+        "rollup_conversations": sessionize.rollup_conversations,
         "tumbling_window": sessionize.tumbling_window,
         "media_header_probe": multimodal.media_header_probe,
         "image_features": multimodal.image_features,

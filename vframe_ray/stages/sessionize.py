@@ -47,6 +47,30 @@ def sessionize(ds, *, gap_seconds: int = 1800, key_col: str = "user_id",
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def rollup_conversations(ds, *, conv_col: str = "conv_id",
+                         order_col: str = "turn_idx",
+                         text_col: str = "text", sep: str = "\n"):
+    """One artifact per container: join every turn of a conversation into
+    a single ordered document — the group-change-flush sink semantics of
+    the reference's `pipe save-gif` / `save-video` (accumulate frames
+    per container, flush one artifact on change, save-gif.py:41-142) as
+    an explicit ``groupby(conv).map_groups``.
+
+    Output: (conv_col, n_turns, transcript) — SQL-oracle-checkable via
+    ``string_agg(text, sep ORDER BY order_col)``.
+    """
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col)
+        return pd.DataFrame({
+            conv_col: [g[conv_col].iloc[0]],
+            "n_turns": np.array([len(g)], dtype=np.int64),
+            "transcript": [sep.join(x or "" for x in g[text_col])],
+        })
+
+    return ds.groupby(conv_col).map_groups(per_conv, batch_format="pandas")
+
+
 def tumbling_window(ds, *, ts_col: str = "ts", key_col: str = "event_type"):
     """Per (key, day) tumbling aggregate: n events, sum/avg value.
     Day truncation is pure column math → stays a two-phase aggregate

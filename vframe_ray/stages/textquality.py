@@ -148,6 +148,26 @@ def langid(ds, id_col: str = "doc_id", text_col: str = "text"):
                           concurrency=(1, 4))
 
 
+# Subword-ish token estimator: letter runs, digit runs, punctuation runs
+# (a BPE-style pre-tokenization rule, deliberately RE2-portable so the
+# DuckDB oracle counts the same matches)
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Approximate LLM-token count per doc: count of BPE-ish
+    pre-tokenization matches over the lowercased text — one vectorized
+    RE2 kernel per batch."""
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[text_col], "")
+        low = pc.utf8_lower(texts)
+        n = pc.count_substring_regex(low, pattern=BPE_ISH_PATTERN)
+        return pa.table({id_col: t[id_col],
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class FingerprintStage:
     """Deterministic 64-bit document fingerprint, order-sensitive:
 
