@@ -44,7 +44,15 @@ class Tokenizer:
     def tokenize(self, text: str) -> list[str]:
         if text is None:
             return []
-        toks = self._rx.findall(text.lower() if self.cfg.lowercase else text)
+        if self.cfg.lowercase:
+            # utf8proc lowercase via the Arrow kernel, NOT str.lower():
+            # Python's full Unicode lowering diverges on chars like
+            # Turkish 'İ' ('i' + combining dot vs plain 'i'), while
+            # Arrow and DuckDB agree — the scalar path must match the
+            # vectorized hot path and the SQL oracle byte-for-byte
+            # (found by tests/test_hashing_property.py).
+            text = pc.utf8_lower(pa.array([text]))[0].as_py()
+        toks = self._rx.findall(text)
         if self.cfg.stopwords:
             toks = [t for t in toks if t not in self.cfg.stopwords]
         return toks
