@@ -133,7 +133,9 @@ def generate_transcripts(n_turns: int, seed: int = SEED,
         "conv_id": pa.array(conv_ids, pa.string()),
         "turn_idx": pa.array(turn_idxs, pa.int32()),
         "role": pa.array(roles, pa.string()),
-        "text": pa.array(texts, pa.string()),
+        # large_string: >2 GB of text (≈15M turns) overflows int32
+        # offsets inside take/concat kernels
+        "text": pa.array(texts, pa.large_string()),
         "tool": pa.array(tools, pa.string()),
         "ts": pa.array(tss, pa.timestamp("us")),
     })
