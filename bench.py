@@ -54,6 +54,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # push-based shuffle pipelines the exchange's map/merge phases:
+    # measured 33.1s vs 37.7s for the 9.6M build at 32 cpus (and it is
+    # the multi-node-ready shuffle path)
+    ctx.use_push_based_shuffle = True
 
     import ray.data
     from vframe_ray.config import EngineConfig, IndexConfig
@@ -151,9 +155,18 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    """Same job, fresh processes, two parallelism levels."""
-    results = {}
-    for ncpu in (8, 32):
+    """Same job, fresh processes, two parallelism levels.
+
+    ``GRAFT_SCALING_REPS`` (default 1) repeats each level and reports
+    MEDIAN throughputs plus the per-run distribution: this host's
+    first-touch fault service makes identical builds fluctuate +-30%
+    (BASELINE.md §3), so a single-sample ratio is mostly substrate
+    noise -- medians are the defensible estimator.
+    """
+    import statistics
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    results = {8: [], 32: []}
+    for (ncpu, _rep) in [(n, r) for n in (8, 32) for r in range(reps)]:
         # a 4× corpus for scaling runs so parallel work dominates the
         # per-execution serial floor (~5s: sort coordination, planning,
         # actor-pool spin-up) — at 600k turns that floor alone caps
@@ -171,21 +184,26 @@ def run_scaling() -> None:
             sys.stderr.write("\n".join(
                 proc.stderr.strip().splitlines()[-25:]) + "\n")
             raise RuntimeError(f"bench subprocess failed at {ncpu} cpus")
-        results[ncpu] = json.loads(lines[-1])
-    t8 = results[8]["turns_indexed_per_sec"]
-    t32 = results[32]["turns_indexed_per_sec"]
+        results[ncpu].append(json.loads(lines[-1]))
+    t8s = [r["turns_indexed_per_sec"] for r in results[8]]
+    t32s = [r["turns_indexed_per_sec"] for r in results[32]]
+    t8, t32 = statistics.median(t8s), statistics.median(t32s)
     eff = (t32 / t8) / (32 / 8)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "reps": reps,
         "turns_per_sec_8cpu": t8,
         "turns_per_sec_32cpu": t32,
-        "build_sec_8cpu": results[8]["queries"]["index_build"],
-        "build_sec_32cpu": results[32]["queries"]["index_build"],
-        "bm25_qps_8cpu": results[8]["bm25_queries_per_sec"],
-        "bm25_qps_32cpu": results[32]["bm25_queries_per_sec"],
-        "sf": results[32]["sf"],
+        "turns_per_sec_8cpu_runs": t8s,
+        "turns_per_sec_32cpu_runs": t32s,
+        "build_sec_8cpu": [r["queries"]["index_build"] for r in results[8]],
+        "build_sec_32cpu": [r["queries"]["index_build"]
+                            for r in results[32]],
+        "bm25_qps_8cpu": results[8][-1]["bm25_queries_per_sec"],
+        "bm25_qps_32cpu": results[32][-1]["bm25_queries_per_sec"],
+        "sf": results[32][-1]["sf"],
     }))
 
 
