@@ -73,3 +73,27 @@ def test_compacted_service_and_resume(ray_session, compacted_dir,
     m0 = os.path.getmtime(seg0)
     compact_index(small_index_dir, compacted_dir, target_segments=2)
     assert os.path.getmtime(seg0) == m0
+
+
+def test_compacted_attributes_and_predicates(ray_session, small_corpus_dir,
+                                             tmp_path):
+    """Docmap attribute columns survive compaction and predicate-filtered
+    search stays identical (skip-labels through the compacted index)."""
+    import ray.data
+    from vframe_ray.corpus import generate_queries
+    from vframe_ray.index.build import build_index
+
+    src = str(tmp_path / "attr_src")
+    ds = ray.data.read_parquet(small_corpus_dir,
+                               columns=["conv_id", "turn_idx", "text",
+                                        "role"])
+    build_index(ds, src, SMALL_CFG, attribute_cols=["role"])
+    dst = str(tmp_path / "attr_compact")
+    compact_index(src, dst, target_segments=2)
+
+    queries = generate_queries(n_terms=800)[:6]
+    preds = ["role == assistant or role == tool"]
+    a = search_index(src, queries, predicates=preds)
+    b = search_index(dst, queries, predicates=preds)
+    assert a.to_pylist() == b.to_pylist()
+    assert a.num_rows > 0
