@@ -239,6 +239,35 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b
 FROM cand ORDER BY id_a, id_b"""
 
 
+def _winnow_sql(k: int = 3, w: int = 4) -> str:
+    """Winnowing fingerprints (MOSS scheme) — identical to WinnowStage:
+    k-gram md5 hashes, per-window minimum with rightmost tie, short docs
+    (1..w-1 grams) select their global minimum."""
+    gram = " || ' ' || ".join(f"a[i+{j}]" for j in range(k))
+    th = _TH64.format(col=f"({gram})")
+    return f"""{_TOK},
+ arr AS (SELECT _id, list(term ORDER BY pos) AS a FROM tok GROUP BY _id),
+ gr AS (SELECT _id, i - 1 AS pos, {th} AS h
+        FROM (SELECT _id, a,
+                     unnest(generate_series(1, greatest(len(a) - {k - 1}, 0)))
+                       AS i
+              FROM arr)),
+ ng AS (SELECT _id, count(*) AS ng FROM gr GROUP BY _id),
+ win AS (SELECT g._id, wj.j, g.pos, g.h
+         FROM gr g JOIN (SELECT _id,
+                                unnest(generate_series(0, greatest(ng - {w}, 0)))
+                                  AS j
+                         FROM ng) wj
+           ON wj._id = g._id AND g.pos BETWEEN wj.j AND wj.j + {w - 1}),
+ sel AS (SELECT _id, j, pos, h,
+                row_number() OVER (PARTITION BY _id, j
+                                   ORDER BY h, pos DESC) AS rn
+         FROM win),
+ fp AS (SELECT DISTINCT _id, pos, h FROM sel WHERE rn = 1)
+SELECT _id AS doc_id, pos::INT AS pos, {_u64_to_i64('h')} AS fp
+FROM fp ORDER BY doc_id, pos"""
+
+
 def _near_dedup_sql(threshold: float = 0.8) -> str:
     """Rolling previous-KEPT near-dedup (skip-phash semantics) over
     documents grouped by source, ordered by doc_id — the recursive
@@ -293,6 +322,15 @@ def _q_quality(sf_dir: str):
     out = quality_features(ds).to_pandas().sort_values("doc_id")
     return out[["doc_id", "avg_token_len", "stopword_ratio"]].reset_index(
         drop=True)
+
+
+def _q_winnow(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import winnow_fingerprints
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    df = winnow_fingerprints(ds, k=3, w=4).to_pandas()
+    return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 
 def _q_bpe_count(sf_dir: str):
@@ -624,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
@@ -698,6 +737,7 @@ FROM documents ORDER BY doc_id""",
             "FROM documents GROUP BY text ORDER BY doc_id"),
         "jaccard_pairs": _jaccard_sql(threshold=0.5, max_df=1000),
         "fingerprint": _fingerprint_sql(),
+        "winnow_fingerprints": _winnow_sql(k=3, w=4),
         "simhash": _simhash_sql(),
         "minhash_candidates": _minhash_sql(),
         "near_dedup_conversations": _near_dedup_sql(threshold=0.8),

@@ -327,3 +327,58 @@ def test_snippet_highlight(ray_session):
     assert len(out) == 2
     assert out.loc[0, "snippet"] == "«spark» and «window» functions"
     assert out.loc[1, "snippet"] == "«window» «window»"
+
+
+def test_winnow_fingerprints_scalar_oracle(ray_session):
+    """Vectorized winnowing vs a brute-force scalar implementation of the
+    SIGMOD'03 scheme (min per window, rightmost tie; short docs pick
+    their global min) + the coverage guarantee on a planted shared run."""
+    import hashlib
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.textquality import winnow_fingerprints
+
+    k, w = 3, 4
+    tok = Tokenizer()
+    texts = ["the quick brown fox jumps over the lazy dog again and again",
+             "tiny doc",                    # 0 grams (2 tokens < k)
+             "one two three",               # exactly 1 gram
+             "one two three four five",     # 3 grams < w
+             "",                            # empty
+             "a shared long run of tokens appears here exactly the same "
+             "way with more words after",
+             "prefix junk then a shared long run of tokens appears here "
+             "exactly the same way tail"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    out = winnow_fingerprints(ds, k=k, w=w).to_pandas()
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(int(r.doc_id), set()).add((int(r.pos), int(r.fp)))
+
+    def gh(toks, i):
+        s = " ".join(toks[i:i + k])
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        return np.uint64(v).astype(np.int64)
+
+    for d, t in enumerate(texts):
+        toks = tok.tokenize(t)
+        hs = [gh(toks, i) for i in range(max(0, len(toks) - k + 1))]
+        want = set()
+        if hs:
+            if len(hs) < w:
+                m = min(np.uint64(x).astype(np.uint64) for x in
+                        [np.uint64(h) for h in hs])
+            windows = [range(j, min(j + w, len(hs)))
+                       for j in range(max(1, len(hs) - w + 1))]
+            for win in windows:
+                uh = [np.uint64(hs[p]) for p in win]
+                mn = min(uh)
+                p = max(p for p in win if np.uint64(hs[p]) == mn)
+                want.add((p, int(hs[p])))
+        assert got.get(d, set()) == want, (d, got.get(d), want)
+
+    # guarantee: docs 5 and 6 share a >= w+k-1 token run -> share a hash
+    fps5 = {fp for _, fp in got[5]}
+    fps6 = {fp for _, fp in got[6]}
+    assert fps5 & fps6

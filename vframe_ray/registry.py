@@ -84,6 +84,7 @@ def _register_builtins() -> None:
         "langid": textquality.langid,
         "bpe_token_count": textquality.bpe_token_count,
         "fingerprints": textquality.fingerprints,
+        "winnow_fingerprints": textquality.winnow_fingerprints,
         "dedup_exact": dedup.dedup_exact,
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_candidates": dedup.minhash_candidates,

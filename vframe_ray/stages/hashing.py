@@ -188,6 +188,29 @@ def shingle_rows(tokenizer, texts, n: int,
     return ps, strings, sizes_per_row[ps].astype(np.int64)
 
 
+def ordered_shingles(tokenizer, texts, n: int
+                     ) -> tuple[np.ndarray, pa.Array]:
+    """POSITION-ORDERED full-window n-gram shingles per row (no per-row
+    dedupe, no short-row fallback — the winnowing k-gram stream).
+
+    Returns (parents, shingle_strings): entry i is the shingle starting
+    at token position i of its row; rows with fewer than n tokens
+    contribute nothing.
+    """
+    toks = tokenizer.tokenize_array(texts)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ntok = len(flat)
+    if ntok < n:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    joined = pc.binary_join_element_wise(
+        *[flat.slice(j, ntok - n + 1) for j in range(n)], " ")
+    valid = parents[: ntok - n + 1] == parents[n - 1:]
+    return parents[: ntok - n + 1][valid], joined.filter(pa.array(valid))
+
+
 def sql_shingles_cte(n: int = 3) -> str:
     """DuckDB CTE fragment (appended after the shared tok CTE, which must
     expose (_id, term, pos)) producing distinct (_id, s) shingles with the

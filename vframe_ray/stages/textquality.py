@@ -168,6 +168,101 @@ def bpe_token_count(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class WinnowStage:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme; public knowledge): hash every k-token
+    gram, slide a window of ``w`` consecutive gram hashes, select each
+    window's minimum (rightmost position on ties).  The selected
+    (position, hash) set is a compact, position-aware fingerprint whose
+    guarantee is that any shared run of ≥ w+k-1 tokens between two docs
+    yields at least one shared selected hash.
+
+    Fully vectorized: ordered k-grams via Arrow joins, md5 once per
+    unique gram, sliding-window minima via ``sliding_window_view`` with
+    reversed-argmin for the rightmost-tie rule; windows never cross row
+    boundaries (validity mask, same trick as the shingle kernel).
+    SQL-reproducible: window min + (h ASC, pos DESC) row_number — see
+    ``oracle_sql['winnow_fingerprints']``.
+    """
+
+    def __init__(self, k: int = 3, w: int = 4, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.k, self.w = k, w
+        self.id_col, self.text_col = id_col, text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import ordered_shingles
+        texts = pc.fill_null(batch[self.text_col], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, grams = ordered_shingles(self.tok, texts, self.k)
+        empty = pa.table({self.id_col: batch[self.id_col].slice(0, 0),
+                          "pos": pa.array([], pa.int32()),
+                          "fp": pa.array([], pa.int64())})
+        n = len(grams)
+        w = self.w
+        if n == 0:
+            return empty
+        h = dict_hash_u64(grams)
+        # gram position within its row
+        counts = np.bincount(parents, minlength=len(texts))
+        row_starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=row_starts[1:])
+        pos_in_row = np.arange(n, dtype=np.int64) - row_starts[parents]
+        if n < w:
+            wins = None
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            valid = parents[: n - w + 1] == parents[w - 1:]
+        sel_rows: list[np.ndarray] = []
+        sel_pos: list[np.ndarray] = []
+        sel_fp: list[np.ndarray] = []
+        if wins is not None and valid.any():
+            # rightmost argmin: argmin over the REVERSED window returns
+            # the first minimum of the reversal == rightmost original
+            rev_arg = np.argmin(wins[valid][:, ::-1], axis=1)
+            off = (w - 1) - rev_arg
+            starts = np.flatnonzero(valid)
+            pick = starts + off
+            sel_rows.append(parents[pick])
+            sel_pos.append(pos_in_row[pick])
+            sel_fp.append(h[pick])
+        # rows with ≥1 but < w grams: select the (rightmost) min of all
+        short = (counts >= 1) & (counts < w)
+        for r in np.flatnonzero(short):
+            s, e = row_starts[r], row_starts[r] + counts[r]
+            hr = h[s:e]
+            p = len(hr) - 1 - int(np.argmin(hr[::-1]))
+            sel_rows.append(np.array([r], dtype=np.int64))
+            sel_pos.append(np.array([p], dtype=np.int64))
+            sel_fp.append(np.array([hr[p]], dtype=np.uint64))
+        if not sel_rows:
+            return empty
+        rows = np.concatenate(sel_rows)
+        poss = np.concatenate(sel_pos)
+        fps = np.concatenate([f.astype(np.uint64) for f in sel_fp])
+        # distinct (row, pos): same position can win several windows
+        order = np.lexsort((poss, rows))
+        rows, poss, fps = rows[order], poss[order], fps[order]
+        keep = np.empty(len(rows), dtype=bool)
+        keep[0] = True
+        np.logical_or(rows[1:] != rows[:-1], poss[1:] != poss[:-1],
+                      out=keep[1:])
+        ids = batch[self.id_col].take(pa.array(rows[keep]))
+        return pa.table({
+            self.id_col: ids,
+            "pos": pa.array(poss[keep].astype(np.int32)),
+            "fp": pa.array(fps[keep].astype(np.int64)),
+        })
+
+
+def winnow_fingerprints(ds, *, k: int = 3, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(WinnowStage(k, w, id_col, text_col),
+                          batch_format="pyarrow")
+
+
 class FingerprintStage:
     """Deterministic 64-bit document fingerprint, order-sensitive:
 
