@@ -402,6 +402,16 @@ def _q_cosine(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
+def _q_cosine_dups(sf_dir: str):
+    """Corpus-wide embedding near-dup pairs (exact baseline; LSH-bucketed
+    candidates are the documented scale path)."""
+    import ray.data
+    from vframe_ray.stages.similarity import cosine_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return cosine_dup_pairs(ds, threshold=0.42)
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data
     from vframe_ray.stages.sessionize import sessionize
@@ -671,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_conversations": _q_near_dedup,
         # similarity search
         "cosine_topk": _q_cosine,
+        "cosine_dup_pairs": _q_cosine_dups,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         # per-row transforms (redact/caption/decimate — reference
@@ -795,6 +806,14 @@ WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
 SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id,
        round(sim, 6) AS sim_r
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "cosine_dup_pairs": """
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.42
+ORDER BY id_a, id_b""",
         "redact_text": """
 SELECT doc_id, regexp_replace(text, '(batch|spark)', '■', 'g')
        AS text_redacted

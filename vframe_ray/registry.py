@@ -92,6 +92,7 @@ def _register_builtins() -> None:
         "near_dedup": dedup.near_dedup_in_conversation,
         "near_dedup_embeddings": dedup.near_dedup_embeddings,
         "cosine_topk": similarity.cosine_topk,
+        "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "lsh_topk": similarity.lsh_topk,
         "ivf_topk": similarity.ivf_topk,
         "sessionize": sessionize.sessionize,

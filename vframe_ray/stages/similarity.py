@@ -94,6 +94,49 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def cosine_dup_pairs(ds, *, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     batch_size: int = 4096) -> pa.Table:
+    """EXACT embedding near-duplicate pairs: all (a, b) with cosine ≥ τ,
+    a < b — the corpus-wide skip-cnn analog (skip-cnn.py:62-91 compares
+    only within a stream; this is the cross-corpus case).
+
+    This is the exact BASELINE: the full normalized matrix is broadcast
+    once (``ray.put``) and every batch does one matmul against it, so
+    work is O(N²/batch) and broadcast memory is O(N·d) — right for
+    oracle-checkable validation and mid-size corpora.  The scale path
+    for 100 TB is the SRP-bucketed candidate generation of
+    :func:`lsh_topk` / ``minhash_candidates``-style band joins followed
+    by this exact verification per bucket.
+    Returns (id_a, id_b, sim_r) with sim rounded to 6 dp (both sides of
+    the oracle comparison round identically).
+    """
+    rows = ds.to_pandas()
+    ids_all = rows[id_col].to_numpy()
+    M = _normalize(np.stack(rows[vec_col].to_numpy()))
+    ref = ray.put((ids_all, M))
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids_a, Mall = ray.get(ref)
+        ids_b = t[id_col].to_numpy(zero_copy_only=False)
+        B = _normalize(np.stack(t[vec_col].to_pandas().to_numpy()))
+        sims = np.round(B @ Mall.T, 6)              # (nbatch, N)
+        ii, jj = np.nonzero(sims >= threshold)
+        a = ids_b[ii]
+        b = ids_a[jj]
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep].astype(np.int64)),
+            "id_b": pa.array(b[keep].astype(np.int64)),
+            "sim_r": pa.array(sims[ii, jj][keep].astype(np.float64)),
+        })
+
+    out = ds.map_batches(stage, batch_format="pyarrow",
+                         batch_size=batch_size).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
             seed: int = 42) -> np.ndarray:
     """Tiny Lloyd's k-means on a driver-side sample (normalized rows) —
