@@ -56,8 +56,13 @@ def run_bench() -> dict:
     ctx.execution_options.verbose_progress = False
     # push-based shuffle pipelines the exchange's map/merge phases:
     # measured 33.1s vs 37.7s for the 9.6M build at 32 cpus (and it is
-    # the multi-node-ready shuffle path)
-    ctx.use_push_based_shuffle = True
+    # the multi-node-ready shuffle path).  shuffle_strategy is the
+    # non-deprecated spelling of use_push_based_shuffle (ray 2.49).
+    try:
+        from ray.data.context import ShuffleStrategy
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except ImportError:
+        ctx.use_push_based_shuffle = True
 
     import ray.data
     from vframe_ray.config import EngineConfig, IndexConfig
@@ -201,8 +206,12 @@ def run_scaling() -> None:
         "build_sec_8cpu": [r["queries"]["index_build"] for r in results[8]],
         "build_sec_32cpu": [r["queries"]["index_build"]
                             for r in results[32]],
-        "bm25_qps_8cpu": results[8][-1]["bm25_queries_per_sec"],
-        "bm25_qps_32cpu": results[32][-1]["bm25_queries_per_sec"],
+        # medians over reps, matching the headline estimator (ADVICE.md:
+        # last-rep single samples mixed estimators in one report)
+        "bm25_qps_8cpu": statistics.median(
+            [r["bm25_queries_per_sec"] for r in results[8]]),
+        "bm25_qps_32cpu": statistics.median(
+            [r["bm25_queries_per_sec"] for r in results[32]]),
         "sf": results[32][-1]["sf"],
     }))
 

@@ -112,8 +112,9 @@ def revenue_by_nation(sf_dir: str):
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    from ..runtime import actor_pool
     partials = orders.map_batches(JoinStage, batch_format="pyarrow",
-                                  concurrency=(1, 4))
+                                  concurrency=actor_pool())
     out = partials.groupby("n_name").aggregate(
         Sum("revenue_partial", alias_name="revenue"),
         Sum("n_orders_partial", alias_name="n_orders"))
@@ -190,8 +191,9 @@ def semi_join_orders(sf_dir: str):
 
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    from ..runtime import actor_pool
     out = ds.map_batches(SemiStage, batch_format="pyarrow",
-                         concurrency=(1, 4))
+                         concurrency=actor_pool())
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 

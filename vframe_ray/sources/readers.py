@@ -26,6 +26,36 @@ _OPS = {
 }
 
 
+def _split_or(expr: str) -> list[str]:
+    """Split an expression on ``' or '`` OUTSIDE quotes only, so a quoted
+    value containing ' or ' (``title == 'cats or dogs'``) stays one
+    clause (ADVICE.md round 2: the naive substring split misparsed it)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+            i += 1
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+            i += 1
+        elif expr.startswith(" or ", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 4
+        else:
+            buf.append(ch)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _parse_triple(part: str) -> tuple[str, str, str, bool]:
     """One ``[not] attr op value`` clause -> (attr, op, raw, negated)."""
     part = part.strip()
@@ -35,8 +65,12 @@ def _parse_triple(part: str) -> tuple[str, str, str, bool]:
         part = part[4:].strip()
     bits = part.split(None, 2)
     if len(bits) != 3 or bits[1] not in _OPS:
+        hint = ("; an unquoted value containing ' or ' splits into "
+                "clauses — quote it: attr == 'cats or dogs'"
+                if len(bits) < 3 else "")
         raise ValueError(
-            f"predicate clause must be '[not] attr op value', got {part!r}")
+            f"predicate clause must be '[not] attr op value', "
+            f"got {part!r}{hint}")
     return bits[0], bits[1], bits[2].strip("'\""), neg
 
 
@@ -45,7 +79,7 @@ def parse_predicates(predicates: list[str]
     """Flatten a predicate list into its clauses (for validation)."""
     out = []
     for expr in predicates:
-        for part in expr.split(" or "):
+        for part in _split_or(expr):
             out.append(_parse_triple(part))
     return out
 
@@ -65,7 +99,7 @@ def compile_predicate(expr: str):
     to the readers are ANDed; ``or`` binds within one element.
     """
     combined = None
-    for part in expr.split(" or "):
+    for part in _split_or(expr):
         attr, op, raw, neg = _parse_triple(part)
         val: object
         try:
@@ -92,7 +126,7 @@ def compile_mask(predicates: list[str], *, keep: bool = True):
     import numpy as np
     import pandas as pd
 
-    parsed = [[_parse_triple(part) for part in expr.split(" or ")]
+    parsed = [[_parse_triple(part) for part in _split_or(expr)]
               for expr in predicates]
 
     def mask(table) -> "np.ndarray":

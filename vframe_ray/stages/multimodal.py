@@ -94,12 +94,14 @@ class ImageFeatureStage:
         })
 
 
-def image_features(ds, *, concurrency=(1, 4), batch_size: int = 64):
+def image_features(ds, *, concurrency=None, batch_size: int = 64):
     """Small batch_size on purpose: binary payloads are wide, so
     batch × concurrency must fit the worker heap (guide: memory-aware
     sizing for large binary rows)."""
+    from ..runtime import actor_pool
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
+                          batch_size=batch_size,
+                          concurrency=concurrency or actor_pool(),
                           fn_constructor_kwargs=dict(real_decoder=False))
 
 
@@ -139,10 +141,12 @@ class HeaderProbeStage:
         })
 
 
-def media_header_probe(ds, *, concurrency=(1, 4), batch_size: int = 256):
+def media_header_probe(ds, *, concurrency=None, batch_size: int = 256):
     """Actor-pool header probe over (media_id, payload) rows."""
+    from ..runtime import actor_pool
     return ds.map_batches(HeaderProbeStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size,
+                          concurrency=concurrency or actor_pool())
 
 
 def text_as_payload(ds, id_col: str = "doc_id", text_col: str = "text"):

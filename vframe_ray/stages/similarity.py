@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray
 
+from ..runtime import actor_pool as _pool
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = m.astype(np.float64)
@@ -65,7 +67,7 @@ class _BruteForceStage:
 
 def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                batch_size: int = 4096, concurrency=(1, 4)) -> pa.Table:
+                batch_size: int = 4096, concurrency=None) -> pa.Table:
     """Exact cosine top-k of every query vector against the dataset.
 
     Result (query_id, rank, id, sim) with deterministic tie-break on
@@ -79,7 +81,7 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
         fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col,
                                    vec_col=vec_col),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or _pool())
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col],
@@ -199,7 +201,7 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
             return batch.append_column("centroid", pa.array(cid))
 
     bucketed = ds.map_batches(AssignStage, batch_format="pyarrow",
-                              concurrency=(1, 4))
+                              concurrency=_pool())
 
     qids = sorted(queries)
     Qm = _normalize(np.stack([np.asarray(queries[i], dtype=np.float64)

@@ -141,11 +141,13 @@ class LangIdStage:
                          "pred_lang": pa.array(preds, pa.string())})
 
 
-def langid(ds, id_col: str = "doc_id", text_col: str = "text"):
+def langid(ds, id_col: str = "doc_id", text_col: str = "text",
+           concurrency=None):
+    from ..runtime import actor_pool
     return ds.map_batches(LangIdStage, batch_format="pyarrow",
                           fn_constructor_kwargs=dict(id_col=id_col,
                                                      text_col=text_col),
-                          concurrency=(1, 4))
+                          concurrency=concurrency or actor_pool())
 
 
 # Subword-ish token estimator: letter runs, digit runs, punctuation runs
