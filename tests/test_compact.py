@@ -75,6 +75,41 @@ def test_compacted_service_and_resume(ray_session, compacted_dir,
     assert os.path.getmtime(seg0) == m0
 
 
+def test_streaming_merge_memory_bounded(ray_session, small_index_dir,
+                                        tmp_path, monkeypatch):
+    """The k-way merge must never hold all source postings at once:
+    with a small encode chunk, the peak buffered pair count (recorded in
+    the output manifest) stays far below the group's total pair count,
+    while results remain rank-identical (the round-2 implementation
+    concatenated every source's decoded postings: peak == total)."""
+    import pyarrow.parquet as pq
+    from vframe_ray.config import EngineConfig
+    from vframe_ray.index import compact as compact_mod
+    from vframe_ray.state.manifest import read_json
+
+    # compact ONE group in-process (compact_index runs groups in Ray
+    # workers, out of monkeypatch reach) with a tiny encode chunk
+    monkeypatch.setattr(compact_mod._ChunkedTermsWriter, "CHUNK_TERMS", 64)
+    cfg_dict, _, src_segs = load_index_meta(small_index_dir)
+    out = str(tmp_path / "stream_compact")
+    man = compact_mod.compact_group(src_segs, 0, out,
+                                    EngineConfig.from_dict(cfg_dict))
+
+    import pandas as pd
+    dfs = pd.concat([pq.read_table(os.path.join(d, "terms.parquet"),
+                                   columns=["term", "df"]).to_pandas()
+                     for d in src_segs])
+    merged_df = dfs.groupby("term")["df"].sum()
+    total_pairs = int(merged_df.sum())
+    # documented bound: one encode chunk's worth of terms (≤ the 64
+    # hottest) — NOT the whole group's postings (round 2 peaked at
+    # total_pairs by construction)
+    top_chunk = int(merged_df.nlargest(64).sum())
+    assert 0 < man["peak_buffered_pairs"] <= top_chunk < total_pairs
+    # (rank/phrase identity of compacted output is asserted by the
+    # compacted_dir tests above, which exercise the same merge path)
+
+
 def test_compacted_attributes_and_predicates(ray_session, small_corpus_dir,
                                              tmp_path):
     """Docmap attribute columns survive compaction and predicate-filtered
