@@ -403,13 +403,36 @@ def _q_cosine(sf_dir: str):
 
 
 def _q_cosine_dups(sf_dir: str):
-    """Corpus-wide embedding near-dup pairs (exact baseline; LSH-bucketed
-    candidates are the documented scale path)."""
+    """Corpus-wide embedding near-dup pairs, EXACT: distributed blocked
+    all-pairs (chunk-pair tasks over a hash-partitioned scratch copy —
+    no driver materialization; O(N²) work is inherent to exactness at
+    τ=0.42, where angles are too wide for LSH).  ``srp_dup_pairs`` is
+    the sub-quadratic high-threshold scale path."""
     import ray.data
     from vframe_ray.stages.similarity import cosine_dup_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     return cosine_dup_pairs(ds, threshold=0.42)
+
+
+def _q_srp_dups(sf_dir: str):
+    """SRP-bucketed near-dup pairs at τ=0.9 over embeddings ∪ planted
+    exact copies (vec_id+20000): identical vectors collide in EVERY
+    table, and the test corpora have no natural pair above 0.7, so the
+    bucketed candidates + per-bucket exact verify reproduce the exact
+    SQL pairs deterministically.  (Near-miss recall at 0.9 < sim < 1 is
+    pytest-covered: test_round3.py::test_srp_dup_pairs_recall.)"""
+    import ray.data
+    from vframe_ray.stages.similarity import srp_dup_pairs
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "<", 8)])
+    copies = pa.table({"vec_id": pc.add(qt["vec_id"], 20000),
+                       "embedding": qt["embedding"]})
+    base = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+    ds = base.union(ray.data.from_arrow(copies))
+    dim = len(qt["embedding"][0].as_py())
+    return srp_dup_pairs(ds, threshold=0.9, dim=dim)
 
 
 def _q_sessionize(sf_dir: str):
@@ -682,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": _q_cosine,
         "cosine_dup_pairs": _q_cosine_dups,
+        "srp_dup_pairs": _q_srp_dups,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         # per-row transforms (redact/caption/decimate — reference
@@ -813,6 +837,18 @@ SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.42
+ORDER BY id_a, id_b""",
+        "srp_dup_pairs": """
+WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 20000, embedding FROM embeddings
+            WHERE vec_id < 8)
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim_r
+FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.9
 ORDER BY id_a, id_b""",
         "redact_text": """
 SELECT doc_id, regexp_replace(text, '(batch|spark)', '■', 'g')
