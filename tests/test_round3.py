@@ -41,6 +41,87 @@ def test_blocked_exact_equals_driver_oracle(ray_session, planted_ds):
     assert len(got) >= 40
 
 
+def _small_phrases(small_corpus_dir):
+    import pyarrow.parquet as pq
+    from vframe_ray.analyze import Tokenizer
+    tok = Tokenizer()
+    t = pq.ParquetDataset(small_corpus_dir).read(columns=["text"])
+    phrases = []
+    for txt in t["text"].to_pylist():
+        ts = tok.tokenize(txt)
+        if len(ts) >= 2:
+            phrases.append(" ".join(ts[:2]))
+        if len(phrases) >= 4:
+            break
+    return [{"query_id": i, "phrase": p, "k": 5}
+            for i, p in enumerate(phrases)]
+
+
+def test_phrase_rank_paths_agree(ray_session, small_index_dir,
+                                 small_corpus_dir):
+    """One-shot phrase_rank_index == persistent QueryService ranked
+    phrases; every ranked row is a true phrase hit; scores equal the
+    plain BM25 scores of those docs for the phrase's terms."""
+    from vframe_ray.index.query import (QueryService, phrase_rank_index,
+                                        phrase_search_index, search_index)
+    qs = _small_phrases(small_corpus_dir)
+    one_shot = phrase_rank_index(small_index_dir, qs)
+    svc = QueryService(small_index_dir, n_actors=2)
+    try:
+        served = svc.search_ranked_phrases(qs)
+    finally:
+        svc.shutdown()
+    assert one_shot.to_pylist() == served.to_pylist()
+    assert one_shot.num_rows > 0
+
+    hits = phrase_search_index(small_index_dir,
+                               [{"query_id": q["query_id"],
+                                 "phrase": q["phrase"]} for q in qs])
+    hitset = {(r["query_id"], r["conv_id"], r["turn_idx"])
+              for r in hits.to_pylist()}
+    for r in one_shot.to_pylist():
+        assert (r["query_id"], r["conv_id"], r["turn_idx"]) in hitset
+
+    # scores: BM25 of the phrase terms, restricted to hit docs — compare
+    # against a large-k plain search over the same terms
+    plain = search_index(small_index_dir,
+                         [{"query_id": q["query_id"],
+                           "query_text": q["phrase"], "k": 100000}
+                          for q in qs])
+    want = {(r["query_id"], r["conv_id"], r["turn_idx"]): r["score"]
+            for r in plain.to_pylist()}
+    for r in one_shot.to_pylist():
+        assert want[(r["query_id"], r["conv_id"], r["turn_idx"])] \
+            == r["score"]
+
+
+def test_phrase_rank_predicates(ray_session, small_corpus_dir, tmp_path):
+    """Ranked phrases respect attribute predicates (skip-labels through
+    the phrase path)."""
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import phrase_rank_index
+    from vframe_ray.sources.readers import read_transcripts
+
+    d = str(tmp_path / "phrase_attr_idx")
+    ds = read_transcripts(small_corpus_dir,
+                          columns=["conv_id", "turn_idx", "text", "role"])
+    build_index(ds, d, SMALL_CFG, attribute_cols=["role"])
+    qs = _small_phrases(small_corpus_dir)
+    allr = phrase_rank_index(d, qs)
+    only_user = phrase_rank_index(d, qs, predicates=["role == user"])
+    assert 0 < only_user.num_rows <= allr.num_rows
+    # every filtered row exists in the unfiltered hit universe
+    allset = {(r["query_id"], r["conv_id"], r["turn_idx"], r["score"])
+              for r in allr.to_pylist()}
+    # (ranks differ after filtering; compare identity+score membership
+    # only for rows whose rank survives in the unfiltered top-k)
+    survivors = [r for r in only_user.to_pylist()
+                 if (r["query_id"], r["conv_id"], r["turn_idx"],
+                     r["score"]) in allset]
+    assert survivors  # the filter keeps a nonempty overlap
+
+
 def test_srp_dup_pairs_recall(ray_session, planted_ds):
     """The SRP-bucketed path must find EVERY pair the exact path finds
     on the planted corpus (VERDICT r3 done-criterion), and — because

@@ -164,6 +164,71 @@ def phrase_match_documents(sf_dir: str, phrase: str = "batch batch"
     return pa.table({"doc_id": pc.cast(hits["conv_id"], pa.int64())})
 
 
+# fixed ranked-phrase query set (k per phrase; scores = BM25 over the
+# phrase's terms restricted to phrase-hit docs)
+PHRASE_RANK_QUERIES = [
+    {"query_id": 0, "phrase": "batch batch", "k": 10},
+    {"query_id": 1, "phrase": "the customer", "k": 10},
+    {"query_id": 2, "phrase": "spark window", "k": 5},
+    {"query_id": 3, "phrase": "hash join", "k": 10},
+    {"query_id": 4, "phrase": "zzzmissing phrase", "k": 10},
+]
+
+
+def documents_as_transcripts_punct(sf_dir: str) -> "ray.data.Dataset":
+    """Documents lifted to transcripts with a HOSTILE surface form:
+    every space becomes '! ' and the text is uppercased.  The analyzer
+    rule (lowercase, [a-z0-9]+ runs) maps it to the identical token
+    stream, so phrase/BM25 results must equal the plain corpus — but a
+    padded-LIKE oracle would break, which is the point (VERDICT r2 next
+    #9: let the analyzer rule, not the corpus shape, carry the SQL
+    equivalence)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def lift(t: pa.Table) -> pa.Table:
+        pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 10, "0")
+        txt = pc.utf8_upper(pc.replace_substring(
+            pc.fill_null(t["text"], ""), pattern=" ", replacement="! "))
+        return pa.table({
+            "conv_id": pad,
+            "turn_idx": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+            "text": txt,
+        })
+
+    return ds.map_batches(lift, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def documents_punct_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
+    """Build (or resume) the punctuated-surface documents index."""
+    import hashlib
+    import json as _json
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docsp-{tag}-{cfg_fp}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_index(documents_as_transcripts_punct(sf_dir), index_dir, cfg)
+    return index_dir
+
+
+def phrase_rank_documents(sf_dir: str, punct: bool = False) -> pa.Table:
+    """PHRASE_RANK_QUERIES as ranked scored results
+    (query_id, rank, doc_id, score_r) — phrase-as-filter + BM25 score
+    on the distributed per-segment path (index/query.phrase_rank_index).
+    ``punct=True`` runs against the hostile-surface index."""
+    from ..index.query import phrase_rank_index
+    index_dir = (documents_punct_index if punct
+                 else documents_index)(sf_dir)
+    res = phrase_rank_index(index_dir, PHRASE_RANK_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def search_snippets(sf_dir: str, query: dict | None = None) -> pa.Table:
     """Top-k BM25 hits with matched terms highlighted in the text — the
     `pipe draw` result-presentation analog (draw.py:68-168) as a final
