@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from vframe_ray.sources.readers import read_parquet as _read_parquet
+
 from vframe_ray.analyze import Tokenizer, sql_tokens_cte
 from vframe_ray.pipelines import relational as rel
 from vframe_ray.pipelines.flagship import (DOC_QUERIES, bm25_documents,
@@ -387,7 +389,7 @@ def _q_phrase_rank_punct(sf_dir: str):
 def _q_token_count(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import quality_features
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = quality_features(ds).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
@@ -397,7 +399,7 @@ def _q_token_count(sf_dir: str):
 def _q_quality(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import quality_features
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = quality_features(ds).to_pandas().sort_values("doc_id")
     return out[["doc_id", "avg_token_len", "stopword_ratio"]].reset_index(
@@ -407,7 +409,7 @@ def _q_quality(sf_dir: str):
 def _q_winnow(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import winnow_fingerprints
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     df = winnow_fingerprints(ds, k=3, w=4).to_pandas()
     return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
@@ -416,7 +418,7 @@ def _q_winnow(sf_dir: str):
 def _q_bpe_count(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import bpe_token_count
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return bpe_token_count(ds).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
@@ -425,7 +427,7 @@ def _q_bpe_count(sf_dir: str):
 def _q_langid(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import langid
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return langid(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -444,7 +446,7 @@ def _q_dedup_exact(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Min
     from vframe_ray.stages.dedup import add_content_hash
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     hashed = ds.map_batches(lambda b: add_content_hash(b),
                             batch_format="pyarrow", zero_copy_batch=True)
@@ -458,7 +460,7 @@ def _q_dedup_exact(sf_dir: str):
 def _q_jaccard(sf_dir: str):
     import ray.data
     from vframe_ray.stages.dedup import jaccard_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
     out["jaccard_r"] = out["jaccard"].round(6)
@@ -475,7 +477,7 @@ def _q_cosine(sf_dir: str):
     queries = {int(i): np.asarray(v, dtype=np.float64)
                for i, v in zip(qt["vec_id"].to_pylist(),
                                qt["embedding"].to_pylist())}
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     out = cosine_topk(ds, queries, k=10).to_pandas()
     out["sim_r"] = out["sim"].round(6)
@@ -490,7 +492,7 @@ def _q_cosine_dups(sf_dir: str):
     the sub-quadratic high-threshold scale path."""
     import ray.data
     from vframe_ray.stages.similarity import cosine_dup_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     return cosine_dup_pairs(ds, threshold=0.42)
 
@@ -508,7 +510,7 @@ def _q_srp_dups(sf_dir: str):
                        filters=[("vec_id", "<", 8)])
     copies = pa.table({"vec_id": pc.add(qt["vec_id"], 20000),
                        "embedding": qt["embedding"]})
-    base = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    base = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                  columns=["vec_id", "embedding"])
     ds = base.union(ray.data.from_arrow(copies))
     dim = len(qt["embedding"][0].as_py())
@@ -518,7 +520,7 @@ def _q_srp_dups(sf_dir: str):
 def _q_sessionize(sf_dir: str):
     import ray.data
     from vframe_ray.stages.sessionize import sessionize
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "ts", "user_id", "value"])
     df = sessionize(ds, gap_seconds=1800).to_pandas()
     df["sum_value"] = df["sum_value"].round(6)
@@ -531,7 +533,7 @@ def _q_sessionize(sf_dir: str):
 def _q_tumbling(sf_dir: str):
     import ray.data
     from vframe_ray.stages.sessionize import tumbling_window
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["ts", "event_type", "value"])
     df = tumbling_window(ds).to_pandas()
     df["sum_value"] = df["sum_value"].round(6)
@@ -543,7 +545,7 @@ def _q_tumbling(sf_dir: str):
 def _q_redact(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textops import redact
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = redact(ds, pattern="(batch|spark)", replacement="■").to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
@@ -553,7 +555,7 @@ def _q_redact(sf_dir: str):
 def _q_caption(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textops import caption
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "source", "lang",
                                         "n_chars"])
     out = caption(ds, ["source", "lang", "doc_id", "n_chars"]).to_pandas()
@@ -564,7 +566,7 @@ def _q_caption(sf_dir: str):
 def _q_decimate(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textops import decimate
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "user_id", "value"])
     out = decimate(ds, 7, idx_col="event_id").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
@@ -576,7 +578,7 @@ def _q_rollup(sf_dir: str):
     doc_id)."""
     import ray.data
     from vframe_ray.stages.sessionize import rollup_conversations
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text", "source"])
     out = rollup_conversations(ds, conv_col="source", order_col="doc_id",
                                text_col="text", sep="\n").to_pandas()
@@ -588,7 +590,7 @@ def _q_summarize(sf_dir: str):
     per-label grouped counts, summarize-json.py:29-105)."""
     import ray.data
     from ray.data.aggregate import Count, Max, Mean, Sum
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["source", "n_chars"])
     out = ds.groupby("source").aggregate(
         Count(alias_name="n_docs"),
@@ -603,7 +605,7 @@ def _q_summarize(sf_dir: str):
 def _q_minhash(sf_dir: str):
     import ray.data
     from vframe_ray.stages.dedup import minhash_candidates
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     df = minhash_candidates(ds, n=3).to_pandas()[["id_a", "id_b"]]
     df = df.astype({"id_a": "int64", "id_b": "int64"})
@@ -613,7 +615,7 @@ def _q_minhash(sf_dir: str):
 def _q_simhash(sf_dir: str):
     import ray.data
     from vframe_ray.stages.dedup import simhash_table
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return simhash_table(ds).to_pandas().sort_values("doc_id").reset_index(
         drop=True)
@@ -622,7 +624,7 @@ def _q_simhash(sf_dir: str):
 def _q_fingerprint(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import fingerprints
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(
         drop=True)
@@ -634,7 +636,7 @@ def _q_near_dedup(sf_dir: str):
     oracle = recursive-CTE keep chain."""
     import ray.data
     from vframe_ray.stages.dedup import near_dedup_in_conversation
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text", "source"])
     out = near_dedup_in_conversation(ds, threshold=0.8, n=1,
                                      conv_col="source", order_col="doc_id")
@@ -657,7 +659,7 @@ def _q_lsh_ann(sf_dir: str):
                for i, v in zip(qt["vec_id"].to_pylist(),
                                qt["embedding"].to_pylist())}
     dim = len(next(iter(queries.values())))
-    base = ray.data.read_parquet(
+    base = _read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"])
     copies = pa.table({
@@ -688,7 +690,7 @@ def _q_ivf_ann(sf_dir: str):
     queries = {int(i): np.asarray(v, dtype=np.float64)
                for i, v in zip(qt["vec_id"].to_pylist(),
                                qt["embedding"].to_pylist())}
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     df = ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=8).to_pandas()
     df["sim_r"] = df["sim"].round(6)
@@ -747,7 +749,7 @@ def _q_media_stub(sf_dir: str):
     pytest-covered: test_media_stub_poison_rows.)"""
     import ray.data
     from vframe_ray.stages.multimodal import media_header_probe, text_as_payload
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     df = media_header_probe(text_as_payload(ds)).to_pandas()
     df["error"] = df["error"].fillna("")

@@ -69,6 +69,7 @@ def run_bench() -> dict:
     from vframe_ray.corpus import generate_queries
     from vframe_ray.index.build import build_index
     from vframe_ray.index.query import search_index
+    from vframe_ray.sources.readers import read_parquet as _read_parquet
 
     tag = os.path.basename(os.path.normpath(SF_DIR))
     n_turns = int(os.environ.get("GRAFT_BENCH_TURNS",
@@ -88,7 +89,7 @@ def run_bench() -> dict:
         # (expensive object-store ops) dominates the build when blocks
         # are small — measured 2.5× faster at 2.4M turns with 32 blocks
         # than with the default 240
-        return ray.data.read_parquet(cdir,
+        return _read_parquet(cdir,
                                      columns=["conv_id", "turn_idx", "text"],
                                      override_num_blocks=NUM_CPUS)
 

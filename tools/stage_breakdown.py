@@ -32,6 +32,7 @@ def main():
     from vframe_ray.config import EngineConfig, IndexConfig
     from vframe_ray.index.build import build_index
     from vframe_ray.stages.tokenize import assign_segment_ids
+    from vframe_ray.sources.readers import read_parquet as _read_parquet
 
     cdir = f"/tmp/vframe_ray_bench/corpus-sf0.1-{n_turns}"
     if not os.path.exists(os.path.join(cdir, "part-00000.parquet")):
@@ -41,7 +42,7 @@ def main():
     cfg = EngineConfig(index=IndexConfig(num_segments=n_segments))
 
     def read_corpus():
-        return ray.data.read_parquet(cdir,
+        return _read_parquet(cdir,
                                      columns=["conv_id", "turn_idx", "text"],
                                      override_num_blocks=NUM_CPUS)
 

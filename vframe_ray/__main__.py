@@ -79,6 +79,7 @@ def cmd_stages(args) -> int:
     """List registered stages (built-ins + plugin dirs) — the analog of
     the reference's configurable command groups (config.yaml:32-71)."""
     from . import registry
+    from .sources.readers import read_parquet as _read_parquet
     if args.plugins:
         registry.load_plugins(args.plugins)
     else:
@@ -102,7 +103,7 @@ def cmd_apply(args) -> int:
         registry.load_plugins()
     fn = registry.get(args.stage)
     kwargs = json.loads(args.args) if args.args else {}
-    ds = ray.data.read_parquet(args.input,
+    ds = _read_parquet(args.input,
                                columns=args.columns or None)
     out = fn(ds, **kwargs)
     out.write_parquet(args.output)

@@ -36,6 +36,7 @@ import ray.data
 from ..config import EngineConfig
 from ..state.manifest import read_json, write_json
 
+from ..sources.readers import read_parquet as _read_parquet
 from ..stages.tokenize import assign_segment_ids
 from .segment import build_segment
 
@@ -332,7 +333,7 @@ def extend_index(ds_new: "ray.data.Dataset", index_dir: str, *,
     gdir = os.path.join(index_dir, "global")
     terms_files = [os.path.join(d, "terms.parquet") for d in seg_dirs]
     new_terms_dir = os.path.join(gdir, f"terms.new-{run_id}")
-    (ray.data.read_parquet(terms_files, columns=["term", "df", "cf"])
+    (_read_parquet(terms_files, columns=["term", "df", "cf"])
      .map_batches(_combine_term_partials, batch_format="pyarrow",
                   zero_copy_batch=True)
      .groupby("term")

@@ -30,6 +30,7 @@ import shutil
 
 import ray.data
 
+from ..sources.readers import read_parquet as _read_parquet
 from ..state.manifest import read_json, write_json
 
 
@@ -95,7 +96,7 @@ def merge_indexes(src_dirs: list[str], out_dir: str, *,
         return pa.table({"term": g["term"], "df": g["df_sum"],
                          "cf": g["cf_sum"]})
 
-    (ray.data.read_parquet(term_files, columns=["term", "df", "cf"])
+    (_read_parquet(term_files, columns=["term", "df", "cf"])
      .map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
      .groupby("term")
      .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))

@@ -775,7 +775,8 @@ def search_index(index_dir: str, queries: list[dict],
             df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
             return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
                                             "turn_idx", "score"]],
-                                        preserve_index=False)
+                                        preserve_index=False) \
+                .replace_schema_metadata(None)
 
         merged = hits.groupby("query_id").map_groups(merge,
                                                      batch_format="pyarrow")

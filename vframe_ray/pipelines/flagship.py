@@ -22,6 +22,7 @@ import ray.data
 from ..config import EngineConfig, IndexConfig
 from ..index.build import build_index
 from ..index.query import search_index
+from ..sources.readers import read_parquet as _read_parquet
 
 CACHE_ROOT = "/tmp/vframe_ray_cache"
 
@@ -42,7 +43,7 @@ DOCS_CFG = EngineConfig(index=IndexConfig(num_segments=4, block_size=128))
 
 def documents_as_transcripts(sf_dir: str) -> "ray.data.Dataset":
     """documents(doc_id, text, …) -> transcripts(conv_id, turn_idx, text)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
     def lift(t: pa.Table) -> pa.Table:
@@ -81,17 +82,18 @@ def documents_as_conversations(sf_dir: str) -> "ray.data.Dataset":
     scores are identical — only the identity keys change, which makes
     the conversation-shaped result SQL-oracle-checkable."""
     import pandas as pd
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text", "source", "lang"])
 
-    def to_conv(g: "pd.DataFrame") -> "pd.DataFrame":
+    def to_conv(g: "pd.DataFrame"):
+        from ..runtime import arrow_group
         g = g.sort_values("doc_id")
-        return pd.DataFrame({
+        return arrow_group(pd.DataFrame({
             "conv_id": g["source"].to_numpy(),
             "turn_idx": np.arange(len(g), dtype=np.int32),
             "text": g["text"].to_numpy(),
             "lang": g["lang"].to_numpy(),
-        })
+        }))
 
     return ds.groupby("source").map_groups(to_conv, batch_format="pandas")
 
@@ -183,7 +185,7 @@ def documents_as_transcripts_punct(sf_dir: str) -> "ray.data.Dataset":
     padded-LIKE oracle would break, which is the point (VERDICT r2 next
     #9: let the analyzer rule, not the corpus shape, carry the SQL
     equivalence)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
     def lift(t: pa.Table) -> pa.Table:
@@ -246,7 +248,7 @@ def search_snippets(sf_dir: str, query: dict | None = None) -> pa.Table:
         "score_r": pc.round(res["score"], ndigits=6),
     })
     terms = Tokenizer().tokenize(query["query_text"])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = highlight_hits(ds, hits, terms).to_pandas()
     return pa.Table.from_pandas(out.sort_values("rank"),

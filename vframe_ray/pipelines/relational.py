@@ -24,9 +24,11 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..sources.readers import read_parquet as _read_parquet
+
 
 def _read(sf_dir: str, table: str, columns=None, filter=None):
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+    return _read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                  columns=columns, filter=filter)
 
 

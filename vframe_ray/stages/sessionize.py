@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..runtime import arrow_group as _arrow
+
 
 def sessionize(ds, *, gap_seconds: int = 1800, key_col: str = "user_id",
                ts_col: str = "ts"):
@@ -42,7 +44,7 @@ def sessionize(ds, *, gap_seconds: int = 1800, key_col: str = "user_id",
             sum_value=("value", "sum"),
         ).reset_index()
         out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+        return _arrow(out)
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
@@ -60,13 +62,13 @@ def rollup_conversations(ds, *, conv_col: str = "conv_id",
     ``string_agg(text, sep ORDER BY order_col)``.
     """
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+    def per_conv(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(order_col)
-        return pd.DataFrame({
+        return _arrow(pd.DataFrame({
             conv_col: [g[conv_col].iloc[0]],
             "n_turns": np.array([len(g)], dtype=np.int64),
             "transcript": [sep.join(x or "" for x in g[text_col])],
-        })
+        }))
 
     return ds.groupby(conv_col).map_groups(per_conv, batch_format="pandas")
 

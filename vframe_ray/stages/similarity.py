@@ -28,6 +28,9 @@ import ray
 from ..runtime import actor_pool as _pool
 
 
+from ..runtime import arrow_group as _arrow
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = m.astype(np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -90,7 +93,7 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
                           ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", id_col, "sim"]]
+        return _arrow(g[["query_id", "rank", id_col, "sim"]])
 
     merged = partial.groupby("query_id").map_groups(merge,
                                                     batch_format="pandas")
@@ -258,13 +261,13 @@ def srp_dup_pairs(ds, *, threshold: float = 0.9, dim: int,
             "id_b": pd.Series([], dtype=np.int64),
             "sim_r": pd.Series([], dtype=np.float64)})
         if len(g) < 2:
-            return empty
+            return _arrow(empty)
         ids = g[id_col].to_numpy().astype(np.int64)
         M = _normalize(np.stack(g[vec_col].to_numpy()))
         a, b, s = _chunk_pair_sims(ids, M, ids, M, threshold, True)
         if not len(a):
-            return empty
-        return pd.DataFrame({"id_a": a, "id_b": b, "sim_r": s})
+            return _arrow(empty)
+        return _arrow(pd.DataFrame({"id_a": a, "id_b": b, "sim_r": s}))
 
     cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pandas")
@@ -358,7 +361,7 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
                               id_col: pd.Series([], dtype=np.int64),
                               "sim": pd.Series([], dtype=np.float64)})
         if not wanted:
-            return empty
+            return _arrow(empty)
         M = _normalize(np.stack(g[vec_col].to_numpy()))
         ids = g[id_col].to_numpy()
         sims = Qm_l[wanted] @ M.T
@@ -369,8 +372,9 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
             for j in top:
                 rows.append((int(qids_l[qi]), int(ids[j]),
                              float(sims[r, j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "sim"]) \
-            if rows else empty
+        return _arrow(pd.DataFrame(rows, columns=["query_id", id_col,
+                                                  "sim"])) \
+            if rows else _arrow(empty)
 
     cand = bucketed.groupby("centroid").map_groups(scan,
                                                    batch_format="pandas")
@@ -380,7 +384,7 @@ def ivf_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
              .sort_values(["sim", id_col], ascending=[False, True]).head(k)
              .reset_index(drop=True))
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", id_col, "sim"]]
+        return _arrow(g[["query_id", "rank", id_col, "sim"]])
 
     merged = cand.groupby("query_id").map_groups(merge, batch_format="pandas")
     out = merged.to_pandas().sort_values(["query_id", "rank"])
@@ -450,7 +454,7 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
                               id_col: pd.Series([], dtype=np.int64),
                               "sim": pd.Series([], dtype=np.float64)})
         if not wanted:
-            return empty
+            return _arrow(empty)
         M = _normalize(np.stack(g[vec_col].to_numpy()))
         ids = g[id_col].to_numpy()
         sims = Qm_l[wanted] @ M.T
@@ -462,8 +466,9 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
                 rows.append((int(qids_l[qi]), int(ids[j]),
                              float(sims[r, j])))
         if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["query_id", id_col, "sim"])
+            return _arrow(empty)
+        return _arrow(pd.DataFrame(rows, columns=["query_id", id_col,
+                                                  "sim"]))
 
     cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
         scan, batch_format="pandas")
@@ -473,7 +478,7 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
              .sort_values(["sim", id_col], ascending=[False, True]).head(k)
              .reset_index(drop=True))
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", id_col, "sim"]]
+        return _arrow(g[["query_id", "rank", id_col, "sim"]])
 
     merged = cand.groupby("query_id").map_groups(merge, batch_format="pandas")
     out = merged.to_pandas().sort_values(["query_id", "rank"])
