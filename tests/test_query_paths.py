@@ -72,6 +72,39 @@ def test_predicate_filtered_search(ray_session, small_corpus_dir, tmp_path):
     assert unfiltered.to_pylist() != res.to_pylist()
 
 
+def test_three_scorers_identical(ray_session, small_index_dir):
+    """score_sparse == score_full == score_bmw on every segment, for a
+    spread of real queries plus repeated-term / OOV / k-overshoot edges —
+    the search() scorer dispatch (sparse vs dense vs WAND) may therefore
+    never change results."""
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.config import EngineConfig
+    from vframe_ray.index.build import load_index_meta
+    from vframe_ray.index.query import (SegmentSearcher,
+                                        _global_df_for_terms)
+
+    cfg_dict, stats, seg_dirs = load_index_meta(small_index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict)
+    tok = Tokenizer(cfg.analyzer)
+    qs = generate_queries(n_terms=800)[:8]
+    term_lists = [sorted(set(tok.tokenize(q["query_text"]))) for q in qs]
+    term_lists += [["absentterm"], term_lists[0] + ["absentterm"]]
+    gdf = _global_df_for_terms(
+        small_index_dir, set().union(*map(set, term_lists)))
+    checked = 0
+    for seg in seg_dirs:
+        s = SegmentSearcher(seg, cfg.bm25, stats["n_docs"], stats["avgdl"],
+                            gdf, cfg.index.block_size)
+        for terms in term_lists:
+            for k in (1, 3, 10_000):
+                a = s.score_sparse(terms, k)
+                b = s.score_full(terms, k)
+                c = s.score_bmw(terms, k)
+                assert a == b == c, (seg, terms, k)
+                checked += bool(a)
+    assert checked > 0
+
+
 def test_randomized_corpora_rank_identical(ray_session, tmp_path):
     """Property test: random tiny corpora, engine == oracle on every
     query (catches segment-boundary / tie-break / empty-doc edges the

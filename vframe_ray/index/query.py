@@ -38,6 +38,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -125,6 +126,8 @@ class SegmentSearcher:
             self._decode_cache.move_to_end(t)
             return cached
         docs, tfs = decode_all(tp, self.block_size)
+        # score-ready dtype: one cast at insert instead of one per query
+        tfs = tfs.astype(np.float64)
         self._decode_cache[t] = (docs, tfs)
         self._decode_cache_bytes += docs.nbytes + tfs.nbytes
         while self._decode_cache_bytes > self.DECODE_CACHE_BYTES \
@@ -162,8 +165,10 @@ class SegmentSearcher:
                 docs, tfs = self._decode_cached(t, tp)
             else:
                 docs, tfs = decode_all(tp, self.block_size)
+                tfs = tfs.astype(np.float64)
                 decode_cache[t] = (docs, tfs)
-            tfs = tfs.astype(np.float64)
+            if tfs.dtype != np.float64:
+                tfs = tfs.astype(np.float64)
             # evaluation order fixed as idf * (tf*(k1+1)) / (tf+norm) —
             # bit-identical to the oracle (SURVEY.md §7.4)
             contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
@@ -176,8 +181,57 @@ class SegmentSearcher:
         cand = np.flatnonzero(seen)
         if cand.size == 0:
             return []
-        order = np.lexsort((cand, -scores[cand]))[:k]
-        return [(float(scores[cand[i]]), int(cand[i])) for i in order]
+        sc = scores[cand]
+        if cand.size > 4 * k:
+            # top-k preselect: keep every candidate scoring >= the k-th
+            # largest value (boundary ties included, so the exact
+            # (score desc, doc asc) cut below is unchanged) — O(n)
+            # partition replaces the O(n log n) full lexsort that
+            # dominated hot-term queries (VERDICT r3 serving push)
+            kth = np.partition(sc, cand.size - k)[cand.size - k]
+            keep = sc >= kth
+            cand, sc = cand[keep], sc[keep]
+        order = np.lexsort((cand, -sc))[:k]
+        return [(float(sc[i]), int(cand[i])) for i in order]
+
+    # ---------- sparse TAAT (small candidate sets) ----------
+
+    # candidate-count bound under which the sparse merge path beats both
+    # the dense accumulator (whose O(n_docs) alloc+zero+flatnonzero
+    # dominates tiny queries) and the Python WAND loop (measured 10.7 ms
+    # vs 0.15 ms at 3.7k candidates on a warm 150k-doc segment)
+    SPARSE_MAX = 4096
+
+    def score_sparse(self, terms: list[str], k: int,
+                     postings: dict[str, TermPostings] | None = None,
+                     doc_mask: np.ndarray | None = None
+                     ) -> list[tuple[float, int]]:
+        """Exact TAAT over a merged sparse candidate vector — same output
+        contract as ``score_full`` (same ascending-term float summation
+        order per doc, same tie-break) without the O(n_docs) dense
+        accumulator: candidates = union of the terms' posting doc ids,
+        contributions scattered by ``searchsorted`` position."""
+        if postings is None:
+            postings = self.r.load_terms(terms)
+        terms_in = sorted(t for t in terms if t in postings)
+        if not terms_in:
+            return []
+        decoded = [(t,) + tuple(self._decode_cached(t, postings[t]))
+                   for t in terms_in]
+        cand = np.unique(np.concatenate([d for _, d, _ in decoded]))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        k1 = self.bm25.k1
+        for t, docs, tfs in decoded:    # ascending term order == oracle
+            contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
+                / (tfs + self.norm[docs])
+            scores[np.searchsorted(cand, docs)] += contrib
+        if doc_mask is not None:
+            m = doc_mask[cand]
+            cand, scores = cand[m], scores[m]
+        if cand.size == 0:
+            return []
+        order = np.lexsort((cand, -scores))[:k]
+        return [(float(scores[i]), int(cand[i])) for i in order]
 
     # ---------- block-max WAND ----------
 
@@ -407,7 +461,9 @@ class SegmentSearcher:
         if predicates:
             from ..sources.readers import compile_mask
             doc_mask = compile_mask(predicates)(self.r.docs)
-        qid_out, conv_out, turn_out, score_out = [], [], [], []
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
         for qid, terms, k in queries:
             hits = self.phrase_hits(terms, postings=postings,
                                     doc_mask=doc_mask)
@@ -419,13 +475,13 @@ class SegmentSearcher:
                                      postings=postings, doc_mask=mask)
             for s, d in scored:
                 qid_out.append(qid)
-                conv_out.append(self.r.conv_id[d].as_py())
-                turn_out.append(self.r.turn_idx[d].as_py())
+                doc_out.append(d)
                 score_out.append(s)
+        idx = pa.array(doc_out, pa.int64())
         return pa.table({
             "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pa.array(conv_out, pa.string()),
-            "turn_idx": pa.array(turn_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
             "score": pa.array(score_out, pa.float64()),
         })
 
@@ -443,15 +499,23 @@ class SegmentSearcher:
 
     def search(self, queries: list[tuple[int, list[str], int]],
                use_bmw: bool = True,
-               predicates: list[str] | None = None) -> pa.Table:
+               predicates: list[str] | None = None,
+               prefer_taat: bool = False) -> pa.Table:
         """queries: [(query_id, sorted_terms, k)] -> result rows table.
 
         Postings for the UNION of all query terms are read once per call
         (one parquet filter read per segment, not one per query) and
-        shared across queries; each query picks BMW or vectorized-full
-        scoring by candidate count — both are exact, so the choice never
-        changes results (asserted in tests).  ``predicates`` are
-        ``attr op value`` strings ANDed over docmap attribute columns.
+        shared across queries; each query picks a scorer by candidate
+        count — sparse TAAT (small), dense TAAT (large), or block-max
+        WAND for cold small-candidate queries on big segments (where
+        skipping blocks avoids decoding).  ALL scorers are exact, so the
+        choice never changes results (asserted in tests).
+        ``prefer_taat`` is set by persistent serving shards: their decode
+        caches amortize across calls, where the vectorized TAAT paths
+        beat the Python DAAT loop at every candidate count (measured
+        10.7 ms WAND vs 0.15 ms sparse at 3.7k candidates, warm).
+        ``predicates`` are ``attr op value`` strings ANDed over docmap
+        attribute columns.
         """
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
@@ -460,10 +524,20 @@ class SegmentSearcher:
         if predicates:
             from ..sources.readers import compile_mask
             doc_mask = compile_mask(predicates)(self.r.docs)
-        qid_out, conv_out, turn_out, score_out = [], [], [], []
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
         for qid, terms, k in queries:
-            n_cand = sum(postings[t].n_docs for t in terms if t in postings)
-            if use_bmw and n_cand <= self.BMW_MAX_CANDIDATES \
+            terms_in = [t for t in terms if t in postings]
+            n_cand = sum(postings[t].n_docs for t in terms_in)
+            if n_cand == 0:
+                continue
+            if n_cand <= self.SPARSE_MAX and (
+                    prefer_taat or not use_bmw
+                    or self.r.n_docs < self.BMW_MIN_DOCS):
+                hits = self.score_sparse(terms, k, postings=postings,
+                                         doc_mask=doc_mask)
+            elif use_bmw and n_cand <= self.BMW_MAX_CANDIDATES \
                     and self.r.n_docs >= self.BMW_MIN_DOCS:
                 hits = self.score_bmw(terms, k, postings=postings,
                                       doc_mask=doc_mask)
@@ -472,13 +546,14 @@ class SegmentSearcher:
                                        doc_mask=doc_mask)
             for s, d in hits:
                 qid_out.append(qid)
-                conv_out.append(self.r.conv_id[d].as_py())
-                turn_out.append(self.r.turn_idx[d].as_py())
+                doc_out.append(d)
                 score_out.append(s)
+        # one vectorized docmap gather instead of two .as_py() per hit
+        idx = pa.array(doc_out, pa.int64())
         return pa.table({
             "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pa.array(conv_out, pa.string()),
-            "turn_idx": pa.array(turn_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
             "score": pa.array(score_out, pa.float64()),
         })
 
@@ -567,6 +642,24 @@ class _ShardSearcher:
                        "turn_idx": pa.array([], pa.int32()),
                        "score": pa.array([], pa.float64())})
 
+    @staticmethod
+    def _shard_topk(table: pa.Table,
+                    ks: dict[int, int]) -> pa.Table:
+        """Per-query top-k cut over this shard's candidate rows, in the
+        exact global (score desc, conv_id, turn_idx) order — merging
+        per-shard top-ks therefore equals merging every candidate row,
+        and the actor→driver transfer shrinks from O(segments·k) to
+        O(k) per query per shard."""
+        if table.num_rows == 0:
+            return table
+        df = table.to_pandas()
+        df = df.sort_values(["query_id", "score", "conv_id", "turn_idx"],
+                            ascending=[True, False, True, True])
+        r = df.groupby("query_id", sort=False).cumcount() + 1
+        df = df.loc[r <= df["query_id"].map(ks).fillna(0)]
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(table.schema)
+
     def search(self, parsed: list[tuple[int, list[str], int]],
                idf_map: dict[str, float], use_bmw: bool = True,
                predicates: list[str] | None = None):
@@ -576,8 +669,11 @@ class _ShardSearcher:
         for s in self.searchers:
             s.idf = idf_map
             rows.append(s.search(parsed, use_bmw=use_bmw,
-                                 predicates=predicates))
-        return pa.concat_tables(rows)
+                                 predicates=predicates, prefer_taat=True))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
 
     def search_phrases(self, parsed: list[tuple[int, list[str]]],
                        predicates: list[str] | None = None):
@@ -597,7 +693,10 @@ class _ShardSearcher:
             s.idf = idf_map
             rows.append(s.search_ranked_phrases(parsed,
                                                 predicates=predicates))
-        return pa.concat_tables(rows)
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
 
 
 class QueryService:
@@ -628,6 +727,23 @@ class QueryService:
                                   stats["avgdl"],
                                   self.cfg.index.block_size)
             for sh in shards]
+        # term -> global df (None = absent): the per-call driver-side
+        # parquet filter read was ~24 ms at 9.6M docs (VERDICT r3
+        # serving push) — repeated vocabularies now skip it entirely
+        self._df_cache: dict[str, int | None] = {}
+
+    _DF_CACHE_CAP = 1 << 20   # OOV-flood bound, same spirit as ABSENT_CAP
+
+    def _gdf_cached(self, terms: set[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            if len(self._df_cache) + len(missing) > self._DF_CACHE_CAP:
+                self._df_cache.clear()
+            fresh = _global_df_for_terms(self.index_dir, set(missing))
+            for t in missing:
+                self._df_cache[t] = fresh.get(t)
+        return {t: v for t in terms
+                if (v := self._df_cache.get(t)) is not None}
 
     def search(self, queries: list[dict], use_bmw: bool = True,
                predicates: list[str] | None = None) -> pa.Table:
@@ -636,7 +752,7 @@ class QueryService:
                    int(q.get("k", 10))) for q in queries]
         terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
             else set()
-        gdf = _global_df_for_terms(self.index_dir, terms)
+        gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
         futs = [a.search.remote(parsed, idf_map, use_bmw, predicates)
                 for a in self.actors]
@@ -658,7 +774,7 @@ class QueryService:
             validate_predicates(self.index_dir, predicates)
         terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
             else set()
-        gdf = _global_df_for_terms(self.index_dir, terms)
+        gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
         futs = [a.search_ranked_phrases.remote(parsed, idf_map, predicates)
                 for a in self.actors]
