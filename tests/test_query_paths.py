@@ -105,6 +105,40 @@ def test_three_scorers_identical(ray_session, small_index_dir):
     assert checked > 0
 
 
+def test_dense_cache_tie_boundaries(ray_session, tmp_path):
+    """Pathological all-ties corpus: every doc has an identical single-term
+    contribution, so the dense-cache prefix / τ-threshold cuts must break
+    ties purely by doc id — including k above the cached prefix length."""
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index, load_index_meta
+    from vframe_ray.index.query import (SegmentSearcher,
+                                        _global_df_for_terms, idf)
+
+    n = 3000                      # > CONTRIB_TOPK (1024) identical docs
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i:05d}" for i in range(n)]),
+        "turn_idx": pa.array([0] * n, pa.int32()),
+        "text": pa.array(["alpha beta"] * n),
+    })
+    idx_dir = str(tmp_path / "ties_idx")
+    cfg = EngineConfig(index=IndexConfig(num_segments=1, block_size=64))
+    build_index(ray.data.from_arrow(tbl), idx_dir, cfg)
+    _, stats, seg_dirs = load_index_meta(idx_dir)
+    gdf = _global_df_for_terms(idx_dir, {"alpha", "beta"})
+    s = SegmentSearcher(seg_dirs[0], cfg.bm25, stats["n_docs"],
+                        stats["avgdl"], gdf, cfg.index.block_size)
+    for terms in (["alpha"], ["alpha", "beta"]):
+        for k in (1, 10, 1024, 1025, 2000, 5000):
+            a = s.score_sparse(terms, k)
+            b = s.score_full(terms, k)     # builds dense caches
+            b2 = s.score_full(terms, k)    # warm fast-path repeat
+            c = s.score_bmw(terms, k)
+            assert a == b == b2 == c, (terms, k)
+            # all scores tie → exact result is docs 0..k-1 ascending
+            assert [d for _, d in b] == list(range(min(k, n))), (terms, k)
+
+
 def test_randomized_corpora_rank_identical(ray_session, tmp_path):
     """Property test: random tiny corpora, engine == oracle on every
     query (catches segment-boundary / tie-break / empty-doc edges the

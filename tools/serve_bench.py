@@ -1,0 +1,76 @@
+"""Warm query-serving throughput bench for a built index.
+
+Measures steady-state QueryService q/s (the number BASELINE.md §2
+quotes) and optionally verifies the service output rank-identical to the
+one-shot ``search_index`` scatter-gather path on the same index.
+
+Usage:
+    python tools/serve_bench.py [INDEX_DIR] [--actors N] [--reps R] [--check]
+
+INDEX_DIR defaults to the driver bench's cached compacted 9.6M-doc
+index (/tmp/vframe_ray_bench/idx-sf0.1-8-compact64).  The process owns
+its Ray session (scripts own ray.init per the driver contract).
+"""
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _hash(table) -> str:
+    import pandas as pd
+    df = table.to_pandas().sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    return hashlib.md5(pd.util.hash_pandas_object(
+        df, index=False).values.tobytes()).hexdigest()[:12]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("index_dir", nargs="?",
+                    default="/tmp/vframe_ray_bench/idx-sf0.1-8-compact64")
+    ap.add_argument("--actors", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--check", action="store_true",
+                    help="also verify service == one-shot search_index")
+    args = ap.parse_args()
+
+    import ray
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="warning")
+    from vframe_ray.corpus import generate_queries
+    from vframe_ray.index.query import QueryService, search_index
+
+    queries = generate_queries()
+    svc = QueryService(args.index_dir, n_actors=args.actors)
+    try:
+        for _ in range(2):                       # warm caches untimed
+            res = svc.search(queries)
+        t0 = time.time()
+        for _ in range(args.reps):
+            res = svc.search(queries)
+        el = time.time() - t0
+        print(f"warm service: {len(queries) * args.reps / el:.1f} q/s "
+              f"({el / args.reps * 1000:.1f} ms per "
+              f"{len(queries)}-query call)  rows={res.num_rows} "
+              f"hash={_hash(res)}")
+        if args.check:
+            want = search_index(args.index_dir, queries)
+            ok = _hash(want) == _hash(res) and want.num_rows == res.num_rows
+            print(f"one-shot parity: rows={want.num_rows} "
+                  f"hash={_hash(want)} match={ok}")
+            if not ok:
+                return 1
+    finally:
+        svc.shutdown()
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,6 +81,12 @@ class SegmentSearcher:
         # (term -> TermPostings) raw postings cache for repeated terms
         self._postings_cache: "OrderedDict[str, TermPostings]" = OrderedDict()
         self._postings_cache_bytes = 0
+        # (term -> (idf, dense contribution vector)) for HOT terms: warm
+        # serving actors replace the per-call gather+arithmetic+scatter
+        # with one dense float64 add (bit-exact: x + 0.0 == x and the
+        # ascending-term summation order is unchanged)
+        self._contrib_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._contrib_cache_bytes = 0
         self._absent: set[str] = set()   # terms known absent here
 
     # negative-cache bound: a long-lived service fed ever-new OOV terms
@@ -136,6 +142,57 @@ class SegmentSearcher:
             self._decode_cache_bytes -= _d.nbytes + _f.nbytes
         return docs, tfs
 
+    # dense contribution vectors are only worth n_docs*8 bytes for terms
+    # hitting at least this fraction of the segment's docs
+    CONTRIB_MIN_DF_FRAC = 8          # df >= n_docs / 8
+    CONTRIB_CACHE_BYTES = 64 << 20
+    # length of the cached per-term (contrib desc, doc asc) prefix: serves
+    # single-term queries directly and bounds multi-term thresholds
+    CONTRIB_TOPK = 1024
+
+    def _contrib_dense_cached(self, t: str, tp) -> tuple | None:
+        """Cache entry ``(idf, dense_vec, top_docs, top_scores, df)`` for a
+        hot term, or None for rare terms (scatter path is cheaper there).
+
+        ``dense_vec`` is the per-doc BM25 contribution over all docs
+        (zeros elsewhere).  ``top_docs``/``top_scores`` are the first
+        ``min(CONTRIB_TOPK, df)`` entries of the exact (contrib desc,
+        doc asc) ordering — the full single-term result prefix.  Keyed on
+        the idf actually in effect so a service idf refresh invalidates."""
+        if tp.n_docs * self.CONTRIB_MIN_DF_FRAC < self.r.n_docs:
+            return None
+        t_idf = self.idf.get(t, 0.0)
+        if t_idf <= 0.0:
+            return None
+        ent = self._contrib_cache.get(t)
+        if ent is not None and ent[0] == t_idf:
+            self._contrib_cache.move_to_end(t)
+            return ent
+        docs, tfs = self._decode_cached(t, tp)
+        # identical expression/association to the scatter path below
+        c = t_idf * (tfs * (self.bm25.k1 + 1.0)) / (tfs + self.norm[docs])
+        v = np.zeros(self.r.n_docs, dtype=np.float64)
+        v[docs] = c
+        m = min(self.CONTRIB_TOPK, docs.size)
+        if docs.size > 4 * m:
+            kth = np.partition(c, c.size - m)[c.size - m]
+            keep = c >= kth                       # boundary ties kept
+            d2, c2 = docs[keep], c[keep]
+        else:
+            d2, c2 = docs, c
+        order = np.lexsort((d2, -c2))[:m]
+        new = (t_idf, v, d2[order], c2[order], docs.size)
+        if ent is not None:                       # idf changed: replace
+            self._contrib_cache_bytes -= ent[1].nbytes
+            del self._contrib_cache[t]
+        self._contrib_cache[t] = new
+        self._contrib_cache_bytes += v.nbytes
+        while self._contrib_cache_bytes > self.CONTRIB_CACHE_BYTES \
+                and self._contrib_cache:
+            _t, _e = self._contrib_cache.popitem(last=False)
+            self._contrib_cache_bytes -= _e[1].nbytes
+        return new
+
     # ---------- exact baseline: term-at-a-time vectorized ----------
 
     def score_full(self, terms: list[str], k: int,
@@ -152,17 +209,38 @@ class SegmentSearcher:
         """
         if postings is None:
             postings = self.r.load_terms(terms)
-        scores = np.zeros(self.r.n_docs, dtype=np.float64)
-        seen = np.zeros(self.r.n_docs, dtype=bool)
+        n = self.r.n_docs
+        n_present = sum(1 for t in terms if t in postings)
+        dense_entries: list[tuple] = []
+        if decode_cache is None and doc_mask is None and n_present == 1 \
+                and len(terms) == 1:
+            # single-term fast path: the cached (contrib desc, doc asc)
+            # prefix IS the exact result (score == contrib bit-exactly:
+            # 0.0 + x == x)
+            t = next(t for t in terms if t in postings)
+            ent = self._contrib_dense_cached(t, postings[t])
+            if ent is not None:
+                _i, _v, td, ts_, df = ent
+                if k <= td.size or td.size == df:
+                    kk = min(k, td.size)
+                    return [(float(ts_[i]), int(td[i])) for i in range(kk)]
+        scores = np.zeros(n, dtype=np.float64)
+        seen: np.ndarray | None = None   # lazily allocated (scatter terms
+        # only); dense-cached terms mark candidacy via scores > 0 instead
         k1 = self.bm25.k1
         for t in sorted(terms):
             tp = postings.get(t)
             if tp is None:
                 continue
-            if decode_cache is not None and t in decode_cache:
-                docs, tfs = decode_cache[t]
-            elif decode_cache is None:
+            if decode_cache is None:
+                ent = self._contrib_dense_cached(t, tp)
+                if ent is not None:      # hot term: one dense add
+                    scores += ent[1]
+                    dense_entries.append(ent)
+                    continue
                 docs, tfs = self._decode_cached(t, tp)
+            elif t in decode_cache:
+                docs, tfs = decode_cache[t]
             else:
                 docs, tfs = decode_all(tp, self.block_size)
                 tfs = tfs.astype(np.float64)
@@ -174,11 +252,49 @@ class SegmentSearcher:
             contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
                 / (tfs + self.norm[docs])
             scores[docs] += contrib
+            if seen is None:
+                seen = np.zeros(n, dtype=bool)
             seen[docs] = True
+        dense_any = bool(dense_entries)
+        if seen is None and not dense_any:
+            return []                    # no query term present here
+        if doc_mask is None and dense_any:
+            # τ-threshold fast cut: ≥ k docs carry single-term contrib
+            # ≥ τ for some term, hence ≥ k docs score ≥ τ (all other
+            # contributions are ≥ 0) and no top-k member scores below τ —
+            # the scan collapses to one vectorized compare.  Invalid
+            # under doc_mask (the masked kth score may be lower).
+            taus = [e[3][k - 1] for e in dense_entries if e[3].size >= k]
+            if taus:
+                tau = max(taus)
+                cand = np.flatnonzero(scores >= tau)
+                sc = scores[cand]
+                if cand.size > 4 * k:
+                    kth = np.partition(sc, cand.size - k)[cand.size - k]
+                    keep = sc >= kth
+                    cand, sc = cand[keep], sc[keep]
+                order = np.lexsort((cand, -sc))[:k]
+                return [(float(sc[i]), int(cand[i])) for i in order]
+        if seen is None and doc_mask is None and n > 4 * k:
+            # pure-dense fallback (k above the cached prefix): all
+            # contributions are > 0, so candidates are exactly scores > 0
+            # and the full vector partitions directly
+            kth = np.partition(scores, n - k)[n - k]
+            if kth > 0.0:
+                cand = np.flatnonzero(scores >= kth)   # ties kept
+                sc = scores[cand]
+                order = np.lexsort((cand, -sc))[:k]
+                return [(float(sc[i]), int(cand[i])) for i in order]
+        if seen is None:
+            cand_mask = scores > 0.0
+        elif dense_any:
+            cand_mask = seen | (scores > 0.0)
+        else:
+            cand_mask = seen
         if doc_mask is not None:
-            seen &= doc_mask           # attribute predicate (skip-labels
+            cand_mask &= doc_mask      # attribute predicate (skip-labels
             # analog): masked docs can never enter the result set
-        cand = np.flatnonzero(seen)
+        cand = np.flatnonzero(cand_mask)
         if cand.size == 0:
             return []
         sc = scores[cand]
