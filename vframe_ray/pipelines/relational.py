@@ -28,8 +28,32 @@ from ..sources.readers import read_parquet as _read_parquet
 
 
 def _read(sf_dir: str, table: str, columns=None, filter=None):
+    # block count is data-sized by the reader wrapper
+    # (sources.readers._sized_num_blocks)
     return _read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns, filter=filter)
+                         columns=columns, filter=filter)
+
+
+def _driver_combine(parts, keys: list[str],
+                    aggs: list[tuple[str, str, str]]) -> pa.Table:
+    """Final combine of a tiny partial-aggregate Dataset on the driver.
+
+    ``parts`` holds ≤ |groups| rows per input block (its row count
+    scales with block count × group cardinality, never with data size),
+    so the final reduction is small by construction: pulling the partial
+    blocks to the driver and combining with one Arrow ``group_by``
+    replaces a full sort-shuffle groupby stage — seconds of exchange
+    orchestration spent on a few hundred rows.  The same bound holds on
+    a cluster (1M blocks × 6 groups ≈ 6M tiny rows).  This does NOT
+    apply to high-cardinality keys (exact dedup, per-term stats) — those
+    keep the distributed groupby.  ``aggs``: (partial_col, fn, out_col).
+    """
+    from ..runtime import block_refs as _block_refs
+    tables = ray.get(_block_refs(parts))
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    t = pa.concat_tables(tables)
+    g = t.group_by(keys).aggregate([(c, fn) for c, fn, _ in aggs])
+    return g.rename_columns(list(keys) + [o for _, _, o in aggs])
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -60,12 +84,12 @@ def q1_pricing_summary(sf_dir: str):
                                  "sum_disc_price_p", "count_order_p"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_p", alias_name="sum_qty"),
-        Sum("sum_base_price_p", alias_name="sum_base_price"),
-        Sum("sum_disc_price_p", alias_name="sum_disc_price"),
-        Sum("count_order_p", alias_name="count_order"))
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["l_returnflag", "l_linestatus"],
+                          [("sum_qty_p", "sum", "sum_qty"),
+                           ("sum_base_price_p", "sum", "sum_base_price"),
+                           ("sum_disc_price_p", "sum", "sum_disc_price"),
+                           ("count_order_p", "sum", "count_order")])
     df = out.to_pandas()
     df["avg_qty"] = df["sum_qty"] / df["count_order"]
     df = df.sort_values(["l_returnflag", "l_linestatus"])
@@ -98,42 +122,57 @@ def revenue_by_nation(sf_dir: str):
     cust_name = nat_t["n_name"].combine_chunks().take(nk_idx.combine_chunks())
     lookup_ref = ray.put((cust_t["c_custkey"].combine_chunks(), cust_name))
 
-    class JoinStage:
-        def __init__(self):
-            self.keys, self.names = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
-            names = self.names.take(idx if not isinstance(
-                idx, pa.ChunkedArray) else idx.combine_chunks())
-            t = batch.append_column("n_name", names)
-            g = t.group_by("n_name").aggregate([
-                ("o_totalprice", "sum"), ([], "count_all")])
-            return g.rename_columns(["n_name", "revenue_partial",
-                                     "n_orders_partial"])
+    def join_partial(batch: pa.Table) -> pa.Table:
+        # ray.get of a plasma object inside a task is zero-copy shared
+        # memory, so a plain task stage beats an actor pool here: no
+        # per-call actor spin-up (each bench invocation paid ~1 s of
+        # actor startup for ~100 ms of work), and the broadcast side is
+        # still shipped once per node, not per batch
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        names = names.take(idx if not isinstance(
+            idx, pa.ChunkedArray) else idx.combine_chunks())
+        t = batch.append_column("n_name", names)
+        g = t.group_by("n_name").aggregate([
+            ("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["n_name", "revenue_partial",
+                                 "n_orders_partial"])
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    from ..runtime import actor_pool
-    partials = orders.map_batches(JoinStage, batch_format="pyarrow",
-                                  concurrency=actor_pool())
-    out = partials.groupby("n_name").aggregate(
-        Sum("revenue_partial", alias_name="revenue"),
-        Sum("n_orders_partial", alias_name="n_orders"))
+    partials = orders.map_batches(join_partial, batch_format="pyarrow",
+                                  batch_size=None)
+    out = _driver_combine(partials, ["n_name"],
+                          [("revenue_partial", "sum", "revenue"),
+                           ("n_orders_partial", "sum", "n_orders")])
     df = out.to_pandas().sort_values("n_name").reset_index(drop=True)
     df["revenue"] = df["revenue"].round(2)
     return df
 
 
 def top_orders(sf_dir: str, k: int = 50):
-    """Global sort+limit (reference analog: cache sort before keep-first,
-    dedup/sha256.py:127-131).  Per-block top-k partials would be the
-    optimization at scale; Dataset.sort().limit() already prunes blocks."""
+    """Global top-k (reference analog: cache sort before keep-first,
+    dedup/sha256.py:127-131).  Per-block top-k partials + one driver
+    merge of ≤ blocks×k rows — no all-to-all sort shuffle: each block's
+    local (price desc, key asc) head already contains every global
+    top-k member that block can contribute."""
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_totalprice", "o_orderdate"])
-    df = (ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-          .limit(k).to_pandas())
-    return df
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("o_totalprice", "descending"),
+                                            ("o_orderkey", "ascending")])
+        return t.take(idx[:k])
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    from ..runtime import block_refs as _block_refs
+    merged = pa.concat_tables(
+        [t for t in ray.get(_block_refs(parts)) if t.num_rows])
+    idx = pc.sort_indices(merged,
+                          sort_keys=[("o_totalprice", "descending"),
+                                     ("o_orderkey", "ascending")])
+    return merged.take(idx[:k]).to_pandas()
 
 
 def filter_project_events(sf_dir: str):
@@ -157,9 +196,10 @@ def distinct_event_types(sf_dir: str):
         g = t.group_by("event_type").aggregate([([], "count_all")])
         return g.rename_columns(["event_type", "n_partial"])
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("event_type")
-           .aggregate(Sum("n_partial", alias_name="n_events")))
+    out = _driver_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=None),
+                          ["event_type"],
+                          [("n_partial", "sum", "n_events")])
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
@@ -183,19 +223,16 @@ def semi_join_orders(sf_dir: str):
                  ).to_pandas()["c_custkey"].to_numpy()
     key_ref = ray.put(keys)
 
-    class SemiStage:
-        def __init__(self):
-            self.keys = pa.array(ray.get(key_ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t["o_custkey"], value_set=self.keys)
-            return t.filter(mask)
+    def semi_filter(t: pa.Table) -> pa.Table:
+        # zero-copy plasma read per task; no actor spin-up (see
+        # join_partial above)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(ray.get(key_ref)))
+        return t.filter(mask)
 
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    from ..runtime import actor_pool
-    out = ds.map_batches(SemiStage, batch_format="pyarrow",
-                         concurrency=actor_pool())
+    out = ds.map_batches(semi_filter, batch_format="pyarrow",
+                         batch_size=None)
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
@@ -207,7 +244,13 @@ def order_priority_histogram(sf_dir: str):
                         >= pc.scalar(pd.Timestamp("1995-01-01")))
                        & (pc.field("o_orderdate")
                           < pc.scalar(pd.Timestamp("1996-01-01")))))
-    out = ds.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders"))
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n_partial"])
+
+    out = _driver_combine(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=None),
+                          ["o_orderpriority"],
+                          [("n_partial", "sum", "n_orders")])
     return out.to_pandas().sort_values("o_orderpriority").reset_index(
         drop=True)

@@ -84,3 +84,21 @@ def actor_pool(max_cap: int | None = None) -> tuple[int, int]:
         ncpu = 8
     hi = ncpu if max_cap is None else min(ncpu, max_cap)
     return (1, max(2, hi))
+
+
+def block_refs(ds) -> list:
+    """Object refs of a Dataset's blocks, one streamed execution.
+
+    ``Dataset.to_arrow_refs`` follows execution with a
+    ``schema(fetch_if_missing=True)`` call that plans an EXTRA limit-1
+    run of the whole pipeline (~0.5 s of read+map wall per call on the
+    bench tables); the engine's pipelines emit Arrow blocks, so the
+    block refs are already the zero-copy answer.  Use for SMALL results
+    (partial aggregates, per-block top-k) — this materializes the
+    dataset's blocks in the object store.
+    """
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(getattr(bundle, "block_refs", None)
+                    or [r for r, _ in bundle.blocks])
+    return refs

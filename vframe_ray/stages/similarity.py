@@ -22,6 +22,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -38,36 +39,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _BruteForceStage:
-    """Holds the broadcast, pre-normalized query matrix; emits each
-    batch's local top-k rows per query."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(queries_ref)                   # {qid: vector}
-        self.qids = np.array(sorted(q))
-        self.Q = _normalize(np.stack([q[i] for i in self.qids]))
-        self.k = k
-        self.id_col, self.vec_col = id_col, vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        M = _normalize(np.stack(
-            batch[self.vec_col].to_pandas().to_numpy()))
-        sims = self.Q @ M.T                        # (nq, nrows)
-        out_q, out_id, out_sim = [], [], []
-        k = min(self.k, sims.shape[1])
-        for r, qid in enumerate(self.qids):
-            row = sims[r]
-            top = np.argpartition(-row, k - 1)[:k]
-            for j in top:
-                out_q.append(int(qid))
-                out_id.append(int(ids[j]))
-                out_sim.append(float(row[j]))
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            self.id_col: pa.array(out_id, pa.int64()),
-            "sim": pa.array(out_sim, pa.float64()),
-        })
+def list_column_matrix(col) -> np.ndarray:
+    """Zero-copy-ish (N, dim) float64 matrix from a list<float> column:
+    one flat buffer reshape instead of a Python loop over rows
+    (``np.stack`` over an object array was the hot spot)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if lens.size == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), dim).astype(np.float64, copy=False)
 
 
 def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
@@ -77,28 +61,44 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
 
     Result (query_id, rank, id, sim) with deterministic tie-break on
     ascending id.  Queries broadcast once via ``ray.put`` (the guide's
-    small-side pattern) — never re-shipped per batch.
+    small-side pattern) — never re-shipped per batch; each task reads
+    them zero-copy from plasma (no actor pool: stage state is one small
+    matrix, and per-call actor spin-up cost more than the matmuls).
+    The per-batch partials are ≤ |queries|·k rows per block, so the
+    final merge is driver-side by construction (blocks × nq × k rows).
     """
-    q_ref = ray.put({int(i): np.asarray(v, dtype=np.float64)
-                     for i, v in queries.items()})
-    partial = ds.map_batches(
-        _BruteForceStage,
-        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col,
-                                   vec_col=vec_col),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _pool())
+    q = {int(i): np.asarray(v, dtype=np.float64)
+         for i, v in queries.items()}
+    qids_sorted = np.array(sorted(q))
+    q_ref = ray.put((qids_sorted, _normalize(np.stack(
+        [q[i] for i in qids_sorted]))))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", id_col],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return _arrow(g[["query_id", "rank", id_col, "sim"]])
+    def block_topk(batch: pa.Table) -> pa.Table:
+        qids, Q = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(list_column_matrix(batch[vec_col]))
+        sims = Q @ M.T                             # (nq, nrows)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, kk), pa.int64()),
+            id_col: pa.array(ids[top].ravel(), pa.int64()),
+            "sim": pa.array(np.take_along_axis(sims, top, axis=1)
+                            .ravel(), pa.float64()),
+        })
 
-    merged = partial.groupby("query_id").map_groups(merge,
-                                                    batch_format="pandas")
-    out = merged.to_pandas().sort_values(["query_id", "rank"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    partial = ds.map_batches(block_topk, batch_format="pyarrow",
+                             batch_size=batch_size)
+    from ..runtime import block_refs
+    t = pa.concat_tables([b for b in ray.get(block_refs(partial))
+                          if b.num_rows])
+    df = t.to_pandas().sort_values(["query_id", "sim", id_col],
+                                   ascending=[True, False, True])
+    df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1) \
+        .astype(np.int32)
+    df = df.loc[df["rank"] <= k,
+                ["query_id", "rank", id_col, "sim"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def cosine_dup_pairs_driver_oracle(ds, *, threshold: float = 0.9,
