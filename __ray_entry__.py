@@ -720,6 +720,15 @@ FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= {q['k']} ORDER BY rank"""
 
 
+def _q_bm25_extend(sf_dir: str):
+    """Incremental append (reference continue/extend workflow, open.py
+    -i prior.json): base build over 2/3 of documents + extend_index with
+    the held-out third, queried like bm25_topk.  Oracle = the standard
+    full-corpus BM25 SQL — value-equality is the append-path claim."""
+    from vframe_ray.pipelines.flagship import bm25_documents_extended
+    return bm25_documents_extended(sf_dir)
+
+
 def _q_transcripts_bm25(sf_dir: str):
     """Multi-turn BM25: documents lifted to conversations (conv_id =
     source, turn_idx = rank within source), indexed with the ``lang``
@@ -768,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship fulltext engine
         "bm25_topk": _q_bm25,
+        "bm25_extend": _q_bm25_extend,
         "phrase_match": _q_phrase,
         "phrase_rank": _q_phrase_rank,
         "phrase_rank_punct": _q_phrase_rank_punct,
@@ -821,6 +831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(),
+        # the extend-path index must reproduce the FULL-corpus ranking
+        # bit-for-bit: same oracle as bm25_topk
+        "bm25_extend": _bm25_sql(),
         "phrase_match": (
             "SELECT doc_id FROM documents "
             "WHERE ' ' || lower(text) || ' ' LIKE '% batch batch %' "

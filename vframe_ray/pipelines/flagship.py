@@ -74,6 +74,70 @@ def documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     return index_dir
 
 
+def extended_documents_index(sf_dir: str,
+                             cfg: EngineConfig = DOCS_CFG) -> str:
+    """Index built in TWO phases through the delta-append path: base
+    build over doc_id % 3 != 0, then :func:`~vframe_ray.index.build.
+    extend_index` with the held-out doc_id % 3 == 0 third — the
+    reference's continue/extend workflow (``open -i prior.json``,
+    media.py:79-111) as a driver-checkable query.  BM25 depends only on
+    global df/avgdl + per-doc stats, never on segment layout, so query
+    results over the extended index must be value-identical to the
+    full-corpus SQL oracle."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    from ..index.build import extend_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-ext-{tag}-{cfg_fp}")
+    marker = os.path.join(index_dir, "EXTENDED")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+        def subset(keep_third: bool):
+            def pick(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array((ids % 3 == 0) == keep_third))
+            ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+            return ds.map_batches(pick, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        def lift(t: pa.Table) -> pa.Table:
+            pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 10, "0")
+            return pa.table({
+                "conv_id": pad,
+                "turn_idx": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "text": t["text"],
+            })
+
+        build_index(subset(False).map_batches(lift, batch_format="pyarrow"),
+                    index_dir, cfg)
+        extend_index(subset(True).map_batches(lift, batch_format="pyarrow"),
+                     index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return index_dir
+
+
+def bm25_documents_extended(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES against the two-phase (build + extend) index; same
+    result shape/oracle as :func:`bm25_documents` — the equality IS the
+    append-path correctness claim."""
+    index_dir = extended_documents_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def documents_as_conversations(sf_dir: str) -> "ray.data.Dataset":
     """documents -> MULTI-TURN transcripts: conv_id = source, turn_idx =
     rank of doc_id within its source, ``lang`` carried as a docmap
