@@ -277,18 +277,21 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def _minhash_sql() -> str:
-    """LSH band-collision candidate pairs — identical to
-    minhash_candidates (stages/dedup.py): 31-bit universal hashes of
-    md5-derived shingle hashes, band key = joined raw signature values.
-    Permutation params come from the very stage instance the engine
-    runs, so engine and oracle can never drift."""
+def _minhash_ctes(recursive: bool = False) -> str:
+    """CTE chain ending in ``cand`` (DISTINCT id_a < id_b LSH candidate
+    pairs) — identical to minhash_candidates (stages/dedup.py): 31-bit
+    universal hashes of md5-derived shingle hashes, band key = joined
+    raw signature values.  Permutation params come from the very stage
+    instance the engine runs, so engine and oracle can never drift.
+    Shared by the candidate-pair and cluster (connected-components)
+    oracles; ``recursive=True`` emits WITH RECURSIVE for the latter."""
     from vframe_ray.stages.dedup import MinHashStage
     st = MinHashStage()                     # default num_perm=64, bands=16
     pvals = ", ".join(f"({i}, {int(a)}, {int(b)})"
                       for i, (a, b) in enumerate(zip(st.a, st.b)))
     th = _TH64.format(col="s")
-    return f"""{_TOK},{_shingle_cte(3)},
+    head = _TOK.replace("WITH", "WITH RECURSIVE", 1) if recursive else _TOK
+    return f"""{head},{_shingle_cte(3)},
  shh AS (SELECT _id, {th} % 2147483647 AS h FROM sh),
  p(perm, a, b) AS (VALUES {pvals}),
  sig AS (SELECT _id, p.perm, min((p.a * shh.h + p.b) % 2147483647) AS v
@@ -301,9 +304,31 @@ def _minhash_sql() -> str:
  cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
           FROM bk a JOIN bk b ON a.band = b.band AND a._id < b._id
            AND {' AND '.join(f'a.k{j} = b.k{j}'
-                             for j in range(st.rows_per_band))})
+                             for j in range(st.rows_per_band))})"""
+
+
+def _minhash_sql() -> str:
+    return f"""{_minhash_ctes()}
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b
 FROM cand ORDER BY id_a, id_b"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the LSH candidate pairs: transitive
+    closure by recursive CTE (small graphs at oracle scale), cluster_id
+    = min reachable id — the SQL mirror of stages/graph.py's distributed
+    min-label propagation."""
+    return f"""{_minhash_ctes(recursive=True)},
+ edges AS (SELECT id_a AS a, id_b AS b FROM cand
+           UNION SELECT id_b, id_a FROM cand),
+ reach(a, b) AS (SELECT a, b FROM edges
+                 UNION SELECT r.a, e.b
+                 FROM reach r JOIN edges e ON e.a = r.b),
+ lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (doc_id = cluster_id)::BIGINT AS keep
+FROM lbl ORDER BY doc_id"""
 
 
 def _winnow_sql(k: int = 3, w: int = 4) -> str:
@@ -766,6 +791,46 @@ def _q_media_stub(sf_dir: str):
     return df.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """MinHash candidates -> distributed connected components ->
+    keep/drop decisions (stages/graph.py) — the clustering step the
+    reference's pair-level dedup never takes; oracle = recursive-CTE
+    transitive closure over the same candidate pairs."""
+    from vframe_ray.stages.graph import minhash_dedup_clusters
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    cc = minhash_dedup_clusters(ds, n=3)
+    cc["keep"] = cc["keep"].astype("int64")
+    return cc
+
+
+def _q_asof_prior_view(sf_dir: str):
+    """Backward as-of join (stages/joins.py): each purchase event ->
+    latest same-user view at or before it; oracle = DuckDB ASOF LEFT
+    JOIN over the identically tie-deduped right side."""
+    return rel.purchase_prior_view(sf_dir)
+
+
+def _q_grouped_topk(sf_dir: str):
+    """Per-group top-k (window row_number analog, two-phase pruned
+    shuffle): top-2 orders per customer by price."""
+    return rel.top_orders_per_customer(sf_dir)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified hash sample of documents by lang
+    (en 50%, de 25%, default 10%) — membership is a pure function of
+    doc_id via the SQL-portable md5 primitive, so the oracle recomputes
+    it bit-exactly."""
+    from vframe_ray.stages.sampling import stratified_hash_sample
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "lang"])
+    df = stratified_hash_sample(
+        ds, strata_col="lang", id_col="doc_id",
+        rates={"en": 0.5, "de": 0.25}, default_rate=0.1).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -796,6 +861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": _q_minhash,
         "simhash": _q_simhash,
         "near_dedup_conversations": _q_near_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
         # similarity search
         "cosine_topk": _q_cosine,
         "cosine_dup_pairs": _q_cosine_dups,
@@ -818,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_high_value": rel.union_high_value,
         "semi_join_orders": rel.semi_join_orders,
         "order_priority_histogram": rel.order_priority_histogram,
+        "asof_prior_view": _q_asof_prior_view,
+        "grouped_topk_orders": _q_grouped_topk,
         # streaming-shaped
         "sessionize": _q_sessionize,
         "tumbling_window": _q_tumbling,
@@ -875,6 +944,31 @@ FROM documents ORDER BY doc_id""",
         "simhash": _simhash_sql(),
         "minhash_candidates": _minhash_sql(),
         "near_dedup_conversations": _near_dedup_sql(threshold=0.8),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_TH64.format(col='doc_id::VARCHAR')} % 10000)
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+ORDER BY doc_id""",
+        "asof_prior_view": """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+ r0 AS (SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'),
+ r AS (SELECT user_id, ts, event_id FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, coalesce(r.event_id, -1) AS prior_view_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id""",
+        "grouped_topk_orders": """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                    AS rnk
+           FROM orders)
+SELECT o_custkey, rnk::INT AS rnk, o_orderkey, o_totalprice
+FROM r WHERE rnk <= 2 ORDER BY o_custkey, rnk""",
         "media_features_stub": """
 SELECT doc_id::VARCHAR AS media_id,
        strlen(text)::BIGINT AS nbytes,

@@ -1,0 +1,100 @@
+"""Round-3 operator additions: connected-components dedup clustering,
+as-of join, grouped top-k, stratified hash sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _pairs_ds(pairs):
+    t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                  "id_b": pa.array([b for _, b in pairs], pa.int64())})
+    return ray.data.from_arrow(t)
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    # chain 1-2-3-4-5 (diameter > 1 round), island {10,11}, singleton pair {20,21}
+    from vframe_ray.stages.graph import connected_components
+    cc = connected_components(
+        _pairs_ds([(2, 1), (2, 3), (4, 3), (5, 4), (10, 11), (21, 20)]))
+    got = dict(zip(cc.doc_id, cc.cluster_id))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20,
+                   21: 20}
+    assert list(cc.doc_id) == sorted(cc.doc_id)
+
+
+def test_connected_components_empty(ray_session):
+    from vframe_ray.stages.graph import connected_components
+    cc = connected_components(_pairs_ds([]))
+    assert len(cc) == 0 and list(cc.columns) == ["doc_id", "cluster_id"]
+
+
+def test_minhash_dedup_clusters_planted(ray_session):
+    # three exact copies + one unrelated doc -> one 3-cluster, keep = min id
+    from vframe_ray.stages.graph import minhash_dedup_clusters
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    t = pa.table({"doc_id": pa.array([7, 3, 9, 1], pa.int64()),
+                  "text": [dup, dup, dup,
+                           "one two three four five six seven eight"]})
+    cc = minhash_dedup_clusters(ray.data.from_arrow(t), n=3)
+    assert set(cc.doc_id) == {3, 7, 9}
+    assert set(cc.cluster_id) == {3}
+    assert dict(zip(cc.doc_id, cc.keep)) == {3: True, 7: False, 9: False}
+
+
+def test_asof_join_ties_and_no_match(ray_session):
+    from vframe_ray.stages.joins import asof_join
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "lid": pa.array([100, 101, 102, 103], pa.int64()),
+        "t": pa.array([ts(5), ts(10), ts(1), ts(5)], pa.timestamp("us")),
+    }))
+    # key 1: rows at t=5 (two tied rows -> max rid wins), t=10; key 2: none
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "rid": pa.array([200, 201, 202], pa.int64()),
+        "t": pa.array([ts(5), ts(5), ts(8)], pa.timestamp("us")),
+    }))
+    out = asof_join(left, right, key="k", left_on="t", right_on="t",
+                    left_cols=["lid", "k"], right_cols=["rid"],
+                    tie_col="rid", prefix="m_").to_pandas()
+    got = dict(zip(out.lid, out.m_rid))
+    assert got == {100: 201,   # tie at equal ts -> larger rid (201)
+                   101: 202,   # latest at-or-before t=10 is t=8
+                   102: -1,    # t=1 precedes all right rows
+                   103: -1}    # key 2 has no right rows
+    assert out.lid.dtype == np.int64 and out.m_rid.dtype == np.int64
+
+
+def test_grouped_topk_ties(ray_session):
+    from vframe_ray.pipelines.relational import grouped_topk
+    t = pa.table({"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                  "v": pa.array([5.0, 5.0, 3.0, 9.0, 9.0]),
+                  "id": pa.array([12, 11, 10, 21, 20], pa.int64())})
+    out = grouped_topk(ray.data.from_arrow(t), key="g", order_col="v",
+                       k=2, tie_col="id").to_pandas()
+    out = out.sort_values(["g", "rnk"]).reset_index(drop=True)
+    # equal v -> smaller id ranks first
+    assert list(out["id"]) == [11, 12, 20, 21]
+    assert list(out["rnk"]) == [1, 2, 1, 2]
+
+
+def test_stratified_sample_deterministic_and_pure(ray_session):
+    from vframe_ray.stages.sampling import stratified_hash_sample
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array((["en", "de", "fr", "zh"] * 250))})
+    kw = dict(strata_col="lang", id_col="doc_id",
+              rates={"en": 0.5, "de": 0.25}, default_rate=0.1)
+    a = stratified_hash_sample(ray.data.from_arrow(t), **kw).to_pandas()
+    b = stratified_hash_sample(
+        ray.data.from_arrow(t).repartition(7), **kw).to_pandas()
+    # membership is a pure per-row function: identical under repartition
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    frac = a.lang.value_counts() / t.num_rows * 4
+    assert 0.35 < frac["en"] < 0.65 and frac.get("zh", 0) < 0.2

@@ -254,3 +254,60 @@ def order_priority_histogram(sf_dir: str):
                           [("n_partial", "sum", "n_orders")])
     return out.to_pandas().sort_values("o_orderpriority").reset_index(
         drop=True)
+
+
+def grouped_topk(ds, *, key: str, order_col: str, k: int, tie_col: str):
+    """Per-group top-k (window `row_number() <= k` analog; reference:
+    per-frame `max_det` cap, base.py:134-146 — here per ARBITRARY key).
+
+    Two-phase: a vectorized per-block partial (each block contributes at
+    most k rows per key it contains — the only rows that can survive the
+    global cut) then one keyed shuffle whose input is already pruned to
+    ≤ blocks×keys×k rows.  Group memory is O(k + rows of one key-block),
+    never corpus-sized."""
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, tie_col],
+                            ascending=[True, False, True])
+        return df.groupby(key, sort=False).head(k)
+
+    parts = ds.map_batches(block_partial, batch_format="pandas",
+                           batch_size=None)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([order_col, tie_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        from ..runtime import arrow_group
+        return arrow_group(g)
+
+    return parts.groupby(key).map_groups(final, batch_format="pandas")
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 2):
+    """Top-k orders per customer by price — the grouped_topk showcase."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, key="o_custkey", order_col="o_totalprice",
+                       k=k, tie_col="o_orderkey")
+    df = out.to_pandas()[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+    return df.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+def purchase_prior_view(sf_dir: str):
+    """As-of join showcase: every purchase event matched to the latest
+    view event of the same user at or before the purchase timestamp
+    (-1 where none); one co-partitioning shuffle (stages/joins.py)."""
+    from ..stages.joins import asof_join
+    left = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                 filter=(pc.field("event_type") == pc.scalar("purchase")))
+    right = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                  filter=(pc.field("event_type") == pc.scalar("view")))
+    out = asof_join(left, right, key="user_id", left_on="ts", right_on="ts",
+                    left_cols=["event_id", "user_id"],
+                    right_cols=["event_id"], tie_col="event_id",
+                    prefix="prior_view_")
+    df = out.to_pandas().rename(columns={"prior_view_event_id":
+                                         "prior_view_id"})
+    df = df[["event_id", "user_id", "prior_view_id"]]
+    return df.sort_values("event_id").reset_index(drop=True)
