@@ -887,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_histogram": rel.order_priority_histogram,
         "asof_prior_view": _q_asof_prior_view,
         "grouped_topk_orders": _q_grouped_topk,
+        "shuffle_join_revenue": rel.order_revenue_shuffle_join,
         # streaming-shaped
         "sessionize": _q_sessionize,
         "tumbling_window": _q_tumbling,
@@ -961,6 +962,12 @@ WITH l AS (SELECT event_id, user_id, ts FROM events
 SELECT l.event_id, l.user_id, coalesce(r.event_id, -1) AS prior_view_id
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id""",
+        "shuffle_join_revenue": """
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1996-01-01'
+GROUP BY 1 ORDER BY 1""",
         "grouped_topk_orders": """
 WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

@@ -98,3 +98,47 @@ def test_stratified_sample_deterministic_and_pure(ray_session):
         b.sort_values("doc_id").reset_index(drop=True))
     frac = a.lang.value_counts() / t.num_rows * 4
     assert 0.35 < frac["en"] < 0.65 and frac.get("zh", 0) < 0.2
+
+
+def test_hash_join_mixed_types_and_one_sided_keys(ray_session):
+    from vframe_ray.stages.joins import hash_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "lv": pa.array([1.5, 2.5, 3.5, 4.5]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 4], pa.int64()),
+        "name": pa.array(["a", "b", "c", "d"]),
+        "t": pa.array([pd.Timestamp("2024-01-01")] * 4, pa.timestamp("us")),
+    }))
+    out = hash_join(left, right, key="k", left_cols=["k", "lv"],
+                    right_cols=["name", "t"])
+    df = out.to_pandas().sort_values(["k", "lv", "name"]).reset_index(drop=True)
+    # key 1: 2x1 rows; key 2: 1x2; keys 3 and 4 one-sided -> dropped
+    assert list(df["k"]) == [1, 1, 2, 2]
+    assert list(df["name"]) == ["a", "a", "b", "c"]
+    assert df["k"].dtype == np.int64 and str(df["t"].dtype).startswith("datetime64")
+
+
+def test_hash_join_post_fused_aggregate(ray_session):
+    from vframe_ray.stages.joins import hash_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10.0, 20.0, 5.0]),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "w": pa.array([2.0, 4.0, 8.0]),
+    }))
+
+    def agg(j):
+        if not len(j):
+            return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64")})
+        return pd.DataFrame({"k": [int(j["k"].iloc[0])],
+                             "s": [float((j["v"] * j["w"]).sum())]})
+
+    df = hash_join(left, right, key="k", left_cols=["k", "v"],
+                   right_cols=["w"], post=agg).to_pandas()
+    got = dict(zip(df.k, df.s))
+    assert got == {1: 60.0, 2: 20.0}

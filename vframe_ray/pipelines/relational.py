@@ -311,3 +311,39 @@ def purchase_prior_view(sf_dir: str):
                                          "prior_view_id"})
     df = df[["event_id", "user_id", "prior_view_id"]]
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def order_revenue_shuffle_join(sf_dir: str):
+    """Large-large shuffle hash join with fused per-key aggregate
+    (stages/joins.hash_join): lineitem x 1995-orders on orderkey,
+    revenue per order computed inside the join group — the second
+    groupby shuffle a join-then-aggregate plan would need is fused away
+    (the join key IS the aggregate key)."""
+    from ..stages.joins import hash_join
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_extendedprice",
+                                    "l_discount"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pc.scalar(pd.Timestamp("1995-01-01")))
+                           & (pc.field("o_orderdate")
+                              < pc.scalar(pd.Timestamp("1996-01-01")))))
+
+    def revenue(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "revenue": pd.Series(dtype="float64")})
+        arr = (j["l_extendedprice"].to_numpy()
+               * (1.0 - j["l_discount"].to_numpy()))
+        arr.sort()          # order-independent float sum (shuffle order varies)
+        return pd.DataFrame({"o_orderkey": [int(j["o_orderkey"].iloc[0])],
+                             "revenue": [round(float(arr.sum()), 6)]})
+
+    out = hash_join(li, orders, key="o_orderkey",
+                    left_cols=["o_orderkey", "l_extendedprice", "l_discount"],
+                    right_cols=["o_orderdate"], post=revenue)
+    df = out.to_pandas()[["o_orderkey", "revenue"]]
+    return df.sort_values("o_orderkey").reset_index(drop=True)

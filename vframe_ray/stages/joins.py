@@ -93,3 +93,67 @@ def asof_join(left, right, *, key: str, left_on: str, right_on: str,
         return _arrow(pd.DataFrame(out))
 
     return unioned.groupby("__key").map_groups(match, batch_format="pandas")
+
+
+def hash_join(left, right, *, key: str, left_cols: list[str],
+              right_cols: list[str], post=None):
+    """Large-large equi-join by co-partitioning (shuffle hash join).
+
+    The broadcast joins in pipelines/relational.py are the right tool
+    when one side fits in the object store; this is the other case: both
+    sides big, ONE keyed shuffle of (left ∪ right), and inside each
+    key's group the join is a within-group cartesian of the two sides
+    (correct for equi-joins: every group row shares the key).  Inner
+    join semantics.
+
+    ``post`` (optional): a pandas->pandas function applied to each
+    joined group BEFORE emission.  Because a key's joined rows live in
+    exactly ONE group, any per-key aggregate placed here is exact — the
+    classic join+aggregate fusion that saves the second shuffle a
+    groupby-after-join would cost at 100 TB.
+
+    Partitioning assumption: group memory is O(|L_k| x |R_k|) for one
+    key k — salt hot keys upstream if a single key's join output
+    exceeds worker heap."""
+    # Exact Arrow types for every carried column: null-padding the other
+    # side and the group-level pandas upcast (int64-with-nulls ->
+    # float64) must both round-trip back to the source type, or blocks
+    # from different groups drift schema.
+    lsch = left.schema().base_schema
+    rsch = right.schema().base_schema
+    types = {**{c: lsch.field(c).type for c in left_cols},
+             **{c: rsch.field(c).type for c in right_cols}}
+
+    def tag(side):
+        cols_self = left_cols if side else right_cols
+        cols_other = right_cols if side else left_cols
+
+        def fn(t: pa.Table) -> pa.Table:
+            out = {"__key": t[key],
+                   "__side": pa.array(
+                       np.full(len(t), side, dtype=np.int8))}
+            for c in cols_self:
+                out[c] = t[c]
+            for c in cols_other:
+                out[c] = pa.nulls(len(t), types[c])
+            return pa.table(out)
+        return fn
+
+    unioned = left.map_batches(tag(1), batch_format="pyarrow").union(
+        right.map_batches(tag(0), batch_format="pyarrow"))
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        l = g.loc[g["__side"] == 1, left_cols]
+        r = g.loc[g["__side"] == 0, right_cols]
+        j = l.merge(r, how="cross") if len(l) and len(r) else \
+            pd.DataFrame(columns=left_cols + right_cols)
+        j = post(j) if post else j
+        t = _arrow(j)
+        # restore source types (safe=False: values came from these very
+        # types; the only "unsafe" step is undoing pandas' null-upcast)
+        target = pa.schema([(f, types.get(f, t.schema.field(f).type))
+                            for f in t.schema.names])
+        return t.cast(target, safe=False)
+
+    return unioned.groupby("__key").map_groups(join_group,
+                                               batch_format="pandas")
