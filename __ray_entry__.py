@@ -468,16 +468,35 @@ def _q_term_df(sf_dir: str):
 
 
 def _q_dedup_exact(sf_dir: str):
+    # per-block (min id, count) partials per content hash, reduced by
+    # sha-hash-bucket co-partition + one Arrow C group_by per bucket
+    # (key cardinality = unique docs — Ray's aggregate() combines per
+    # group in Python and crawls there)
     import ray.data
-    from ray.data.aggregate import Count, Min
     from vframe_ray.stages.dedup import add_content_hash
+    from vframe_ray.runtime import num_hash_buckets
+    nb = num_hash_buckets()
     ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     hashed = ds.map_batches(lambda b: add_content_hash(b),
                             batch_format="pyarrow", zero_copy_batch=True)
-    out = hashed.groupby("text_sha").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Count(alias_name="n_dups"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("text_sha").aggregate([("doc_id", "min"),
+                                              ("doc_id", "count")])
+        g = g.rename_columns(["text_sha", "doc_id", "n_dups"])
+        h = pd.util.hash_array(g["text_sha"].to_pandas()
+                               .to_numpy(dtype=object))
+        return g.append_column("__hb",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("text_sha").aggregate([("doc_id", "min"),
+                                              ("n_dups", "sum")])
+        return g.rename_columns(["text_sha", "doc_id", "n_dups"])
+
+    out = (hashed.map_batches(partial, batch_format="pyarrow")
+           .groupby("__hb").map_groups(combine, batch_format="pyarrow"))
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return df[["doc_id", "n_dups"]]
 

@@ -15,11 +15,15 @@ def _pairs_ds(pairs):
     return ray.data.from_arrow(t)
 
 
-def test_connected_components_chain_and_islands(ray_session):
-    # chain 1-2-3-4-5 (diameter > 1 round), island {10,11}, singleton pair {20,21}
+@pytest.mark.parametrize("driver_threshold", [0, 5_000_000])
+def test_connected_components_chain_and_islands(ray_session, driver_threshold):
+    # chain 1-2-3-4-5 (diameter > 1 round), island {10,11}, singleton pair
+    # {20,21}; threshold 0 forces the distributed BSP path, the default
+    # takes the single-task fast path — results must be identical
     from vframe_ray.stages.graph import connected_components
     cc = connected_components(
-        _pairs_ds([(2, 1), (2, 3), (4, 3), (5, 4), (10, 11), (21, 20)]))
+        _pairs_ds([(2, 1), (2, 3), (4, 3), (5, 4), (10, 11), (21, 20)]),
+        driver_threshold=driver_threshold)
     got = dict(zip(cc.doc_id, cc.cluster_id))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20,
                    21: 20}

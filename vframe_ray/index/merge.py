@@ -86,21 +86,13 @@ def merge_indexes(src_dirs: list[str], out_dir: str, *,
             term_files.append(os.path.join(dst_seg, "terms.parquet"))
             new_id += 1
 
-    # re-merge global term stats over all segments (same combiner+groupby
-    # shape as build_index)
-    import pyarrow as pa
-    from ray.data.aggregate import Sum
+    # re-merge global term stats over all segments (same bucketed
+    # reduce as build_index.term_stats_sum)
+    from .build import term_stats_sum
 
-    def _combine(t: pa.Table) -> pa.Table:
-        g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
-        return pa.table({"term": g["term"], "df": g["df_sum"],
-                         "cf": g["cf_sum"]})
-
-    (_read_parquet(term_files, columns=["term", "df", "cf"])
-     .map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
-     .groupby("term")
-     .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-     .write_parquet(os.path.join(out_dir, "global", "terms")))
+    term_stats_sum(
+        _read_parquet(term_files, columns=["term", "df", "cf"])
+    ).write_parquet(os.path.join(out_dir, "global", "terms"))
 
     stats = {"n_docs": n_docs, "total_len": total_len,
              "avgdl": (total_len / n_docs) if n_docs else 0.0,

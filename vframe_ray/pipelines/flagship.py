@@ -149,17 +149,31 @@ def documents_as_conversations(sf_dir: str) -> "ray.data.Dataset":
     ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text", "source", "lang"])
 
+    # source-hash-bucket co-partition, turn ranks assigned vectorized per
+    # bucket (cumcount within source) — conversation count scales with
+    # the corpus, so no per-conversation map_groups
+    from ..runtime import num_hash_buckets
+    import pyarrow as pa
+    nb = num_hash_buckets()
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        h = pd.util.hash_array(t["source"].to_pandas()
+                               .to_numpy(dtype=object))
+        return t.append_column("__b", pa.array((h % nb).astype(np.int32)))
+
     def to_conv(g: "pd.DataFrame"):
         from ..runtime import arrow_group
-        g = g.sort_values("doc_id")
+        g = g.sort_values(["source", "doc_id"])
         return arrow_group(pd.DataFrame({
             "conv_id": g["source"].to_numpy(),
-            "turn_idx": np.arange(len(g), dtype=np.int32),
+            "turn_idx": g.groupby("source", sort=False).cumcount()
+            .to_numpy(dtype=np.int32),
             "text": g["text"].to_numpy(),
             "lang": g["lang"].to_numpy(),
         }))
 
-    return ds.groupby("source").map_groups(to_conv, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(to_conv, batch_format="pandas"))
 
 
 def conversations_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:

@@ -263,25 +263,37 @@ def grouped_topk(ds, *, key: str, order_col: str, k: int, tie_col: str):
     Two-phase: a vectorized per-block partial (each block contributes at
     most k rows per key it contains — the only rows that can survive the
     global cut) then one keyed shuffle whose input is already pruned to
-    ≤ blocks×keys×k rows.  Group memory is O(k + rows of one key-block),
-    never corpus-sized."""
+    ≤ blocks×keys×k rows.  The reduce side is co-partitioned into HASH
+    BUCKETS of keys, one vectorized sort+head kernel per bucket — a
+    per-KEY map_groups pays ~1 ms of UDF dispatch per group, minutes of
+    pure overhead at 150k keys.  Group memory is O(bucket's pruned
+    rows), never corpus-sized."""
+    from ..stages.joins import _bucket_of, _num_buckets
+    nb = _num_buckets(None)
+
     def block_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key, order_col, tie_col],
                             ascending=[True, False, True])
-        return df.groupby(key, sort=False).head(k)
+        df = df.groupby(key, sort=False).head(k).copy()
+        df["__bucket"] = _bucket_of(
+            df[key].to_numpy(dtype=np.int64), nb)
+        return df
 
     parts = ds.map_batches(block_partial, batch_format="pandas",
                            batch_size=None)
 
     def final(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values([order_col, tie_col],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g = g.sort_values([key, order_col, tie_col],
+                          ascending=[True, False, True])
+        top = g.groupby(key, sort=False).head(k).copy()
+        top["rnk"] = (top.groupby(key, sort=False).cumcount()
+                      .to_numpy(dtype=np.int32) + 1)
         from ..runtime import arrow_group
-        return arrow_group(g)
+        return arrow_group(top.drop(columns="__bucket")
+                           .reset_index(drop=True))
 
-    return parts.groupby(key).map_groups(final, batch_format="pandas")
+    return parts.groupby("__bucket").map_groups(final,
+                                                batch_format="pandas")
 
 
 def top_orders_per_customer(sf_dir: str, k: int = 2):
@@ -333,14 +345,20 @@ def order_revenue_shuffle_join(sf_dir: str):
                               < pc.scalar(pd.Timestamp("1996-01-01")))))
 
     def revenue(j: pd.DataFrame) -> pd.DataFrame:
+        # one hash BUCKET of keys; rows of a key never split buckets, so
+        # the per-key sum here is exact.  Sort first: float summation
+        # order must not depend on shuffle arrival order.
         if not len(j):
             return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
                                  "revenue": pd.Series(dtype="float64")})
-        arr = (j["l_extendedprice"].to_numpy()
-               * (1.0 - j["l_discount"].to_numpy()))
-        arr.sort()          # order-independent float sum (shuffle order varies)
-        return pd.DataFrame({"o_orderkey": [int(j["o_orderkey"].iloc[0])],
-                             "revenue": [round(float(arr.sum()), 6)]})
+        j = j.sort_values(["o_orderkey", "l_extendedprice", "l_discount"])
+        part = pd.DataFrame({
+            "o_orderkey": j["o_orderkey"].to_numpy(dtype=np.int64),
+            "rev": (j["l_extendedprice"].to_numpy()
+                    * (1.0 - j["l_discount"].to_numpy()))})
+        s = part.groupby("o_orderkey", sort=True)["rev"].sum().round(6)
+        return pd.DataFrame({"o_orderkey": s.index.to_numpy(),
+                             "revenue": s.to_numpy()})
 
     out = hash_join(li, orders, key="o_orderkey",
                     left_cols=["o_orderkey", "l_extendedprice", "l_discount"],

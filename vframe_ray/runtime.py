@@ -102,3 +102,35 @@ def block_refs(ds) -> list:
         refs.extend(getattr(bundle, "block_refs", None)
                     or [r for r, _ in bundle.blocks])
     return refs
+
+
+def num_hash_buckets(override=None) -> int:
+    """Reduce-side bucket count for co-partitioned vectorized kernels:
+    4x cluster CPUs (enough buckets to keep every core busy and bound a
+    bucket's memory, few enough that per-bucket UDF dispatch is noise).
+    A per-KEY map_groups pays ~1 ms dispatch per group — minutes of pure
+    overhead at 100k+ keys; per-bucket kernels make it `buckets` calls
+    total."""
+    if override:
+        return int(override)
+    try:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:
+        ncpu = 8
+    return 4 * ncpu
+
+
+def int_bucket_of(keys, n: int):
+    """Avalanching bucket id per int64 key (sequential keys spread)."""
+    import numpy as np
+    h = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(n)).astype(np.int32)
+
+
+def pair_bucket_of(a, b, n: int):
+    """Avalanching bucket id per (int64, int64) key pair."""
+    import numpy as np
+    h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+         ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+    return ((h >> np.uint64(33)) % np.uint64(n)).astype(np.int32)

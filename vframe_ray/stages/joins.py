@@ -1,26 +1,29 @@
-"""As-of join: for each left row, the latest right row with the same key
-whose timestamp is <= the left row's timestamp.
+"""Co-partitioned joins Ray Data lacks as primitives: backward as-of
+join and large-large shuffle hash join.
 
-Reference analog: the reference aligns detection streams to video frames
-by "the most recent decoded frame at this timestamp" inside one process
-(`src/vframe/models/media.py:343-384` frame iteration + per-frame
-metadata attach); an as-of join is that alignment expressed as a
-dataflow operator over two tables — a primitive Ray Data lacks.
+Reference analog (as-of): the reference aligns detection streams to
+video frames by "the most recent decoded frame at this timestamp" inside
+one process (`src/vframe/models/media.py:343-384` frame iteration +
+per-frame metadata attach); an as-of join is that alignment expressed as
+a dataflow operator over two tables.
 
-Implementation: ONE co-partitioning shuffle.  Both sides are mapped to a
-unified schema tagged with ``__side`` and co-grouped by the join key
-(`groupby(key).map_groups`); inside each group a single
-``np.searchsorted`` over the time-sorted right rows matches every left
-row.  No broadcast, no driver loop, no per-row Python.
+Both operators use the same physical plan: ONE keyed shuffle of
+(left ∪ right) tagged with ``__side``, co-partitioned into HASH BUCKETS
+of keys (``groupby("__bucket")``), then one *vectorized* pandas kernel
+per bucket (``merge`` / ``merge_asof``) — never a Python call per key.
+Bucketing matters: a per-key ``map_groups`` pays ~1 ms of UDF dispatch
+per group, which at 150k keys is minutes of pure overhead; per-bucket it
+is ``num_buckets`` calls total, each C-vectorized over all its keys.
 
 Partitioning assumptions (custom-operator rule):
-- Work and memory per task are O(rows of ONE key); skewed keys bound the
-  group size.  For hot keys the group still sorts in one task — salt the
-  key upstream and post-merge if a single key's rows exceed worker heap.
-- Determinism under timestamp ties: the right side is first deduplicated
-  to ONE row per (key, ts), keeping the largest ``tie_col`` — mirrored
-  verbatim in the SQL oracle so engine and oracle can never disagree on
-  which tied row wins.
+- A bucket's rows must fit one worker's heap; keys are spread over
+  ``num_buckets`` (default 4x cluster CPUs — override upward for TB
+  inputs) by an avalanching integer hash, so only a single pathological
+  hot KEY (not bucket) can overfill — salt such keys upstream.
+- As-of determinism under timestamp ties: the right side is first
+  deduplicated to ONE row per (key, ts), keeping the largest
+  ``tie_col`` — mirrored verbatim in the SQL oracle so engine and
+  oracle can never disagree on which tied row wins.
 """
 
 from __future__ import annotations
@@ -32,9 +35,14 @@ import pyarrow as pa
 from ..runtime import arrow_group as _arrow
 
 
+from ..runtime import int_bucket_of as _bucket_of
+from ..runtime import num_hash_buckets as _num_buckets
+
+
 def asof_join(left, right, *, key: str, left_on: str, right_on: str,
               left_cols: list[str], right_cols: list[str],
-              tie_col: str, prefix: str = "r_", no_match: int = -1):
+              tie_col: str, prefix: str = "r_", no_match: int = -1,
+              num_buckets: int | None = None):
     """Backward as-of join of two Datasets.
 
     Returns a Dataset with ``left_cols`` plus ``prefix + c`` for each of
@@ -42,79 +50,86 @@ def asof_join(left, right, *, key: str, left_on: str, right_on: str,
     at or before the left timestamp — explicit sentinel instead of a
     nullable column keeps the joined column a plain int64).
     """
-    lsch = [(c, 1) for c in left_cols]
-    rsch = [(c, 0) for c in right_cols]
+    nb = _num_buckets(num_buckets)
 
     def tag_left(t: pa.Table) -> pa.Table:
-        cols = {"__key": t[key], "__ts": t[left_on],
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__bucket": _bucket_of(k, nb), "__key": t[key],
+                "__ts": t[left_on],
                 "__side": pa.array(np.ones(len(t), dtype=np.int8))}
-        for c, _ in lsch:
+        for c in left_cols:
             cols[c] = t[c]
-        for c, _ in rsch:
+        for c in right_cols:
             cols["__r_" + c] = pa.nulls(len(t), pa.int64())
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        cols = {"__key": t[key], "__ts": t[right_on],
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__bucket": _bucket_of(k, nb), "__key": t[key],
+                "__ts": t[right_on],
                 "__side": pa.array(np.zeros(len(t), dtype=np.int8))}
-        for c, _ in lsch:
+        for c in left_cols:
             cols[c] = pa.nulls(len(t), t.schema.field(key).type
                                if c == key else pa.int64())
-        for c, _ in rsch:
+        for c in right_cols:
             cols["__r_" + c] = t[c].cast(pa.int64()) \
                 if c != right_on else t[c]
         return pa.table(cols)
 
     unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
+    out_cols = left_cols + [prefix + c for c in right_cols]
 
     def match(g: pd.DataFrame) -> pa.Table:
+        # one hash bucket of keys; merge_asof(by=__key) matches every
+        # left row vectorized.  left cols rode through the union with
+        # nulls on right-side rows (pandas upcasts to float64) — they
+        # are restored to int64 on output.
         l = g[g["__side"] == 1]
         if not len(l):
             return _arrow(pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in
-                 left_cols + [prefix + c for c in right_cols]}))
+                {c: pd.Series(dtype="int64") for c in out_cols}))
         r = g[g["__side"] == 0]
-        # deterministic tie rule: one right row per ts, max tie_col wins
-        r = r.sort_values(["__ts", "__r_" + tie_col]) \
-             .drop_duplicates("__ts", keep="last")
-        lt = l["__ts"].to_numpy()
-        idx = np.searchsorted(r["__ts"].to_numpy(), lt, side="right") - 1
-        # left cols ride through the union with nulls on right-side rows,
-        # so the group df upcasts them to float64 — restore int64 here
-        out = {c: l[c].to_numpy(dtype=np.int64, na_value=no_match)
+        ls = l.sort_values("__ts")
+        out = {c: ls[c].to_numpy(dtype=np.int64, na_value=no_match)
                for c in left_cols}
+        if not len(r):
+            for c in right_cols:
+                out[prefix + c] = np.full(len(l), no_match, dtype=np.int64)
+            return _arrow(pd.DataFrame(out))
+        # deterministic tie rule: one right row per (key, ts), max tie wins
+        r = r.sort_values(["__key", "__ts", "__r_" + tie_col]) \
+             .drop_duplicates(["__key", "__ts"], keep="last")
+        j = pd.merge_asof(
+            ls[["__key", "__ts"]],
+            r.sort_values("__ts")[["__key", "__ts"]
+                                  + ["__r_" + c for c in right_cols]],
+            on="__ts", by="__key", direction="backward")
         for c in right_cols:
-            vals = r["__r_" + c].to_numpy(dtype=np.int64, na_value=no_match) \
-                if len(r) else np.empty(0, dtype=np.int64)
-            out[prefix + c] = np.where(
-                idx >= 0, vals[np.clip(idx, 0, None)] if len(r) else no_match,
-                no_match).astype(np.int64)
+            out[prefix + c] = j["__r_" + c] \
+                .to_numpy(dtype=np.int64, na_value=no_match)
         return _arrow(pd.DataFrame(out))
 
-    return unioned.groupby("__key").map_groups(match, batch_format="pandas")
+    return unioned.groupby("__bucket").map_groups(match,
+                                                  batch_format="pandas")
 
 
 def hash_join(left, right, *, key: str, left_cols: list[str],
-              right_cols: list[str], post=None):
+              right_cols: list[str], post=None,
+              num_buckets: int | None = None):
     """Large-large equi-join by co-partitioning (shuffle hash join).
 
     The broadcast joins in pipelines/relational.py are the right tool
     when one side fits in the object store; this is the other case: both
-    sides big, ONE keyed shuffle of (left ∪ right), and inside each
-    key's group the join is a within-group cartesian of the two sides
-    (correct for equi-joins: every group row shares the key).  Inner
-    join semantics.
+    sides big, ONE keyed shuffle of (left ∪ right) into hash buckets,
+    one vectorized ``pandas.merge`` per bucket.  Inner join semantics.
 
     ``post`` (optional): a pandas->pandas function applied to each
-    joined group BEFORE emission.  Because a key's joined rows live in
-    exactly ONE group, any per-key aggregate placed here is exact — the
-    classic join+aggregate fusion that saves the second shuffle a
-    groupby-after-join would cost at 100 TB.
-
-    Partitioning assumption: group memory is O(|L_k| x |R_k|) for one
-    key k — salt hot keys upstream if a single key's join output
-    exceeds worker heap."""
+    bucket's joined frame BEFORE emission; it must return stable dtypes
+    on empty input.  Every row of a key lands in exactly ONE bucket, so
+    per-key aggregates computed here are exact — the classic
+    join+aggregate fusion that saves the second shuffle a
+    groupby-after-join would cost at 100 TB."""
     # Exact Arrow types for every carried column: null-padding the other
     # side and the group-level pandas upcast (int64-with-nulls ->
     # float64) must both round-trip back to the source type, or blocks
@@ -123,13 +138,15 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     rsch = right.schema().base_schema
     types = {**{c: lsch.field(c).type for c in left_cols},
              **{c: rsch.field(c).type for c in right_cols}}
+    nb = _num_buckets(num_buckets)
 
     def tag(side):
         cols_self = left_cols if side else right_cols
         cols_other = right_cols if side else left_cols
 
         def fn(t: pa.Table) -> pa.Table:
-            out = {"__key": t[key],
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {"__bucket": _bucket_of(k, nb), "__key": t[key],
                    "__side": pa.array(
                        np.full(len(t), side, dtype=np.int8))}
             for c in cols_self:
@@ -142,10 +159,11 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     unioned = left.map_batches(tag(1), batch_format="pyarrow").union(
         right.map_batches(tag(0), batch_format="pyarrow"))
 
-    def join_group(g: pd.DataFrame) -> pa.Table:
-        l = g.loc[g["__side"] == 1, left_cols]
-        r = g.loc[g["__side"] == 0, right_cols]
-        j = l.merge(r, how="cross") if len(l) and len(r) else \
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g.loc[g["__side"] == 1, ["__key"] + left_cols]
+        r = g.loc[g["__side"] == 0, ["__key"] + right_cols]
+        j = l.merge(r, on="__key")[left_cols + right_cols] \
+            if len(l) and len(r) else \
             pd.DataFrame(columns=left_cols + right_cols)
         j = post(j) if post else j
         t = _arrow(j)
@@ -155,5 +173,5 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
                             for f in t.schema.names])
         return t.cast(target, safe=False)
 
-    return unioned.groupby("__key").map_groups(join_group,
-                                               batch_format="pandas")
+    return unioned.groupby("__bucket").map_groups(join_bucket,
+                                                  batch_format="pandas")

@@ -249,32 +249,63 @@ def srp_dup_pairs(ds, *, threshold: float = 0.9, dim: int,
     pytest asserts this path finds every exact pair on the planted
     corpus.  Returns (id_a, id_b, sim_r), sim rounded to 6 dp.
     """
-    from ray.data.aggregate import Max
-
     stage = SRPBucketStage(dim, n_bits, n_tables, seed=seed,
                            vec_col=vec_col)
     bucketed = ds.map_batches(stage, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "sim_r": pd.Series([], dtype=np.float64)})
+    # Route by COMPOSITE hash bucket of (table_id, srp-bucket): occupied
+    # (table, bucket) groups scale with corpus x n_tables and a per-group
+    # map_groups pays ~1 ms dispatch each; inside the composite bucket
+    # the sub-group loop is in-process (µs per sub-bucket).
+    from ..runtime import num_hash_buckets, pair_bucket_of
+    nb = num_hash_buckets()
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        return t.append_column("__cb", pa.array(pair_bucket_of(
+            t["table_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+            nb)))
+
+    _EMPTY_PAIRS = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "sim_r": pd.Series([], dtype=np.float64)})
+
+    def pairs_in_sub(g: pd.DataFrame) -> pd.DataFrame | None:
         if len(g) < 2:
-            return _arrow(empty)
+            return None
         ids = g[id_col].to_numpy().astype(np.int64)
         M = _normalize(np.stack(g[vec_col].to_numpy()))
         a, b, s = _chunk_pair_sims(ids, M, ids, M, threshold, True)
         if not len(a):
-            return _arrow(empty)
-        return _arrow(pd.DataFrame({"id_a": a, "id_b": b, "sim_r": s}))
+            return None
+        return pd.DataFrame({"id_a": a, "id_b": b, "sim_r": s})
 
-    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        frames = [pairs_in_sub(sub) for _, sub in
+                  g.groupby(["table_id", "bucket"], sort=False)]
+        frames = [f for f in frames if f is not None]
+        return _arrow(pd.concat(frames, ignore_index=True) if frames
+                      else _EMPTY_PAIRS)
+
+    cand = bucketed.map_batches(add_cb, batch_format="pyarrow") \
+        .groupby("__cb").map_groups(bucket_pairs, batch_format="pandas")
+
     # a pair surfaces in up to n_tables buckets with the identical
-    # rounded sim — Max is a pure dedup
-    out = (cand.groupby(["id_a", "id_b"])
-           .aggregate(Max("sim_r", alias_name="sim_r"))
+    # rounded sim — max is a pure dedup, done per PAIR-hash bucket with
+    # one vectorized pandas pass (Ray's aggregate() combines per group
+    # in Python; pair cardinality scales with the corpus)
+    def add_pb(t: pa.Table) -> pa.Table:
+        return t.append_column("__pb", pa.array(pair_bucket_of(
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False), nb)))
+
+    def max_bucket(g: pd.DataFrame) -> pa.Table:
+        return _arrow(g.groupby(["id_a", "id_b"], sort=False,
+                                as_index=False)["sim_r"].max())
+
+    out = (cand.map_batches(add_pb, batch_format="pyarrow")
+           .groupby("__pb").map_groups(max_bucket, batch_format="pandas")
            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -445,33 +476,44 @@ def lsh_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
 
     bucketed = ds.map_batches(stage, batch_format="pyarrow")
 
-    def scan(g: pd.DataFrame) -> pd.DataFrame:
+    # composite-hash-bucket co-partition: occupied (table, bucket)
+    # groups scale with corpus x n_tables — route many per task, loop
+    # sub-groups in-process (same rationale as srp_dup_pairs)
+    from ..runtime import num_hash_buckets, pair_bucket_of
+    nb = num_hash_buckets()
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        return t.append_column("__cb", pa.array(pair_bucket_of(
+            t["table_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+            nb)))
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         qmap_l, Qm_l, qids_l = ray.get(qmap_ref)
-        t = int(g["table_id"].iloc[0])
-        b = int(g["bucket"].iloc[0])
-        wanted = qmap_l.get((t, b))
         empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                               id_col: pd.Series([], dtype=np.int64),
                               "sim": pd.Series([], dtype=np.float64)})
-        if not wanted:
-            return _arrow(empty)
-        M = _normalize(np.stack(g[vec_col].to_numpy()))
-        ids = g[id_col].to_numpy()
-        sims = Qm_l[wanted] @ M.T
         rows = []
-        for r, qi in enumerate(wanted):
-            kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims[r], kk - 1)[:kk]
-            for j in top:
-                rows.append((int(qids_l[qi]), int(ids[j]),
-                             float(sims[r, j])))
+        for (t, b), sub in g.groupby(["table_id", "bucket"], sort=False):
+            wanted = qmap_l.get((int(t), int(b)))
+            if not wanted:
+                continue
+            M = _normalize(np.stack(sub[vec_col].to_numpy()))
+            ids = sub[id_col].to_numpy()
+            sims = Qm_l[wanted] @ M.T
+            for r, qi in enumerate(wanted):
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims[r], kk - 1)[:kk]
+                for j in top:
+                    rows.append((int(qids_l[qi]), int(ids[j]),
+                                 float(sims[r, j])))
         if not rows:
             return _arrow(empty)
         return _arrow(pd.DataFrame(rows, columns=["query_id", id_col,
                                                   "sim"]))
 
-    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        scan, batch_format="pandas")
+    cand = bucketed.map_batches(add_cb, batch_format="pyarrow") \
+        .groupby("__cb").map_groups(scan_bucket, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.drop_duplicates(id_col)

@@ -66,42 +66,49 @@ class TermDFPartial:
 
 
 def salted_sum(ds, key: str, cols: list[str], salt_factor: int = 16):
-    """Generic skew-safe Sum aggregation: two-stage groupby with a
-    per-batch salt column so no reducer receives every row of a hot key.
+    """Skew-safe grouped Sum: per-block combiner (a hot key leaves at
+    most ONE row per block), then key-hash-bucket co-partition + one
+    Arrow C group_by per bucket.
 
-    Stage 1 groups by (key, salt) — a hot key's rows split across up to
-    ``salt_factor`` reducers; stage 2 merges the ≤ salt_factor partials.
+    The historical two-stage salted Ray ``aggregate`` is gone: Ray's
+    aggregate() combines per group in Python (measured ~20 s over 1M
+    partial rows), and the block-level combiner already bounds what any
+    one reducer sees — which is everything the salt bought.
+    ``salt_factor`` is retained for API compatibility (no effect).
     """
-    def _salt(batch: pa.Table) -> pa.Table:
-        first = str(batch[key][0]) if batch.num_rows else ""
-        sv = int(pd.util.hash_array(np.array([first], dtype=object))[0]
-                 % salt_factor)
-        return batch.append_column(
-            "salt", pa.array(np.full(batch.num_rows, sv, dtype=np.int32)))
+    from ..runtime import num_hash_buckets
+    nb = num_hash_buckets()
 
-    salted = ds.map_batches(_salt, batch_format="pyarrow", zero_copy_batch=True)
-    stage1 = salted.groupby([key, "salt"]).aggregate(
-        *[Sum(c, alias_name=f"{c}_s") for c in cols])
-    return stage1.groupby(key).aggregate(
-        *[Sum(f"{c}_s", alias_name=c) for c in cols])
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns([key] + cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t[key].to_pandas().to_numpy(dtype=object))
+        return t.append_column("__kb",
+                               pa.array((h % nb).astype(np.int32)))
+
+    return (ds.map_batches(combine, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(combine, batch_format="pyarrow"))
 
 
 def term_stats(tokenized_ds, salt_factor: int = 16):
-    """tokens Dataset -> Dataset(term, df, cf) via salted two-phase agg.
-
-    Stage 1 keys partials by (term, salt) purely so no single reducer
-    receives a hot term's every partial at once; stage 2 merges the
-    ≤ salt_factor rows per term.
-    """
+    """tokens Dataset -> Dataset(term, df, cf): per-block TermDFPartial
+    rows (≤ 1 per term per block — the combiner bounds hot-term skew),
+    reduced by the same term-bucket kernel as the index build
+    (index/build.term_stats_sum)."""
+    from ..index.build import term_stats_sum
     partials = tokenized_ds.map_batches(
         TermDFPartial(salt_factor), batch_format="pyarrow",
         zero_copy_batch=True)
-    salted = partials.groupby(["term", "salt"]).aggregate(
-        Sum("df_partial", alias_name="df_s"),
-        Sum("cf_partial", alias_name="cf_s"))
-    return salted.groupby("term").aggregate(
-        Sum("df_s", alias_name="df"),
-        Sum("cf_s", alias_name="cf"))
+    parts = partials.map_batches(
+        lambda t: pa.table({"term": t["term"], "df": t["df_partial"],
+                            "cf": t["cf_partial"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return term_stats_sum(parts)
 
 
 class DocLenPartial:
