@@ -586,6 +586,30 @@ def _q_tumbling(sf_dir: str):
     return df.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def _q_hopping(sf_dir: str):
+    """Sliding/hopping windows (10-min windows every 5 min): each event
+    counted in length/hop windows; vectorized expansion + bucketed
+    combine.  Oracle replicates the window arithmetic with a k-unnest."""
+    from vframe_ray.stages.sessionize import hopping_window
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["ts", "event_type", "value"])
+    df = hopping_window(ds, length_s=600, hop_s=300).to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return df.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Deterministic binned quantiles (p50/p90/p99 of value per event
+    type, 0.01 bins) — no sketch randomness, bit-exact SQL mirror."""
+    from vframe_ray.stages.stats import binned_quantiles
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "value"])
+    df = binned_quantiles(ds).to_pandas()
+    return df.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def _q_redact(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textops import redact
@@ -910,6 +934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped
         "sessionize": _q_sessionize,
         "tumbling_window": _q_tumbling,
+        "hopping_window": _q_hopping,
+        "value_quantiles": _q_value_quantiles,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1151,6 +1177,29 @@ SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        round(sum(value), 6) AS sum_value,
        round(avg(value), 6) AS avg_value
 FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+        "hopping_window": """
+WITH e AS (SELECT event_type, value,
+                  (floor(epoch(ts))::BIGINT // 300) * 300 AS base
+           FROM events),
+ x AS (SELECT event_type, value, base - k * 300 AS ws
+       FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks)
+SELECT event_type, make_timestamp(ws * 1000000) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+        "value_quantiles": """
+WITH b AS (SELECT event_type, floor(value / 0.01)::BIGINT AS bin,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+ c AS (SELECT event_type, bin, n,
+              sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+              sum(n) OVER (PARTITION BY event_type) AS total
+       FROM b),
+ qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+ sel AS (SELECT c.event_type, qq.q, min(c.bin) AS qbin
+         FROM c JOIN qq ON c.cum >= ceil(qq.q * c.total)
+         GROUP BY 1, 2)
+SELECT event_type, q, qbin * (0.01::DOUBLE) AS quantile FROM sel
+ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
         "transcripts_bm25": _bm25_conv_sql(),
         "transcripts_bm25_filtered": _bm25_conv_sql(

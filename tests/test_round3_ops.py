@@ -136,13 +136,45 @@ def test_hash_join_post_fused_aggregate(ray_session):
     }))
 
     def agg(j):
+        # bucket-level contract: the frame may hold several keys; all
+        # rows of a key are guaranteed to be in the same bucket
         if not len(j):
             return pd.DataFrame({"k": pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64")})
-        return pd.DataFrame({"k": [int(j["k"].iloc[0])],
-                             "s": [float((j["v"] * j["w"]).sum())]})
+        return (j.assign(s=j["v"] * j["w"])
+                .groupby("k", as_index=False)["s"].sum())
 
     df = hash_join(left, right, key="k", left_cols=["k", "v"],
                    right_cols=["w"], post=agg).to_pandas()
     got = dict(zip(df.k, df.s))
     assert got == {1: 60.0, 2: 20.0}
+
+
+def test_hopping_window_membership(ray_session):
+    # one event at 00:07:30 -> windows starting 00:00 and 00:05 (600/300)
+    from vframe_ray.stages.sessionize import hopping_window
+    t = pa.table({"ts": pa.array([pd.Timestamp("2024-01-01 00:07:30")],
+                                 pa.timestamp("us")),
+                  "event_type": ["click"],
+                  "value": pa.array([2.0])})
+    df = hopping_window(ray.data.from_arrow(t), length_s=600, hop_s=300) \
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    assert list(df["window_start"].astype(str)) == [
+        "2024-01-01 00:00:00", "2024-01-01 00:05:00"]
+    assert list(df["n_events"]) == [1, 1]
+    assert list(df["sum_value"]) == [2.0, 2.0]
+
+
+def test_binned_quantiles_known_values(ray_session):
+    from vframe_ray.stages.stats import binned_quantiles
+    # values 1..100 for one key -> p50 = 50.0, p90 = 90.0, p99 = 99.0
+    t = pa.table({"event_type": ["a"] * 100,
+                  "value": pa.array([float(i) for i in range(1, 101)])})
+    df = binned_quantiles(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("q").reset_index(drop=True)
+    assert list(df["q"]) == [0.5, 0.9, 0.99]
+    assert list(df["quantile"]) == pytest.approx([50.0, 90.0, 99.0])
+    # partition-independent: same result on a repartitioned input
+    df2 = binned_quantiles(ray.data.from_arrow(t).repartition(7)) \
+        .to_pandas().sort_values("q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df2)

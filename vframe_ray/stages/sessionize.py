@@ -136,3 +136,49 @@ def tumbling_window(ds, *, ts_col: str = "ts", key_col: str = "event_type"):
                            zero_copy_batch=True)
             .map_batches(_str_bucket(key_col, nb), batch_format="pyarrow")
             .groupby("__b").map_groups(combine, batch_format="pandas"))
+
+
+def hopping_window(ds, *, length_s: int = 600, hop_s: int = 300,
+                   ts_col: str = "ts", key_col: str = "event_type"):
+    """Sliding/hopping windows: every event lands in the
+    ``length_s / hop_s`` windows covering it (window starts on hop
+    boundaries).  Expansion is a vectorized np.repeat inside
+    ``map_batches`` — rows × (length/hop) — then the same bucketed
+    two-phase combine as :func:`tumbling_window`.
+
+    Output: (key, window_start, n_events, sum_value).
+    """
+    if length_s % hop_s:
+        raise ValueError("length_s must be a multiple of hop_s")
+    import pyarrow.compute as pc
+    nwin = length_s // hop_s
+    nb = num_hash_buckets()
+
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        sec = ts.astype("datetime64[s]").astype(np.int64)
+        base = (sec // hop_s) * hop_s            # newest window covering t
+        idx = np.repeat(np.arange(len(ts)), nwin)
+        offs = np.tile(np.arange(nwin, dtype=np.int64) * hop_s, len(ts))
+        starts = base[idx] - offs
+        t = pa.table({
+            key_col: batch[key_col].take(pa.array(idx)),
+            "window_start": pa.array(
+                starts.astype("datetime64[s]").astype("datetime64[us]")),
+            "value": batch["value"].take(pa.array(idx)),
+        })
+        g = t.group_by([key_col, "window_start"]).aggregate([
+            ("value", "count"), ("value", "sum")])
+        return g.rename_columns([key_col, "window_start",
+                                 "n_partial", "sum_partial"])
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby([key_col, "window_start"], sort=False,
+                       as_index=False).agg(
+            n_events=("n_partial", "sum"), sum_value=("sum_partial", "sum"))
+        return _arrow(gb)
+
+    return (ds.map_batches(expand_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(_str_bucket(key_col, nb), batch_format="pyarrow")
+            .groupby("__b").map_groups(combine, batch_format="pandas"))

@@ -129,3 +129,56 @@ def corpus_stats(tokenized_ds) -> dict:
     n, tl = int(agg["n_docs"] or 0), int(agg["total_len"] or 0)
     return {"n_docs": n, "total_len": tl,
             "avgdl": (tl / n) if n else 0.0}
+
+
+def binned_quantiles(ds, *, key_col: str = "event_type",
+                     value_col: str = "value",
+                     qs: tuple = (0.5, 0.9, 0.99),
+                     bin_width: float = 0.01):
+    """Distributed quantiles via fixed-width bins — the deterministic
+    alternative to sampling sketches: per-(key, bin) counts (Arrow C
+    partial per block, bucketed pandas combine), then quantile(q) = the
+    lower edge of the first bin whose cumulative count reaches
+    ceil(q*n).  Exact to ``bin_width``, independent of row order and
+    partitioning, and recomputable bit-exactly in SQL (floor/ceil
+    double arithmetic only — no RNG, no interpolation).
+
+    Output: (key, q, quantile), one row per key x q.
+    """
+    import math
+    from ..runtime import num_hash_buckets
+    nb = num_hash_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = np.floor(v / bin_width).astype(np.int64)
+        tt = pa.table({key_col: t[key_col], "bin": pa.array(b)})
+        g = tt.group_by([key_col, "bin"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "bin", "n_partial"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t[key_col].to_pandas()
+                               .to_numpy(dtype=object))
+        return t.append_column("__b",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for k, sub in g.groupby(key_col, sort=True):
+            sub = (sub.groupby("bin", as_index=False)["n_partial"].sum()
+                   .sort_values("bin"))
+            cum = sub["n_partial"].cumsum().to_numpy()
+            bins = sub["bin"].to_numpy()
+            n = int(cum[-1])
+            for q in qs:
+                i = int(np.searchsorted(cum, math.ceil(q * n)))
+                rows.append((k, float(q), float(bins[i] * bin_width)))
+        return pa.table({key_col: pa.array([r[0] for r in rows]),
+                         "q": pa.array([r[1] for r in rows], pa.float64()),
+                         "quantile": pa.array([r[2] for r in rows],
+                                              pa.float64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(combine, batch_format="pandas"))
