@@ -797,6 +797,15 @@ def _q_bm25_extend(sf_dir: str):
     return bm25_documents_extended(sf_dir)
 
 
+def _q_bm25_collapsed(sf_dir: str):
+    """Field collapsing (best-turn-per-conversation top-k): exact with
+    per-segment collapse + ordinary merge because the build partitions
+    by hash(conv_id) — conversations never span segments.  Oracle = the
+    conversation BM25 CTEs + a per-(query, conv) row_number collapse."""
+    from vframe_ray.pipelines.flagship import bm25_conversations_collapsed
+    return bm25_conversations_collapsed(sf_dir)
+
+
 def _q_transcripts_bm25(sf_dir: str):
     """Multi-turn BM25: documents lifted to conversations (conv_id =
     source, turn_idx = rank within source), indexed with the ``lang``
@@ -936,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling,
         "hopping_window": _q_hopping,
         "value_quantiles": _q_value_quantiles,
+        "bm25_collapsed": _q_bm25_collapsed,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1201,6 +1211,24 @@ WITH b AS (SELECT event_type, floor(value / 0.01)::BIGINT AS bin,
 SELECT event_type, q, qbin * (0.01::DOUBLE) AS quantile FROM sel
 ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
+        "bm25_collapsed": f"""{_bm25_scores_prefix()},
+ cm AS (SELECT doc_id, source,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id) - 1)::INT AS turn_idx
+        FROM documents),
+ best AS (SELECT s.query_id, s.score, cm.source, cm.turn_idx,
+                 row_number() OVER (PARTITION BY s.query_id, cm.source
+                                    ORDER BY s.score DESC, cm.turn_idx)
+                   AS rn
+          FROM scores s JOIN cm ON cm.doc_id = s.doc_id),
+ ranked AS (SELECT query_id, source, turn_idx, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, source) AS rank
+            FROM best WHERE rn = 1)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.source AS conv_id, r.turn_idx, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k ORDER BY query_id, rank""",
         "transcripts_bm25": _bm25_conv_sql(),
         "transcripts_bm25_filtered": _bm25_conv_sql(
             "WHERE cm.lang IN ('en', 'de')"),

@@ -616,7 +616,8 @@ class SegmentSearcher:
     def search(self, queries: list[tuple[int, list[str], int]],
                use_bmw: bool = True,
                predicates: list[str] | None = None,
-               prefer_taat: bool = False) -> pa.Table:
+               prefer_taat: bool = False,
+               collapse: bool = False) -> pa.Table:
         """queries: [(query_id, sorted_terms, k)] -> result rows table.
 
         Postings for the UNION of all query terms are read once per call
@@ -632,6 +633,14 @@ class SegmentSearcher:
         10.7 ms WAND vs 0.15 ms sparse at 3.7k candidates, warm).
         ``predicates`` are ``attr op value`` strings ANDed over docmap
         attribute columns.
+
+        ``collapse=True`` returns top-k CONVERSATIONS per query, each
+        represented by its best-scoring turn (ties: smallest turn_idx) —
+        field collapsing.  EXACT with no over-fetch because the build
+        partitions by ``hash(conv_id)``: every turn of a conversation
+        lives in THIS segment, so the per-segment per-conversation max
+        is the global one.  All candidates are scored (k_eff = n_cand)
+        before the vectorized collapse.
         """
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
@@ -648,18 +657,25 @@ class SegmentSearcher:
             n_cand = sum(postings[t].n_docs for t in terms_in)
             if n_cand == 0:
                 continue
+            # collapse needs every candidate scored (the per-conv max may
+            # hide below the top-k turns); BMW's pruning is pointless at
+            # k_eff = n_cand, so collapse always takes a TAAT path
+            k_eff = n_cand if collapse else k
             if n_cand <= self.SPARSE_MAX and (
-                    prefer_taat or not use_bmw
+                    collapse or prefer_taat or not use_bmw
                     or self.r.n_docs < self.BMW_MIN_DOCS):
-                hits = self.score_sparse(terms, k, postings=postings,
+                hits = self.score_sparse(terms, k_eff, postings=postings,
                                          doc_mask=doc_mask)
-            elif use_bmw and n_cand <= self.BMW_MAX_CANDIDATES \
+            elif not collapse and use_bmw \
+                    and n_cand <= self.BMW_MAX_CANDIDATES \
                     and self.r.n_docs >= self.BMW_MIN_DOCS:
-                hits = self.score_bmw(terms, k, postings=postings,
+                hits = self.score_bmw(terms, k_eff, postings=postings,
                                       doc_mask=doc_mask)
             else:
-                hits = self.score_full(terms, k, postings=postings,
+                hits = self.score_full(terms, k_eff, postings=postings,
                                        doc_mask=doc_mask)
+            if collapse and hits:
+                hits = _collapse_hits_impl(self, hits, k)
             for s, d in hits:
                 qid_out.append(qid)
                 doc_out.append(d)
@@ -672,6 +688,24 @@ class SegmentSearcher:
             "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
             "score": pa.array(score_out, pa.float64()),
         })
+
+
+def _collapse_hits_impl(searcher, hits, k):
+    """Per-conversation best turn, then top-k conversations — vectorized
+    over this segment's scored candidates."""
+    import pandas as pd
+    docs = np.array([d for _, d in hits], dtype=np.int64)
+    scores = np.array([s for s, _ in hits], dtype=np.float64)
+    idx = pa.array(docs)
+    df = pd.DataFrame({
+        "conv": searcher.r.conv_id.take(idx).to_pandas(),
+        "turn": searcher.r.turn_idx.take(idx).to_numpy(
+            zero_copy_only=False),
+        "score": scores, "doc": docs})
+    df = df.sort_values(["score", "conv", "turn"],
+                        ascending=[False, True, True])
+    df = df.drop_duplicates("conv", keep="first").head(k)
+    return list(zip(df["score"].to_numpy(), df["doc"].to_numpy()))
 
 
 _RESULT_SCHEMA = pa.schema([
@@ -718,7 +752,8 @@ class _SearcherStage:
 
     def __init__(self, queries_ref, bm25_dict: dict, n_docs: int,
                  avgdl: float, gdf_ref, use_bmw: bool, block_size: int,
-                 predicates: list[str] | None = None):
+                 predicates: list[str] | None = None,
+                 collapse: bool = False):
         self.queries = ray.get(queries_ref)
         self.gdf = ray.get(gdf_ref)
         self.bm25 = BM25Config(**bm25_dict)
@@ -727,6 +762,7 @@ class _SearcherStage:
         self.use_bmw = use_bmw
         self.block_size = block_size
         self.predicates = predicates
+        self.collapse = collapse
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = []
@@ -734,7 +770,8 @@ class _SearcherStage:
             s = SegmentSearcher(seg_dir, self.bm25, self.n_docs, self.avgdl,
                                 self.gdf, block_size=self.block_size)
             tables.append(s.search(self.queries, use_bmw=self.use_bmw,
-                                   predicates=self.predicates))
+                                   predicates=self.predicates,
+                                   collapse=self.collapse))
         return pa.concat_tables(tables)
 
 
@@ -945,12 +982,20 @@ def search_index(index_dir: str, queries: list[dict],
                  cfg: EngineConfig | None = None, *,
                  use_bmw: bool = True, concurrency=(1, 8),
                  predicates: list[str] | None = None,
+                 collapse: bool = False,
                  driver_merge_max_rows: int = 1_000_000) -> pa.Table:
     """Distributed top-k search.
 
     queries: [{"query_id", "query_text", "k"}] →
     table (query_id, rank, conv_id, turn_idx, score) sorted by
     (query_id, rank); global order = (score desc, conv_id, turn_idx).
+
+    ``collapse=True`` = field collapsing: top-k CONVERSATIONS per query,
+    each represented by its single best turn (per-conv ties: smallest
+    turn_idx).  Exact with per-segment collapsed top-k and the ordinary
+    merge, because the build's ``hash(conv_id)`` partitioning puts every
+    turn of a conversation in one segment — conversations are disjoint
+    across segments, so no cross-segment re-collapse is needed.
     """
     from .build import load_index_meta
     cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
@@ -971,7 +1016,7 @@ def search_index(index_dir: str, queries: list[dict],
         queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
         use_bmw=use_bmw, block_size=cfg.index.block_size,
-        predicates=predicates)
+        predicates=predicates, collapse=collapse)
 
     seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
     ks = {qid: k for qid, _, k in parsed}

@@ -336,3 +336,19 @@ def search_snippets(sf_dir: str, query: dict | None = None) -> pa.Table:
 def entry_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
     """The driver smoke entry: build + query, return ranked hits."""
     return bm25_documents(sf_dir)
+
+
+def bm25_conversations_collapsed(sf_dir: str) -> pa.Table:
+    """Field collapsing: DOC_QUERIES over the conversation-shaped index,
+    top-k CONVERSATIONS per query, each represented by its best-scoring
+    turn (search_index(collapse=True) — exact under the build's
+    hash(conv_id) partitioning; see index/query.py)."""
+    index_dir = conversations_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES, collapse=True)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "conv_id": res["conv_id"],
+        "turn_idx": res["turn_idx"],
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
