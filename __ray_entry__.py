@@ -94,6 +94,72 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _bool_sql() -> str:
+    """Boolean retrieval oracle: q carries (query_id, term, role) with
+    roles m/s/n; a doc qualifies iff it holds every m-term, no n-term,
+    and ≥1 m-or-s term; score = the shared BM25 formula summed over the
+    present m∪s terms — the SQL mirror of SegmentSearcher.
+    search_boolean."""
+    from vframe_ray.pipelines.flagship import BOOL_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qrows, qks = [], []
+    for q in BOOL_QUERIES:
+        for role, field in (("m", "must"), ("s", "should"),
+                            ("n", "must_not")):
+            for t in sorted(set(tok.tokenize(q[field]))):
+                qrows.append(f"({q['query_id']}, '{t}', '{role}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term, role) AS (VALUES {', '.join(qrows)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ st AS (SELECT DISTINCT query_id, term FROM q WHERE role IN ('m', 's')),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM st) GROUP BY term),
+ nm AS (SELECT query_id, count(DISTINCT term) AS n FROM q
+        WHERE role = 'm' GROUP BY query_id),
+ mh AS (SELECT q.query_id, tf._id, count(DISTINCT q.term) AS c
+        FROM q JOIN tf ON tf.term = q.term
+        WHERE q.role = 'm' GROUP BY q.query_id, tf._id),
+ ex AS (SELECT DISTINCT q.query_id, tf._id FROM q
+        JOIN tf ON tf.term = q.term WHERE q.role = 'n'),
+ cand AS (SELECT DISTINCT s.query_id, tf._id FROM st s
+          JOIN tf ON tf.term = s.term),
+ ok AS (SELECT c.query_id, c._id FROM cand c
+        LEFT JOIN nm ON nm.query_id = c.query_id
+        LEFT JOIN mh ON mh.query_id = c.query_id AND mh._id = c._id
+        WHERE coalesce(nm.n, 0) = coalesce(mh.c, 0)
+          AND NOT EXISTS (SELECT 1 FROM ex
+                          WHERE ex.query_id = c.query_id
+                            AND ex._id = c._id)),
+ scores AS (
+   SELECT s.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM st s JOIN tf ON tf.term = s.term
+          JOIN df ON df.term = s.term
+          JOIN dl_all ON dl_all._id = tf._id
+          JOIN ok ON ok.query_id = s.query_id AND ok._id = tf._id, stats
+   GROUP BY s.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -797,6 +863,13 @@ def _q_bm25_extend(sf_dir: str):
     return bm25_documents_extended(sf_dir)
 
 
+def _q_bm25_boolean(sf_dir: str):
+    """Boolean retrieval (must/should/must_not) with BM25 scoring —
+    Lucene bool-query semantics on the distributed segment path."""
+    from vframe_ray.pipelines.flagship import bm25_boolean
+    return bm25_boolean(sf_dir)
+
+
 def _q_bm25_collapsed(sf_dir: str):
     """Field collapsing (best-turn-per-conversation top-k): exact with
     per-segment collapse + ordinary merge because the build partitions
@@ -946,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping,
         "value_quantiles": _q_value_quantiles,
         "bm25_collapsed": _q_bm25_collapsed,
+        "bm25_boolean": _q_bm25_boolean,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1211,6 +1285,7 @@ WITH b AS (SELECT event_type, floor(value / 0.01)::BIGINT AS bin,
 SELECT event_type, q, qbin * (0.01::DOUBLE) AS quantile FROM sel
 ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
+        "bm25_boolean": _bool_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -601,6 +601,90 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def search_boolean(self, queries: list[tuple],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Boolean (Lucene bool-query analog) search over this segment.
+
+        queries: [(query_id, must, should, must_not, k)] with each
+        clause a list of analyzed terms.  A doc matches iff it contains
+        EVERY ``must`` term, NO ``must_not`` term, and at least one
+        must-or-should term; its score is the ordinary BM25 sum over
+        the present must∪should terms — the same contribution
+        expression and ascending-term summation order as :meth:`search`,
+        so a boolean query with empty must/must_not scores identically
+        to the plain query (asserted in tests).  Distribution is sound
+        per segment: a must term absent from THIS segment means no doc
+        HERE can match (postings are segment-local), so the segment
+        contributes nothing — other segments are unaffected.
+
+        Reference analog: OR-composed skip-detections with ``--keep``
+        inversion (src/commands/pipe/skip-detections.py) — include/
+        exclude predicates gating which records flow on, here fused
+        with scoring.
+        """
+        all_terms = sorted(set().union(
+            *[set(m) | set(s) | set(n) for _, m, s, n, _k in queries])
+            ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        pred_mask = None
+        if predicates:
+            from ..sources.readers import compile_mask
+            pred_mask = compile_mask(predicates)(self.r.docs)
+        n = self.r.n_docs
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, must, should, must_not, k in queries:
+            must = sorted(set(must))
+            if must and any(t not in postings for t in must):
+                continue                 # a required term has no docs here
+            mask: np.ndarray | None = None
+            if must:
+                # intersect rarest-first: each step can only shrink
+                inter = None
+                for t in sorted(must, key=lambda t: postings[t].n_docs):
+                    docs, _ = self._decode_cached(t, postings[t])
+                    inter = docs if inter is None else \
+                        np.intersect1d(inter, docs, assume_unique=True)
+                    if inter.size == 0:
+                        break
+                if inter.size == 0:
+                    continue
+                mask = np.zeros(n, dtype=bool)
+                mask[inter] = True
+            for t in sorted(set(must_not)):
+                tp = postings.get(t)
+                if tp is None:
+                    continue
+                docs, _ = self._decode_cached(t, tp)
+                if mask is None:
+                    mask = np.ones(n, dtype=bool)
+                mask[docs] = False
+            if pred_mask is not None:
+                mask = pred_mask.copy() if mask is None else (mask & pred_mask)
+            score_terms = sorted(set(must) | set(should))
+            terms_in = [t for t in score_terms if t in postings]
+            if not terms_in:
+                continue
+            n_cand = sum(postings[t].n_docs for t in terms_in)
+            if n_cand <= self.SPARSE_MAX:
+                hits = self.score_sparse(score_terms, k, postings=postings,
+                                         doc_mask=mask)
+            else:
+                hits = self.score_full(score_terms, k, postings=postings,
+                                       doc_mask=mask)
+            for s, d in hits:
+                qid_out.append(qid)
+                doc_out.append(d)
+                score_out.append(s)
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     # Above ~this many candidate postings, the vectorized TAAT scorer
     # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
     # candidate sets dense; WAND's skipping pays off only when sparse).
@@ -1159,3 +1243,62 @@ def phrase_search_index(index_dir: str, phrases: list[dict],
     return out.sort_by([("query_id", "ascending"),
                         ("conv_id", "ascending"),
                         ("turn_idx", "ascending")])
+
+
+def search_boolean_index(index_dir: str, queries: list[dict],
+                         cfg: EngineConfig | None = None, *,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """Distributed boolean (must/should/must_not) top-k search.
+
+    queries: [{"query_id", "must", "should", "must_not", "k"}] with the
+    three clause fields free text run through the index analyzer →
+    table (query_id, rank, conv_id, turn_idx, score) like
+    :func:`search_index`.  Semantics per :meth:`SegmentSearcher.
+    search_boolean`: docs must contain every must term and no must_not
+    term; score = BM25 over the present must∪should terms.  The
+    scatter-gather is identical to plain search — per-segment top-k
+    candidates, one driver merge over ≤ k·S rows — and sound because a
+    doc's full posting state lives in exactly one segment.
+    """
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+
+    def _tok(s: str) -> list[str]:
+        return sorted(set(tok.tokenize(s or "")))
+
+    parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
+               _tok(q.get("should", "")), _tok(q.get("must_not", "")),
+               int(q.get("k", 10))) for q in queries]
+    score_terms = set().union(*[set(m) | set(s)
+                                for _, m, s, _n, _k in parsed]) \
+        if parsed else set()
+    gdf = _global_df_for_terms(index_dir, score_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.search_boolean(qs, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _m, _s, _n, k in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)

@@ -338,6 +338,40 @@ def entry_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
     return bm25_documents(sf_dir)
 
 
+# fixed boolean query set: must AND-gates, should adds score, must_not
+# excludes; includes the edge cases (absent must term -> 0 rows for
+# that query; should term fully cancelled by must_not -> 0 rows)
+BOOL_QUERIES = [
+    {"query_id": 0, "must": "spark", "should": "window merge",
+     "must_not": "", "k": 10},
+    {"query_id": 1, "must": "hash join", "should": "", "must_not": "",
+     "k": 10},
+    {"query_id": 2, "must": "", "should": "vector stream",
+     "must_not": "the", "k": 10},
+    {"query_id": 3, "must": "customer", "should": "big slow",
+     "must_not": "merge sort", "k": 10},
+    {"query_id": 4, "must": "zzzmissing spark", "should": "", "must_not": "",
+     "k": 10},
+    {"query_id": 5, "must": "", "should": "big", "must_not": "big", "k": 5},
+]
+
+
+def bm25_boolean(sf_dir: str) -> pa.Table:
+    """BOOL_QUERIES over the documents index: Lucene-style boolean
+    retrieval (must/should/must_not) with BM25 scoring over the
+    must∪should terms (index/query.search_boolean_index).  Result
+    (query_id, rank, doc_id, score_r) in the SQL-oracle shape."""
+    from ..index.query import search_boolean_index
+    index_dir = documents_index(sf_dir)
+    res = search_boolean_index(index_dir, BOOL_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_conversations_collapsed(sf_dir: str) -> pa.Table:
     """Field collapsing: DOC_QUERIES over the conversation-shaped index,
     top-k CONVERSATIONS per query, each represented by its best-scoring
