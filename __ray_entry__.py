@@ -160,6 +160,64 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _prefix_sql() -> str:
+    """Wildcard-query oracle: the per-query term set is DERIVED FROM THE
+    DATA — qpat patterns join the corpus vocabulary (prefix -> LIKE,
+    literal -> equality), mirroring the engine's expansion against the
+    global term dictionary (both are exactly the corpus vocabulary).
+    Scoring/ranking CTEs are then the plain BM25 oracle."""
+    from vframe_ray.pipelines.flagship import PREFIX_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    prows, qks = [], []
+    for q in PREFIX_QUERIES:
+        for raw in q["query_text"].split():
+            if raw.endswith("*"):
+                stem = tok.tokenize(raw[:-1])
+                for t in stem[:-1]:
+                    prows.append(f"({q['query_id']}, '{t}', 0)")
+                if stem:
+                    prows.append(f"({q['query_id']}, '{stem[-1]}', 1)")
+            else:
+                for t in tok.tokenize(raw):
+                    prows.append(f"({q['query_id']}, '{t}', 0)")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ qpat(query_id, pat, pref) AS (VALUES {', '.join(prows)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ vocab AS (SELECT DISTINCT term FROM tok),
+ q AS (SELECT DISTINCT p.query_id, v.term FROM qpat p JOIN vocab v
+       ON (p.pref = 1 AND v.term LIKE p.pat || '%')
+          OR (p.pref = 0 AND v.term = p.pat)),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -870,6 +928,13 @@ def _q_bm25_boolean(sf_dir: str):
     return bm25_boolean(sf_dir)
 
 
+def _q_bm25_prefix(sf_dir: str):
+    """Wildcard/prefix queries: '*'-suffixed tokens expand against the
+    global term dictionary, then score as plain multi-term BM25."""
+    from vframe_ray.pipelines.flagship import bm25_prefix
+    return bm25_prefix(sf_dir)
+
+
 def _q_bm25_collapsed(sf_dir: str):
     """Field collapsing (best-turn-per-conversation top-k): exact with
     per-segment collapse + ordinary merge because the build partitions
@@ -1020,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "bm25_collapsed": _q_bm25_collapsed,
         "bm25_boolean": _q_bm25_boolean,
+        "bm25_prefix": _q_bm25_prefix,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1286,6 +1352,7 @@ SELECT event_type, q, qbin * (0.01::DOUBLE) AS quantile FROM sel
 ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
         "bm25_boolean": _bool_sql(),
+        "bm25_prefix": _prefix_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -1245,6 +1245,78 @@ def phrase_search_index(index_dir: str, phrases: list[dict],
                         ("turn_idx", "ascending")])
 
 
+def expand_prefix_terms(index_dir: str, prefixes: list[str]
+                        ) -> dict[str, list[str]]:
+    """Expand prefixes against the GLOBAL term dictionary in one pruned
+    range read (OR-of-ranges DNF filter; ``global/terms`` is the
+    complete corpus vocabulary with df ≥ 1).  Expansion must be global,
+    not per-segment: every segment has to score the same expanded term
+    set with the same global df, or per-segment top-k merges would be
+    inconsistent.  The analyzer emits only ``[a-z0-9]+`` runs, so
+    ``prefix + '{'`` (chr after 'z') upper-bounds every continuation."""
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    if not files or not prefixes:
+        return out
+    filt = [[("term", ">=", p), ("term", "<", p + "{")]
+            for p in sorted(set(prefixes))]
+    t = pq.ParquetDataset(files, filters=filt).read(columns=["term"])
+    vocab = sorted(set(t["term"].to_pylist()))
+    for p in out:
+        out[p] = [v for v in vocab if v.startswith(p)]
+    return out
+
+
+def search_prefix_index(index_dir: str, queries: list[dict],
+                        cfg: EngineConfig | None = None, *,
+                        predicates: list[str] | None = None,
+                        collapse: bool = False) -> pa.Table:
+    """Wildcard/prefix search: query tokens ending in ``*`` expand
+    against the global term dictionary; the expanded term union then
+    scores exactly like a plain multi-term query (each expanded term
+    contributes its own idf — per-term-idf expansion semantics).
+
+    queries: [{"query_id", "query_text", "k"}] with e.g.
+    ``"sp* merge"`` → same result shape as :func:`search_index`, to
+    which this delegates after expansion (one tiny dictionary range
+    read; everything downstream — scoring paths, predicates, collapse,
+    merge — is the plain machinery)."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+
+    per_q: list[tuple[int, list[str], list[str], int]] = []
+    all_prefixes: set[str] = set()
+    for q in queries:
+        literals: list[str] = []
+        prefixes: list[str] = []
+        for raw in str(q.get("query_text", "")).split():
+            if raw.endswith("*"):
+                stem = tok.tokenize(raw[:-1])
+                if stem:                     # "foo-bar*": literal prefix
+                    literals += stem[:-1]    # on the last token only
+                    prefixes.append(stem[-1])
+            else:
+                literals += tok.tokenize(raw)
+        all_prefixes.update(prefixes)
+        per_q.append((int(q["query_id"]), literals, prefixes,
+                      int(q.get("k", 10))))
+
+    expansion = expand_prefix_terms(index_dir, sorted(all_prefixes))
+    plain = []
+    for qid, literals, prefixes, k in per_q:
+        terms = set(literals)
+        for p in prefixes:
+            terms.update(expansion[p])
+        plain.append({"query_id": qid, "query_text": " ".join(sorted(terms)),
+                      "k": k})
+    return search_index(index_dir, plain, cfg, predicates=predicates,
+                        collapse=collapse)
+
+
 def search_boolean_index(index_dir: str, queries: list[dict],
                          cfg: EngineConfig | None = None, *,
                          predicates: list[str] | None = None) -> pa.Table:

@@ -356,6 +356,33 @@ BOOL_QUERIES = [
 ]
 
 
+# fixed wildcard/prefix query set ('s*' expands to 6 corpus terms;
+# 'zzz*' expands to nothing -> 0 rows for that query)
+PREFIX_QUERIES = [
+    {"query_id": 0, "query_text": "s*", "k": 10},
+    {"query_id": 1, "query_text": "c*", "k": 10},
+    {"query_id": 2, "query_text": "jo* hash", "k": 10},
+    {"query_id": 3, "query_text": "qu*", "k": 5},
+    {"query_id": 4, "query_text": "zzz*", "k": 10},
+]
+
+
+def bm25_prefix(sf_dir: str) -> pa.Table:
+    """PREFIX_QUERIES over the documents index: wildcard terms expand
+    against the global dictionary, then score as a plain multi-term
+    query (index/query.search_prefix_index).  Result
+    (query_id, rank, doc_id, score_r)."""
+    from ..index.query import search_prefix_index
+    index_dir = documents_index(sf_dir)
+    res = search_prefix_index(index_dir, PREFIX_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
