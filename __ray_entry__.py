@@ -218,6 +218,26 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _facets_sql() -> str:
+    """Faceted-search oracle: a doc matches a query iff it holds ≥1 of
+    the query's terms; count matching docs per lang — the SQL mirror of
+    SegmentSearcher.facet_counts summed over segments."""
+    tok = Tokenizer()
+    qterms = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ hit AS (SELECT DISTINCT q.query_id, tok._id
+         FROM q JOIN tok ON tok.term = q.term)
+SELECT h.query_id::INT AS query_id, d.lang AS facet,
+       count(*)::BIGINT AS n
+FROM hit h JOIN documents d ON d.doc_id = h._id
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -935,6 +955,13 @@ def _q_bm25_prefix(sf_dir: str):
     return bm25_prefix(sf_dir)
 
 
+def _q_search_facets(sf_dir: str):
+    """Faceted search: per-query lang-facet counts over the full match
+    set (any query term present), summed from per-segment partials."""
+    from vframe_ray.pipelines.flagship import search_facets
+    return search_facets(sf_dir)
+
+
 def _q_bm25_collapsed(sf_dir: str):
     """Field collapsing (best-turn-per-conversation top-k): exact with
     per-segment collapse + ordinary merge because the build partitions
@@ -1086,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapsed": _q_bm25_collapsed,
         "bm25_boolean": _q_bm25_boolean,
         "bm25_prefix": _q_bm25_prefix,
+        "search_facets": _q_search_facets,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1353,6 +1381,7 @@ ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
         "bm25_boolean": _bool_sql(),
         "bm25_prefix": _prefix_sql(),
+        "search_facets": _facets_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -685,6 +685,50 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def facet_counts(self, queries: list[tuple[int, list[str]]],
+                     facet_col: str,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Per-query facet counts over the FULL match set (not top-k) —
+        the search-aggregation analog (reference: summarize-json's
+        grouped counts over matching records, summarize.py).
+
+        queries: [(query_id, terms)] → rows (query_id, facet, n) where a
+        doc matches iff it contains ≥1 query term; n counts matching
+        docs per distinct ``facet_col`` docmap value in this segment.
+        Segment partials sum exactly because docs are disjoint across
+        segments."""
+        all_terms = sorted(set().union(*[set(t) for _, t in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        pred_mask = None
+        if predicates:
+            from ..sources.readers import compile_mask
+            pred_mask = compile_mask(predicates)(self.r.docs)
+        attr = self.r.docs[facet_col]
+        tables = []
+        for qid, terms in queries:
+            present = [t for t in terms if t in postings]
+            if not present:
+                continue
+            docs = np.unique(np.concatenate(
+                [self._decode_cached(t, postings[t])[0] for t in present]))
+            if pred_mask is not None:
+                docs = docs[pred_mask[docs]]
+            if docs.size == 0:
+                continue
+            vc = pc.value_counts(attr.take(pa.array(docs)))
+            nv = len(vc)
+            tables.append(pa.table({
+                "query_id": pa.array([qid] * nv, pa.int32()),
+                "facet": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
     # Above ~this many candidate postings, the vectorized TAAT scorer
     # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
     # candidate sets dense; WAND's skipping pays off only when sparse).
@@ -1315,6 +1359,52 @@ def search_prefix_index(index_dir: str, queries: list[dict],
                       "k": k})
     return search_index(index_dir, plain, cfg, predicates=predicates,
                         collapse=collapse)
+
+
+def facet_counts_index(index_dir: str, queries: list[dict],
+                       facet_col: str,
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Distributed faceted search: per-segment match-set facet partials
+    (≤ queries × facet-cardinality rows per segment, already reduced),
+    summed in one tiny driver groupby — the maximally pre-aggregated
+    combiner shape, no shuffle.
+
+    queries: [{"query_id", "query_text"}] →
+    table (query_id, facet, n) sorted by (query_id, facet)."""
+    from .build import load_index_meta
+    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    parsed_ref = ray.put(parsed)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
+                                {}, block_size=block_size)
+            tables.append(s.facet_counts(qs, facet_col,
+                                         predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
+                               batch_size=seg_batch).to_pandas()
+    schema = pa.schema([("query_id", pa.int32()), ("facet", pa.string()),
+                        ("n", pa.int64())])
+    if parts.empty:
+        return pa.table({f.name: [] for f in schema}, schema=schema)
+    out = parts.groupby(["query_id", "facet"], as_index=False)["n"].sum() \
+        .sort_values(["query_id", "facet"])
+    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
 
 def search_boolean_index(index_dir: str, queries: list[dict],

@@ -383,6 +383,16 @@ def bm25_prefix(sf_dir: str) -> pa.Table:
     })
 
 
+def search_facets(sf_dir: str) -> pa.Table:
+    """Faceted search over the conversation-shaped index: for each
+    DOC_QUERY, counts of MATCHING turns (≥1 query term present) per
+    ``lang`` docmap attribute — the search-aggregation analog
+    (index/query.facet_counts_index).  Result (query_id, facet, n)."""
+    from ..index.query import facet_counts_index
+    index_dir = conversations_index(sf_dir)
+    return facet_counts_index(index_dir, DOC_QUERIES, "lang")
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
