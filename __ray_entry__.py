@@ -238,6 +238,57 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def _mlt_sql() -> str:
+    """More-like-this oracle: per-seed term selection (tf-in-seed ×
+    corpus idf, row_number ≤ MLT_MAX_TERMS with term-asc tie-break)
+    derives the q table FROM THE DATA; scoring is the plain BM25 chain
+    with the seed doc excluded from the ranking."""
+    from vframe_ray.pipelines.flagship import (MLT_K, MLT_MAX_TERMS,
+                                               MLT_SEED_IDS)
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    seedq = ", ".join(f"({i}, {d})" for i, d in enumerate(MLT_SEED_IDS))
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ seedq(query_id, seed_id) AS (VALUES {seedq}),
+ seedtf AS (SELECT _id, term, count(*) AS tf FROM tok
+            WHERE _id IN (SELECT seed_id FROM seedq) GROUP BY _id, term),
+ df_all AS (SELECT term, count(DISTINCT _id) AS df FROM tok GROUP BY term),
+ sel AS (SELECT sq.query_id, st.term,
+                row_number() OVER (
+                  PARTITION BY sq.query_id
+                  ORDER BY st.tf * ln(1 + (stats.n - da.df + 0.5)
+                                          / (da.df + 0.5)) DESC,
+                           st.term) AS rn
+         FROM seedq sq JOIN seedtf st ON st._id = sq.seed_id
+              JOIN df_all da ON da.term = st.term, stats),
+ q AS (SELECT query_id, term FROM sel WHERE rn <= {MLT_MAX_TERMS}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - da.df + 0.5) / (da.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df_all da ON da.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id
+                                     ) AS rank
+            FROM scores s JOIN seedq sq ON sq.query_id = s.query_id
+            WHERE s.doc_id <> sq.seed_id)
+SELECT query_id::INT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank <= {MLT_K}
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -955,6 +1006,13 @@ def _q_bm25_prefix(sf_dir: str):
     return bm25_prefix(sf_dir)
 
 
+def _q_more_like_this(sf_dir: str):
+    """More-like-this: seed docs reduced to their most informative terms
+    (tf x idf), searched as plain BM25 with the seed excluded."""
+    from vframe_ray.pipelines.flagship import more_like_this
+    return more_like_this(sf_dir)
+
+
 def _q_search_facets(sf_dir: str):
     """Faceted search: per-query lang-facet counts over the full match
     set (any query term present), summed from per-segment partials."""
@@ -1114,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean": _q_bm25_boolean,
         "bm25_prefix": _q_bm25_prefix,
         "search_facets": _q_search_facets,
+        "more_like_this": _q_more_like_this,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1382,6 +1441,7 @@ ORDER BY event_type, q""",
         "bm25_boolean": _bool_sql(),
         "bm25_prefix": _prefix_sql(),
         "search_facets": _facets_sql(),
+        "more_like_this": _mlt_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

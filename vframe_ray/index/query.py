@@ -1407,6 +1407,63 @@ def facet_counts_index(index_dir: str, queries: list[dict],
     return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
 
+def more_like_this_index(index_dir: str, seeds: list[dict],
+                         cfg: EngineConfig | None = None, *,
+                         max_query_terms: int = 10,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """More-like-this: for each seed TEXT, select its most informative
+    terms (tf-in-seed × global idf, ties by term asc), then run a plain
+    BM25 search with them — the Elasticsearch MLT shape.
+
+    seeds: [{"query_id", "text", "k", "exclude"?}] where ``exclude`` is
+    an optional (conv_id, turn_idx) identity to drop from the result
+    (the seed doc itself, which otherwise ranks first).  Exclusion
+    over-fetches k+1 per query then trims, so the returned top-k is
+    exact.  Term selection reads only the seed terms' dictionary rows
+    (one pruned lookup), never the corpus."""
+    from .build import load_index_meta
+    cfg_dict, stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    n_docs = stats["n_docs"]
+
+    seed_tfs: list[tuple[int, dict[str, int], int]] = []
+    all_terms: set[str] = set()
+    for s in seeds:
+        toks = tok.tokenize(str(s.get("text", "")))
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        all_terms.update(tf)
+        seed_tfs.append((int(s["query_id"]), tf, int(s.get("k", 10))))
+    gdf = _global_df_for_terms(index_dir, all_terms)
+
+    plain = []
+    for (qid, tf, k), s in zip(seed_tfs, seeds):
+        scored = [(-tf[t] * idf(n_docs, gdf[t]), t)
+                  for t in tf if t in gdf]
+        scored.sort()                       # weight desc, term asc
+        chosen = sorted(t for _, t in scored[:max_query_terms])
+        plain.append({"query_id": qid, "query_text": " ".join(chosen),
+                      "k": k + (1 if s.get("exclude") else 0)})
+    res = search_index(index_dir, plain, cfg, predicates=predicates)
+
+    drop = {int(s["query_id"]): tuple(s["exclude"])
+            for s in seeds if s.get("exclude")}
+    if not drop or res.num_rows == 0:
+        return res
+    df = res.to_pandas()
+    excl = df.apply(lambda r: drop.get(r["query_id"]) ==
+                    (r["conv_id"], r["turn_idx"]), axis=1)
+    df = df[~excl]
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() \
+        .astype("int32") + 1
+    ks = {int(s["query_id"]): int(s.get("k", 10)) for s in seeds}
+    df = df[df["rank"] <= df["query_id"].map(ks)]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False).cast(_RESULT_SCHEMA)
+
+
 def search_boolean_index(index_dir: str, queries: list[dict],
                          cfg: EngineConfig | None = None, *,
                          predicates: list[str] | None = None) -> pa.Table:

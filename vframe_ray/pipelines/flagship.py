@@ -393,6 +393,39 @@ def search_facets(sf_dir: str) -> pa.Table:
     return facet_counts_index(index_dir, DOC_QUERIES, "lang")
 
 
+# fixed more-like-this seed docs (doc_ids present at every sf)
+MLT_SEED_IDS = [0, 101, 202]
+MLT_MAX_TERMS = 6
+MLT_K = 10
+
+
+def more_like_this(sf_dir: str) -> pa.Table:
+    """MLT over the documents index: each seed doc's text is reduced to
+    its MLT_MAX_TERMS most informative terms (tf × global idf, ties by
+    term), searched as plain BM25, the seed itself excluded
+    (index/query.more_like_this_index).  Result
+    (query_id, rank, doc_id, score_r)."""
+    import pyarrow.parquet as pq
+    from ..index.query import more_like_this_index
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", MLT_SEED_IDS)])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    index_dir = documents_index(sf_dir)
+    seeds = [{"query_id": i, "text": texts[d], "k": MLT_K,
+              "exclude": (f"{d:010d}", 0)}
+             for i, d in enumerate(MLT_SEED_IDS)]
+    res = more_like_this_index(index_dir, seeds,
+                               max_query_terms=MLT_MAX_TERMS)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
