@@ -1,0 +1,55 @@
+"""QueryService parity with the one-shot functions for the round-3
+retrieval surface (boolean / prefix / collapse / facets / MLT)."""
+
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.index.build import build_index
+from vframe_ray.index.query import (QueryService, facet_counts_index,
+                                    more_like_this_index,
+                                    search_boolean_index, search_index,
+                                    search_prefix_index)
+
+ROWS = [
+    {"conv_id": "c0", "turn_idx": 0, "text": "apple banana rare", "lang": "en"},
+    {"conv_id": "c0", "turn_idx": 1, "text": "apple apricot", "lang": "en"},
+    {"conv_id": "c1", "turn_idx": 0, "text": "banana berry apple", "lang": "de"},
+    {"conv_id": "c2", "turn_idx": 0, "text": "apricot cherry rare", "lang": "en"},
+    {"conv_id": "c3", "turn_idx": 0, "text": "banana cherry", "lang": "fr"},
+    {"conv_id": "c4", "turn_idx": 0, "text": "apple rare rare", "lang": "de"},
+]
+
+
+def test_service_parity_new_ops(ray_session, tmp_path):
+    idx = str(tmp_path / "svc_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    svc = QueryService(idx, n_actors=2)
+    try:
+        bq = [{"query_id": 0, "must": "apple", "should": "banana",
+               "must_not": "cherry", "k": 10},
+              {"query_id": 1, "must": "", "should": "rare berry",
+               "must_not": "apricot", "k": 10}]
+        assert svc.search_boolean(bq).to_pylist() == \
+            search_boolean_index(idx, bq).to_pylist()
+
+        pq_ = [{"query_id": 0, "query_text": "ap* cherry", "k": 10},
+               {"query_id": 1, "query_text": "b*", "k": 10}]
+        assert svc.search_prefix(pq_).to_pylist() == \
+            search_prefix_index(idx, pq_).to_pylist()
+
+        cq = [{"query_id": 0, "query_text": "apple rare", "k": 3}]
+        assert svc.search(cq, collapse=True).to_pylist() == \
+            search_index(idx, cq, collapse=True).to_pylist()
+
+        fq = [{"query_id": 0, "query_text": "apple"},
+              {"query_id": 1, "query_text": "cherry rare"}]
+        assert svc.facet_counts(fq, "lang").to_pylist() == \
+            facet_counts_index(idx, fq, "lang").to_pylist()
+
+        mq = [{"query_id": 0, "text": "apple rare rare banana", "k": 3,
+               "exclude": ("c4", 0)}]
+        assert svc.more_like_this(mq, max_query_terms=2).to_pylist() == \
+            more_like_this_index(idx, mq, max_query_terms=2).to_pylist()
+    finally:
+        svc.shutdown()

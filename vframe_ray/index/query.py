@@ -943,18 +943,48 @@ class _ShardSearcher:
 
     def search(self, parsed: list[tuple[int, list[str], int]],
                idf_map: dict[str, float], use_bmw: bool = True,
-               predicates: list[str] | None = None):
+               predicates: list[str] | None = None,
+               collapse: bool = False):
         if not self.searchers:
             return self._EMPTY
         rows = []
         for s in self.searchers:
             s.idf = idf_map
             rows.append(s.search(parsed, use_bmw=use_bmw,
-                                 predicates=predicates, prefer_taat=True))
+                                 predicates=predicates, prefer_taat=True,
+                                 collapse=collapse))
         out = pa.concat_tables(rows)
         if len(rows) > 1:
+            # valid under collapse too: conversations are disjoint across
+            # segments (hash(conv_id) build partitioning), so per-segment
+            # collapsed rows never share a conv_id
             out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
         return out
+
+    def search_boolean(self, parsed: list[tuple], idf_map: dict[str, float],
+                       predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_boolean(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(
+                out, {qid: k for qid, _m, _s, _n, k in parsed})
+        return out
+
+    def facet_counts(self, parsed: list[tuple[int, list[str]]],
+                     facet_col: str,
+                     predicates: list[str] | None = None):
+        tables = [s.facet_counts(parsed, facet_col, predicates=predicates)
+                  for s in self.searchers]
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
 
     def search_phrases(self, parsed: list[tuple[int, list[str]]],
                        predicates: list[str] | None = None):
@@ -1027,7 +1057,8 @@ class QueryService:
                 if (v := self._df_cache.get(t)) is not None}
 
     def search(self, queries: list[dict], use_bmw: bool = True,
-               predicates: list[str] | None = None) -> pa.Table:
+               predicates: list[str] | None = None,
+               collapse: bool = False) -> pa.Table:
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))),
                    int(q.get("k", 10))) for q in queries]
@@ -1035,12 +1066,80 @@ class QueryService:
             else set()
         gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search.remote(parsed, idf_map, use_bmw, predicates)
+        futs = [a.search.remote(parsed, idf_map, use_bmw, predicates,
+                                collapse)
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
+
+    def search_boolean(self, queries: list[dict],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Served boolean retrieval — same contract as
+        :func:`search_boolean_index`, on the resident shards."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+
+        def _tok(s: str) -> list[str]:
+            return sorted(set(self.tok.tokenize(s or "")))
+
+        parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
+                   _tok(q.get("should", "")), _tok(q.get("must_not", "")),
+                   int(q.get("k", 10))) for q in queries]
+        terms = set().union(*[set(m) | set(s)
+                              for _, m, s, _n, _k in parsed]) \
+            if parsed else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_boolean.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(
+            df, {qid: k for qid, _m, _s, _n, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_prefix(self, queries: list[dict],
+                      predicates: list[str] | None = None,
+                      collapse: bool = False) -> pa.Table:
+        """Served wildcard/prefix search — expansion against the global
+        dictionary (one small range read per call), then :meth:`search`."""
+        per_q, all_prefixes = _parse_wildcard_queries(self.tok, queries)
+        plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
+        return self.search(plain, predicates=predicates, collapse=collapse)
+
+    def facet_counts(self, queries: list[dict], facet_col: str,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served faceted search — per-shard partials summed on the
+        driver; same contract as :func:`facet_counts_index`."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))))
+                  for q in queries]
+        futs = [a.facet_counts.remote(parsed, facet_col, predicates)
+                for a in self.actors]
+        parts = pa.concat_tables(ray.get(futs)).to_pandas()
+        schema = pa.schema([("query_id", pa.int32()),
+                            ("facet", pa.string()), ("n", pa.int64())])
+        if parts.empty:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        out = parts.groupby(["query_id", "facet"], as_index=False)["n"] \
+            .sum().sort_values(["query_id", "facet"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def more_like_this(self, seeds: list[dict], *,
+                       max_query_terms: int = 10,
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Served MLT — term selection reuses the service df cache, then
+        :meth:`search` with seed exclusion (k+1 over-fetch + trim)."""
+        seed_tfs, all_terms = _mlt_seed_tfs(self.tok, seeds)
+        gdf = self._gdf_cached(all_terms)
+        plain = _mlt_plain_queries(seed_tfs, seeds, gdf,
+                                   self.stats["n_docs"], max_query_terms)
+        res = self.search(plain, predicates=predicates)
+        return _mlt_trim_excluded(res, seeds)
 
     def search_ranked_phrases(self, phrases: list[dict],
                               predicates: list[str] | None = None
@@ -1313,6 +1412,41 @@ def expand_prefix_terms(index_dir: str, prefixes: list[str]
     return out
 
 
+def _parse_wildcard_queries(tok: Tokenizer, queries: list[dict]
+                            ) -> tuple[list[tuple], set[str]]:
+    """Split each query into literal terms and '*'-suffixed prefixes."""
+    per_q: list[tuple[int, list[str], list[str], int]] = []
+    all_prefixes: set[str] = set()
+    for q in queries:
+        literals: list[str] = []
+        prefixes: list[str] = []
+        for raw in str(q.get("query_text", "")).split():
+            if raw.endswith("*"):
+                stem = tok.tokenize(raw[:-1])
+                if stem:                     # "foo-bar*": prefix applies
+                    literals += stem[:-1]    # to the last token only
+                    prefixes.append(stem[-1])
+            else:
+                literals += tok.tokenize(raw)
+        all_prefixes.update(prefixes)
+        per_q.append((int(q["query_id"]), literals, prefixes,
+                      int(q.get("k", 10))))
+    return per_q, all_prefixes
+
+
+def _expand_wildcards(index_dir: str, per_q: list[tuple],
+                      all_prefixes: set[str]) -> list[dict]:
+    expansion = expand_prefix_terms(index_dir, sorted(all_prefixes))
+    plain = []
+    for qid, literals, prefixes, k in per_q:
+        terms = set(literals)
+        for p in prefixes:
+            terms.update(expansion[p])
+        plain.append({"query_id": qid, "query_text": " ".join(sorted(terms)),
+                      "k": k})
+    return plain
+
+
 def search_prefix_index(index_dir: str, queries: list[dict],
                         cfg: EngineConfig | None = None, *,
                         predicates: list[str] | None = None,
@@ -1331,32 +1465,8 @@ def search_prefix_index(index_dir: str, queries: list[dict],
     cfg_dict, _stats, _segs = load_index_meta(index_dir)
     eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
     tok = Tokenizer(eff.analyzer)
-
-    per_q: list[tuple[int, list[str], list[str], int]] = []
-    all_prefixes: set[str] = set()
-    for q in queries:
-        literals: list[str] = []
-        prefixes: list[str] = []
-        for raw in str(q.get("query_text", "")).split():
-            if raw.endswith("*"):
-                stem = tok.tokenize(raw[:-1])
-                if stem:                     # "foo-bar*": literal prefix
-                    literals += stem[:-1]    # on the last token only
-                    prefixes.append(stem[-1])
-            else:
-                literals += tok.tokenize(raw)
-        all_prefixes.update(prefixes)
-        per_q.append((int(q["query_id"]), literals, prefixes,
-                      int(q.get("k", 10))))
-
-    expansion = expand_prefix_terms(index_dir, sorted(all_prefixes))
-    plain = []
-    for qid, literals, prefixes, k in per_q:
-        terms = set(literals)
-        for p in prefixes:
-            terms.update(expansion[p])
-        plain.append({"query_id": qid, "query_text": " ".join(sorted(terms)),
-                      "k": k})
+    per_q, all_prefixes = _parse_wildcard_queries(tok, queries)
+    plain = _expand_wildcards(index_dir, per_q, all_prefixes)
     return search_index(index_dir, plain, cfg, predicates=predicates,
                         collapse=collapse)
 
@@ -1407,6 +1517,53 @@ def facet_counts_index(index_dir: str, queries: list[dict],
     return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
 
+def _mlt_seed_tfs(tok: Tokenizer, seeds: list[dict]
+                  ) -> tuple[list[tuple[int, dict, int]], set[str]]:
+    """Per-seed term frequencies + the union vocabulary."""
+    seed_tfs: list[tuple[int, dict[str, int], int]] = []
+    all_terms: set[str] = set()
+    for s in seeds:
+        tf: dict[str, int] = {}
+        for t in tok.tokenize(str(s.get("text", ""))):
+            tf[t] = tf.get(t, 0) + 1
+        all_terms.update(tf)
+        seed_tfs.append((int(s["query_id"]), tf, int(s.get("k", 10))))
+    return seed_tfs, all_terms
+
+
+def _mlt_plain_queries(seed_tfs, seeds, gdf: dict[str, int], n_docs: int,
+                       max_query_terms: int) -> list[dict]:
+    """Select each seed's most informative terms (tf × idf desc, term
+    asc) and emit plain queries, over-fetching k+1 when the seed doc
+    itself will be excluded afterwards."""
+    plain = []
+    for (qid, tf, k), s in zip(seed_tfs, seeds):
+        scored = [(-tf[t] * idf(n_docs, gdf[t]), t) for t in tf if t in gdf]
+        scored.sort()                       # weight desc, term asc
+        chosen = sorted(t for _, t in scored[:max_query_terms])
+        plain.append({"query_id": qid, "query_text": " ".join(chosen),
+                      "k": k + (1 if s.get("exclude") else 0)})
+    return plain
+
+
+def _mlt_trim_excluded(res: pa.Table, seeds: list[dict]) -> pa.Table:
+    """Drop each seed's excluded identity and re-rank to the original k."""
+    drop = {int(s["query_id"]): tuple(s["exclude"])
+            for s in seeds if s.get("exclude")}
+    if not drop or res.num_rows == 0:
+        return res
+    df = res.to_pandas()
+    excl = df.apply(lambda r: drop.get(r["query_id"]) ==
+                    (r["conv_id"], r["turn_idx"]), axis=1)
+    df = df[~excl]
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() \
+        .astype("int32") + 1
+    ks = {int(s["query_id"]): int(s.get("k", 10)) for s in seeds}
+    df = df[df["rank"] <= df["query_id"].map(ks)]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False).cast(_RESULT_SCHEMA)
+
+
 def more_like_this_index(index_dir: str, seeds: list[dict],
                          cfg: EngineConfig | None = None, *,
                          max_query_terms: int = 10,
@@ -1425,43 +1582,12 @@ def more_like_this_index(index_dir: str, seeds: list[dict],
     cfg_dict, stats, _segs = load_index_meta(index_dir)
     eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
     tok = Tokenizer(eff.analyzer)
-    n_docs = stats["n_docs"]
-
-    seed_tfs: list[tuple[int, dict[str, int], int]] = []
-    all_terms: set[str] = set()
-    for s in seeds:
-        toks = tok.tokenize(str(s.get("text", "")))
-        tf: dict[str, int] = {}
-        for t in toks:
-            tf[t] = tf.get(t, 0) + 1
-        all_terms.update(tf)
-        seed_tfs.append((int(s["query_id"]), tf, int(s.get("k", 10))))
+    seed_tfs, all_terms = _mlt_seed_tfs(tok, seeds)
     gdf = _global_df_for_terms(index_dir, all_terms)
-
-    plain = []
-    for (qid, tf, k), s in zip(seed_tfs, seeds):
-        scored = [(-tf[t] * idf(n_docs, gdf[t]), t)
-                  for t in tf if t in gdf]
-        scored.sort()                       # weight desc, term asc
-        chosen = sorted(t for _, t in scored[:max_query_terms])
-        plain.append({"query_id": qid, "query_text": " ".join(chosen),
-                      "k": k + (1 if s.get("exclude") else 0)})
+    plain = _mlt_plain_queries(seed_tfs, seeds, gdf, stats["n_docs"],
+                               max_query_terms)
     res = search_index(index_dir, plain, cfg, predicates=predicates)
-
-    drop = {int(s["query_id"]): tuple(s["exclude"])
-            for s in seeds if s.get("exclude")}
-    if not drop or res.num_rows == 0:
-        return res
-    df = res.to_pandas()
-    excl = df.apply(lambda r: drop.get(r["query_id"]) ==
-                    (r["conv_id"], r["turn_idx"]), axis=1)
-    df = df[~excl]
-    df["rank"] = df.groupby("query_id", sort=False).cumcount() \
-        .astype("int32") + 1
-    ks = {int(s["query_id"]): int(s.get("k", 10)) for s in seeds}
-    df = df[df["rank"] <= df["query_id"].map(ks)]
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False).cast(_RESULT_SCHEMA)
+    return _mlt_trim_excluded(res, seeds)
 
 
 def search_boolean_index(index_dir: str, queries: list[dict],
