@@ -289,6 +289,41 @@ FROM ranked WHERE rank <= {MLT_K}
 ORDER BY query_id, rank"""
 
 
+def _paged_sql() -> str:
+    """Page-2 oracle: the plain BM25 ranking windowed to global ranks
+    (PAGE_OFFSET, PAGE_OFFSET + PAGE_K]."""
+    from vframe_ray.pipelines.flagship import PAGE_K, PAGE_OFFSET
+    return f"""{_bm25_scores_prefix()},
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT query_id::INT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score_r
+FROM ranked
+WHERE rank > {PAGE_OFFSET} AND rank <= {PAGE_OFFSET + PAGE_K}
+ORDER BY query_id, rank"""
+
+
+def _match_counts_sql() -> str:
+    """Total-hits oracle: distinct docs holding ≥1 of each query's
+    terms, 0 for queries with no matches."""
+    tok = Tokenizer()
+    qterms, qids = [], []
+    for q in DOC_QUERIES:
+        qids.append(f"({q['query_id']})")
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qs(query_id) AS (VALUES {', '.join(qids)}),
+ hit AS (SELECT q.query_id, count(DISTINCT tok._id) AS n
+         FROM q JOIN tok ON tok.term = q.term GROUP BY q.query_id)
+SELECT qs.query_id::INT AS query_id, coalesce(hit.n, 0)::BIGINT AS n
+FROM qs LEFT JOIN hit ON hit.query_id = qs.query_id
+ORDER BY query_id"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -1013,6 +1048,18 @@ def _q_more_like_this(sf_dir: str):
     return more_like_this(sf_dir)
 
 
+def _q_bm25_paged(sf_dir: str):
+    """Offset pagination: page 2 (global ranks 6..10) of DOC_QUERIES."""
+    from vframe_ray.pipelines.flagship import bm25_paged
+    return bm25_paged(sf_dir)
+
+
+def _q_match_counts(sf_dir: str):
+    """Total-hit counts per query (>=1 term present), n=0 for no-match."""
+    from vframe_ray.pipelines.flagship import match_counts
+    return match_counts(sf_dir)
+
+
 def _q_search_facets(sf_dir: str):
     """Faceted search: per-query lang-facet counts over the full match
     set (any query term present), summed from per-segment partials."""
@@ -1173,6 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix": _q_bm25_prefix,
         "search_facets": _q_search_facets,
         "more_like_this": _q_more_like_this,
+        "bm25_paged": _q_bm25_paged,
+        "match_counts": _q_match_counts,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1442,6 +1491,8 @@ ORDER BY event_type, q""",
         "bm25_prefix": _prefix_sql(),
         "search_facets": _facets_sql(),
         "more_like_this": _mlt_sql(),
+        "bm25_paged": _paged_sql(),
+        "match_counts": _match_counts_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

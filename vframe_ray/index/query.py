@@ -729,6 +729,33 @@ class SegmentSearcher:
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
+    def match_counts(self, queries: list[tuple[int, list[str]]],
+                     predicates: list[str] | None = None) -> pa.Table:
+        """(query_id, n): matching docs (≥1 query term present, optional
+        predicate mask) per query in this segment — the 'total hits'
+        count real engines report alongside top-k."""
+        all_terms = sorted(set().union(*[set(t) for _, t in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        pred_mask = None
+        if predicates:
+            from ..sources.readers import compile_mask
+            pred_mask = compile_mask(predicates)(self.r.docs)
+        qids, ns = [], []
+        for qid, terms in queries:
+            present = [t for t in terms if t in postings]
+            if not present:
+                continue
+            docs = np.unique(np.concatenate(
+                [self._decode_cached(t, postings[t])[0] for t in present]))
+            if pred_mask is not None:
+                docs = docs[pred_mask[docs]]
+            if docs.size:
+                qids.append(qid)
+                ns.append(int(docs.size))
+        return pa.table({"query_id": pa.array(qids, pa.int32()),
+                         "n": pa.array(ns, pa.int64())})
+
     # Above ~this many candidate postings, the vectorized TAAT scorer
     # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
     # candidate sets dense; WAND's skipping pays off only when sparse).
@@ -842,11 +869,18 @@ _RESULT_SCHEMA = pa.schema([
     ("score", pa.float64())])
 
 
-def _merge_topk_driver(df: pd.DataFrame, ks: dict[int, int]) -> pd.DataFrame:
+def _merge_topk_driver(df: pd.DataFrame, ks: dict[int, int],
+                       offsets: dict[int, int] | None = None
+                       ) -> pd.DataFrame:
     """Single-pass global merge of per-segment candidate rows: one sort
     over all rows + cumcount rank within query_id + per-query k cutoff.
     Replaces the per-query ``df[df.query_id == qid]`` filter loop
-    (O(Q·rows) — VERDICT round 2, wrong #4)."""
+    (O(Q·rows) — VERDICT round 2, wrong #4).
+
+    ``offsets`` (pagination): keep ranks in (offset, offset+k] — ranks
+    stay GLOBAL (page 2 of k=10 carries ranks 11..20).  Callers must
+    have fetched ≥ offset+k rows per segment for the page to be exact
+    (search_index does)."""
     cols = ["query_id", "rank", "conv_id", "turn_idx", "score"]
     if df.empty:
         return pd.DataFrame(columns=cols)
@@ -855,8 +889,12 @@ def _merge_topk_driver(df: pd.DataFrame, ks: dict[int, int]) -> pd.DataFrame:
     df = df.reset_index(drop=True)
     df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1) \
         .astype("int32")
-    kmap = df["query_id"].map(ks).fillna(0)
-    return df.loc[df["rank"] <= kmap, cols].reset_index(drop=True)
+    omap = df["query_id"].map(offsets).fillna(0) if offsets else 0
+    kmap = df["query_id"].map(ks).fillna(0) + omap
+    keep = df["rank"] <= kmap
+    if offsets:
+        keep &= df["rank"] > omap
+    return df.loc[keep, cols].reset_index(drop=True)
 
 
 def _global_df_for_terms(index_dir: str, terms: set[str]) -> dict[str, int]:
@@ -1059,9 +1097,12 @@ class QueryService:
     def search(self, queries: list[dict], use_bmw: bool = True,
                predicates: list[str] | None = None,
                collapse: bool = False) -> pa.Table:
+        offsets = {int(q["query_id"]): int(q.get("offset", 0))
+                   for q in queries}
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))),
-                   int(q.get("k", 10))) for q in queries]
+                   int(q.get("k", 10)) + int(q.get("offset", 0)))
+                  for q in queries]
         terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
@@ -1070,7 +1111,9 @@ class QueryService:
                                 collapse)
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        merged = _merge_topk_driver(
+            df, {qid: k - offsets.get(qid, 0) for qid, _, k in parsed},
+            offsets if any(offsets.values()) else None)
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
@@ -1223,6 +1266,11 @@ def search_index(index_dir: str, queries: list[dict],
     merge, because the build's ``hash(conv_id)`` partitioning puts every
     turn of a conversation in one segment — conversations are disjoint
     across segments, so no cross-segment re-collapse is needed.
+
+    Pagination: a per-query ``"offset"`` returns ranks
+    (offset, offset+k] with GLOBAL rank numbers — exact because each
+    segment fetches its local top-(offset+k), a superset of every
+    possible page member.
     """
     from .build import load_index_meta
     cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
@@ -1232,8 +1280,11 @@ def search_index(index_dir: str, queries: list[dict],
         validate_predicates(index_dir, predicates)
 
     tok = Tokenizer(cfg.analyzer)
+    offsets = {int(q["query_id"]): int(q.get("offset", 0)) for q in queries}
+    # segments must surface their full local top-(offset+k)
     parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("k", 10))) for q in queries]
+               int(q.get("k", 10)) + int(q.get("offset", 0)))
+              for q in queries]
     all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed else set()
     gdf = _global_df_for_terms(index_dir, all_terms)
 
@@ -1246,8 +1297,9 @@ def search_index(index_dir: str, queries: list[dict],
         predicates=predicates, collapse=collapse)
 
     seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    ks = {qid: k for qid, _, k in parsed}
-    max_hits = sum(ks.values()) * len(seg_dirs)
+    ks = {qid: k - offsets.get(qid, 0) for qid, _, k in parsed}
+    max_hits = sum(k for _, _, k in parsed) * len(seg_dirs)
+    any_offset = any(offsets.values())
 
     if max_hits <= driver_merge_max_rows:
         # Small scatter-gather: per-segment top-k as plain TASKS (reuse
@@ -1262,7 +1314,8 @@ def search_index(index_dir: str, queries: list[dict],
         seg_batch = max(1, len(seg_dirs) // 64)
         hits = seg_ds.map_batches(_task, batch_format="pyarrow",
                                   batch_size=seg_batch)
-        merged_df = _merge_topk_driver(hits.to_pandas(), ks)
+        merged_df = _merge_topk_driver(hits.to_pandas(), ks,
+                                       offsets if any_offset else None)
     else:
         # Large fan-in: distributed merge via groupby(query_id) so no
         # single process holds every candidate row.
@@ -1273,10 +1326,13 @@ def search_index(index_dir: str, queries: list[dict],
 
         def merge(group: pa.Table) -> pa.Table:
             qid = int(group["query_id"][0].as_py())
+            off = offsets.get(qid, 0)
             df = group.to_pandas().sort_values(
                 ["score", "conv_id", "turn_idx"],
-                ascending=[False, True, True]).head(ks.get(qid, 10))
-            df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+                ascending=[False, True, True]) \
+                .head(ks.get(qid, 10) + off).iloc[off:]
+            df["rank"] = np.arange(off + 1, off + len(df) + 1,
+                                   dtype=np.int32)
             return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
                                             "turn_idx", "score"]],
                                         preserve_index=False) \
@@ -1588,6 +1644,47 @@ def more_like_this_index(index_dir: str, seeds: list[dict],
                                max_query_terms)
     res = search_index(index_dir, plain, cfg, predicates=predicates)
     return _mlt_trim_excluded(res, seeds)
+
+
+def match_counts_index(index_dir: str, queries: list[dict],
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Distributed total-hit counts: per-segment (query_id, n) partials
+    (docs are disjoint across segments, so partials sum exactly) merged
+    in one tiny driver groupby.  Queries with no matches report n = 0.
+
+    queries: [{"query_id", "query_text"}] → (query_id, n) sorted."""
+    from .build import load_index_meta
+    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    parsed_ref = ray.put(parsed)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
+                                {}, block_size=block_size)
+            tables.append(s.match_counts(qs, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
+                               batch_size=seg_batch).to_pandas()
+    sums = parts.groupby("query_id")["n"].sum() if not parts.empty else {}
+    qids = sorted(qid for qid, _ in parsed)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int32()),
+        "n": pa.array([int(sums.get(q, 0)) for q in qids], pa.int64()),
+    })
 
 
 def search_boolean_index(index_dir: str, queries: list[dict],

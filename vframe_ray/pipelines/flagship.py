@@ -426,6 +426,33 @@ def more_like_this(sf_dir: str) -> pa.Table:
     })
 
 
+PAGE_OFFSET, PAGE_K = 5, 5
+
+
+def bm25_paged(sf_dir: str) -> pa.Table:
+    """Page 2 of DOC_QUERIES (ranks 6..10): per-query offset pagination
+    with GLOBAL rank numbers — exact because each segment surfaces its
+    local top-(offset+k).  Result (query_id, rank, doc_id, score_r)."""
+    index_dir = documents_index(sf_dir)
+    paged = [{**q, "k": PAGE_K, "offset": PAGE_OFFSET} for q in DOC_QUERIES]
+    res = search_index(index_dir, paged)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
+def match_counts(sf_dir: str) -> pa.Table:
+    """Total-hit counts for DOC_QUERIES over the documents index
+    (index/query.match_counts_index).  Result (query_id, n), n = 0 for
+    no-match queries."""
+    from ..index.query import match_counts_index
+    index_dir = documents_index(sf_dir)
+    return match_counts_index(index_dir, DOC_QUERIES)
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
