@@ -324,6 +324,104 @@ FROM qs LEFT JOIN hit ON hit.query_id = qs.query_id
 ORDER BY query_id"""
 
 
+def _syn_sql() -> str:
+    """Synonym oracle: the expansion is CONFIG (the shared SYNONYMS
+    map), so both sides compute the same term union statically; scoring
+    is the plain BM25 chain over it."""
+    from vframe_ray.pipelines.flagship import SYN_QUERIES, SYNONYMS
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    syn = {tok.tokenize(k)[0]: [t for v in vals for t in tok.tokenize(v)]
+           for k, vals in SYNONYMS.items()}
+    qterms, qks = [], []
+    for q in SYN_QUERIES:
+        terms = set()
+        for t in tok.tokenize(q["query_text"]):
+            terms.add(t)
+            terms.update(syn.get(t, ()))
+        for t in sorted(terms):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _fuzzy_sql() -> str:
+    """Fuzzy oracle: per-query terms = corpus vocabulary within
+    Levenshtein distance 1 of each raw query term (DuckDB
+    ``levenshtein`` = the same ins/del/sub distance the engine's banded
+    DP computes), then the plain BM25 chain."""
+    from vframe_ray.pipelines.flagship import FUZZY_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qraw, qks = [], []
+    for q in FUZZY_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qraw.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ qraw(query_id, qt) AS (VALUES {', '.join(qraw)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ vocab AS (SELECT DISTINCT term FROM tok),
+ q AS (SELECT DISTINCT r.query_id, v.term
+       FROM qraw r JOIN vocab v ON levenshtein(r.qt, v.term) <= 1),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -1048,6 +1146,18 @@ def _q_more_like_this(sf_dir: str):
     return more_like_this(sf_dir)
 
 
+def _q_bm25_synonyms(sf_dir: str):
+    """Query-time synonym expansion from a user config map."""
+    from vframe_ray.pipelines.flagship import bm25_synonyms
+    return bm25_synonyms(sf_dir)
+
+
+def _q_bm25_fuzzy(sf_dir: str):
+    """Fuzzy search: Levenshtein-1 expansion against the dictionary."""
+    from vframe_ray.pipelines.flagship import bm25_fuzzy
+    return bm25_fuzzy(sf_dir)
+
+
 def _q_bm25_paged(sf_dir: str):
     """Offset pagination: page 2 (global ranks 6..10) of DOC_QUERIES."""
     from vframe_ray.pipelines.flagship import bm25_paged
@@ -1222,6 +1332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "bm25_paged": _q_bm25_paged,
         "match_counts": _q_match_counts,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_fuzzy": _q_bm25_fuzzy,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1493,6 +1605,8 @@ ORDER BY event_type, q""",
         "more_like_this": _mlt_sql(),
         "bm25_paged": _paged_sql(),
         "match_counts": _match_counts_sql(),
+        "bm25_synonyms": _syn_sql(),
+        "bm25_fuzzy": _fuzzy_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -1687,6 +1687,117 @@ def match_counts_index(index_dir: str, queries: list[dict],
     })
 
 
+def search_synonym_index(index_dir: str, queries: list[dict],
+                         synonyms: dict[str, list[str]],
+                         cfg: EngineConfig | None = None, *,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """Query-time synonym expansion: each analyzed query term is
+    replaced by {term} ∪ synonyms[term] (synonym values are analyzed
+    too), then the union scores as a plain multi-term query — per-term
+    idf, like prefix expansion.  ``synonyms`` is user config (the
+    reference's label-alias map pattern), so it broadcasts with the
+    query, no data pass."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    syn_norm: dict[str, list[str]] = {}
+    for k, vals in synonyms.items():
+        kt = tok.tokenize(k)
+        if len(kt) != 1:
+            raise ValueError(f"synonym key {k!r} must analyze to one term")
+        syn_norm[kt[0]] = [t for v in vals for t in tok.tokenize(v)]
+    plain = []
+    for q in queries:
+        terms = set()
+        for t in tok.tokenize(str(q.get("query_text", ""))):
+            terms.add(t)
+            terms.update(syn_norm.get(t, ()))
+        plain.append({"query_id": int(q["query_id"]),
+                      "query_text": " ".join(sorted(terms)),
+                      "k": int(q.get("k", 10))})
+    return search_index(index_dir, plain, cfg, predicates=predicates)
+
+
+def _levenshtein_within(a: str, b: str, d: int) -> bool:
+    """Banded edit distance ≤ d (small d).  O(len·d) per pair."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        if lo > 1:
+            cur[lo - 1] = d + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        if hi < lb:
+            cur[hi + 1:] = [d + 1] * (lb - hi)
+        if min(cur[max(0, lo - 1):hi + 1]) > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
+def expand_fuzzy_terms(index_dir: str, terms: list[str], max_edits: int = 1
+                       ) -> dict[str, list[str]]:
+    """Expand each term to dictionary terms within ``max_edits`` edit
+    distance (insert/delete/substitute — the Levenshtein the SQL oracle
+    uses).  Reads the term column of the global dictionary once per
+    call and scans with a length-pruned banded DP.
+
+    SCALE NOTE: the dictionary is sublinear in the corpus but can reach
+    tens of millions of terms at 100 TB; this linear scan is then the
+    wrong shape and the documented upgrade is a precomputed
+    deletion-variant (SymSpell) table built once next to
+    ``global/terms`` and ranged-read like the prefix path."""
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    out: dict[str, list[str]] = {t: [] for t in terms}
+    if not files or not terms:
+        return out
+    vocab = pq.ParquetDataset(files).read(columns=["term"])["term"] \
+        .to_pylist()
+    lens = np.array([len(v) for v in vocab])
+    for t in out:
+        cand = [vocab[i] for i in
+                np.flatnonzero(np.abs(lens - len(t)) <= max_edits)]
+        out[t] = sorted(v for v in cand
+                        if _levenshtein_within(t, v, max_edits))
+    return out
+
+
+def search_fuzzy_index(index_dir: str, queries: list[dict],
+                       cfg: EngineConfig | None = None, *,
+                       max_edits: int = 1,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Fuzzy search: every query term expands to the dictionary terms
+    within ``max_edits`` Levenshtein distance (itself included when
+    present), and the union scores as a plain multi-term query."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(str(q.get("query_text", ""))))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
+                       ) if parsed else []
+    expansion = expand_fuzzy_terms(index_dir, all_terms, max_edits)
+    plain = []
+    for qid, terms, k in parsed:
+        ex = set()
+        for t in terms:
+            ex.update(expansion[t])
+        plain.append({"query_id": qid, "query_text": " ".join(sorted(ex)),
+                      "k": k})
+    return search_index(index_dir, plain, cfg, predicates=predicates)
+
+
 def search_boolean_index(index_dir: str, queries: list[dict],
                          cfg: EngineConfig | None = None, *,
                          predicates: list[str] | None = None) -> pa.Table:

@@ -453,6 +453,52 @@ def match_counts(sf_dir: str) -> pa.Table:
     return match_counts_index(index_dir, DOC_QUERIES)
 
 
+# user-config synonym map (reference analog: label alias maps); 'quick'
+# is absent from the corpus vocabulary -> contributes nothing
+SYNONYMS = {"merge": ["join"], "fast": ["slow", "quick"]}
+SYN_QUERIES = [
+    {"query_id": 0, "query_text": "merge window", "k": 10},
+    {"query_id": 1, "query_text": "fast", "k": 10},
+    {"query_id": 2, "query_text": "the fast merge", "k": 10},
+]
+
+# fuzzy query set: 'vektor' is 1 edit from 'vector'; 'haash' 1 from
+# 'hash'; 'zzzzz' matches nothing
+FUZZY_QUERIES = [
+    {"query_id": 0, "query_text": "vektor", "k": 10},
+    {"query_id": 1, "query_text": "haash sort", "k": 10},
+    {"query_id": 2, "query_text": "zzzzz", "k": 10},
+]
+
+
+def bm25_synonyms(sf_dir: str) -> pa.Table:
+    """SYN_QUERIES with query-time synonym expansion over the documents
+    index (index/query.search_synonym_index)."""
+    from ..index.query import search_synonym_index
+    index_dir = documents_index(sf_dir)
+    res = search_synonym_index(index_dir, SYN_QUERIES, SYNONYMS)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
+def bm25_fuzzy(sf_dir: str) -> pa.Table:
+    """FUZZY_QUERIES with Levenshtein-1 dictionary expansion
+    (index/query.search_fuzzy_index)."""
+    from ..index.query import search_fuzzy_index
+    index_dir = documents_index(sf_dir)
+    res = search_fuzzy_index(index_dir, FUZZY_QUERIES, max_edits=1)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
