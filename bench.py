@@ -135,11 +135,26 @@ def run_bench() -> dict:
     from vframe_ray.pipelines import relational as rel
     import __ray_entry__ as entrymod
     entry_queries = entrymod.queries()
+    def retrieval_suite(sf_dir):
+        # the round-3 retrieval surface in one timing: boolean, prefix,
+        # facets, MLT, paging, counts, synonyms, fuzzy over the cached
+        # documents/conversations indexes
+        from vframe_ray.pipelines import flagship as fs
+        fs.bm25_boolean(sf_dir)
+        fs.bm25_prefix(sf_dir)
+        fs.search_facets(sf_dir)
+        fs.more_like_this(sf_dir)
+        fs.bm25_paged(sf_dir)
+        fs.match_counts(sf_dir)
+        fs.bm25_synonyms(sf_dir)
+        fs.bm25_fuzzy(sf_dir)
+
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
                  ("top_orders", rel.top_orders),
                  ("dedup_exact", entry_queries["dedup_exact"]),
-                 ("cosine_topk", entry_queries["cosine_topk"])]
+                 ("cosine_topk", entry_queries["cosine_topk"]),
+                 ("retrieval_suite", retrieval_suite)]
     for name, fn in pipelines:
         fn(SF_DIR)                                # untimed warmup
         t0 = time.time()
