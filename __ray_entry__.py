@@ -422,6 +422,23 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _deleted_sql() -> str:
+    """Tombstone oracle: BM25 stats (n, avgdl, df) over the FULL corpus
+    — deletes are logical until compaction — but the ranking only over
+    surviving docs (doc_id % DELETE_MOD != 0)."""
+    from vframe_ray.pipelines.flagship import DELETE_MOD
+    return f"""{_bm25_scores_prefix()},
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores WHERE doc_id % {DELETE_MOD} <> 0)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -1146,6 +1163,13 @@ def _q_more_like_this(sf_dir: str):
     return more_like_this(sf_dir)
 
 
+def _q_bm25_deleted(sf_dir: str):
+    """Tombstone deletes: doc_id % 7 == 0 conversations deleted; query
+    paths mask them, stats stay pre-delete (Lucene semantics)."""
+    from vframe_ray.pipelines.flagship import bm25_deleted
+    return bm25_deleted(sf_dir)
+
+
 def _q_bm25_synonyms(sf_dir: str):
     """Query-time synonym expansion from a user config map."""
     from vframe_ray.pipelines.flagship import bm25_synonyms
@@ -1334,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts": _q_match_counts,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_deleted": _q_bm25_deleted,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1607,6 +1632,7 @@ ORDER BY event_type, q""",
         "match_counts": _match_counts_sql(),
         "bm25_synonyms": _syn_sql(),
         "bm25_fuzzy": _fuzzy_sql(),
+        "bm25_deleted": _deleted_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -390,6 +392,62 @@ def extend_index(ds_new: "ray.data.Dataset", index_dir: str, *,
         "extended_by": sorted(r["segment"] for r in new_rows),
     })
     return stats
+
+
+def delete_docs(index_dir: str, conv_ids: list[str]) -> dict:
+    """Mark whole conversations deleted (tombstones, Lucene .liv
+    analog): one distributed pass over segment docmaps intersects the
+    broadcast conv_id set with each segment's resident conv column and
+    writes/extends a per-segment ``deletes.parquet`` sidecar of LOCAL
+    doc ids.  Query paths mask tombstoned docs out of every result;
+    corpus stats (df/avgdl/n_docs) stay pre-delete until
+    :func:`~vframe_ray.index.compact.compact_index` physically purges
+    (documented Lucene semantics — reference analog: skip-file's
+    exclude list applied at read time, not rewrite time).
+
+    Works on extended indexes too (extension segments use a different
+    id range, so routing by hash alone could not find them — the
+    docmap scan can).  Returns {"n_deleted_docs": newly tombstoned}.
+    """
+    import pyarrow.compute as pc
+
+    _, _, seg_dirs = load_index_meta(index_dir)
+    dels_ref = ray.put(pa.array(sorted(set(conv_ids)), pa.string()))
+
+    def _task(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(dels_ref)
+        segs, counts = [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            d = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                              columns=["conv_id"])
+            hit = pc.is_in(d["conv_id"], value_set=value_set)
+            local = np.flatnonzero(hit.combine_chunks()
+                                   .to_numpy(zero_copy_only=False))
+            n_new = 0
+            if local.size:
+                path = os.path.join(seg_dir, "deletes.parquet")
+                prev = np.empty(0, dtype=np.int64)
+                if os.path.exists(path):
+                    prev = pq.read_table(path)["doc_local"] \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                merged = np.union1d(prev, local.astype(np.int64))
+                n_new = int(merged.size - prev.size)
+                if n_new:
+                    tmp = path + ".tmp"
+                    pq.write_table(
+                        pa.table({"doc_local": pa.array(merged,
+                                                        pa.int64())}), tmp)
+                    os.replace(tmp, path)      # atomic sidecar swap
+            segs.append(os.path.basename(seg_dir))
+            counts.append(n_new)
+        return pa.table({"segment": pa.array(segs, pa.string()),
+                         "n_new": pa.array(counts, pa.int64())})
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    res = seg_ds.map_batches(_task, batch_format="pyarrow",
+                             batch_size=seg_batch).to_pandas()
+    return {"n_deleted_docs": int(res["n_new"].sum())}
 
 
 def load_index_meta(index_dir: str) -> tuple[dict, dict, list[str]]:

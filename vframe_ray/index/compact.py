@@ -55,6 +55,9 @@ class _SegTermStream:
         self.block_size = block_size
         self.has_pos = has_pos
         self.remap = remap          # local doc id -> merged doc id
+        # -1 entries mark tombstoned docs (compaction purges them from
+        # the postings here, one term slice at a time)
+        self.has_deletes = bool((remap < 0).any())
 
     def __iter__(self):
         from .codec import decode_terms_bulk
@@ -74,8 +77,17 @@ class _SegTermStream:
             terms = tt["term"].to_pylist()
             for i, term in enumerate(terms):
                 s, e = int(toffs[i]), int(toffs[i + 1])
+                d, t = docs_re[s:e], tfs[s:e]
                 p = pos[pstart[s]:pstart[e]] if self.has_pos else None
-                yield term, docs_re[s:e], tfs[s:e], p
+                if self.has_deletes:
+                    m = d >= 0
+                    if not m.all():
+                        if p is not None:
+                            p = p[np.repeat(m, t)]
+                        d, t = d[m], t[m]
+                        if d.size == 0:
+                            continue     # term fully tombstoned here
+                yield term, d, t, p
 
 
 class _ChunkedTermsWriter:
@@ -174,11 +186,25 @@ def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
     bs = cfg.index.block_size
     has_pos = cfg.index.store_positions
 
-    # resume FIRST, from manifests alone (ADVICE.md round 2: the round-2
-    # order re-did the docmap merge and full postings decode before the
-    # fingerprint check, paying the expensive part on every resume)
-    src_fps = [read_json(os.path.join(d, "manifest.json"))
-               ["input_fingerprint"] for d in seg_dirs]
+    # resume FIRST, from manifests + (tiny) tombstone sidecars alone
+    # (ADVICE.md round 2: the round-2 order re-did the docmap merge and
+    # full postings decode before the fingerprint check).  The sidecar
+    # content is part of the fingerprint: deleting more docs invalidates
+    # a previously compacted output.
+    src_fps = []
+    dels: list[np.ndarray | None] = []
+    for d in seg_dirs:
+        base = read_json(os.path.join(d, "manifest.json"))[
+            "input_fingerprint"]
+        dpath = os.path.join(d, "deletes.parquet")
+        if os.path.exists(dpath):
+            arr = pq.read_table(dpath)["doc_local"] \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dels.append(arr)
+            base += ":" + hashlib.sha1(arr.tobytes()).hexdigest()
+        else:
+            dels.append(None)
+        src_fps.append(base)
     fp = hashlib.sha1("|".join(sorted(src_fps)).encode()).hexdigest()
     seg_name = f"seg-{new_id:05d}"
     seg_dir = os.path.join(out_dir, "segments", seg_name)
@@ -193,13 +219,25 @@ def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
     offsets = np.zeros(len(docs) + 1, dtype=np.int64)
     np.cumsum([d.num_rows for d in docs], out=offsets[1:])
     cat = pa.concat_tables(docs).drop_columns(["doc_local"])
-    order = pc.sort_indices(cat, sort_keys=[("conv_id", "ascending"),
-                                            ("turn_idx", "ascending")])
+    total = cat.num_rows
+    # tombstoned docs are PURGED here: dropped from the docmap, mapped
+    # to -1 so the term streams filter their postings, and absent from
+    # the rebuilt stats (scores over the compacted index equal a fresh
+    # build over the surviving corpus — asserted in tests)
+    keep = np.ones(total, dtype=bool)
+    for si, arr in enumerate(dels):
+        if arr is not None:
+            keep[offsets[si] + arr] = False
+    kept_idx = np.flatnonzero(keep)
+    cat_kept = cat.take(pa.array(kept_idx)) if kept_idx.size != total \
+        else cat
+    order = pc.sort_indices(cat_kept, sort_keys=[("conv_id", "ascending"),
+                                                 ("turn_idx", "ascending")])
     order_np = order.to_numpy(zero_copy_only=False)
-    n = cat.num_rows
-    new_of_concat = np.empty(n, dtype=np.int64)
-    new_of_concat[order_np] = np.arange(n, dtype=np.int64)
-    merged_docs = cat.take(order)
+    n = cat_kept.num_rows
+    new_of_concat = np.full(total, -1, dtype=np.int64)
+    new_of_concat[kept_idx[order_np]] = np.arange(n, dtype=np.int64)
+    merged_docs = cat_kept.take(order)
     merged_docs = pa.table(
         {"doc_local": pa.array(np.arange(n, dtype=np.int64)),
          **{name: merged_docs[name] for name in merged_docs.column_names}})
@@ -319,8 +357,16 @@ def compact_index(index_dir: str, out_dir: str, *,
            .map_batches(stage, batch_format="pyarrow", batch_size=1)
            .to_pandas())
 
-    # global stats/terms unchanged by compaction — copy through
+    # global stats/terms unchanged by a pure compaction — copy through.
+    # If any source carried tombstones the purge changed df/cf, so the
+    # dictionary is REBUILT from the new segments' (term, df, cf)
+    # columns via the same bucketed sum the build uses.
+    had_deletes = any(
+        os.path.exists(os.path.join(d, "deletes.parquet"))
+        for d in seg_dirs)
     for f in os.listdir(os.path.join(index_dir, "global")):
+        if had_deletes and f == "terms":
+            continue
         src = os.path.join(index_dir, "global", f)
         dst = os.path.join(out_dir, "global", f)
         if os.path.isdir(src):
@@ -328,6 +374,16 @@ def compact_index(index_dir: str, out_dir: str, *,
                 shutil.copytree(src, dst)
         else:
             shutil.copy2(src, dst)
+    if had_deletes:
+        from .build import term_stats_sum
+        from ..sources.readers import read_parquet as _read_parquet
+        gdir = os.path.join(out_dir, "global", "terms")
+        shutil.rmtree(gdir, ignore_errors=True)
+        parts = _read_parquet(
+            [os.path.join(out_dir, "segments", s, "terms.parquet")
+             for s in sorted(res["segment"].tolist())],
+            columns=["term", "df", "cf"])
+        term_stats_sum(parts).write_parquet(gdir)
     stats = {
         "n_docs": int(res["n_docs"].sum()),
         "total_len": int(res["total_len"].sum()),

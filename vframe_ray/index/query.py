@@ -94,6 +94,21 @@ class SegmentSearcher:
     # clearing just costs one re-read per cleared term
     ABSENT_CAP = 65536
 
+    def _base_mask(self, predicates: list[str] | None
+                   ) -> np.ndarray | None:
+        """Combined doc mask: attribute predicates AND the segment's
+        tombstone sidecar (deleted docs never match any query; corpus
+        stats stay pre-delete until compaction — Lucene semantics).
+        Returns a fresh array (callers may refine in place)."""
+        mask = None
+        if predicates:
+            from ..sources.readers import compile_mask
+            mask = compile_mask(predicates)(self.r.docs)
+        if self.r.alive is not None:
+            mask = self.r.alive.copy() if mask is None \
+                else (mask & self.r.alive)
+        return mask
+
     def load_terms_cached(self, terms: list[str]) -> dict[str, TermPostings]:
         """Postings for ``terms``, reading only cache misses from parquet
         (one filtered read per call).  Persistent searchers skip the
@@ -539,10 +554,7 @@ class SegmentSearcher:
         all_terms = sorted(set().union(*[set(t) for _, t in queries])
                            ) if queries else []
         postings = self.r.load_terms(all_terms)
-        doc_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            doc_mask = compile_mask(predicates)(self.r.docs)
+        doc_mask = self._base_mask(predicates)
         qid_out: list[int] = []
         conv_out: list = []
         turn_out: list = []
@@ -573,10 +585,7 @@ class SegmentSearcher:
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        doc_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            doc_mask = compile_mask(predicates)(self.r.docs)
+        doc_mask = self._base_mask(predicates)
         qid_out: list[int] = []
         doc_out: list[int] = []
         score_out: list[float] = []
@@ -626,10 +635,7 @@ class SegmentSearcher:
             *[set(m) | set(s) | set(n) for _, m, s, n, _k in queries])
             ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        pred_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            pred_mask = compile_mask(predicates)(self.r.docs)
+        pred_mask = self._base_mask(predicates)
         n = self.r.n_docs
         qid_out: list[int] = []
         doc_out: list[int] = []
@@ -700,10 +706,7 @@ class SegmentSearcher:
         all_terms = sorted(set().union(*[set(t) for _, t in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        pred_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            pred_mask = compile_mask(predicates)(self.r.docs)
+        pred_mask = self._base_mask(predicates)
         attr = self.r.docs[facet_col]
         tables = []
         for qid, terms in queries:
@@ -737,10 +740,7 @@ class SegmentSearcher:
         all_terms = sorted(set().union(*[set(t) for _, t in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        pred_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            pred_mask = compile_mask(predicates)(self.r.docs)
+        pred_mask = self._base_mask(predicates)
         qids, ns = [], []
         for qid, terms in queries:
             present = [t for t in terms if t in postings]
@@ -800,10 +800,7 @@ class SegmentSearcher:
         all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        doc_mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            doc_mask = compile_mask(predicates)(self.r.docs)
+        doc_mask = self._base_mask(predicates)
         qid_out: list[int] = []
         doc_out: list[int] = []
         score_out: list[float] = []
@@ -960,6 +957,16 @@ class _ShardSearcher:
                        "conv_id": pa.array([], pa.string()),
                        "turn_idx": pa.array([], pa.int32()),
                        "score": pa.array([], pa.float64())})
+
+    def reload_deletes(self) -> int:
+        """Re-read every resident segment's tombstone sidecar; returns
+        the number of tombstoned docs now visible to this shard."""
+        n = 0
+        for s in self.searchers:
+            s.r.reload_deletes()
+            if s.r.alive is not None:
+                n += int((~s.r.alive).sum())
+        return n
 
     @staticmethod
     def _shard_topk(table: pa.Table,
@@ -1221,6 +1228,12 @@ class QueryService:
         return out.sort_by([("query_id", "ascending"),
                             ("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
+
+    def refresh_deletes(self) -> int:
+        """Make tombstones written after service start visible: every
+        shard re-reads its sidecars.  Returns total tombstoned docs."""
+        return sum(ray.get([a.reload_deletes.remote()
+                            for a in self.actors]))
 
     def shutdown(self):
         for a in self.actors:

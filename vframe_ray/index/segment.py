@@ -253,6 +253,24 @@ class SegmentReader:
         self.turn_idx = d["turn_idx"].combine_chunks()
         self.doclen = d["doclen"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.n_docs = d.num_rows
+        self.reload_deletes()
+
+    def reload_deletes(self) -> None:
+        """(Re)load this segment's tombstone sidecar (Lucene .liv
+        analog): ``deletes.parquet`` holds LOCAL doc ids marked deleted
+        by :func:`vframe_ray.index.build.delete_docs`.  ``alive`` is a
+        bool mask (None = nothing deleted); corpus stats stay pre-delete
+        until compaction physically purges (documented Lucene
+        semantics)."""
+        path = os.path.join(self.seg_dir, "deletes.parquet")
+        if os.path.exists(path):
+            dels = pq.read_table(path, columns=["doc_local"])["doc_local"] \
+                .to_numpy(zero_copy_only=False)
+            alive = np.ones(self.n_docs, dtype=bool)
+            alive[dels.astype(np.int64)] = False
+            self.alive = alive
+        else:
+            self.alive = None
 
     def load_terms(self, terms: list[str]) -> dict[str, TermPostings]:
         if not terms:

@@ -453,6 +453,52 @@ def match_counts(sf_dir: str) -> pa.Table:
     return match_counts_index(index_dir, DOC_QUERIES)
 
 
+DELETE_MOD = 7
+
+
+def deleted_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
+                            ) -> str:
+    """A documents index with every doc_id % DELETE_MOD == 0 conversation
+    tombstoned via :func:`~vframe_ray.index.build.delete_docs` — the
+    query paths must mask them while corpus stats stay pre-delete
+    (Lucene semantics)."""
+    import hashlib
+    import json as _json
+    import pyarrow.parquet as pq
+    from ..index.build import build_index, delete_docs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-del-{tag}-{cfg_fp}")
+    marker = os.path.join(index_dir, "DELETED")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(documents_as_transcripts(sf_dir), index_dir, cfg)
+        ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        delete_docs(index_dir,
+                    [f"{d:010d}" for d in ids if d % DELETE_MOD == 0])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return index_dir
+
+
+def bm25_deleted(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES over the tombstoned documents index: deleted docs
+    never surface; scores keep PRE-delete corpus stats until compaction
+    purges.  Result (query_id, rank, doc_id, score_r)."""
+    index_dir = deleted_documents_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 # user-config synonym map (reference analog: label alias maps); 'quick'
 # is absent from the corpus vocabulary -> contributes nothing
 SYNONYMS = {"merge": ["join"], "fast": ["slow", "quick"]}
