@@ -439,6 +439,23 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _hashed_features_sql() -> str:
+    """Hashing-trick oracle: bucket = token_hash64 % dim, sign = −1 when
+    the top hash bit is set; exact int64 sums, cancelled buckets
+    dropped (HAVING), mirroring stages/features.py bit for bit."""
+    from vframe_ray.stages.hashing import SQL_TOKEN_HASH
+    h = SQL_TOKEN_HASH.format(col="term")
+    return f"""{_TOK},
+ ht AS (SELECT _id, ({h}) AS h FROM tok)
+SELECT _id::BIGINT AS doc_id, (h % 64)::BIGINT AS bucket,
+       sum(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END)::BIGINT
+         AS value
+FROM ht
+GROUP BY 1, 2
+HAVING sum(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0
+ORDER BY doc_id, bucket"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -1163,6 +1180,19 @@ def _q_more_like_this(sf_dir: str):
     return more_like_this(sf_dir)
 
 
+HASHED_DIM = 64
+
+
+def _q_hashed_features(sf_dir: str):
+    """Feature hashing: text -> fixed-dim signed token-count features
+    (long form), a pure map_batches with no shuffle at any scale."""
+    from vframe_ray.sources.readers import read_parquet
+    from vframe_ray.stages.features import hashed_features
+    ds = read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return hashed_features(ds, dim=HASHED_DIM)
+
+
 def _q_bm25_deleted(sf_dir: str):
     """Tombstone deletes: doc_id % 7 == 0 conversations deleted; query
     paths mask them, stats stay pre-delete (Lucene semantics)."""
@@ -1359,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_deleted": _q_bm25_deleted,
+        "hashed_features": _q_hashed_features,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1633,6 +1664,7 @@ ORDER BY event_type, q""",
         "bm25_synonyms": _syn_sql(),
         "bm25_fuzzy": _fuzzy_sql(),
         "bm25_deleted": _deleted_sql(),
+        "hashed_features": _hashed_features_sql(),
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

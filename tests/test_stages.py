@@ -213,3 +213,33 @@ def test_predicate_dsl_rejects_garbage():
     from vframe_ray.sources.readers import compile_predicate
     with pytest.raises(ValueError):
         compile_predicate("no-operator-here")
+
+
+def test_hashed_features_properties(ray_session):
+    """Sign/bucket derivation and per-doc token-count conservation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.features import hashed_features
+    from vframe_ray.stages.hashing import md5_u64
+
+    rows = [{"doc_id": 0, "text": "alpha beta alpha"},
+            {"doc_id": 1, "text": "beta GAMMA-beta!"},
+            {"doc_id": 2, "text": ""}]
+    out = hashed_features(ray.data.from_items(rows), dim=8).to_pandas()
+    assert (out["bucket"] < 8).all() and (out["bucket"] >= 0).all()
+    assert 2 not in set(out["doc_id"])          # empty doc -> no rows
+    # every feature value reproduces from the hash primitive directly
+    tok = Tokenizer()
+    for doc_id, text in [(0, rows[0]["text"]), (1, rows[1]["text"])]:
+        want: dict[int, int] = {}
+        h = md5_u64(pa.array(tok.tokenize(text)))
+        for hv in h:
+            b = int(hv) % 8          # int() first: np.uint64 % int
+            # silently promotes to float64 and destroys the low bits
+            want[b] = want.get(b, 0) + (-1 if (int(hv) >> 63) & 1 else 1)
+        want = {b: v for b, v in want.items() if v != 0}
+        got = {int(r.bucket): int(r.value)
+               for r in out[out.doc_id == doc_id].itertuples()}
+        assert got == want
