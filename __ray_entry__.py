@@ -1193,6 +1193,20 @@ def _q_hashed_features(sf_dir: str):
     return hashed_features(ds, dim=HASHED_DIM)
 
 
+def _q_bm25_merged(sf_dir: str):
+    """Index-level merge: two disjoint partial indexes merged without
+    re-tokenizing; checked against the full-corpus oracle."""
+    from vframe_ray.pipelines.flagship import bm25_merged
+    return bm25_merged(sf_dir)
+
+
+def _q_grep_documents(sf_dir: str):
+    """Raw regex scan over the corpus (vectorized RE2 kernel, no
+    index)."""
+    from vframe_ray.pipelines.flagship import grep_documents
+    return grep_documents(sf_dir)
+
+
 def _q_bm25_deleted(sf_dir: str):
     """Tombstone deletes: doc_id % 7 == 0 conversations deleted; query
     paths mask them, stats stay pre-delete (Lucene semantics)."""
@@ -1390,6 +1404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_deleted": _q_bm25_deleted,
         "hashed_features": _q_hashed_features,
+        "bm25_merged": _q_bm25_merged,
+        "grep_documents": _q_grep_documents,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
@@ -1665,6 +1681,9 @@ ORDER BY event_type, q""",
         "bm25_fuzzy": _fuzzy_sql(),
         "bm25_deleted": _deleted_sql(),
         "hashed_features": _hashed_features_sql(),
+        "bm25_merged": _bm25_sql(),
+        "grep_documents": """SELECT doc_id FROM documents
+WHERE regexp_matches(text, 'vector [a-z]*am') ORDER BY doc_id""",
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -1,0 +1,42 @@
+"""merge_indexes: two disjoint indexes == one fresh build."""
+
+import pytest
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.index.build import build_index
+from vframe_ray.index.compact import merge_indexes
+from vframe_ray.index.query import search_index
+
+
+def test_merge_two_indexes_equals_fresh_build(ray_session, tmp_path):
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": f"alpha beta w{i % 5} gamma w{i % 3}"}
+            for i in range(40)]
+    a = [r for r in rows if int(r["conv_id"][1:]) % 2 == 0]
+    b = [r for r in rows if int(r["conv_id"][1:]) % 2 == 1]
+
+    ia, ib, iu = (str(tmp_path / n) for n in ("ia", "ib", "iu"))
+    build_index(ray.data.from_items(a), ia, SMALL_CFG)
+    build_index(ray.data.from_items(b), ib, SMALL_CFG)
+    build_index(ray.data.from_items(rows), iu, SMALL_CFG)
+
+    out = str(tmp_path / "merged")
+    merge_indexes([ia, ib], out, target_segments=3)
+
+    for qt in ("alpha w1", "gamma", "w2 w4 beta"):
+        q = [{"query_id": 0, "query_text": qt, "k": 40}]
+        assert search_index(out, q).to_pylist() == \
+            search_index(iu, q).to_pylist(), qt
+
+
+def test_merge_rejects_config_mismatch(ray_session, tmp_path):
+    from vframe_ray.config import EngineConfig, IndexConfig
+    rows = [{"conv_id": "c0", "turn_idx": 0, "text": "alpha"}]
+    ia, ib = str(tmp_path / "ma"), str(tmp_path / "mb")
+    build_index(ray.data.from_items(rows), ia, SMALL_CFG)
+    build_index(ray.data.from_items(rows), ib,
+                EngineConfig(index=IndexConfig(num_segments=1,
+                                               block_size=64)))
+    with pytest.raises(ValueError, match="config mismatch"):
+        merge_indexes([ia, ib], str(tmp_path / "mo"))

@@ -315,18 +315,42 @@ def compact_group(seg_dirs: list[str], new_id: int, out_dir: str,
     return manifest
 
 
-def compact_index(index_dir: str, out_dir: str, *,
+def merge_indexes(index_dirs: list[str], out_dir: str, *,
                   target_segments: int = 64) -> dict:
+    """Merge several finished indexes (disjoint corpora, identical
+    configs) into one, WITHOUT re-tokenizing: the union of their
+    segments feeds the same streaming k-way compaction, and the global
+    dictionary is rebuilt from the merged segments' (term, df, cf)
+    columns.  The reference's merge-json consolidation
+    (src/commands/utils/merge-json.py:18-46) at index granularity.
+    Rank-identity with a fresh build over the union is tested."""
+    return compact_index(index_dirs[0], out_dir,
+                         target_segments=target_segments,
+                         extra_index_dirs=list(index_dirs[1:]))
+
+
+def compact_index(index_dir: str, out_dir: str, *,
+                  target_segments: int = 64,
+                  extra_index_dirs: list[str] | None = None) -> dict:
     """Compact a finished index into ``target_segments`` merged segments.
 
     Postings are re-encoded (doc ids renumbered into the merged
     (conv_id, turn_idx) order); global term stats and config are copied
-    unchanged.  Groups compact in parallel (one Ray Data task per output
-    segment); re-running with the same sources resumes per segment via
-    the combined input fingerprint.
+    unchanged — unless tombstones are purged or ``extra_index_dirs``
+    are merged in, in which case the dictionary is rebuilt.  Groups
+    compact in parallel (one Ray Data task per output segment);
+    re-running with the same sources resumes per segment via the
+    combined input fingerprint.
     """
     from .build import load_index_meta
     cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
+    for other in (extra_index_dirs or []):
+        o_cfg, _o_stats, o_segs = load_index_meta(other)
+        if o_cfg != cfg_dict:
+            raise ValueError(
+                f"merge_indexes: config mismatch between {index_dir} "
+                f"and {other} (analyzer/BM25/index params must be equal)")
+        seg_dirs = seg_dirs + o_segs
     cfg = EngineConfig.from_dict(cfg_dict)
     target = max(1, min(target_segments, len(seg_dirs)))
     groups = [list(g) for g in np.array_split(np.asarray(seg_dirs), target)]
@@ -363,7 +387,7 @@ def compact_index(index_dir: str, out_dir: str, *,
     # columns via the same bucketed sum the build uses.
     had_deletes = any(
         os.path.exists(os.path.join(d, "deletes.parquet"))
-        for d in seg_dirs)
+        for d in seg_dirs) or bool(extra_index_dirs)
     for f in os.listdir(os.path.join(index_dir, "global")):
         if had_deletes and f == "terms":
             continue

@@ -453,6 +453,95 @@ def match_counts(sf_dir: str) -> pa.Table:
     return match_counts_index(index_dir, DOC_QUERIES)
 
 
+def merged_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
+                           ) -> str:
+    """Two disjoint partial indexes (doc_id % 3 == 0 vs != 0) merged
+    into one via :func:`~vframe_ray.index.compact.merge_indexes` —
+    no re-tokenization; results must be value-identical to the
+    full-corpus oracle because BM25 depends only on global stats +
+    per-doc stats, both rebuilt exactly by the merge."""
+    import hashlib
+    import json as _json
+    import shutil
+
+    from ..index.build import build_index
+    from ..index.compact import merge_indexes
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-merged-{tag}-{cfg_fp}")
+    marker = os.path.join(index_dir, "MERGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+        def part(keep_third: bool, name: str) -> str:
+            def pick(t: pa.Table) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array((ids % 3 == 0) == keep_third))
+
+            def lift(t: pa.Table) -> pa.Table:
+                pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                   10, "0")
+                return pa.table({
+                    "conv_id": pad,
+                    "turn_idx": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int32)),
+                    "text": t["text"],
+                })
+
+            d = os.path.join(CACHE_ROOT,
+                             f"docs-part{name}-{tag}-{cfg_fp}")
+            if not os.path.exists(os.path.join(d, "manifest.json")):
+                ds = _read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+                build_index(ds.map_batches(pick, batch_format="pyarrow")
+                            .map_batches(lift, batch_format="pyarrow"),
+                            d, cfg)
+            return d
+
+        merge_indexes([part(False, "a"), part(True, "b")], index_dir,
+                      target_segments=cfg.index.num_segments)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return index_dir
+
+
+def bm25_merged(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES over the merged two-part index; same shape/oracle as
+    :func:`bm25_documents` — the equality IS the merge-correctness
+    claim."""
+    index_dir = merged_documents_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
+def grep_documents(sf_dir: str, pattern: str = "vector [a-z]*am"
+                   ) -> pa.Table:
+    """Regex scan over the corpus (no index): one vectorized
+    match_substring_regex kernel per batch — the `pipe skip-detections`
+    raw-content filter shape.  Returns matching (doc_id) sorted."""
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t["text"], pattern)
+        return t.filter(m).select(["doc_id"])
+
+    out = ds.map_batches(scan, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if out.empty:                       # zero matches: keep the schema
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(out.sort_values("doc_id"),
+                                preserve_index=False)
+
+
 DELETE_MOD = 7
 
 
