@@ -456,6 +456,76 @@ HAVING sum(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0
 ORDER BY doc_id, bucket"""
 
 
+def _fields_sql() -> str:
+    """Multi-field oracle: the token array splits into title (first
+    TITLE_TOKENS) and body (rest); each field gets its own dl/avgdl/df
+    BM25 chain over the SAME n = count(documents) (empty fields are
+    real zero-length docs in the field index); weighted sum via FULL
+    OUTER-style coalesce join, then rank."""
+    from vframe_ray.pipelines.flagship import (BODY_WEIGHT, TITLE_TOKENS,
+                                               TITLE_WEIGHT)
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks = [], []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+
+    def field_chain(fl: str, where_slice: str) -> str:
+        return f"""
+ tok_{fl} AS (
+   SELECT _id, unnest({where_slice}) AS term FROM base),
+ dl_{fl} AS (SELECT _id, count(*) AS dl FROM tok_{fl} GROUP BY _id),
+ dla_{fl} AS (SELECT d.doc_id AS _id, coalesce(x.dl, 0) AS dl
+              FROM documents d LEFT JOIN dl_{fl} x ON d.doc_id = x._id),
+ st_{fl} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+             FROM dla_{fl}),
+ tf_{fl} AS (SELECT _id, term, count(*) AS tf FROM tok_{fl}
+             WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df_{fl} AS (SELECT term, count(DISTINCT _id) AS df FROM tok_{fl}
+             WHERE term IN (SELECT term FROM q) GROUP BY term),
+ sc_{fl} AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * da.dl / s.avgdl))
+             ) AS score
+   FROM q JOIN tf_{fl} tf ON tf.term = q.term
+          JOIN df_{fl} df ON df.term = q.term
+          JOIN dla_{fl} da ON da._id = tf._id, st_{fl} s
+   GROUP BY q.query_id, tf._id)"""
+
+    return f"""WITH base AS (
+   SELECT doc_id AS _id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      t -> t <> '') AS arr
+   FROM documents),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),{
+     field_chain('t', f'list_slice(arr, 1, {TITLE_TOKENS})')},{
+     field_chain('b', f'list_slice(arr, {TITLE_TOKENS + 1}, len(arr))')},
+ keys AS (SELECT query_id, doc_id FROM sc_t
+          UNION SELECT query_id, doc_id FROM sc_b),
+ comb AS (SELECT k.query_id, k.doc_id,
+                 {TITLE_WEIGHT} * coalesce(t.score, 0)
+                 + {BODY_WEIGHT} * coalesce(b.score, 0) AS score
+          FROM keys k
+          LEFT JOIN sc_t t ON t.query_id = k.query_id
+                          AND t.doc_id = k.doc_id
+          LEFT JOIN sc_b b ON b.query_id = k.query_id
+                          AND b.doc_id = k.doc_id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM comb)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _bm25_conv_sql(where: str = "") -> str:
     """DOC_QUERIES over documents lifted to conversations (conv_id =
     source, turn_idx = rank of doc_id within source) — identical scores
@@ -1193,6 +1263,13 @@ def _q_hashed_features(sf_dir: str):
     return hashed_features(ds, dim=HASHED_DIM)
 
 
+def _q_bm25_fields(sf_dir: str):
+    """Multi-field weighted search: title boosted 2x over body, each
+    field scored against its own aligned index."""
+    from vframe_ray.pipelines.flagship import bm25_fields
+    return bm25_fields(sf_dir)
+
+
 def _q_bm25_merged(sf_dir: str):
     """Index-level merge: two disjoint partial indexes merged without
     re-tokenizing; checked against the full-corpus oracle."""
@@ -1405,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_deleted": _q_bm25_deleted,
         "hashed_features": _q_hashed_features,
         "bm25_merged": _q_bm25_merged,
+        "bm25_fields": _q_bm25_fields,
         "grep_documents": _q_grep_documents,
         # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
@@ -1682,6 +1760,7 @@ ORDER BY event_type, q""",
         "bm25_deleted": _deleted_sql(),
         "hashed_features": _hashed_features_sql(),
         "bm25_merged": _bm25_sql(),
+        "bm25_fields": _fields_sql(),
         "grep_documents": """SELECT doc_id FROM documents
 WHERE regexp_matches(text, 'vector [a-z]*am') ORDER BY doc_id""",
         "bm25_collapsed": f"""{_bm25_scores_prefix()},

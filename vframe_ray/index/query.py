@@ -1811,6 +1811,119 @@ def search_fuzzy_index(index_dir: str, queries: list[dict],
     return search_index(index_dir, plain, cfg, predicates=predicates)
 
 
+def search_fields_index(fields: list[tuple[str, float]],
+                        queries: list[dict],
+                        cfg: EngineConfig | None = None) -> pa.Table:
+    """Weighted multi-field search (Lucene per-field-boost model):
+    score(doc) = Σ_f weight_f × BM25_f(doc), each field scored against
+    its OWN index (own df/avgdl/doclen).
+
+    ``fields``: [(index_dir, weight)] — the field indexes must be built
+    from the same corpus with the same config, which makes them ALIGNED:
+    identical segment count, identical per-segment conversation sets
+    (same hash(conv_id) partitioning) and identical docmap order
+    (sorted by (conv_id, turn_idx)), so ``doc_local`` ids agree across
+    fields and the per-segment weighted combine is one vectorized
+    bincount.  Exact per-segment top-k then the ordinary merge."""
+    from .build import load_index_meta
+    metas = [load_index_meta(d) for d, _ in fields]
+    cfg0 = metas[0][0]
+    for (d, _w), (c, _s, _g) in zip(fields[1:], metas[1:]):
+        if c != cfg0:
+            raise ValueError(f"field index {d} config differs from "
+                             f"{fields[0][0]} — fields must share one "
+                             f"engine config")
+    seg_lists = [m[2] for m in metas]
+    n_segs = len(seg_lists[0])
+    if any(len(s) != n_segs for s in seg_lists):
+        raise ValueError("field indexes are not aligned (different "
+                         "segment counts) — build them from the same "
+                         "corpus with the same config")
+    eff = EngineConfig.from_dict(cfg0) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
+        if parsed else set()
+    gdfs = [_global_df_for_terms(d, all_terms) for d, _ in fields]
+    weights = [float(w) for _, w in fields]
+    field_stats = [m[1] for m in metas]
+    bm25_dict = {"k1": eff.bm25.k1, "b": eff.bm25.b}
+    block_size = eff.index.block_size
+    shared_ref = ray.put((parsed, gdfs))
+
+    _EMPTY_HITS = pa.table({"query_id": pa.array([], pa.int32()),
+                            "conv_id": pa.array([], pa.string()),
+                            "turn_idx": pa.array([], pa.int32()),
+                            "score": pa.array([], pa.float64())})
+
+    def _one_segment(ordinal: int, parsed_l, gdfs_l) -> pa.Table:
+        searchers = [
+            SegmentSearcher(seg_lists[f][ordinal], BM25Config(**bm25_dict),
+                            field_stats[f]["n_docs"],
+                            field_stats[f]["avgdl"], gdfs_l[f],
+                            block_size=block_size)
+            for f in range(len(fields))]
+        r0 = searchers[0].r            # aligned docmaps: field 0 carries
+        qid_out: list[int] = []        # the identity for every field
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, k in parsed_l:
+            docs_parts: list[np.ndarray] = []
+            score_parts: list[np.ndarray] = []
+            for s, w in zip(searchers, weights):
+                postings = s.load_terms_cached(terms)
+                terms_in = [t for t in terms if t in postings]
+                if not terms_in:
+                    continue
+                n_cand = sum(postings[t].n_docs for t in terms_in)
+                # k = n_cand keeps EVERY candidate: a per-field top-k is
+                # not enough — a doc weak in one field can still win on
+                # the weighted sum
+                if n_cand <= s.SPARSE_MAX:
+                    hits = s.score_sparse(terms, n_cand, postings=postings)
+                else:
+                    hits = s.score_full(terms, n_cand, postings=postings)
+                if hits:
+                    docs_parts.append(np.array([d for _, d in hits],
+                                               dtype=np.int64))
+                    score_parts.append(np.array([sc for sc, _ in hits]) * w)
+            if not docs_parts:
+                continue
+            docs_all = np.concatenate(docs_parts)
+            scores_all = np.concatenate(score_parts)
+            uniq, inv = np.unique(docs_all, return_inverse=True)
+            comb = np.bincount(inv, weights=scores_all)
+            order = np.lexsort((uniq, -comb))[:k]
+            for i in order:
+                qid_out.append(qid)
+                doc_out.append(int(uniq[i]))
+                score_out.append(float(comb[i]))
+        if not qid_out:
+            return _EMPTY_HITS
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(r0.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(r0.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    def _task(batch: pa.Table) -> pa.Table:
+        parsed_l, gdfs_l = ray.get(shared_ref)
+        return pa.concat_tables([_one_segment(i, parsed_l, gdfs_l)
+                                 for i in batch["i"].to_pylist()])
+
+    seg_ds = ray.data.from_items([{"i": i} for i in range(n_segs)])
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow", batch_size=1)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _, k in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
+
+
 def search_boolean_index(index_dir: str, queries: list[dict],
                          cfg: EngineConfig | None = None, *,
                          predicates: list[str] | None = None) -> pa.Table:

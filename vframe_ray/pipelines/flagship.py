@@ -453,6 +453,64 @@ def match_counts(sf_dir: str) -> pa.Table:
     return match_counts_index(index_dir, DOC_QUERIES)
 
 
+# multi-field split: first TITLE_TOKENS analyzed tokens are the
+# "title" field, the rest the "body"; per-field boosts below
+TITLE_TOKENS, TITLE_WEIGHT, BODY_WEIGHT = 4, 2.0, 1.0
+
+
+def field_documents_index(sf_dir: str, field: str,
+                          cfg: EngineConfig = DOCS_CFG) -> str:
+    """Build (or resume) one FIELD index of the documents corpus: the
+    text is analyzed, sliced into title (first TITLE_TOKENS tokens) or
+    body (the rest), and indexed as its own aligned index — same
+    corpus, same config, so segments and docmap order agree across
+    fields (index/query.search_fields_index relies on this)."""
+    import hashlib
+    import json as _json
+    from ..analyze import Tokenizer
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-f{field}-{tag}-{cfg_fp}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        tok = Tokenizer(cfg.analyzer)
+
+        def lift(t: pa.Table) -> pa.Table:
+            toks = tok.tokenize_array(t["text"])
+            sl = pc.list_slice(toks, 0, TITLE_TOKENS) if field == "title" \
+                else pc.list_slice(toks, TITLE_TOKENS, None)
+            pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 10, "0")
+            return pa.table({
+                "conv_id": pad,
+                "turn_idx": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "text": pc.binary_join(sl, " "),
+            })
+
+        ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+        build_index(ds.map_batches(lift, batch_format="pyarrow",
+                                   zero_copy_batch=True), index_dir, cfg)
+    return index_dir
+
+
+def bm25_fields(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES with per-field boosts: score = TITLE_WEIGHT ×
+    BM25_title + BODY_WEIGHT × BM25_body, each field against its own
+    aligned index (index/query.search_fields_index).  Result
+    (query_id, rank, doc_id, score_r)."""
+    from ..index.query import search_fields_index
+    fields = [(field_documents_index(sf_dir, "title"), TITLE_WEIGHT),
+              (field_documents_index(sf_dir, "body"), BODY_WEIGHT)]
+    res = search_fields_index(fields, DOC_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def merged_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
                            ) -> str:
     """Two disjoint partial indexes (doc_id % 3 == 0 vs != 0) merged
