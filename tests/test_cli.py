@@ -1,0 +1,63 @@
+"""CLI round-trips for the round-3 commands (in-process main(argv))."""
+
+import json
+
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.__main__ import main
+from vframe_ray.index.build import build_index
+
+
+def _mk_index(tmp_path, name="cli_idx", prefix="c"):
+    rows = [{"conv_id": f"{prefix}{i}", "turn_idx": 0,
+             "text": f"alpha w{i % 4} beta needle"[:64]} for i in range(12)]
+    idx = str(tmp_path / name)
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    return idx
+
+
+def _lines(capsys):
+    return [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+
+
+def test_cli_query_modes(ray_session, tmp_path, capsys):
+    idx = _mk_index(tmp_path)
+    assert main(["query", "--index", idx, "--query", "needle alpha",
+                 "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["rank"] == 1
+
+    assert main(["query", "--index", idx, "--query", "al*",
+                 "-k", "3"]) == 0
+    assert _lines(capsys)
+
+    assert main(["query", "--index", idx, "--query", "needle",
+                 "--must", "alpha", "--must-not", "w1", "-k", "12"]) == 0
+    got = _lines(capsys)
+    assert got and all("w1" not in r["conv_id"] for r in got)
+
+    assert main(["query", "--index", idx, "--query", "neddle",
+                 "--fuzzy", "1", "-k", "2"]) == 0
+    assert _lines(capsys)                 # neddle -> needle
+
+    assert main(["query", "--index", idx, "--phrase", "beta needle",
+                 "-k", "2"]) == 0
+    assert _lines(capsys)
+
+
+def test_cli_delete_and_merge(ray_session, tmp_path, capsys):
+    idx = _mk_index(tmp_path, "cli_del")
+    assert main(["delete", "--index", idx, "--conv", "c0",
+                 "--conv", "c1"]) == 0
+    assert _lines(capsys)[0]["n_deleted_docs"] == 2
+    assert main(["query", "--index", idx, "--query", "needle",
+                 "-k", "12"]) == 0
+    assert all(r["conv_id"] not in ("c0", "c1") for r in _lines(capsys))
+
+    other = _mk_index(tmp_path, "cli_b", prefix="d")   # disjoint corpus
+    out = str(tmp_path / "cli_merged")
+    assert main(["merge", "--index", idx, "--index", other,
+                 "--out", out, "--segments", "2"]) == 0
+    assert _lines(capsys)[0]["n_docs"] == 22      # 12 - 2 purged + 12

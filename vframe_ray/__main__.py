@@ -19,8 +19,12 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Init Ray if this process has none; the returned handle's
+    ``shutdown()`` is a no-op when the session belonged to someone else
+    (e.g. the pytest session fixture driving main() in-process)."""
     import ray
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = dict(address="local", include_dashboard=False,
                       ignore_reinit_error=True, logging_level="ERROR")
         if num_cpus:
@@ -28,7 +32,13 @@ def _ray_session(num_cpus: int | None):
         ray.init(**kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    return ray
+
+    class _Handle:
+        def shutdown(self):
+            if owned:
+                ray.shutdown()
+
+    return _Handle()
 
 
 def cmd_build(args) -> int:
@@ -48,12 +58,69 @@ def cmd_build(args) -> int:
 
 def cmd_query(args) -> int:
     ray = _ray_session(args.num_cpus)
-    from .index.query import search_index
-    qs = [{"query_id": i, "query_text": q, "k": args.k}
-          for i, q in enumerate(args.query)]
-    res = search_index(args.index, qs)
+    from .index import query as q_
+    qs = [{"query_id": i, "query_text": q, "k": args.k,
+           "offset": args.offset} for i, q in enumerate(args.query or [])]
+    preds = args.filter or None
+    if args.phrase:
+        res = q_.phrase_rank_index(args.index, [
+            {"query_id": i, "phrase": ph, "k": args.k}
+            for i, ph in enumerate(args.phrase)], predicates=preds)
+    elif args.must or args.must_not:
+        res = q_.search_boolean_index(args.index, [
+            {"query_id": 0, "must": args.must or "",
+             "should": " ".join(args.query or []),
+             "must_not": args.must_not or "", "k": args.k}],
+            predicates=preds)
+    elif args.fuzzy:
+        res = q_.search_fuzzy_index(args.index, qs,
+                                    max_edits=args.fuzzy,
+                                    predicates=preds)
+    elif any("*" in q for q in (args.query or [])):
+        res = q_.search_prefix_index(args.index, qs, predicates=preds,
+                                     collapse=args.collapse)
+    elif args.facet:
+        res = q_.facet_counts_index(args.index, qs, args.facet,
+                                    predicates=preds)
+    else:
+        res = q_.search_index(args.index, qs, predicates=preds,
+                              collapse=args.collapse)
     for row in res.to_pylist():
         print(json.dumps(row, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_delete(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .index.build import delete_docs
+    ids = list(args.conv or [])
+    if args.from_file:
+        with open(args.from_file) as f:
+            ids += [line.strip() for line in f if line.strip()]
+    print(json.dumps(delete_docs(args.index, ids)))
+    ray.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .index.compact import merge_indexes
+    stats = merge_indexes(args.index, args.out,
+                          target_segments=args.segments)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def cmd_extend(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from .index.build import extend_index
+    from .sources.readers import read_transcripts
+    ds = read_transcripts(args.input,
+                          columns=["conv_id", "turn_idx", "text"],
+                          predicates=args.filter or None)
+    print(json.dumps(extend_index(ds, args.index)))
     ray.shutdown()
     return 0
 
@@ -133,12 +200,53 @@ def main(argv=None) -> int:
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 
-    q = sub.add_parser("query", help="BM25 top-k search")
+    q = sub.add_parser("query", help="BM25 top-k search (plus phrase/"
+                       "boolean/prefix/fuzzy/facet/collapse modes)")
     q.add_argument("--index", required=True)
-    q.add_argument("--query", action="append", required=True)
+    q.add_argument("--query", action="append",
+                   help="free text; '*' suffix on a token = prefix mode")
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--offset", type=int, default=0,
+                   help="pagination: return global ranks (offset, offset+k]")
+    q.add_argument("--phrase", action="append",
+                   help="exact consecutive phrase (ranked); repeatable")
+    q.add_argument("--must", help="terms every hit must contain")
+    q.add_argument("--must-not", dest="must_not",
+                   help="terms no hit may contain")
+    q.add_argument("--fuzzy", type=int, default=0, metavar="D",
+                   help="expand terms to dictionary entries within D edits")
+    q.add_argument("--facet", metavar="COL",
+                   help="return per-COL match counts instead of hits")
+    q.add_argument("--collapse", action="store_true",
+                   help="top-k conversations (best turn each)")
+    q.add_argument("--filter", action="append",
+                   help="'attr op value' predicate, repeatable")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    dl = sub.add_parser("delete", help="tombstone conversations")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--conv", action="append",
+                    help="conv_id to delete, repeatable")
+    dl.add_argument("--from-file", help="file with one conv_id per line")
+    dl.add_argument("--num-cpus", type=int, default=None)
+    dl.set_defaults(fn=cmd_delete)
+
+    mg = sub.add_parser("merge", help="merge finished indexes into one")
+    mg.add_argument("--index", action="append", required=True,
+                    help="source index dir, repeatable")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--segments", type=int, default=64)
+    mg.add_argument("--num-cpus", type=int, default=None)
+    mg.set_defaults(fn=cmd_merge)
+
+    ex = sub.add_parser("extend", help="append new conversations to an "
+                        "existing index (delta build)")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--filter", action="append")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.set_defaults(fn=cmd_extend)
 
     c = sub.add_parser("corpus", help="generate synthetic transcripts")
     c.add_argument("--out", required=True)
