@@ -616,6 +616,72 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _proximity_sql() -> str:
+    """Ranked proximity (NEAR/W) queries: a doc hits iff one position
+    per DISTINCT query term can be chosen with max-min <= window-1 —
+    expressed as a positional self-join over the shared tok CTE with a
+    greatest-least span bound; scores = the BM25 formula over the
+    query's terms restricted to hit docs (identical chain to
+    _phrase_rank_sql, only the hit predicate differs)."""
+    from vframe_ray.pipelines.flagship import PROX_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks, hit_selects = [], [], []
+    for q in PROX_QUERIES:
+        terms = sorted(set(tok.tokenize(q["query_text"])))
+        for t in terms:
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+        if len(terms) == 1:
+            hit_selects.append(
+                f"SELECT DISTINCT {q['query_id']} AS query_id, t0._id AS _id"
+                f" FROM tok t0 WHERE t0.term = '{terms[0]}'")
+            continue
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}._id = t0._id AND t{i}.term = '{terms[i]}'"
+            for i in range(1, len(terms)))
+        pos_list = ", ".join(f"t{i}.pos" for i in range(len(terms)))
+        hit_selects.append(
+            f"SELECT DISTINCT {q['query_id']} AS query_id, t0._id AS _id "
+            f"FROM tok t0 {joins} WHERE t0.term = '{terms[0]}' "
+            f"AND greatest({pos_list}) - least({pos_list})"
+            f" <= {q['window'] - 1}")
+    hits_sql = " UNION ".join(hit_selects)
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ hits AS ({hits_sql}),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id)
+                     AS rank
+            FROM scores s JOIN hits h ON h.query_id = s.query_id
+                                     AND h._id = s.doc_id)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _langid_sql() -> str:
     vals = []
     for lang in sorted(LANG_STOPWORDS):
@@ -841,6 +907,13 @@ def _q_phrase_rank_punct(sf_dir: str):
     the SQL equivalence (VERDICT r2 next #9)."""
     from vframe_ray.pipelines.flagship import phrase_rank_documents
     return phrase_rank_documents(sf_dir, punct=True)
+
+
+def _q_proximity(sf_dir: str):
+    """Ranked proximity (NEAR/W) queries: unordered within-window
+    co-occurrence as filter + BM25 score, per-segment distributed."""
+    from vframe_ray.pipelines.flagship import bm25_proximity
+    return bm25_proximity(sf_dir)
 
 
 def _q_token_count(sf_dir: str):
@@ -1423,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": _q_phrase,
         "phrase_rank": _q_phrase_rank,
         "phrase_rank_punct": _q_phrase_rank_punct,
+        "bm25_proximity": _q_proximity,
         "term_df_topk": _q_term_df,
         "search_snippets": _q_snippets,
         # text analysis
@@ -1503,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id"),
         "phrase_rank": _phrase_rank_sql(),
         "phrase_rank_punct": _phrase_rank_sql(punct=True),
+        "bm25_proximity": _proximity_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

@@ -1,0 +1,101 @@
+"""Proximity (NEAR/W) search: brute-force parity, semantic reductions
+(window=inf == boolean AND; phrase hits ⊆ proximity hits), service
+parity with the one-shot path."""
+
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.analyze import Tokenizer
+from vframe_ray.index.build import build_index
+from vframe_ray.index.query import (QueryService, phrase_rank_index,
+                                    proximity_rank_index,
+                                    search_boolean_index)
+
+ROWS = [
+    {"conv_id": "c0", "turn_idx": 0,
+     "text": "alpha beta gamma delta alpha"},
+    {"conv_id": "c1", "turn_idx": 0,
+     "text": "alpha x x x x x x beta"},
+    {"conv_id": "c2", "turn_idx": 0,
+     "text": "beta alpha gamma"},
+    {"conv_id": "c3", "turn_idx": 0,
+     "text": "gamma delta epsilon alpha x beta"},
+    {"conv_id": "c4", "turn_idx": 0, "text": "beta beta beta"},
+    {"conv_id": "c5", "turn_idx": 0,
+     "text": "alpha x beta x alpha gamma x x delta"},
+]
+
+
+def brute_hits(terms: list[str], window: int) -> set[str]:
+    """Reference NEAR/W: one position per distinct term, span <= window-1."""
+    from itertools import product
+    tok = Tokenizer()
+    terms = sorted(set(terms))
+    out = set()
+    for r in ROWS:
+        toks = tok.tokenize(r["text"])
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        if any(max(c) - min(c) <= window - 1
+               for c in product(*pos.values())):
+            out.add(r["conv_id"])
+    return out
+
+
+def test_proximity_vs_bruteforce(ray_session, tmp_path):
+    idx = str(tmp_path / "prox_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    cases = [
+        (["alpha", "beta"], 2), (["alpha", "beta"], 3),
+        (["alpha", "beta"], 8), (["alpha", "beta", "gamma"], 3),
+        (["alpha", "beta", "gamma"], 5), (["alpha", "delta"], 4),
+        (["beta"], 1), (["alpha", "zzz"], 10),
+        (["alpha", "beta", "gamma", "delta"], 9),
+    ]
+    for i, (terms, w) in enumerate(cases):
+        res = proximity_rank_index(idx, [{
+            "query_id": 0, "query_text": " ".join(terms),
+            "window": w, "k": 100}])
+        got = set(res["conv_id"].to_pylist())
+        assert got == brute_hits(terms, w), (terms, w)
+
+
+def test_proximity_window_inf_is_boolean_and(ray_session, tmp_path):
+    idx = str(tmp_path / "prox_idx2")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    q = "alpha beta gamma"
+    prox = proximity_rank_index(idx, [{
+        "query_id": 0, "query_text": q, "window": 10_000, "k": 50}])
+    boolean = search_boolean_index(idx, [{
+        "query_id": 0, "must": q, "should": "", "must_not": "", "k": 50}])
+    assert prox.to_pylist() == boolean.to_pylist()
+
+
+def test_phrase_hits_subset_of_proximity(ray_session, tmp_path):
+    idx = str(tmp_path / "prox_idx3")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    phrase = phrase_rank_index(idx, [{
+        "query_id": 0, "phrase": "alpha beta", "k": 50}])
+    prox = proximity_rank_index(idx, [{
+        "query_id": 0, "query_text": "alpha beta", "window": 2, "k": 50}])
+    assert set(phrase["conv_id"].to_pylist()) <= \
+        set(prox["conv_id"].to_pylist())
+    # unordered: c2 ("beta alpha") is a proximity hit but not a phrase hit
+    assert "c2" in set(prox["conv_id"].to_pylist())
+    assert "c2" not in set(phrase["conv_id"].to_pylist())
+
+
+def test_proximity_service_parity(ray_session, tmp_path):
+    idx = str(tmp_path / "prox_idx4")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    qs = [{"query_id": 0, "query_text": "alpha beta", "window": 2, "k": 10},
+          {"query_id": 1, "query_text": "gamma delta alpha", "window": 6,
+           "k": 5},
+          {"query_id": 2, "query_text": "zzz beta", "window": 4, "k": 10}]
+    svc = QueryService(idx, n_actors=2)
+    try:
+        assert svc.search_proximity(qs).to_pylist() == \
+            proximity_rank_index(idx, qs).to_pylist()
+    finally:
+        svc.shutdown()

@@ -610,6 +610,123 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def proximity_hits(self, terms: list[str], window: int,
+                       postings: dict[str, TermPostings] | None = None,
+                       doc_mask: np.ndarray | None = None) -> np.ndarray:
+        """doc_local ids where ALL distinct ``terms`` co-occur within a
+        span of ``window`` consecutive token positions (unordered NEAR/W:
+        some choice of one position per term has max-min <= window-1).
+
+        Candidate docs are first cut to the AND set (every term present
+        — postings intersection, no positions touched); only those few
+        docs run the classic minimal-cover two-pointer sweep over their
+        merged position lists.  Reference analog: skip-detections'
+        conjunctive within-frame predicates (media.py:422-452) with the
+        positional payload standing in for bbox adjacency."""
+        from .codec import decode_all
+        terms = sorted(set(terms))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if postings is None:
+            postings = self.load_terms_cached(terms)
+        if any(t not in postings for t in terms):
+            return np.empty(0, dtype=np.int64)
+        m = len(terms)
+        if m == 1:
+            docs, _ = decode_all(postings[terms[0]], self.block_size)
+            hit = docs.astype(np.int64)
+            return hit[doc_mask[hit]] if doc_mask is not None else hit
+        per = []
+        cand: np.ndarray | None = None
+        for t in terms:
+            docs, tfs, pos = decode_all(postings[t], self.block_size,
+                                        with_positions=True)
+            per.append((docs, tfs, pos))
+            cand = docs if cand is None else \
+                np.intersect1d(cand, docs, assume_unique=True)
+        if doc_mask is not None:
+            cand = cand[doc_mask[cand]]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+        d_all, p_all, s_all = [], [], []
+        for slot, (docs, tfs, pos) in enumerate(per):
+            keep = np.isin(docs, cand, assume_unique=True)
+            keep_pos = np.repeat(keep, tfs)
+            d_all.append(np.repeat(docs, tfs)[keep_pos].astype(np.int64))
+            p_all.append(pos[keep_pos].astype(np.int64))
+            s_all.append(np.full(int(keep_pos.sum()), slot, dtype=np.int32))
+        d = np.concatenate(d_all)
+        p = np.concatenate(p_all)
+        s = np.concatenate(s_all)
+        order = np.lexsort((p, d))
+        d, p, s = d[order], p[order], s[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends = np.r_[starts[1:], d.size]
+        span = window - 1
+        hits: list[int] = []
+        for a, b in zip(starts, ends):
+            pp, ss = p[a:b], s[a:b]
+            counts = np.zeros(m, dtype=np.int32)
+            have = left = 0
+            ok = False
+            for right in range(pp.size):
+                c = ss[right]
+                counts[c] += 1
+                if counts[c] == 1:
+                    have += 1
+                while have == m:           # shrink: checks every minimal
+                    if pp[right] - pp[left] <= span:   # cover ending here
+                        ok = True
+                        break
+                    cl = ss[left]
+                    counts[cl] -= 1
+                    if counts[cl] == 0:
+                        have -= 1
+                    left += 1
+                if ok:
+                    break
+            if ok:
+                hits.append(int(d[a]))
+        return np.asarray(hits, dtype=np.int64)
+
+    def search_proximity(self, queries: list[tuple[int, list[str], int, int]],
+                         predicates: list[str] | None = None) -> pa.Table:
+        """queries: [(query_id, terms, window, k)] -> scored result rows.
+
+        Proximity-as-filter + BM25 score: the NEAR/W hit set acts as the
+        doc_mask for the exact TAAT scorer over the query's distinct
+        terms — the same contribution expression and tie-break as plain
+        search, so window=∞ reduces to an AND-filtered plain query and
+        window=len(terms) with ordered adjacency is strictly looser than
+        the phrase path (both asserted in tests)."""
+        all_terms = sorted(set().union(*[set(t) for _, t, _, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, window, k in queries:
+            hits = self.proximity_hits(terms, window, postings=postings,
+                                       doc_mask=doc_mask)
+            if hits.size == 0:
+                continue
+            mask = np.zeros(self.r.n_docs, dtype=bool)
+            mask[hits] = True
+            scored = self.score_full(sorted(set(terms)), k,
+                                     postings=postings, doc_mask=mask)
+            for sc, dd in scored:
+                qid_out.append(qid)
+                doc_out.append(dd)
+                score_out.append(sc)
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search_boolean(self, queries: list[tuple],
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.
@@ -1054,6 +1171,20 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
         return out
 
+    def search_proximity(self, parsed: list[tuple[int, list[str], int, int]],
+                         idf_map: dict[str, float],
+                         predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_proximity(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, _, k in parsed})
+        return out
+
 
 class QueryService:
     """Long-lived BM25 top-k query service over a finished index.
@@ -1210,6 +1341,29 @@ class QueryService:
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_proximity(self, queries: list[dict],
+                         predicates: list[str] | None = None) -> pa.Table:
+        """queries: [{"query_id", "query_text", "window", "k"}] ->
+        ranked scored table: NEAR/W hits (all distinct terms within a
+        ``window``-token span) scored by BM25 over the query terms,
+        served by the resident shards in ONE round-trip per shard."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("window", 8)), int(q.get("k", 10)))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_proximity.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, _, k in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
@@ -1404,6 +1558,57 @@ def phrase_rank_index(index_dir: str, phrases: list[dict],
                               batch_size=seg_batch)
     merged = _merge_topk_driver(hits.to_pandas(),
                                 {qid: k for qid, _, k in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
+
+
+def proximity_rank_index(index_dir: str, queries: list[dict],
+                         cfg: EngineConfig | None = None, *,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """Distributed RANKED proximity (NEAR/W) search: per-segment tasks
+    find docs where all distinct query terms co-occur within a
+    ``window``-token span and BM25-score the hits
+    (SegmentSearcher.search_proximity); the driver merges k·S rows.
+
+    queries: [{"query_id", "query_text", "window", "k"}] →
+    (query_id, rank, conv_id, turn_idx, score) like :func:`search_index`.
+    """
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("window", 8)), int(q.get("k", 10)))
+              for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.search_proximity(qs, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _, _, k in parsed})
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)

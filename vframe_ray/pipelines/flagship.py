@@ -255,6 +255,35 @@ PHRASE_RANK_QUERIES = [
 ]
 
 
+# fixed proximity (NEAR/W) query set: all distinct terms within a
+# `window`-token span; scores = BM25 over the query terms restricted to
+# proximity-hit docs (query_id 4 degenerates to a single distinct term —
+# the window constraint vanishes, matching the m=1 reduction in
+# SegmentSearcher.proximity_hits)
+PROX_QUERIES = [
+    {"query_id": 0, "query_text": "hash join", "window": 3, "k": 10},
+    {"query_id": 1, "query_text": "customer vector", "window": 2, "k": 10},
+    {"query_id": 2, "query_text": "spark window merge", "window": 6, "k": 8},
+    {"query_id": 3, "query_text": "zzzmissing join", "window": 5, "k": 10},
+    {"query_id": 4, "query_text": "batch batch", "window": 4, "k": 10},
+]
+
+
+def bm25_proximity(sf_dir: str) -> pa.Table:
+    """PROX_QUERIES as ranked scored results (query_id, rank, doc_id,
+    score_r) on the distributed per-segment proximity path
+    (index/query.proximity_rank_index)."""
+    from ..index.query import proximity_rank_index
+    index_dir = documents_index(sf_dir)
+    res = proximity_rank_index(index_dir, PROX_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def documents_as_transcripts_punct(sf_dir: str) -> "ray.data.Dataset":
     """Documents lifted to transcripts with a HOSTILE surface form:
     every space becomes '! ' and the text is uppercased.  The analyzer
