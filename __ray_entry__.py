@@ -682,6 +682,22 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _suggest_sql() -> str:
+    """Autocomplete oracle: per-prefix top-k dictionary terms by
+    (df desc, term asc) over the shared tok CTE's df table."""
+    from vframe_ray.pipelines.flagship import SUGGEST_K, SUGGEST_PREFIXES
+    pvals = ", ".join(f"('{p}')" for p in sorted(set(SUGGEST_PREFIXES)))
+    return f"""{_TOK},
+ d AS (SELECT term, count(DISTINCT _id) AS df FROM tok GROUP BY term),
+ p(prefix) AS (VALUES {pvals}),
+ r AS (SELECT p.prefix, d.term, d.df,
+              row_number() OVER (PARTITION BY p.prefix
+                                 ORDER BY d.df DESC, d.term) AS rn
+       FROM p JOIN d ON d.term LIKE p.prefix || '%')
+SELECT prefix, term, df::BIGINT AS df FROM r WHERE rn <= {SUGGEST_K}
+ORDER BY prefix, term"""
+
+
 def _langid_sql() -> str:
     vals = []
     for lang in sorted(LANG_STOPWORDS):
@@ -914,6 +930,12 @@ def _q_proximity(sf_dir: str):
     co-occurrence as filter + BM25 score, per-segment distributed."""
     from vframe_ray.pipelines.flagship import bm25_proximity
     return bm25_proximity(sf_dir)
+
+
+def _q_suggest(sf_dir: str):
+    """Autocomplete: per-prefix top-k dictionary terms by df."""
+    from vframe_ray.pipelines.flagship import suggest_documents
+    return suggest_documents(sf_dir)
 
 
 def _q_token_count(sf_dir: str):
@@ -1497,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_rank": _q_phrase_rank,
         "phrase_rank_punct": _q_phrase_rank_punct,
         "bm25_proximity": _q_proximity,
+        "suggest_terms": _q_suggest,
         "term_df_topk": _q_term_df,
         "search_snippets": _q_snippets,
         # text analysis
@@ -1578,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_rank": _phrase_rank_sql(),
         "phrase_rank_punct": _phrase_rank_sql(punct=True),
         "bm25_proximity": _proximity_sql(),
+        "suggest_terms": _suggest_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

@@ -47,3 +47,27 @@ def test_prefix_no_expansion_no_rows(ray_session, tmp_path):
     got = search_prefix_index(
         idx, [{"query_id": 0, "query_text": "zzz*", "k": 10}])
     assert got.num_rows == 0
+
+
+def test_suggest_terms_df_ordering(ray_session, tmp_path):
+    """Autocomplete: df-desc, term-asc per prefix, k-capped; service
+    delegate returns the identical table."""
+    from vframe_ray.index.query import QueryService, suggest_terms
+    idx = _planted_index(tmp_path)
+    # df: banana=3, apple=2, apricot=2, berry=2, cherry=2
+    got = suggest_terms(idx, ["b", "ap", "zzz"], k=1)
+    assert got.to_pylist() == [
+        {"prefix": "ap", "term": "apple", "df": 2},   # tie: term asc
+        {"prefix": "b", "term": "banana", "df": 3},
+    ]
+    allb = suggest_terms(idx, ["b"], k=10)
+    assert allb.to_pylist() == [
+        {"prefix": "b", "term": "banana", "df": 3},
+        {"prefix": "b", "term": "berry", "df": 2},
+    ]
+    svc = QueryService(idx, n_actors=1)
+    try:
+        assert svc.suggest(["b", "ap", "zzz"], k=1).to_pylist() == \
+            got.to_pylist()
+    finally:
+        svc.shutdown()

@@ -1383,6 +1383,11 @@ class QueryService:
                             ("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
 
+    def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
+        """Autocomplete against the index's global term dictionary —
+        see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
+        return suggest_terms(self.index_dir, prefixes, k)
+
     def refresh_deletes(self) -> int:
         """Make tombstones written after service start visible: every
         shard re-reads its sidecars.  Returns total tombstoned docs."""
@@ -1684,6 +1689,42 @@ def expand_prefix_terms(index_dir: str, prefixes: list[str]
     for p in out:
         out[p] = [v for v in vocab if v.startswith(p)]
     return out
+
+
+def suggest_terms(index_dir: str, prefixes: list[str], k: int = 10
+                  ) -> pa.Table:
+    """Autocomplete: for each prefix, the top-k corpus terms by document
+    frequency (df desc, term asc) from the GLOBAL term dictionary — the
+    same pruned OR-of-ranges read as :func:`expand_prefix_terms`, plus
+    the df column.  A dictionary-only operator: no postings are touched,
+    so cost is O(matching dictionary rows), independent of corpus size.
+
+    Returns (prefix, term, df) sorted by (prefix, term)."""
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    out_prefix: list[str] = []
+    out_term: list[str] = []
+    out_df: list[int] = []
+    if files and prefixes:
+        filt = [[("term", ">=", p), ("term", "<", p + "{")]
+                for p in sorted(set(prefixes))]
+        t = pq.ParquetDataset(files, filters=filt).read(
+            columns=["term", "df"])
+        terms = t["term"].to_pylist()
+        dfs = t["df"].to_pylist()
+        for p in sorted(set(prefixes)):
+            cand = [(d, tm) for tm, d in zip(terms, dfs)
+                    if tm.startswith(p)]
+            cand.sort(key=lambda x: (-x[0], x[1]))
+            for d, tm in cand[:k]:
+                out_prefix.append(p)
+                out_term.append(tm)
+                out_df.append(int(d))
+    tbl = pa.table({"prefix": pa.array(out_prefix, pa.string()),
+                    "term": pa.array(out_term, pa.string()),
+                    "df": pa.array(out_df, pa.int64())})
+    return tbl.sort_by([("prefix", "ascending"), ("term", "ascending")])
 
 
 def _parse_wildcard_queries(tok: Tokenizer, queries: list[dict]

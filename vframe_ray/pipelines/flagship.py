@@ -284,6 +284,19 @@ def bm25_proximity(sf_dir: str) -> pa.Table:
     })
 
 
+SUGGEST_PREFIXES = ["s", "ba", "qu", "zzz"]
+SUGGEST_K = 5
+
+
+def suggest_documents(sf_dir: str) -> pa.Table:
+    """Autocomplete over the documents index: top-SUGGEST_K dictionary
+    terms per prefix by (df desc, term asc) — a dictionary-only read
+    (index/query.suggest_terms), no postings touched."""
+    from ..index.query import suggest_terms
+    index_dir = documents_index(sf_dir)
+    return suggest_terms(index_dir, SUGGEST_PREFIXES, k=SUGGEST_K)
+
+
 def documents_as_transcripts_punct(sf_dir: str) -> "ray.data.Dataset":
     """Documents lifted to transcripts with a HOSTILE surface form:
     every space becomes '! ' and the text is uppercased.  The analyzer
