@@ -994,6 +994,58 @@ def _q_term_df(sf_dir: str):
     return df[["term", "df", "cf"]].reset_index(drop=True)
 
 
+COOC_VOCAB = 25
+COOC_K = 20
+
+
+def _q_cooccurrence(sf_dir: str):
+    """Top co-occurring vocab term pairs with PMI: vocab = top-df terms
+    (bounded pair space — the scale guard), pairs counted via per-block
+    vectorized i<j expansion + bincount partials."""
+    import pyarrow.parquet as _pq
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import term_cooccurrence, term_stats
+    from vframe_ray.stages.tokenize import tokenize
+    tokenized = tokenize(documents_as_transcripts(sf_dir))
+    stats = term_stats(tokenized).to_pandas()
+    top = stats.sort_values(["df", "term"],
+                            ascending=[False, True]).head(COOC_VOCAB)
+    n_docs = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return term_cooccurrence(
+        tokenize(documents_as_transcripts(sf_dir)),
+        top["term"].tolist(), k=COOC_K, n_docs=n_docs,
+        df_map=dict(zip(top["term"], top["df"])))
+
+
+def _cooccurrence_sql() -> str:
+    """Pair counts over distinct (doc, term) restricted to the top-df
+    vocab, self-joined with a.term < b.term; PMI over document
+    frequencies, identical expression order to the engine."""
+    return f"""{_TOK},
+ d AS (SELECT term, count(DISTINCT _id) AS df FROM tok GROUP BY term),
+ vocab AS (SELECT term, df FROM (
+     SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+     FROM d) WHERE rn <= {COOC_VOCAB}),
+ dt AS (SELECT DISTINCT t._id, t.term
+        FROM tok t JOIN vocab v ON t.term = v.term),
+ nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+                  count(*) AS n_pair
+           FROM dt a JOIN dt b ON a._id = b._id AND a.term < b.term
+           GROUP BY 1, 2),
+ r AS (SELECT term_a, term_b, n_pair,
+              row_number() OVER (ORDER BY n_pair DESC, term_a, term_b)
+                AS rn
+       FROM pairs)
+SELECT r.term_a, r.term_b, r.n_pair::BIGINT AS n_pair,
+       round(ln(r.n_pair * nn.n_docs / (va.df * vb.df)), 6) AS pmi_r
+FROM r JOIN vocab va ON va.term = r.term_a
+       JOIN vocab vb ON vb.term = r.term_b, nn
+WHERE r.rn <= {COOC_K}
+ORDER BY r.term_a, r.term_b"""
+
+
 def _q_dedup_exact(sf_dir: str):
     # per-block (min id, count) partials per content hash, reduced by
     # sha-hash-bucket co-partition + one Arrow C group_by per bucket
@@ -1521,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_proximity": _q_proximity,
         "suggest_terms": _q_suggest,
         "term_df_topk": _q_term_df,
+        "term_cooccurrence": _q_cooccurrence,
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
@@ -1552,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_rollup": _q_rollup,
         # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "rollup_revenue": rel.rollup_revenue,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
         "filter_project_events": rel.filter_project_events,
@@ -1602,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_rank_punct": _phrase_rank_sql(punct=True),
         "bm25_proximity": _proximity_sql(),
         "suggest_terms": _suggest_sql(),
+        "term_cooccurrence": _cooccurrence_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",
@@ -1772,6 +1827,13 @@ SELECT l_returnflag, l_linestatus,
        count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "rollup_revenue": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
         "revenue_by_nation": """
 SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
        count(*)::BIGINT AS n_orders

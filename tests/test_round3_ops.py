@@ -178,3 +178,46 @@ def test_binned_quantiles_known_values(ray_session):
     df2 = binned_quantiles(ray.data.from_arrow(t).repartition(7)) \
         .to_pandas().sort_values("q").reset_index(drop=True)
     pd.testing.assert_frame_equal(df, df2)
+
+
+def test_term_cooccurrence_vs_bruteforce(ray_session):
+    """The vectorized i<j pair expansion must match itertools over
+    distinct per-doc vocab terms, PMI included."""
+    import math
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from vframe_ray.stages.stats import term_cooccurrence
+    from vframe_ray.stages.tokenize import tokenize
+
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 9))
+        text = " ".join(rng.choice(words, size=n)) if n else ""
+        rows.append({"conv_id": f"c{i}", "turn_idx": 0, "text": text})
+    vocab = words[:8]                      # restrict: scale guard path
+    tokenized = tokenize(ray.data.from_items(rows))
+
+    # brute force
+    from vframe_ray.analyze import Tokenizer
+    tok = Tokenizer()
+    df: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for r in rows:
+        ts = sorted(set(tok.tokenize(r["text"])) & set(vocab))
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+        for a, b in combinations(ts, 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want_rows = sorted(
+        (a, b, n, round(math.log(n * 60.0 / (df[a] * df[b])), 6))
+        for (a, b), n in want)
+
+    got = term_cooccurrence(tokenized, vocab, k=10, n_docs=60, df_map=df)
+    got_rows = [tuple(r) for r in got.itertuples(index=False)]
+    assert got_rows == want_rows

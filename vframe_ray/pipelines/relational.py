@@ -100,6 +100,52 @@ def q1_pricing_summary(sf_dir: str):
         drop=True)
 
 
+def rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) revenue summary.
+
+    Only the FINEST level touches data: per-block Arrow partials →
+    driver combine (≤ |groups| rows per block, the q1 shape).  The
+    coarser rollup levels are re-aggregated from that tiny finest-level
+    table on the driver — at any corpus size the rollup itself costs
+    O(|finest groups|), never a second pass.  NULL marks a rolled-up
+    key (SQL ROLLUP semantics); rounding happens after the level sums
+    so each level matches the oracle's direct aggregation.
+
+    Reference analog: summarize-json's per-label counts plus its global
+    histogram rows in one output (summarize-json.py:29-105)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        t = t.append_column("rev", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "rev_p", "n_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    fine = _driver_combine(parts, ["l_returnflag", "l_linestatus"],
+                           [("rev_p", "sum", "sum_rev"),
+                            ("n_p", "sum", "n_rows")]).to_pandas()
+    lvl1 = fine.groupby("l_returnflag", as_index=False)[
+        ["sum_rev", "n_rows"]].sum()
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                         "sum_rev": [fine["sum_rev"].sum()],
+                         "n_rows": [fine["n_rows"].sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    )[["l_returnflag", "l_linestatus", "sum_rev", "n_rows"]].reset_index(
+        drop=True)
+
+
 def revenue_by_nation(sf_dir: str):
     """3-table star join with BOTH small sides broadcast: customer and
     nation are read once on the driver, shipped via ``ray.put``, and each

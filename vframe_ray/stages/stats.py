@@ -131,6 +131,95 @@ def corpus_stats(tokenized_ds) -> dict:
             "avgdl": (tl / n) if n else 0.0}
 
 
+def term_cooccurrence(tokenized_ds, vocab: list[str], *, k: int = 30,
+                      n_docs: int | None = None,
+                      df_map: dict[str, int] | None = None) -> pd.DataFrame:
+    """Top-k co-occurring VOCAB term pairs across docs, with PMI.
+
+    The pair space is bounded by |vocab|²/2 BY CONSTRUCTION (the caller
+    picks vocab, e.g. the top-N df terms) — the standard guard against
+    the quadratic blowup of unrestricted per-doc pair explosion.  Each
+    block emits one bincount row per observed pair code (≤ |vocab|²/2
+    rows however big the block), so the driver combine is O(pairs), not
+    O(corpus).  Pair generation is fully vectorized: distinct
+    (doc, term_id) via one np.unique, then the i<j index expansion with
+    repeat/cumsum arithmetic — zero per-row Python.
+
+    PMI(a,b) = ln(n_pair · N / (df_a · df_b)) over DOCUMENT frequencies
+    (pointwise mutual information of "both terms in one doc").
+
+    Returns (term_a, term_b, n_pair, pmi_r) for the top-k pairs by
+    (n_pair desc, term_a, term_b), sorted by (term_a, term_b).
+    """
+    import ray
+
+    varr = np.array(sorted(set(vocab)), dtype=object)
+    V = len(varr)
+    vocab_ref = ray.put(varr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vocab_ref)
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        empty = pa.table({"code": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        tid = np.searchsorted(vs, flat)
+        ok = (tid < V) & (vs[np.minimum(tid, V - 1)] == flat)
+        if not ok.any():
+            return empty
+        # distinct (doc, vocab term) pairs, sorted by (doc, tid)
+        key = parents[ok].astype(np.int64) * V + tid[ok]
+        ukey = np.unique(key)
+        d = ukey // V
+        t = ukey % V
+        # i<j pair expansion: element at within-doc index i pairs with
+        # the cnt = m-1-i elements after it
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        m = np.diff(np.r_[starts, d.size])
+        within = np.arange(d.size) - np.repeat(starts, m)
+        cnt = np.repeat(m, m) - 1 - within
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(d.size), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        b_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + a_idx + 1
+        code = t[a_idx] * V + t[b_idx]        # ta < tb by the sort
+        n = np.bincount(code, minlength=V * V)
+        nz = np.flatnonzero(n)
+        return pa.table({"code": pa.array(nz.astype(np.int64)),
+                         "n_p": pa.array(n[nz].astype(np.int64))})
+
+    parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    from ..runtime import block_refs as _block_refs
+    tables = [tt for tt in ray.get(_block_refs(parts)) if tt.num_rows]
+    if not tables:
+        return pd.DataFrame({"term_a": [], "term_b": [],
+                             "n_pair": pd.Series([], dtype="int64"),
+                             "pmi_r": pd.Series([], dtype="float64")})
+    t = pa.concat_tables(tables)
+    g = (t.group_by("code").aggregate([("n_p", "sum")]).to_pandas()
+         .rename(columns={"n_p_sum": "n_pair"}))
+    g["term_a"] = varr[(g["code"] // V).to_numpy()]
+    g["term_b"] = varr[(g["code"] % V).to_numpy()]
+    g = g.sort_values(["n_pair", "term_a", "term_b"],
+                      ascending=[False, True, True]).head(k)
+    if df_map is not None and n_docs:
+        dfa = g["term_a"].map(df_map).to_numpy(dtype=np.int64)
+        dfb = g["term_b"].map(df_map).to_numpy(dtype=np.int64)
+        g["pmi_r"] = np.round(np.log(
+            (g["n_pair"].to_numpy() * float(n_docs)) / (dfa * dfb)
+            .astype(np.float64)), 6)
+    return g.sort_values(["term_a", "term_b"])[
+        ["term_a", "term_b", "n_pair"]
+        + (["pmi_r"] if "pmi_r" in g else [])].reset_index(drop=True)
+
+
 def binned_quantiles(ds, *, key_col: str = "event_type",
                      value_col: str = "value",
                      qs: tuple = (0.5, 0.9, 0.99),
