@@ -932,6 +932,36 @@ def _q_proximity(sf_dir: str):
     return bm25_proximity(sf_dir)
 
 
+def _q_facet_ranges(sf_dir: str):
+    """Range facets: per-query doc-length histograms over the match
+    set."""
+    from vframe_ray.pipelines.flagship import facet_dl_ranges
+    return facet_dl_ranges(sf_dir)
+
+
+def _facet_ranges_sql() -> str:
+    """Range-facet oracle: hits = docs with >=1 query term; bins over
+    the tok CTE's per-doc token counts, integer bin arithmetic identical
+    to the engine ((dl // W) * W)."""
+    from vframe_ray.pipelines.flagship import (FACET_RANGE_BIN,
+                                               FACET_RANGE_QUERIES)
+    tok = Tokenizer()
+    qterms = []
+    for q in FACET_RANGE_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ hits AS (SELECT DISTINCT q.query_id, t._id
+          FROM q JOIN tok t ON t.term = q.term)
+SELECT h.query_id::INT AS query_id,
+       ((dl.dl // {FACET_RANGE_BIN}) * {FACET_RANGE_BIN})::BIGINT AS bin_lo,
+       count(*)::BIGINT AS n
+FROM hits h JOIN dl ON dl._id = h._id
+GROUP BY 1, 2 ORDER BY query_id, bin_lo"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1572,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_rank_punct": _q_phrase_rank_punct,
         "bm25_proximity": _q_proximity,
         "suggest_terms": _q_suggest,
+        "facet_dl_ranges": _q_facet_ranges,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "search_snippets": _q_snippets,
@@ -1657,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_proximity": _proximity_sql(),
         "suggest_terms": _suggest_sql(),
         "term_cooccurrence": _cooccurrence_sql(),
+        "facet_dl_ranges": _facet_ranges_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

@@ -33,3 +33,36 @@ def test_facet_counts(ray_session, tmp_path):
                               "lang", predicates=["lang == en"])
     assert {(r["query_id"], r["facet"]): r["n"] for r in res2.to_pylist()} \
         == {(0, "en"): 2}
+
+
+def test_facet_ranges_and_service_parity(ray_session, tmp_path):
+    """Range facets: doc-length bins over the match set; hand-checked
+    counts and one-shot == service."""
+    import ray.data
+
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import QueryService, facet_ranges_index
+
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "text": "apple"},            # dl 1
+        {"conv_id": "c1", "turn_idx": 0, "text": "apple b c d"},      # dl 4
+        {"conv_id": "c2", "turn_idx": 0, "text": "apple b c d e"},    # dl 5
+        {"conv_id": "c3", "turn_idx": 0, "text": "cherry x"},         # dl 2
+    ]
+    idx = str(tmp_path / "franges_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    qs = [{"query_id": 0, "query_text": "apple"},
+          {"query_id": 1, "query_text": "cherry zzz"}]
+    got = facet_ranges_index(idx, qs, bin_width=4)
+    assert got.to_pylist() == [
+        {"query_id": 0, "bin_lo": 0, "n": 1},   # dl 1
+        {"query_id": 0, "bin_lo": 4, "n": 2},   # dl 4, 5
+        {"query_id": 1, "bin_lo": 0, "n": 1},   # dl 2
+    ]
+    svc = QueryService(idx, n_actors=2)
+    try:
+        assert svc.facet_ranges(qs, bin_width=4).to_pylist() == \
+            got.to_pylist()
+    finally:
+        svc.shutdown()

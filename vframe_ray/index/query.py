@@ -849,6 +849,43 @@ class SegmentSearcher:
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
+    def facet_range_counts(self, queries: list[tuple[int, list[str]]],
+                           bin_width: int,
+                           predicates: list[str] | None = None) -> pa.Table:
+        """Numeric RANGE facets over the full match set: per-query doc
+        counts binned by document length (bin_lo = (dl // bin_width) ·
+        bin_width) — the histogram-facet analog of :meth:`facet_counts`.
+        Same exactness argument: docs are disjoint across segments, so
+        per-segment (query, bin) partials sum exactly."""
+        all_terms = sorted(set().union(*[set(t) for _, t in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        pred_mask = self._base_mask(predicates)
+        dl = np.asarray(self.r.doclen)
+        tables = []
+        for qid, terms in queries:
+            present = [t for t in terms if t in postings]
+            if not present:
+                continue
+            docs = np.unique(np.concatenate(
+                [self._decode_cached(t, postings[t])[0] for t in present]))
+            if pred_mask is not None:
+                docs = docs[pred_mask[docs]]
+            if docs.size == 0:
+                continue
+            lo = (dl[docs].astype(np.int64) // bin_width) * bin_width
+            bins, counts = np.unique(lo, return_counts=True)
+            tables.append(pa.table({
+                "query_id": pa.array([qid] * len(bins), pa.int32()),
+                "bin_lo": pa.array(bins, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "bin_lo": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
     def match_counts(self, queries: list[tuple[int, list[str]]],
                      predicates: list[str] | None = None) -> pa.Table:
         """(query_id, n): matching docs (≥1 query term present, optional
@@ -1148,6 +1185,18 @@ class _ShardSearcher:
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
+    def facet_range_counts(self, parsed: list[tuple[int, list[str]]],
+                           bin_width: int,
+                           predicates: list[str] | None = None):
+        tables = [s.facet_range_counts(parsed, bin_width,
+                                       predicates=predicates)
+                  for s in self.searchers]
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "bin_lo": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
     def search_phrases(self, parsed: list[tuple[int, list[str]]],
                        predicates: list[str] | None = None):
         if not self.searchers:
@@ -1382,6 +1431,26 @@ class QueryService:
         return out.sort_by([("query_id", "ascending"),
                             ("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
+
+    def facet_ranges(self, queries: list[dict], bin_width: int,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served range facets (doc-length histogram over the full match
+        set): per-shard (query, bin) partials summed on the driver."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        futs = [a.facet_range_counts.remote(parsed, bin_width, predicates)
+                for a in self.actors]
+        parts = pa.concat_tables(ray.get(futs)).to_pandas()
+        schema = pa.schema([("query_id", pa.int32()),
+                            ("bin_lo", pa.int64()), ("n", pa.int64())])
+        if parts.empty:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        out = parts.groupby(["query_id", "bin_lo"], as_index=False)["n"] \
+            .sum().sort_values(["query_id", "bin_lo"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
     def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
         """Autocomplete against the index's global term dictionary —
@@ -1829,6 +1898,52 @@ def facet_counts_index(index_dir: str, queries: list[dict],
         return pa.table({f.name: [] for f in schema}, schema=schema)
     out = parts.groupby(["query_id", "facet"], as_index=False)["n"].sum() \
         .sort_values(["query_id", "facet"])
+    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+
+def facet_ranges_index(index_dir: str, queries: list[dict],
+                       bin_width: int = 16,
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Distributed RANGE facets: per-query doc-length histogram over the
+    full match set (bin_lo = (dl // bin_width) · bin_width).  Identical
+    shape to :func:`facet_counts_index` — per-segment partials are
+    already ≤ queries × bins rows, one tiny driver sum, no shuffle.
+
+    queries: [{"query_id", "query_text"}] →
+    table (query_id, bin_lo, n) sorted by (query_id, bin_lo)."""
+    from .build import load_index_meta
+    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    parsed_ref = ray.put(parsed)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
+                                {}, block_size=block_size)
+            tables.append(s.facet_range_counts(qs, bin_width,
+                                               predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
+                               batch_size=seg_batch).to_pandas()
+    schema = pa.schema([("query_id", pa.int32()), ("bin_lo", pa.int64()),
+                        ("n", pa.int64())])
+    if parts.empty:
+        return pa.table({f.name: [] for f in schema}, schema=schema)
+    out = parts.groupby(["query_id", "bin_lo"], as_index=False)["n"].sum() \
+        .sort_values(["query_id", "bin_lo"])
     return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
 

@@ -284,6 +284,24 @@ def bm25_proximity(sf_dir: str) -> pa.Table:
     })
 
 
+FACET_RANGE_QUERIES = [
+    {"query_id": 0, "query_text": "vector"},
+    {"query_id": 1, "query_text": "hash join"},
+    {"query_id": 2, "query_text": "zzzmissing"},
+]
+FACET_RANGE_BIN = 16
+
+
+def facet_dl_ranges(sf_dir: str) -> pa.Table:
+    """Range facets: per-query doc-length histogram over the full match
+    set (index/query.facet_ranges_index), bins of FACET_RANGE_BIN
+    tokens."""
+    from ..index.query import facet_ranges_index
+    index_dir = documents_index(sf_dir)
+    return facet_ranges_index(index_dir, FACET_RANGE_QUERIES,
+                              bin_width=FACET_RANGE_BIN)
+
+
 SUGGEST_PREFIXES = ["s", "ba", "qu", "zzz"]
 SUGGEST_K = 5
 
