@@ -962,6 +962,58 @@ FROM hits h JOIN dl ON dl._id = h._id
 GROUP BY 1, 2 ORDER BY query_id, bin_lo"""
 
 
+def _q_boosted(sf_dir: str):
+    """Per-term boosted BM25 (term^2.5 syntax)."""
+    from vframe_ray.pipelines.flagship import bm25_boosted
+    return bm25_boosted(sf_dir)
+
+
+def _boosted_sql() -> str:
+    """Boosted-BM25 oracle: q carries (query_id, term, boost) resolved
+    by the SAME parse_boosted_query; the score term multiplies boost
+    into the idf FIRST ((boost * ln(...)) * tf_part / norm_part) —
+    identical FP association to the engine's effective-idf path."""
+    from vframe_ray.index.query import parse_boosted_query
+    from vframe_ray.pipelines.flagship import BOOST_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qvals, qks = [], []
+    for q in BOOST_QUERIES:
+        for t, bst in parse_boosted_query(tok, q["query_text"]):
+            qvals.append(f"({q['query_id']}, '{t}', {bst!r})")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term, boost) AS (VALUES {', '.join(qvals)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum((q.boost * ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1603,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_proximity": _q_proximity,
         "suggest_terms": _q_suggest,
         "facet_dl_ranges": _q_facet_ranges,
+        "bm25_boosted": _q_boosted,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "search_snippets": _q_snippets,
@@ -1689,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": _suggest_sql(),
         "term_cooccurrence": _cooccurrence_sql(),
         "facet_dl_ranges": _facet_ranges_sql(),
+        "bm25_boosted": _boosted_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

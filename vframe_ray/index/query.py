@@ -727,6 +727,47 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def search_boosted(self, queries: list[tuple[int, list[tuple], int]],
+                       base_idf: dict[str, float],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Per-term boosted search: queries [(query_id, [(term, boost)],
+        k)].  A boost multiplies the term's ENTIRE BM25 contribution —
+        implemented as an effective per-query idf map (boost · idf), so
+        every downstream scoring path is reused unchanged; the dense
+        contribution cache stays correct because entries are keyed on
+        the idf actually in effect (boost=1 terms keep their cache).
+        Reference analog: per-model confidence-threshold weighting in
+        OR-composed skip-detections (skip-detections.py:30-53)."""
+        all_terms = sorted(set(t for _, tb, _ in queries for t, _ in tb))
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        saved_idf = self.idf
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        try:
+            for qid, term_boosts, k in queries:
+                eff = {}
+                for t, bst in term_boosts:          # last boost wins
+                    eff[t] = float(bst) * base_idf.get(t, 0.0)
+                self.idf = eff
+                scored = self.score_full(sorted(eff), k,
+                                         postings=postings,
+                                         doc_mask=doc_mask)
+                for sc, dd in scored:
+                    qid_out.append(qid)
+                    doc_out.append(dd)
+                    score_out.append(sc)
+        finally:
+            self.idf = saved_idf
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search_boolean(self, queries: list[tuple],
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.
@@ -1234,6 +1275,18 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, _, k in parsed})
         return out
 
+    def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
+                       base_idf: dict[str, float],
+                       predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = [s.search_boosted(parsed, base_idf, predicates=predicates)
+                for s in self.searchers]
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
+
 
 class QueryService:
     """Long-lived BM25 top-k query service over a finished index.
@@ -1431,6 +1484,27 @@ class QueryService:
         return out.sort_by([("query_id", "ascending"),
                             ("conv_id", "ascending"),
                             ("turn_idx", "ascending")])
+
+    def search_boosted(self, queries: list[dict],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Boosted search served by the resident shards: queries
+        [{"query_id", "query_text", "k"}] with ``term^2.5`` boost
+        syntax in the text (see :func:`parse_boosted_query`)."""
+        parsed = [(int(q["query_id"]),
+                   parse_boosted_query(self.tok, str(q["query_text"])),
+                   int(q.get("k", 10))) for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set(t for _, tb, _ in parsed for t, _ in tb)
+        gdf = self._gdf_cached(terms)
+        base_idf = {t: idf(self.stats["n_docs"], df)
+                    for t, df in gdf.items()}
+        futs = [a.search_boosted.remote(parsed, base_idf, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
 
     def facet_ranges(self, queries: list[dict], bin_width: int,
                      predicates: list[str] | None = None) -> pa.Table:
@@ -1899,6 +1973,81 @@ def facet_counts_index(index_dir: str, queries: list[dict],
     out = parts.groupby(["query_id", "facet"], as_index=False)["n"].sum() \
         .sort_values(["query_id", "facet"])
     return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+
+def parse_boosted_query(tok: Tokenizer, query_text: str
+                        ) -> list[tuple[str, float]]:
+    """Parse ``term^2.5`` boost syntax: each whitespace chunk may end in
+    ``^<positive float>``; the boost applies to every analyzed token of
+    the chunk, default 1.0.  The same term mentioned twice keeps the
+    LAST boost (dict semantics, mirrored in the SQL oracle)."""
+    out: dict[str, float] = {}
+    for raw in query_text.split():
+        boost = 1.0
+        word = raw
+        if "^" in raw:
+            word, _, bs = raw.rpartition("^")
+            try:
+                boost = float(bs)
+            except ValueError:
+                word = raw
+                boost = 1.0
+        if boost <= 0.0:
+            raise ValueError(f"boost must be > 0, got {boost!r} in "
+                             f"{raw!r} (non-positive boosts break the "
+                             f"positive-contribution pruning invariants)")
+        for t in tok.tokenize(word):
+            out[t] = boost
+    return sorted(out.items())
+
+
+def search_boosted_index(index_dir: str, queries: list[dict],
+                         cfg: EngineConfig | None = None, *,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """Distributed per-term boosted search: boost multiplies the term's
+    whole BM25 contribution via an effective idf (boost · idf), reusing
+    the exact TAAT scorer per segment (SegmentSearcher.search_boosted).
+
+    queries: [{"query_id", "query_text", "k"}] with ``term^2.5``
+    syntax → (query_id, rank, conv_id, turn_idx, score)."""
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               parse_boosted_query(tok, str(q["query_text"])),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set(t for _, tb, _ in parsed for t, _ in tb)
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    base_idf = {t: idf(n_docs, df) for t, df in gdf.items()}
+    parsed_ref = ray.put(parsed)
+    idf_ref = ray.put(base_idf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        bidf = ray.get(idf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, {}, block_size=block_size)
+            tables.append(s.search_boosted(qs, bidf,
+                                           predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _, k in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
 
 
 def facet_ranges_index(index_dir: str, queries: list[dict],

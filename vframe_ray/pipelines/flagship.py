@@ -284,6 +284,29 @@ def bm25_proximity(sf_dir: str) -> pa.Table:
     })
 
 
+BOOST_QUERIES = [
+    {"query_id": 0, "query_text": "spark^2.5 window merge^0.5", "k": 10},
+    {"query_id": 1, "query_text": "hash^3 join", "k": 10},
+    {"query_id": 2, "query_text": "vector", "k": 5},
+    {"query_id": 3, "query_text": "zzzmissing^2 customer", "k": 10},
+]
+
+
+def bm25_boosted(sf_dir: str) -> pa.Table:
+    """BOOST_QUERIES (``term^2.5`` syntax) as ranked scored results —
+    boost multiplies the term's whole BM25 contribution
+    (index/query.search_boosted_index)."""
+    from ..index.query import search_boosted_index
+    index_dir = documents_index(sf_dir)
+    res = search_boosted_index(index_dir, BOOST_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 FACET_RANGE_QUERIES = [
     {"query_id": 0, "query_text": "vector"},
     {"query_id": 1, "query_text": "hash join"},
