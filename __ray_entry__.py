@@ -1076,6 +1076,68 @@ def _q_term_df(sf_dir: str):
     return df[["term", "df", "cf"]].reset_index(drop=True)
 
 
+SIGTERM_QUERIES = [
+    {"query_id": 0, "query_text": "vector"},
+    {"query_id": 1, "query_text": "customer order"},
+    {"query_id": 2, "query_text": "zzzmissing"},
+]
+SIGTERM_K = 10
+
+
+def _q_sigterms(sf_dir: str):
+    """Significant terms: per query, terms most overrepresented in the
+    match set vs the corpus (lift), query terms excluded."""
+    import pyarrow.parquet as _pq
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import significant_terms
+    from vframe_ray.stages.tokenize import tokenize
+    tok = Tokenizer()
+    parsed = [{"query_id": q["query_id"],
+               "terms": sorted(set(tok.tokenize(q["query_text"])))}
+              for q in SIGTERM_QUERIES]
+    n_bg = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return significant_terms(
+        tokenize(documents_as_transcripts(sf_dir)), parsed,
+        n_bg=n_bg, k=SIGTERM_K)
+
+
+def _sigterms_sql() -> str:
+    """Significant-terms oracle: fg = docs with >=1 query term; per-term
+    distinct-doc counts in fg vs corpus; lift = (df_fg * n_bg) /
+    (df_bg * n_fg) — the integer products divide as doubles exactly as
+    numpy's true_divide; ranking on the ROUNDED lift both sides."""
+    tok = Tokenizer()
+    qterms = []
+    for q in SIGTERM_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ nbg AS (SELECT count(*)::BIGINT AS n FROM documents),
+ fg AS (SELECT DISTINCT q.query_id, t._id
+        FROM q JOIN tok t ON t.term = q.term),
+ nfg AS (SELECT query_id, count(*)::BIGINT AS n FROM fg
+         GROUP BY query_id),
+ dfg AS (SELECT f.query_id, t.term, count(DISTINCT t._id) AS df_fg
+         FROM fg f JOIN tok t ON t._id = f._id
+         WHERE NOT EXISTS (SELECT 1 FROM q qq
+                           WHERE qq.query_id = f.query_id
+                             AND qq.term = t.term)
+         GROUP BY f.query_id, t.term),
+ dbg AS (SELECT term, count(DISTINCT _id) AS df_bg FROM tok
+         GROUP BY term),
+ sc AS (SELECT d.query_id, d.term, d.df_fg,
+               round((d.df_fg * nbg.n) / (b.df_bg * nfg.n), 6) AS lift_r
+        FROM dfg d JOIN dbg b ON b.term = d.term
+                   JOIN nfg ON nfg.query_id = d.query_id, nbg),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY lift_r DESC, term) AS rn
+       FROM sc)
+SELECT query_id::INT AS query_id, term, df_fg::BIGINT AS df_fg, lift_r
+FROM r WHERE rn <= {SIGTERM_K} ORDER BY query_id, term"""
+
+
 COOC_VOCAB = 25
 COOC_K = 20
 
@@ -1658,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": _q_boosted,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
+        "significant_terms": _q_sigterms,
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
@@ -1743,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "term_cooccurrence": _cooccurrence_sql(),
         "facet_dl_ranges": _facet_ranges_sql(),
         "bm25_boosted": _boosted_sql(),
+        "significant_terms": _sigterms_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

@@ -221,3 +221,50 @@ def test_term_cooccurrence_vs_bruteforce(ray_session):
     got = term_cooccurrence(tokenized, vocab, k=10, n_docs=60, df_map=df)
     got_rows = [tuple(r) for r in got.itertuples(index=False)]
     assert got_rows == want_rows
+
+
+def test_significant_terms_vs_bruteforce(ray_session):
+    """Bucketed fg/bg lift ranking must match a plain-Python oracle,
+    incl. query-term exclusion and the rounded-lift tie rule."""
+    import numpy as np
+    import ray.data
+
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.stats import significant_terms
+    from vframe_ray.stages.tokenize import tokenize
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for i in range(80):
+        n = int(rng.integers(1, 7))
+        rows.append({"conv_id": f"c{i}", "turn_idx": 0,
+                     "text": " ".join(rng.choice(words, size=n))})
+    tok = Tokenizer()
+    queries = [{"query_id": 0, "terms": ["alpha"]},
+               {"query_id": 1, "terms": ["beta", "zeta"]}]
+
+    # brute force
+    doc_terms = [set(tok.tokenize(r["text"])) for r in rows]
+    n_bg = len(rows)
+    bg = {}
+    for ts in doc_terms:
+        for t in ts:
+            bg[t] = bg.get(t, 0) + 1
+    want = []
+    for q in queries:
+        fg_docs = [ts for ts in doc_terms if ts & set(q["terms"])]
+        n_fg = len(fg_docs)
+        dfg = {}
+        for ts in fg_docs:
+            for t in ts - set(q["terms"]):
+                dfg[t] = dfg.get(t, 0) + 1
+        scored = [(q["query_id"], t, d,
+                   round((d * n_bg) / (bg[t] * n_fg), 6))
+                  for t, d in dfg.items()]
+        scored.sort(key=lambda r: (-r[3], r[1]))
+        want += sorted(scored[:3], key=lambda r: r[1])
+
+    got = significant_terms(tokenize(ray.data.from_items(rows)), queries,
+                            n_bg=n_bg, k=3)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want

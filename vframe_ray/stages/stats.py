@@ -220,6 +220,158 @@ def term_cooccurrence(tokenized_ds, vocab: list[str], *, k: int = 30,
         + (["pmi_r"] if "pmi_r" in g else [])].reset_index(drop=True)
 
 
+def significant_terms(tokenized_ds, queries: list[dict], *,
+                      n_bg: int, k: int = 10,
+                      min_df_fg: int = 1) -> pd.DataFrame:
+    """Significant terms: for each query, the terms most OVERREPRESENTED
+    in the matching docs (any query term present) vs the whole corpus —
+    lift = (df_fg / n_fg) / (df_bg / n_bg), the search-analytics
+    "why did these match" operator.  Query terms themselves are
+    excluded (they trivially top the list).
+
+    Two passes over the tokenized corpus (mirroring the oracle):
+    1. tiny (query, n_match) partial sum → n_fg per query;
+    2. per-block distinct-doc term counts for BOTH the match set
+       (per query) and the corpus (query_id = -1 sentinel rows —
+       fg and bg ride the same partial), reduced by term-hash-bucket
+       co-partition; each bucket joins fg with bg, computes lift, and
+       emits only its LOCAL top-k per query, so the driver merge sees
+       ≤ k · buckets rows however large the vocabulary.
+
+    Returns (query_id, term, df_fg, lift_r) top-k per query by
+    (lift_r desc, term asc), sorted by (query_id, term).
+    """
+    import ray
+
+    from ..runtime import block_refs as _block_refs
+    from ..runtime import num_hash_buckets
+    nb = num_hash_buckets()
+    parsed = [(int(q["query_id"]), sorted(set(q["terms"])))
+              for q in queries]
+    parsed_ref = ray.put(parsed)
+
+    def _match_rows(flat, parents, n_rows, qterms):
+        hit = np.isin(flat, qterms)
+        rows = np.zeros(n_rows, dtype=bool)
+        rows[parents[hit]] = True
+        return rows
+
+    def n_fg_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        qid_o, n_o = [], []
+        for qid, qterms in qs:
+            qid_o.append(qid)
+            n_o.append(int(_match_rows(flat, parents, batch.num_rows,
+                                       np.array(qterms, dtype=object))
+                           .sum()))
+        return pa.table({"query_id": pa.array(qid_o, pa.int32()),
+                         "n_p": pa.array(n_o, pa.int64())})
+
+    nfg_parts = tokenized_ds.map_batches(n_fg_partial,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True).to_pandas()
+    n_fg = nfg_parts.groupby("query_id")["n_p"].sum().to_dict()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        out_q, out_t, out_d = [], [], []
+        if len(flat):
+            terms_u, codes = np.unique(flat, return_inverse=True)
+            pair = np.unique(codes.astype(np.int64) * batch.num_rows
+                             + parents)          # distinct (term, doc)
+            p_code, p_row = pair // batch.num_rows, pair % batch.num_rows
+            # corpus background: every distinct (term, doc)
+            bg = np.bincount(p_code, minlength=len(terms_u))
+            out_q.append(np.full(len(terms_u), -1, dtype=np.int32))
+            out_t.append(terms_u)
+            out_d.append(bg.astype(np.int64))
+            for qid, qterms in qs:
+                rows = _match_rows(flat, parents, batch.num_rows,
+                                   np.array(qterms, dtype=object))
+                sel = rows[p_row]
+                if not sel.any():
+                    continue
+                fg = np.bincount(p_code[sel], minlength=len(terms_u))
+                nz = np.flatnonzero(fg)
+                # exclude the query's own terms
+                keep = nz[~np.isin(terms_u[nz],
+                                   np.array(qterms, dtype=object))]
+                if keep.size:
+                    out_q.append(np.full(keep.size, qid, dtype=np.int32))
+                    out_t.append(terms_u[keep])
+                    out_d.append(fg[keep].astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
+                             "df_p": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "term": pa.array(np.concatenate(out_t).astype(object),
+                             pa.string()),
+            "df_p": pa.array(np.concatenate(out_d)),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["term"].to_pandas().to_numpy(dtype=object))
+        return t.append_column("__b", pa.array((h % nb).astype(np.int32)))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["query_id", "term"], as_index=False)["df_p"].sum()
+        bg = s[s["query_id"] == -1].set_index("term")["df_p"]
+        fg = s[s["query_id"] != -1]
+        fg = fg[fg["df_p"] >= min_df_fg]
+        rows = []
+        for qid, sub in fg.groupby("query_id", sort=True):
+            nf = n_fg.get(int(qid), 0)
+            if not nf:
+                continue
+            dfb = bg.loc[sub["term"]].to_numpy(dtype=np.int64)
+            dff = sub["df_p"].to_numpy(dtype=np.int64)
+            lift = np.round((dff * n_bg) / (dfb * nf), 6)
+            top = pd.DataFrame({"query_id": qid, "term": sub["term"],
+                                "df_fg": dff, "lift_r": lift}) \
+                .sort_values(["lift_r", "term"],
+                             ascending=[False, True]).head(k)
+            rows.append(top)
+        if not rows:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "term": pa.array([], pa.string()),
+                             "df_fg": pa.array([], pa.int64()),
+                             "lift_r": pa.array([], pa.float64())})
+        out = pd.concat(rows, ignore_index=True)
+        return pa.table({
+            "query_id": pa.array(out["query_id"].astype("int32")),
+            "term": pa.array(out["term"].astype(object), pa.string()),
+            "df_fg": pa.array(out["df_fg"].astype("int64")),
+            "lift_r": pa.array(out["lift_r"].astype("float64")),
+        })
+
+    parts = (tokenized_ds.map_batches(df_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(combine, batch_format="pandas"))
+    tables = [tt for tt in ray.get(_block_refs(parts)) if tt.num_rows]
+    if not tables:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                             "term": [], "df_fg":
+                             pd.Series([], dtype="int64"),
+                             "lift_r": pd.Series([], dtype="float64")})
+    allp = pa.concat_tables(tables).to_pandas()
+    out = (allp.sort_values(["lift_r", "term"], ascending=[False, True])
+           .groupby("query_id", sort=True).head(k)
+           .sort_values(["query_id", "term"]))
+    return out[["query_id", "term", "df_fg", "lift_r"]].reset_index(
+        drop=True)
+
+
 def binned_quantiles(ds, *, key_col: str = "event_type",
                      value_col: str = "value",
                      qs: tuple = (0.5, 0.9, 0.99),
