@@ -1014,6 +1014,53 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _q_search_after(sf_dir: str):
+    """Cursor (search_after) deep pagination: page 2 after the plain
+    top-10's last row."""
+    from vframe_ray.pipelines.flagship import bm25_search_after
+    return bm25_search_after(sf_dir)
+
+
+def _search_after_sql() -> str:
+    """search_after oracle: the global rank window (page, 2·page] of the
+    same BM25 ranking, relabelled to page-local ranks — equivalence
+    holds because engine scores are bit-exact and the cursor comparison
+    reproduces the (score desc, conv_id, turn_idx) total order."""
+    from vframe_ray.pipelines.flagship import (SEARCH_AFTER_PAGE,
+                                               SEARCH_AFTER_TEXT)
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    terms = sorted(set(tok.tokenize(SEARCH_AFTER_TEXT)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    p = SEARCH_AFTER_PAGE
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN ({tlist}) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN ({tlist}) GROUP BY term),
+ scores AS (
+   SELECT tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM tf JOIN df ON df.term = tf.term
+           JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY tf._id),
+ ranked AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rank
+            FROM scores)
+SELECT 0::INT AS query_id, (rank - {p})::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(score, 6) AS score_r
+FROM ranked WHERE rank > {p} AND rank <= {2 * p}
+ORDER BY rank"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1718,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest,
         "facet_dl_ranges": _q_facet_ranges,
         "bm25_boosted": _q_boosted,
+        "bm25_search_after": _q_search_after,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
@@ -1807,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_dl_ranges": _facet_ranges_sql(),
         "bm25_boosted": _boosted_sql(),
         "significant_terms": _sigterms_sql(),
+        "bm25_search_after": _search_after_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

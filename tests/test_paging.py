@@ -47,3 +47,49 @@ def test_match_counts_equals_full_candidate_set(ray_session,
         want = len(small_oracle.search(q["query_text"],
                                        k=small_oracle.n_docs))
         assert got[q["query_id"]] == want
+
+
+def test_search_after_chains_reconstruct_full_ranking(ray_session,
+                                                      tmp_path):
+    """Walking pages via cursors must reproduce the one-shot top-N
+    exactly, and match offset pagination page-for-page."""
+    import ray.data
+
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import (QueryService, search_after_index,
+                                        search_index)
+
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": ("apple " * (i % 5 + 1)) + ("banana " * (i % 3))}
+            for i in range(30)]
+    idx = str(tmp_path / "sa_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+
+    full = search_index(idx, [{"query_id": 0,
+                               "query_text": "apple banana", "k": 30}])
+    page = search_index(idx, [{"query_id": 0,
+                               "query_text": "apple banana", "k": 7}])
+    got = page.to_pylist()
+    svc = QueryService(idx, n_actors=2)
+    try:
+        while page.num_rows == 7:
+            last = page.slice(page.num_rows - 1, 1)
+            cur = (last["score"][0].as_py(), last["conv_id"][0].as_py(),
+                   last["turn_idx"][0].as_py())
+            q = [{"query_id": 0, "query_text": "apple banana", "k": 7,
+                  "after": cur}]
+            page = search_after_index(idx, q)
+            assert svc.search_after(q).to_pylist() == page.to_pylist()
+            got += page.to_pylist()
+    finally:
+        svc.shutdown()
+    want = full.to_pylist()
+    # ranks are page-local; compare identity + score sequences
+    assert [(r["conv_id"], r["turn_idx"], r["score"]) for r in got] == \
+        [(r["conv_id"], r["turn_idx"], r["score"]) for r in want]
+    # page 2 via cursor == page 2 via offset
+    off = search_index(idx, [{"query_id": 0, "query_text": "apple banana",
+                              "k": 7, "offset": 7}]).to_pylist()
+    assert [(r["conv_id"], r["score"]) for r in got[7:14]] == \
+        [(r["conv_id"], r["score"]) for r in off]

@@ -333,20 +333,19 @@ class SegmentSearcher:
     # vs 0.15 ms at 3.7k candidates on a warm 150k-doc segment)
     SPARSE_MAX = 4096
 
-    def score_sparse(self, terms: list[str], k: int,
-                     postings: dict[str, TermPostings] | None = None,
-                     doc_mask: np.ndarray | None = None
-                     ) -> list[tuple[float, int]]:
-        """Exact TAAT over a merged sparse candidate vector — same output
-        contract as ``score_full`` (same ascending-term float summation
-        order per doc, same tie-break) without the O(n_docs) dense
-        accumulator: candidates = union of the terms' posting doc ids,
-        contributions scattered by ``searchsorted`` position."""
-        if postings is None:
-            postings = self.r.load_terms(terms)
+    def _sparse_scores(self, terms: list[str],
+                       postings: dict[str, TermPostings],
+                       doc_mask: np.ndarray | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact TAAT over a merged sparse candidate vector: candidates =
+        union of the terms' posting doc ids, contributions scattered by
+        ``searchsorted`` position in ascending term order (same float
+        summation order per doc as the oracle).  Returns (cand, scores)
+        uncut — callers apply their own selection."""
         terms_in = sorted(t for t in terms if t in postings)
         if not terms_in:
-            return []
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
         decoded = [(t,) + tuple(self._decode_cached(t, postings[t]))
                    for t in terms_in]
         cand = np.unique(np.concatenate([d for _, d, _ in decoded]))
@@ -359,6 +358,19 @@ class SegmentSearcher:
         if doc_mask is not None:
             m = doc_mask[cand]
             cand, scores = cand[m], scores[m]
+        return cand, scores
+
+    def score_sparse(self, terms: list[str], k: int,
+                     postings: dict[str, TermPostings] | None = None,
+                     doc_mask: np.ndarray | None = None
+                     ) -> list[tuple[float, int]]:
+        """Exact TAAT top-k over the sparse candidate vector — same
+        output contract as ``score_full`` (same summation order, same
+        tie-break) without the O(n_docs) dense accumulator."""
+        if postings is None:
+            postings = self.r.load_terms(terms)
+        cand, scores = self._sparse_scores(terms, postings,
+                                           doc_mask=doc_mask)
         if cand.size == 0:
             return []
         order = np.lexsort((cand, -scores))[:k]
@@ -719,6 +731,62 @@ class SegmentSearcher:
                 qid_out.append(qid)
                 doc_out.append(dd)
                 score_out.append(sc)
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
+    def search_after(self, queries: list[tuple],
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Cursor (search_after) pagination: queries [(query_id, terms,
+        k, cursor)] with cursor = (score, conv_id, turn_idx) of the last
+        row already returned.  A doc qualifies iff it sorts strictly
+        AFTER the cursor in the global (score desc, conv_id, turn_idx)
+        order — score < cs, or score == cs with a later identity key.
+        Unlike offset pagination (which over-fetches offset+k per
+        segment), each segment returns only k rows however deep the
+        page: the stateless deep-paging mechanism of real engines.
+
+        Exactness leans on bit-exact scores: the engine's float64 BM25
+        sums are reproducible (property-tested vs the oracle), so the
+        equality arm of the cursor comparison is well-defined."""
+        all_terms = sorted(set().union(*[set(t) for _, t, _, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, k, cursor in queries:
+            cand, scores = self._sparse_scores(sorted(set(terms)),
+                                               postings,
+                                               doc_mask=doc_mask)
+            if cand.size == 0:
+                continue
+            cs, c_conv, c_turn = cursor
+            keep = scores < cs
+            eq = np.flatnonzero(scores == cs)
+            if eq.size:
+                # identity tie-break on the few score-equal docs only
+                conv = np.asarray(
+                    self.r.conv_id.take(pa.array(cand[eq])).to_pylist(),
+                    dtype=object)
+                turn = self.r.turn_idx.take(pa.array(cand[eq])) \
+                    .to_numpy(zero_copy_only=False)
+                after = (conv > c_conv) | ((conv == c_conv)
+                                           & (turn > c_turn))
+                keep[eq] |= after
+            cand2, sc2 = cand[keep], scores[keep]
+            if cand2.size == 0:
+                continue
+            order = np.lexsort((cand2, -sc2))[:k]
+            for i in order:
+                qid_out.append(qid)
+                doc_out.append(int(cand2[i]))
+                score_out.append(float(sc2[i]))
         idx = pa.array(doc_out, pa.int64())
         return pa.table({
             "query_id": pa.array(qid_out, pa.int32()),
@@ -1287,6 +1355,20 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
         return out
 
+    def search_after(self, parsed: list[tuple],
+                     idf_map: dict[str, float],
+                     predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_after(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
+        return out
+
 
 class QueryService:
     """Long-lived BM25 top-k query service over a finished index.
@@ -1503,6 +1585,30 @@ class QueryService:
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_after(self, queries: list[dict],
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served cursor pagination: queries [{"query_id", "query_text",
+        "k", "after": (score, conv_id, turn_idx)}] — each shard returns
+        only k rows past the cursor (no offset over-fetch)."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("k", 10)),
+                   (float(q["after"][0]), str(q["after"][1]),
+                    int(q["after"][2])))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_after.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k, _ in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
@@ -1973,6 +2079,57 @@ def facet_counts_index(index_dir: str, queries: list[dict],
     out = parts.groupby(["query_id", "facet"], as_index=False)["n"].sum() \
         .sort_values(["query_id", "facet"])
     return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+
+def search_after_index(index_dir: str, queries: list[dict],
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Distributed cursor (search_after) pagination: queries
+    [{"query_id", "query_text", "k", "after": (score, conv_id,
+    turn_idx)}] → the k results ranked strictly after the cursor in the
+    global (score desc, conv_id, turn_idx) order.  Each segment emits
+    only k rows however deep the page — the scale advantage over
+    ``offset=`` (which over-fetches offset+k per segment)."""
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10)),
+               (float(q["after"][0]), str(q["after"][1]),
+                int(q["after"][2])))
+              for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.search_after(qs, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _, k, _ in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
 
 
 def parse_boosted_query(tok: Tokenizer, query_text: str

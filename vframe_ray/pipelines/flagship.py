@@ -307,6 +307,35 @@ def bm25_boosted(sf_dir: str) -> pa.Table:
     })
 
 
+SEARCH_AFTER_TEXT = "the customer"
+SEARCH_AFTER_PAGE = 10
+
+
+def bm25_search_after(sf_dir: str) -> pa.Table:
+    """Cursor pagination: page 1 = plain top-10, cursor = its last row's
+    (score, conv_id, turn_idx), page 2 via search_after_index — each
+    segment returns only k rows however deep the page (vs offset's
+    offset+k over-fetch).  Returns page 2 as (query_id, rank, doc_id,
+    score_r) with page-local ranks 1..k."""
+    from ..index.query import search_after_index, search_index
+    index_dir = documents_index(sf_dir)
+    first = search_index(index_dir, [{
+        "query_id": 0, "query_text": SEARCH_AFTER_TEXT,
+        "k": SEARCH_AFTER_PAGE}])
+    last = first.slice(first.num_rows - 1, 1)
+    cursor = (last["score"][0].as_py(), last["conv_id"][0].as_py(),
+              last["turn_idx"][0].as_py())
+    res = search_after_index(index_dir, [{
+        "query_id": 0, "query_text": SEARCH_AFTER_TEXT,
+        "k": SEARCH_AFTER_PAGE, "after": cursor}])
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 FACET_RANGE_QUERIES = [
     {"query_id": 0, "query_text": "vector"},
     {"query_id": 1, "query_text": "hash join"},
