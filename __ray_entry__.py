@@ -1061,6 +1061,65 @@ FROM ranked WHERE rank > {p} AND rank <= {2 * p}
 ORDER BY rank"""
 
 
+EXPORT_QUERIES = [
+    {"query_id": 0, "query_text": "vector"},
+    {"query_id": 1, "query_text": "hash join"},
+]
+
+
+def _q_export_matches(sf_dir: str):
+    """Streaming full-match-set export (no top-k): the training-subset
+    selection operator.  Stays a lazy Dataset end to end."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from vframe_ray.index.query import export_matches
+    from vframe_ray.pipelines.flagship import documents_index
+    idx = documents_index(sf_dir)
+    ds = export_matches(idx, EXPORT_QUERIES)
+
+    def fin(t: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "query_id": t["query_id"],
+            "doc_id": _pc.cast(t["conv_id"], _pa.int64()),
+            "score_r": _pc.round(t["score"], ndigits=6),
+        })
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def _export_matches_sql() -> str:
+    """Full-match-set oracle: the BM25 scores CTE with NO rank cut."""
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms = []
+    for q in EXPORT_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id)
+SELECT query_id::INT AS query_id, doc_id::BIGINT AS doc_id,
+       round(score, 6) AS score_r
+FROM scores ORDER BY query_id, doc_id"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1766,6 +1825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_dl_ranges": _q_facet_ranges,
         "bm25_boosted": _q_boosted,
         "bm25_search_after": _q_search_after,
+        "export_matches": _q_export_matches,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
@@ -1856,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": _boosted_sql(),
         "significant_terms": _sigterms_sql(),
         "bm25_search_after": _search_after_sql(),
+        "export_matches": _export_matches_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

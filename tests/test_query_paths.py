@@ -182,3 +182,30 @@ def test_randomized_corpora_rank_identical(ray_session, tmp_path):
                    for h in oracle.search(q["query_text"], q["k"])]
             assert got.get(q["query_id"], []) == exp, \
                 (trial, q["query_text"])
+
+
+def test_export_matches_is_uncut_search(ray_session, tmp_path):
+    """export_matches must stay a lazy Dataset and carry exactly the
+    docs+scores that a full-k search returns."""
+    import ray.data
+
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import export_matches, search_index
+
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": "apple " * (i % 4) + "banana"} for i in range(20)]
+    idx = str(tmp_path / "export_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    qs = [{"query_id": 0, "query_text": "apple"},
+          {"query_id": 1, "query_text": "banana zzz"}]
+    ds = export_matches(idx, qs)
+    assert isinstance(ds, ray.data.Dataset)      # lazy, consumable
+    got = sorted((r["query_id"], r["conv_id"], r["score"])
+                 for r in ds.take_all())
+    want = []
+    for q in qs:
+        full = search_index(idx, [dict(q, k=100)])
+        want += [(q["query_id"], r["conv_id"], r["score"])
+                 for r in full.to_pylist()]
+    assert got == sorted(want)

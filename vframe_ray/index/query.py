@@ -2132,6 +2132,77 @@ def search_after_index(index_dir: str, queries: list[dict],
     return out.cast(_RESULT_SCHEMA)
 
 
+def export_matches(index_dir: str, queries: list[dict],
+                   cfg: EngineConfig | None = None, *,
+                   predicates: list[str] | None = None):
+    """Streaming export of the FULL match set (no top-k cut): every doc
+    containing ≥1 query term, with its exact BM25 score — the
+    "select matching docs into a training subset" operator.  Returns a
+    lazy ``ray.data.Dataset`` of (query_id, conv_id, turn_idx, score)
+    whose blocks are produced per segment: consume with
+    ``write_parquet`` / ``iter_batches``; nothing is materialized on
+    the driver however large the match set.
+
+    Reference analog: `pipe open` + skip predicates feeding a sink —
+    the whole-corpus filtered export path (open.py:93-116), here with
+    scores attached."""
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    all_terms = set().union(*[set(t) for _, t in parsed]) if parsed \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            postings = s.load_terms_cached(
+                sorted(set().union(*[set(t) for _, t in qs]))
+                if qs else [])
+            doc_mask = s._base_mask(predicates)
+            for qid, terms in qs:
+                cand, scores = s._sparse_scores(terms, postings,
+                                                doc_mask=doc_mask)
+                if cand.size == 0:
+                    continue
+                idx = pa.array(cand)
+                tables.append(pa.table({
+                    "query_id": pa.array(
+                        np.full(cand.size, qid, dtype=np.int32)),
+                    "conv_id": pc.cast(s.r.conv_id.take(idx),
+                                       pa.string()),
+                    "turn_idx": pc.cast(s.r.turn_idx.take(idx),
+                                        pa.int32()),
+                    "score": pa.array(scores, pa.float64()),
+                }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "score": pa.array([], pa.float64())})
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    return seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+
+
 def parse_boosted_query(tok: Tokenizer, query_text: str
                         ) -> list[tuple[str, float]]:
     """Parse ``term^2.5`` boost syntax: each whitespace chunk may end in
