@@ -148,6 +148,13 @@ def run_bench() -> dict:
         fs.match_counts(sf_dir)
         fs.bm25_synonyms(sf_dir)
         fs.bm25_fuzzy(sf_dir)
+        # fourth wave: proximity, boosts, cursor paging, range facets,
+        # autocomplete
+        fs.bm25_proximity(sf_dir)
+        fs.bm25_boosted(sf_dir)
+        fs.bm25_search_after(sf_dir)
+        fs.facet_dl_ranges(sf_dir)
+        fs.suggest_documents(sf_dir)
 
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),

@@ -34,6 +34,52 @@ from ..sources.readers import read_parquet as _read_parquet
 from ..state.manifest import read_json, write_json
 
 
+def snapshot_index(index_dir: str, dst_dir: str, *,
+                   link: bool = True) -> dict:
+    """Point-in-time snapshot of a finished index: recreate the
+    directory tree with HARD LINKS for every file (zero data copied;
+    falls back to copy when ``link=False`` or across filesystems).
+
+    Isolation comes free from the engine's write discipline: segment
+    files are immutable after the atomic build rename, and the only
+    mutable sidecar (``deletes.parquet``) is swapped via write-tmp +
+    ``os.replace`` (build.delete_docs) — a later delete in the source
+    creates a NEW inode, leaving the snapshot's link pointing at the
+    old one.  Serve the snapshot while rebuilding/deleting in the
+    source (Lucene commit-point analog; reference analog: the prior-run
+    JSON a new run re-opens read-only, media.py:79-111).
+    """
+    man_path = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(man_path):
+        raise ValueError(f"{index_dir!r} is not a finished index "
+                         f"(no manifest.json)")
+    if os.path.exists(dst_dir):
+        raise ValueError(f"snapshot target {dst_dir!r} already exists")
+    tmp = dst_dir + ".tmp-snapshot"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n_files = 0
+    for root, _dirs, files in os.walk(index_dir):
+        rel = os.path.relpath(root, index_dir)
+        out_root = os.path.join(tmp, rel) if rel != "." else tmp
+        os.makedirs(out_root, exist_ok=True)
+        for f in files:
+            src = os.path.join(root, f)
+            dst = os.path.join(out_root, f)
+            if link:
+                try:
+                    os.link(src, dst)
+                except OSError:          # cross-device: degrade to copy
+                    shutil.copy2(src, dst)
+            else:
+                shutil.copy2(src, dst)
+            n_files += 1
+    os.rename(tmp, dst_dir)              # atomic publish
+    man = read_json(man_path)
+    return {"n_files": n_files,
+            "n_segments": len(man["segments"]),
+            "n_docs": man["stats"]["n_docs"]}
+
+
 def merge_indexes(src_dirs: list[str], out_dir: str, *,
                   link: bool = True) -> dict:
     """Merge finished indexes at ``src_dirs`` into ``out_dir``."""
