@@ -62,10 +62,34 @@ def cmd_query(args) -> int:
     qs = [{"query_id": i, "query_text": q, "k": args.k,
            "offset": args.offset} for i, q in enumerate(args.query or [])]
     preds = args.filter or None
-    if args.phrase:
+    if args.suggest:
+        res = q_.suggest_terms(args.index, list(args.suggest), k=args.k)
+    elif args.export:
+        ds = q_.export_matches(args.index, qs, predicates=preds)
+        ds.write_parquet(args.export)
+        print(json.dumps({"exported_to": args.export}))
+        ray.shutdown()
+        return 0
+    elif args.phrase:
         res = q_.phrase_rank_index(args.index, [
             {"query_id": i, "phrase": ph, "k": args.k}
             for i, ph in enumerate(args.phrase)], predicates=preds)
+    elif args.window:
+        res = q_.proximity_rank_index(args.index, [
+            {"query_id": i, "query_text": q, "window": args.window,
+             "k": args.k} for i, q in enumerate(args.query or [])],
+            predicates=preds)
+    elif args.after:
+        sc, conv, turn = args.after.split(",")
+        res = q_.search_after_index(args.index, [
+            dict(qq, after=(float(sc), conv, int(turn))) for qq in qs],
+            predicates=preds)
+    elif args.range_facet:
+        res = q_.facet_ranges_index(args.index, qs,
+                                    bin_width=args.range_facet,
+                                    predicates=preds)
+    elif any("^" in q for q in (args.query or [])):
+        res = q_.search_boosted_index(args.index, qs, predicates=preds)
     elif args.must or args.must_not:
         res = q_.search_boolean_index(args.index, [
             {"query_id": 0, "must": args.must or "",
@@ -100,6 +124,13 @@ def cmd_delete(args) -> int:
             ids += [line.strip() for line in f if line.strip()]
     print(json.dumps(delete_docs(args.index, ids)))
     ray.shutdown()
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    from .index.merge import snapshot_index
+    print(json.dumps(snapshot_index(args.index, args.dst,
+                                    link=not args.copy)))
     return 0
 
 
@@ -210,6 +241,21 @@ def main(argv=None) -> int:
                    help="pagination: return global ranks (offset, offset+k]")
     q.add_argument("--phrase", action="append",
                    help="exact consecutive phrase (ranked); repeatable")
+    q.add_argument("--window", type=int, default=0, metavar="W",
+                   help="proximity: all terms within a W-token span")
+    q.add_argument("--after", metavar="SCORE,CONV,TURN",
+                   help="cursor pagination: results ranked after this "
+                        "(score, conv_id, turn_idx)")
+    q.add_argument("--suggest", action="append", metavar="PREFIX",
+                   help="autocomplete: top-k dictionary terms per prefix")
+    q.add_argument("--range-facet", dest="range_facet", type=int,
+                   default=0, metavar="W",
+                   help="doc-length histogram of the match set, bins "
+                        "of W tokens")
+    q.add_argument("--export", metavar="DIR",
+                   help="stream the FULL match set (scores attached) "
+                        "to parquet at DIR instead of printing top-k; "
+                        "'term^2.5' boost syntax applies in --query")
     q.add_argument("--must", help="terms every hit must contain")
     q.add_argument("--must-not", dest="must_not",
                    help="terms no hit may contain")
@@ -223,6 +269,14 @@ def main(argv=None) -> int:
                    help="'attr op value' predicate, repeatable")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    sn = sub.add_parser("snapshot", help="point-in-time hardlink clone "
+                        "of a finished index")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dst", required=True)
+    sn.add_argument("--copy", action="store_true",
+                    help="copy bytes instead of hardlinking")
+    sn.set_defaults(fn=cmd_snapshot)
 
     dl = sub.add_parser("delete", help="tombstone conversations")
     dl.add_argument("--index", required=True)
