@@ -1120,6 +1120,59 @@ SELECT query_id::INT AS query_id, doc_id::BIGINT AS doc_id,
 FROM scores ORDER BY query_id, doc_id"""
 
 
+def _q_explain(sf_dir: str):
+    """Per-term score explanation for global top-k hits."""
+    from vframe_ray.pipelines.flagship import bm25_explain
+    return bm25_explain(sf_dir)
+
+
+def _explain_sql() -> str:
+    """Explain oracle: the per-(query, doc, term) contribution BEFORE
+    the sum, joined to the global rank window — identical expression
+    and association to the scores CTE it decomposes."""
+    from vframe_ray.pipelines.flagship import EXPLAIN_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks = [], []
+    for q in EXPLAIN_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ contrib AS (
+   SELECT q.query_id, tf._id AS doc_id, q.term,
+          ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+            AS c
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats),
+ scores AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib
+            GROUP BY query_id, doc_id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       c.doc_id::BIGINT AS doc_id, c.term, round(c.c, 6) AS contrib_r
+FROM ranked r JOIN contrib c ON c.query_id = r.query_id
+                            AND c.doc_id = r.doc_id
+              JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank, term"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1826,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": _q_boosted,
         "bm25_search_after": _q_search_after,
         "export_matches": _q_export_matches,
+        "bm25_explain": _q_explain,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
@@ -1917,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _sigterms_sql(),
         "bm25_search_after": _search_after_sql(),
         "export_matches": _export_matches_sql(),
+        "bm25_explain": _explain_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

@@ -209,3 +209,35 @@ def test_export_matches_is_uncut_search(ray_session, tmp_path):
         want += [(q["query_id"], r["conv_id"], r["score"])
                  for r in full.to_pylist()]
     assert got == sorted(want)
+
+
+def test_explain_rows_sum_to_ranked_scores(ray_session, tmp_path):
+    """Each top-k doc's per-term contribution rows must sum bit-exactly
+    to its ranked score, and cover exactly the terms present in it."""
+    import math
+
+    import ray.data
+
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import explain_index, search_index
+
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": "apple " * (i % 3 + 1) + ("banana " * (i % 2))}
+            for i in range(15)]
+    idx = str(tmp_path / "explain_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    qs = [{"query_id": 0, "query_text": "apple banana", "k": 4},
+          {"query_id": 1, "query_text": "banana zzz", "k": 3}]
+    top = search_index(idx, qs)
+    exp = explain_index(idx, qs).to_pandas()
+    by_hit = exp.groupby(["query_id", "rank"])
+    for r in top.to_pylist():
+        sub = by_hit.get_group((r["query_id"], r["rank"]))
+        # float sum in ascending-term order == the ranked score
+        total = 0.0
+        for c in sub.sort_values("term")["contrib"]:
+            total += c
+        assert math.isclose(total, r["score"], rel_tol=0, abs_tol=0) or \
+            total == r["score"]
+        assert (sub["conv_id"] == r["conv_id"]).all()

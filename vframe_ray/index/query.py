@@ -2203,6 +2203,106 @@ def export_matches(index_dir: str, queries: list[dict],
                               batch_size=seg_batch)
 
 
+def explain_index(index_dir: str, queries: list[dict],
+                  cfg: EngineConfig | None = None, *,
+                  predicates: list[str] | None = None) -> pa.Table:
+    """Score explanation (Lucene ``explain`` analog): for each query's
+    GLOBAL top-k docs, one row per contributing term with its exact
+    BM25 contribution — the sum of a doc's rows is bit-exactly its
+    ranked score (same expression, same float association).
+
+    Two phases: (1) the ordinary distributed top-k search fixes the
+    doc set; (2) one more per-segment pass decomposes scores for just
+    those ≤ queries·k docs (broadcast hit set, postings tf looked up by
+    searchsorted).  Returns (query_id, rank, conv_id, turn_idx, term,
+    contrib) sorted by (query_id, rank, term)."""
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(cfg.analyzer)
+    top = search_index(index_dir, queries, cfg, predicates=predicates)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    all_terms = set().union(*[set(t) for _, t in parsed]) if parsed \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    # broadcast the (query, doc, rank) hit set; conv_id keys the segment
+    hits_ref = ray.put(top.select(["query_id", "rank", "conv_id",
+                                   "turn_idx"]))
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+    schema = pa.schema([("query_id", pa.int32()), ("rank", pa.int32()),
+                        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("term", pa.string()), ("contrib", pa.float64())])
+
+    def _task(batch: pa.Table) -> pa.Table:
+        from .codec import decode_all
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        hits = ray.get(hits_ref)
+        out = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            # segment-resident hit docs: vectorized (conv, turn) ->
+            # doc_local via one pandas merge (no per-doc Python)
+            seg_keys = pd.DataFrame({
+                "conv_id": s.r.conv_id.to_pandas(),
+                "turn_idx": s.r.turn_idx.to_pandas(),
+                "_loc": np.arange(s.r.n_docs, dtype=np.int64)})
+            resident = hits.to_pandas().merge(seg_keys,
+                                              on=["conv_id", "turn_idx"],
+                                              how="inner")
+            if resident.empty:
+                continue
+            postings = s.load_terms_cached(
+                sorted(set().union(*[set(t) for _, t in qs]))
+                if qs else [])
+            qterms = dict(qs)
+            for row in resident.to_dict("records"):   # <= queries*k rows
+                loc = int(row["_loc"])
+                for t in qterms[row["query_id"]]:
+                    tp = postings.get(t)
+                    if tp is None:
+                        continue
+                    docs, tfs = s._decode_cached(t, tp)
+                    j = np.searchsorted(docs, loc)
+                    if j >= docs.size or docs[j] != loc:
+                        continue              # term absent from this doc
+                    contrib = s.idf.get(t, 0.0) \
+                        * (tfs[j] * (bm25_dict["k1"] + 1.0)) \
+                        / (tfs[j] + s.norm[loc])
+                    out.append((row["query_id"], row["rank"],
+                                row["conv_id"], row["turn_idx"], t,
+                                float(contrib)))
+        if not out:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        cols = list(zip(*out))
+        return pa.table({
+            "query_id": pa.array(cols[0], pa.int32()),
+            "rank": pa.array(cols[1], pa.int32()),
+            "conv_id": pa.array(cols[2], pa.string()),
+            "turn_idx": pa.array(cols[3], pa.int32()),
+            "term": pa.array(cols[4], pa.string()),
+            "contrib": pa.array(cols[5], pa.float64()),
+        })
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    res = seg_ds.map_batches(_task, batch_format="pyarrow",
+                             batch_size=seg_batch).to_pandas()
+    if res.empty:
+        return pa.table({f.name: [] for f in schema}, schema=schema)
+    out = pa.Table.from_pandas(
+        res.sort_values(["query_id", "rank", "term"]),
+        preserve_index=False).cast(schema)
+    return out
+
+
 def parse_boosted_query(tok: Tokenizer, query_text: str
                         ) -> list[tuple[str, float]]:
     """Parse ``term^2.5`` boost syntax: each whitespace chunk may end in

@@ -307,6 +307,28 @@ def bm25_boosted(sf_dir: str) -> pa.Table:
     })
 
 
+EXPLAIN_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "k": 5},
+    {"query_id": 1, "query_text": "hash join", "k": 5},
+]
+
+
+def bm25_explain(sf_dir: str) -> pa.Table:
+    """Score explanation: per-term BM25 contribution rows for each
+    query's global top-k docs (index/query.explain_index); a doc's
+    rows sum bit-exactly to its ranked score."""
+    from ..index.query import explain_index
+    index_dir = documents_index(sf_dir)
+    res = explain_index(index_dir, EXPLAIN_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "term": res["term"],
+        "contrib_r": pc.round(res["contrib"], ndigits=6),
+    })
+
+
 SEARCH_AFTER_TEXT = "the customer"
 SEARCH_AFTER_PAGE = 10
 
