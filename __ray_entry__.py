@@ -1915,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "rollup_revenue": rel.rollup_revenue,
+        "anti_join_customers": rel.anti_join_customers,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
         "filter_project_events": rel.filter_project_events,
@@ -2142,6 +2143,12 @@ SELECT l_returnflag, l_linestatus,
        count(*)::BIGINT AS count_order
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+        "anti_join_customers": f"""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {rel.ANTI_JOIN_THRESHOLD!r})
+ORDER BY c_custkey""",
         "rollup_revenue": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

@@ -282,6 +282,46 @@ def semi_join_orders(sf_dir: str):
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
+ANTI_JOIN_THRESHOLD = 400_000.0
+
+
+def anti_join_customers(sf_dir: str):
+    """Broadcast ANTI-join: customers with NO high-value order
+    (NOT EXISTS over o_totalprice > threshold) — the inverse of
+    semi_join_orders and the explicit form of the reference's cache
+    reconciliation (new files = inputs minus cached,
+    dedup/sha256.py:82-88).  The distinct qualifying-custkey set is
+    small relative to orders (pre-distincted per block, pushdown filter
+    at the read), broadcast once, NOT-is_in filter per customer batch."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"],
+                   filter=(pc.field("o_totalprice")
+                           > pc.scalar(ANTI_JOIN_THRESHOLD)))
+    parts = orders.map_batches(
+        lambda t: pa.table({"k": pc.unique(t["o_custkey"])}),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from ..runtime import block_refs as _block_refs
+    keys = np.unique(np.concatenate(
+        [t["k"].to_numpy(zero_copy_only=False)
+         for t in ray.get(_block_refs(parts)) if t.num_rows]))
+    key_ref = ray.put(keys)
+
+    def anti_filter(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["c_custkey"],
+                        value_set=pa.array(ray.get(key_ref)))
+        return t.filter(pc.invert(mask))
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_acctbal"])
+    out = ds.map_batches(anti_filter, batch_format="pyarrow",
+                         batch_size=None)
+    df = out.to_pandas()
+    if df.empty:                      # schema-stable empty result
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                           "c_name": pd.Series([], dtype="object"),
+                           "c_acctbal": pd.Series([], dtype="float64")})
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
 def order_priority_histogram(sf_dir: str):
     """Date-range filter + count by category, two-phase (reference
     analog: media-attrs-summarize bucketed counts)."""
