@@ -1173,6 +1173,75 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank, term"""
 
 
+def _q_hybrid(sf_dir: str):
+    """Hybrid retrieval: BM25 candidate recall + embedding re-rank."""
+    from vframe_ray.pipelines.flagship import hybrid_search
+    return hybrid_search(sf_dir)
+
+
+def _hybrid_sql() -> str:
+    """Hybrid oracle: the BM25 scores CTE cut to each query's top-n
+    candidates, joined to embeddings (doc_id == vec_id alignment of the
+    synthetic tables), re-ranked by list_cosine_similarity vs the seed
+    vector — the same candidate-then-precision composition the engine
+    runs."""
+    from vframe_ray.pipelines.flagship import HYBRID_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qns, qks, qsv = [], [], [], []
+    for q in HYBRID_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qns.append(f"({q['query_id']}, {q['n']})")
+        qks.append(f"({q['query_id']}, {q['k']})")
+        qsv.append(f"({q['query_id']}, {q['seed_vec']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qn(query_id, n) AS (VALUES {', '.join(qns)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ qs(query_id, sv) AS (VALUES {', '.join(qsv)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ cand AS (SELECT s.query_id, s.doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rnk
+            FROM scores) s
+          JOIN qn ON qn.query_id = s.query_id WHERE s.rnk <= qn.n),
+ seedv AS (SELECT qs.query_id, e.embedding::DOUBLE[] AS sv
+           FROM qs JOIN embeddings e ON e.vec_id = qs.sv),
+ sims AS (SELECT c.query_id, c.doc_id,
+                 list_cosine_similarity(s.sv, e.embedding::DOUBLE[])
+                   AS sim
+          FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+                      JOIN seedv s ON s.query_id = c.query_id),
+ rr AS (SELECT query_id, doc_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rank
+        FROM sims)
+SELECT rr.query_id::INT AS query_id, rr.rank::INT AS rank,
+       rr.doc_id::BIGINT AS doc_id, round(rr.sim, 6) AS sim_r
+FROM rr JOIN qk ON qk.query_id = rr.query_id
+WHERE rr.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -1880,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": _q_search_after,
         "export_matches": _q_export_matches,
         "bm25_explain": _q_explain,
+        "hybrid_search": _q_hybrid,
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
@@ -1973,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_after": _search_after_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
+        "hybrid_search": _hybrid_sql(),
         "term_df_topk": f"""{_TOK}
 SELECT term, count(DISTINCT _id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",

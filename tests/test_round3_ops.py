@@ -268,3 +268,40 @@ def test_significant_terms_vs_bruteforce(ray_session):
     got = significant_terms(tokenize(ray.data.from_items(rows)), queries,
                             n_bg=n_bg, k=3)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_hybrid_rerank_by_embedding(ray_session, tmp_path):
+    """Candidate re-rank must equal a brute-force cosine over the
+    candidate set, read only the needed vectors, and respect k."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vframe_ray.stages.similarity import rerank_by_embedding
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}), path)
+
+    cand = {0: np.array([5, 9, 17, 23, 31]), 1: np.array([2, 4, 6])}
+    seeds = {0: 1, 1: 38}
+    got = rerank_by_embedding(cand, path, seeds, k=3)
+
+    def unit(v):
+        v = v.astype(np.float64)
+        return v / np.linalg.norm(v)
+
+    for qid, ids in cand.items():
+        sims = sorted(((float(unit(vecs[c]) @ unit(vecs[seeds[qid]])),
+                        int(c)) for c in ids),
+                      key=lambda sc: (-sc[0], sc[1]))[:3]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["vec_id"]) == [c for _, c in sims]
+        # gemv vs dot accumulate in different ULP order; the oracle
+        # gate rounds to 6 decimals, so 1e-12 is far inside the margin
+        assert np.allclose(sub["sim"].to_numpy(),
+                           [s for s, _ in sims], rtol=0, atol=1e-12)

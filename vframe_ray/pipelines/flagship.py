@@ -307,6 +307,49 @@ def bm25_boosted(sf_dir: str) -> pa.Table:
     })
 
 
+HYBRID_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "seed_vec": 3,
+     "n": 50, "k": 10},
+    {"query_id": 1, "query_text": "vector customer", "seed_vec": 7,
+     "n": 40, "k": 10},
+    {"query_id": 2, "query_text": "zzzmissing", "seed_vec": 1,
+     "n": 30, "k": 10},
+]
+
+
+def hybrid_search(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (RAG-shaped): BM25 top-N candidate recall from
+    the inverted index, then embedding-cosine re-rank against a seed
+    vector (stages/similarity.rerank_by_embedding).  Assumes the
+    synthetic tables' alignment doc_id == vec_id.  Returns (query_id,
+    rank, doc_id, sim_r)."""
+    import numpy as np
+
+    from ..index.query import search_index
+    from ..stages.similarity import rerank_by_embedding
+
+    index_dir = documents_index(sf_dir)
+    cand: dict[int, "np.ndarray"] = {}
+    for q in HYBRID_QUERIES:
+        res = search_index(index_dir, [{
+            "query_id": q["query_id"], "query_text": q["query_text"],
+            "k": q["n"]}])
+        cand[q["query_id"]] = np.asarray(
+            [int(c) for c in res["conv_id"].to_pylist()], dtype=np.int64)
+    seeds = {q["query_id"]: q["seed_vec"] for q in HYBRID_QUERIES}
+    k_by_q = {q["query_id"]: q["k"] for q in HYBRID_QUERIES}
+    df = rerank_by_embedding(cand,
+                             os.path.join(sf_dir, "embeddings.parquet"),
+                             seeds, k=max(k_by_q.values()))
+    df = df[df["rank"] <= df["query_id"].map(k_by_q)]
+    return pa.table({
+        "query_id": pa.array(df["query_id"].astype("int32")),
+        "rank": pa.array(df["rank"].astype("int32")),
+        "doc_id": pa.array(df["vec_id"].astype("int64")),
+        "sim_r": pa.array(df["sim"].round(6).astype("float64")),
+    })
+
+
 EXPLAIN_QUERIES = [
     {"query_id": 0, "query_text": "spark window merge", "k": 5},
     {"query_id": 1, "query_text": "hash join", "k": 5},

@@ -101,6 +101,49 @@ def cosine_topk(ds, queries: dict[int, np.ndarray], k: int = 10, *,
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def rerank_by_embedding(candidates: dict[int, np.ndarray],
+                        emb_path: str, seeds: dict[int, int],
+                        k: int = 10, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """Embedding re-rank of per-query CANDIDATE id sets (the second
+    stage of hybrid retrieval: BM25 recall → vector precision).
+
+    ``candidates``: query_id → candidate ids; ``seeds``: query_id →
+    seed vector id (the "query embedding").  One pushdown-filtered
+    parquet read fetches ONLY the candidate∪seed vectors (≤ queries·N
+    + queries rows however large the embedding table), then a float64
+    cosine per query and a (sim desc, id asc) top-k cut.  Bounded by
+    construction — the heavy recall work already happened in the index.
+
+    Returns (query_id, rank, id, sim) sorted by (query_id, rank)."""
+    import pyarrow.parquet as pq
+
+    need = sorted(set(int(s) for s in seeds.values())
+                  | set(int(i) for ids in candidates.values()
+                        for i in ids))
+    t = pq.ParquetDataset(emb_path, filters=[(id_col, "in", need)]) \
+        .read(columns=[id_col, vec_col])
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _normalize(list_column_matrix(t[vec_col]))
+    pos = {int(i): j for j, i in enumerate(ids)}
+    rows = []
+    for qid in sorted(candidates):
+        sv = pos.get(int(seeds[qid]))
+        if sv is None:
+            continue
+        cand = np.array([pos[int(c)] for c in candidates[qid]
+                         if int(c) in pos], dtype=np.int64)
+        if cand.size == 0:
+            continue
+        sims = M[cand] @ M[sv]
+        cids = ids[cand]
+        order = np.lexsort((cids, -sims))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((qid, r, int(cids[j]), float(sims[j])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col,
+                                       "sim"])
+
+
 def cosine_dup_pairs_driver_oracle(ds, *, threshold: float = 0.9,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding") -> pa.Table:
