@@ -53,3 +53,26 @@ def test_service_parity_new_ops(ray_session, tmp_path):
             more_like_this_index(idx, mq, max_query_terms=2).to_pylist()
     finally:
         svc.shutdown()
+
+
+def test_service_parity_fuzzy_synonyms(ray_session, tmp_path):
+    """Served fuzzy/synonym rewrites must equal the one-shot paths."""
+    from vframe_ray.index.query import (QueryService, search_fuzzy_index,
+                                        search_synonym_index)
+    idx = str(tmp_path / "svc_idx2")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    svc = QueryService(idx, n_actors=2)
+    try:
+        syn = {"apple": ["apricot"], "rare": ["berry"]}
+        sq = [{"query_id": 0, "query_text": "apple cherry", "k": 10},
+              {"query_id": 1, "query_text": "rare", "k": 10}]
+        assert svc.search_synonyms(sq, syn).to_pylist() == \
+            search_synonym_index(idx, sq, syn).to_pylist()
+
+        fq = [{"query_id": 0, "query_text": "appel", "k": 10},
+              {"query_id": 1, "query_text": "chery banana", "k": 10}]
+        assert svc.search_fuzzy(fq, max_edits=1).to_pylist() == \
+            search_fuzzy_index(idx, fq, max_edits=1).to_pylist()
+    finally:
+        svc.shutdown()

@@ -1632,6 +1632,51 @@ class QueryService:
             .sum().sort_values(["query_id", "bin_lo"])
         return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
+    def search_synonyms(self, queries: list[dict],
+                        synonyms: dict[str, list[str]],
+                        predicates: list[str] | None = None) -> pa.Table:
+        """Served synonym expansion: the same pure query rewrite as
+        :func:`search_synonym_index`, then the resident shards."""
+        syn_norm: dict[str, list[str]] = {}
+        for key, vals in synonyms.items():
+            kt = self.tok.tokenize(key)
+            if len(kt) != 1:
+                raise ValueError(f"synonym key {key!r} must analyze to "
+                                 f"one term")
+            syn_norm[kt[0]] = [t for v in vals for t in self.tok.tokenize(v)]
+        plain = []
+        for q in queries:
+            terms = set()
+            for t in self.tok.tokenize(str(q.get("query_text", ""))):
+                terms.add(t)
+                terms.update(syn_norm.get(t, ()))
+            plain.append({"query_id": int(q["query_id"]),
+                          "query_text": " ".join(sorted(terms)),
+                          "k": int(q.get("k", 10))})
+        return self.search(plain, predicates=predicates)
+
+    def search_fuzzy(self, queries: list[dict], *, max_edits: int = 1,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served fuzzy search: Levenshtein dictionary expansion (one
+        dictionary scan per call — SCALE NOTE in expand_fuzzy_terms),
+        then the resident shards."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(str(q.get("query_text",
+                                                          ""))))),
+                   int(q.get("k", 10))) for q in queries]
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
+                           ) if parsed else []
+        expansion = expand_fuzzy_terms(self.index_dir, all_terms,
+                                       max_edits)
+        plain = []
+        for qid, terms, k in parsed:
+            ex = set()
+            for t in terms:
+                ex.update(expansion[t])
+            plain.append({"query_id": qid,
+                          "query_text": " ".join(sorted(ex)), "k": k})
+        return self.search(plain, predicates=predicates)
+
     def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
         """Autocomplete against the index's global term dictionary —
         see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
