@@ -1986,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "rollup_revenue": rel.rollup_revenue,
         "anti_join_customers": rel.anti_join_customers,
+        "range_join_events": rel.events_in_order_windows,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
         "filter_project_events": rel.filter_project_events,
@@ -2220,6 +2221,17 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_totalprice > {rel.ANTI_JOIN_THRESHOLD!r})
 ORDER BY c_custkey""",
+        "range_join_events": """
+WITH r AS (SELECT o_orderkey, o_custkey % 150 AS k,
+                  TIMESTAMP '2024-01-01'
+                    + (o_orderkey % 25) * INTERVAL 1 DAY AS lo
+           FROM orders)
+SELECT r.o_orderkey, count(*)::BIGINT AS n_events,
+       round(sum(e.value), 2) AS sum_value_r
+FROM r JOIN events e ON e.user_id = r.k
+                    AND e.ts >= r.lo
+                    AND e.ts <= r.lo + INTERVAL 2 DAY
+GROUP BY r.o_orderkey ORDER BY o_orderkey""",
         "rollup_revenue": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

@@ -305,3 +305,37 @@ def test_hybrid_rerank_by_embedding(ray_session, tmp_path):
         # gate rounds to 6 decimals, so 1e-12 is far inside the margin
         assert np.allclose(sub["sim"].to_numpy(),
                            [s for s, _ in sims], rtol=0, atol=1e-12)
+
+
+def test_range_join_vs_bruteforce(ray_session):
+    """Banded range join must equal a brute-force interval scan:
+    inclusive bounds, intervals spanning several bins, zero-length
+    intervals, absent keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from vframe_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(5)
+    lrows = [{"k": int(rng.integers(0, 6)), "t": int(rng.integers(0, 1000)),
+              "event_id": i} for i in range(300)]
+    rrows = []
+    for i in range(60):
+        lo = int(rng.integers(0, 950))
+        rrows.append({"k": int(rng.integers(0, 8)), "lo": lo,
+                      "hi": lo + int(rng.integers(0, 200)),  # 0-len ok
+                      "win_id": i})
+    left = ray.data.from_items(lrows).map_batches(
+        lambda t: t.rename_columns(["k", "t", "event_id"]),
+        batch_format="pyarrow")
+    right = ray.data.from_items(rrows)
+    out = range_join(left, right, key="k", left_on="t",
+                     right_lo="lo", right_hi="hi", band=64,
+                     left_cols=["event_id"], right_cols=["win_id"])
+    got = sorted((r["event_id"], r["r_win_id"])
+                 for r in out.to_pandas().to_dict("records"))
+    want = sorted((l["event_id"], r["win_id"])
+                  for l in lrows for r in rrows
+                  if l["k"] == r["k"] and r["lo"] <= l["t"] <= r["hi"])
+    assert got == want and len(want) > 100

@@ -322,6 +322,64 @@ def anti_join_customers(sf_dir: str):
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
+RANGE_JOIN_DAY_US = 86_400_000_000
+RANGE_JOIN_EPOCH_US = pd.Timestamp("2024-01-01").value // 1000
+
+
+def events_in_order_windows(sf_dir: str):
+    """Banded RANGE join (equi-key + interval containment): each order
+    defines a deterministic 2-day window inside the events range
+    (lo = 2024-01-01 + (o_orderkey % 25) days, key = o_custkey % 150);
+    events falling in a window count toward that order.  Aggregation is
+    FUSED into the join buckets (a key's events and all its window
+    replicas co-locate, so per-order counts are exact in-bucket — no
+    second shuffle).  Returns (o_orderkey, n_events, sum_value_r)."""
+    from ..stages.joins import range_join
+
+    levents = _read(sf_dir, "events",
+                    columns=["user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "ts_us": pc.cast(t["ts"], pa.int64()),
+                            "value": t["value"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % 150
+        lo = RANGE_JOIN_EPOCH_US + (ok % 25) * RANGE_JOIN_DAY_US
+        return pa.table({"user_id": pa.array(k), "lo": pa.array(lo),
+                         "hi": pa.array(lo + 2 * RANGE_JOIN_DAY_US),
+                         "o_orderkey": pa.array(ok)})
+
+    rwin = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey"]).map_batches(
+        prep_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg(j: pd.DataFrame) -> pd.DataFrame:
+        if j.empty:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_value": pd.Series([], dtype="float64")})
+        g = j.groupby("r_o_orderkey", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        g["r_o_orderkey"] = g["r_o_orderkey"].astype("int64")
+        return g.rename(columns={"r_o_orderkey": "o_orderkey"})
+
+    out = range_join(levents, rwin, key="user_id", left_on="ts_us",
+                     right_lo="lo", right_hi="hi",
+                     band=2 * RANGE_JOIN_DAY_US,
+                     left_cols=["value"], right_cols=["o_orderkey"],
+                     post=agg)
+    df = out.to_pandas()
+    df["sum_value_r"] = df["sum_value"].round(2)
+    df["n_events"] = df["n_events"].astype("int64")
+    return df.sort_values("o_orderkey")[
+        ["o_orderkey", "n_events", "sum_value_r"]].reset_index(drop=True)
+
+
 def order_priority_histogram(sf_dir: str):
     """Date-range filter + count by category, two-phase (reference
     analog: media-attrs-summarize bucketed counts)."""

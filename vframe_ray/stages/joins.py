@@ -114,6 +114,104 @@ def asof_join(left, right, *, key: str, left_on: str, right_on: str,
                                                   batch_format="pandas")
 
 
+def range_join(left, right, *, key: str, left_on: str,
+               right_lo: str, right_hi: str, band: int,
+               left_cols: list[str], right_cols: list[str],
+               post=None, num_buckets: int | None = None):
+    """Equi-key + interval (band/range) join: emit (left, right) pairs
+    where ``left.key == right.key`` AND ``right_lo <= left.left_on <=
+    right_hi`` (inclusive).  Inner semantics.  All position/time
+    columns are int64 in the caller's unit (cast timestamps upstream).
+
+    Physical plan — the classic banded range join:
+    - each RIGHT interval is replicated into the fixed-width time bins
+      it covers (``band`` ≈ max interval length ⇒ ≤ 2 replicas/row);
+    - each LEFT row carries exactly the bin of its own timestamp;
+    - ONE keyed shuffle co-partitions by hash(key) (a key's events AND
+      all its interval replicas land in one bucket), then one
+      vectorized pandas merge on (key, bin) + a between filter per
+      bucket.  A (left, right) pair can only meet in the LEFT row's
+      bin, so no dedup pass is needed.
+
+    ``post`` (optional): pandas->pandas per-bucket hook.  Because every
+    row of a key is in exactly one bucket, per-RIGHT-row aggregates
+    (e.g. events per interval) computed here are exact — the same
+    join+aggregate fusion as :func:`hash_join`.
+
+    Partitioning assumptions: per-bucket rows fit a worker heap
+    (keys spread over ``num_buckets``); replication factor =
+    interval_length/band + 1, so pick ``band`` near the typical
+    interval length.
+    """
+    nb = _num_buckets(num_buckets)
+    lsch = left.schema().base_schema
+    types = {**{c: lsch.field(c).type for c in left_cols},
+             **{"r_" + c: pa.int64() for c in right_cols}}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__bucket": _bucket_of(k, nb), "__key": pa.array(k),
+                "__bin": pa.array(ts // band), "__ts": pa.array(ts),
+                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+                "__lo": pa.nulls(len(t), pa.int64()),
+                "__hi": pa.nulls(len(t), pa.int64())}
+        for c in left_cols:
+            cols[c] = t[c]
+        for c in right_cols:
+            cols["__r_" + c] = pa.nulls(len(t), pa.int64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t[right_lo].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t[right_hi].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = lo // band
+        cnt = (hi // band - b0 + 1).astype(np.int64)   # bins covered
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        bins = (np.arange(int(cnt.sum())) - np.repeat(csum[:-1], cnt)
+                + b0[idx])
+        cols = {"__bucket": _bucket_of(k[idx], nb),
+                "__key": pa.array(k[idx]), "__bin": pa.array(bins),
+                "__ts": pa.nulls(len(idx), pa.int64()),
+                "__side": pa.array(np.zeros(len(idx), dtype=np.int8)),
+                "__lo": pa.array(lo[idx]), "__hi": pa.array(hi[idx])}
+        for c in left_cols:
+            cols[c] = pa.nulls(len(idx), types[c])
+        for c in right_cols:
+            cols["__r_" + c] = t[c].take(pa.array(idx)).cast(pa.int64())
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    out_cols = left_cols + ["r_" + c for c in right_cols]
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        l = g[g["__side"] == 1]
+        r = g[g["__side"] == 0]
+        if len(l) and len(r):
+            j = l[["__key", "__bin", "__ts"] + left_cols].merge(
+                r[["__key", "__bin", "__lo", "__hi"]
+                  + ["__r_" + c for c in right_cols]],
+                on=["__key", "__bin"])
+            j = j[(j["__ts"] >= j["__lo"]) & (j["__ts"] <= j["__hi"])]
+            j = j.rename(columns={"__r_" + c: "r_" + c
+                                  for c in right_cols})[out_cols]
+        else:
+            j = pd.DataFrame(columns=out_cols)
+        j = post(j) if post else j
+        t = _arrow(j)
+        # restore source types (the group frame null-padded the other
+        # side, so pandas upcast int64 -> float64; undo it on output)
+        target = pa.schema([(f, types.get(f, t.schema.field(f).type))
+                            for f in t.schema.names])
+        return t.cast(target, safe=False)
+
+    return unioned.groupby("__bucket").map_groups(join_bucket,
+                                                  batch_format="pandas")
+
+
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], post=None,
               num_buckets: int | None = None):
