@@ -1418,6 +1418,48 @@ WHERE r.rn <= {COOC_K}
 ORDER BY r.term_a, r.term_b"""
 
 
+CONTAM_N = 8
+
+
+def _q_contamination(sf_dir: str):
+    """Train/test decontamination: n-gram overlap of each test doc
+    (doc_id % 5 == 0) against the train rest of the corpus."""
+    import numpy as np
+    from vframe_ray.stages.dedup import cross_contamination
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+
+    def split(keep_test: bool):
+        def pick(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if keep_test else (ids % 5 != 0)
+            return t.filter(pa.array(mask))
+        return pick
+
+    test = ds.map_batches(split(True), batch_format="pyarrow")
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    return cross_contamination(test, train, n=CONTAM_N)
+
+
+def _contamination_sql() -> str:
+    """Decontamination oracle: the shared shingle CTE split into
+    test/train by doc_id % 5; n_shared = semi-join count of a test
+    doc's distinct shingles against the distinct train shingle set."""
+    from vframe_ray.stages.hashing import sql_shingles_cte
+    return f"""{_TOK},{sql_shingles_cte(CONTAM_N)},
+ tr AS (SELECT DISTINCT s FROM sh WHERE _id % 5 <> 0),
+ te AS (SELECT _id, count(*) AS n_shingles FROM sh WHERE _id % 5 = 0
+        GROUP BY _id),
+ shared AS (SELECT sh._id, count(*) AS n_shared
+            FROM sh JOIN tr ON tr.s = sh.s
+            WHERE sh._id % 5 = 0 GROUP BY sh._id)
+SELECT te._id::BIGINT AS doc_id, te.n_shingles::BIGINT AS n_shingles,
+       coalesce(shared.n_shared, 0)::BIGINT AS n_shared,
+       round(coalesce(shared.n_shared, 0) / te.n_shingles, 6)
+         AS contamination_r
+FROM te LEFT JOIN shared ON shared._id = te._id ORDER BY doc_id"""
+
+
 def _q_dedup_exact(sf_dir: str):
     # per-block (min id, count) partials per content hash, reduced by
     # sha-hash-bucket co-partition + one Arrow C group_by per bucket
@@ -1953,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_topk": _q_term_df,
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
+        "cross_contamination": _q_contamination,
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
@@ -2042,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": _boosted_sql(),
         "significant_terms": _sigterms_sql(),
         "bm25_search_after": _search_after_sql(),
+        "cross_contamination": _contamination_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

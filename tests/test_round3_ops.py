@@ -339,3 +339,41 @@ def test_range_join_vs_bruteforce(ray_session):
                   for l in lrows for r in rrows
                   if l["k"] == r["k"] and r["lo"] <= l["t"] <= r["hi"])
     assert got == want and len(want) > 100
+
+
+def test_cross_contamination_planted(ray_session):
+    """A test doc copied verbatim into train must read 100%
+    contaminated; a disjoint-vocab doc 0%; a half-overlapping doc in
+    between — counts checked against a plain-Python shingle oracle."""
+    import numpy as np
+    import ray.data
+
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.dedup import cross_contamination
+    from vframe_ray.stages.hashing import shingle_rows
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    half = "totally fresh words here quick brown fox jumps never seen"
+    clean = "zz yy xx ww vv uu tt ss rr qq"
+    test_rows = [{"doc_id": 0, "text": leak},
+                 {"doc_id": 5, "text": half},
+                 {"doc_id": 10, "text": clean}]
+    train_rows = [{"doc_id": 1, "text": leak},
+                  {"doc_id": 2, "text": "quick brown fox jumps plus other"
+                                        " stuff making more shingles"}]
+    got = cross_contamination(ray.data.from_items(test_rows),
+                              ray.data.from_items(train_rows), n=3)
+
+    tok = Tokenizer()
+    def shset(text):
+        import pyarrow as pa
+        p, s, _ = shingle_rows(tok, pa.array([text]), 3)
+        return set(s.to_pylist())
+    train_sh = shset(train_rows[0]["text"]) | shset(train_rows[1]["text"])
+    for r in test_rows:
+        mine = shset(r["text"])
+        row = got[got["doc_id"] == r["doc_id"]].iloc[0]
+        assert row["n_shingles"] == len(mine)
+        assert row["n_shared"] == len(mine & train_sh)
+    by_id = got.set_index("doc_id")["contamination_r"]
+    assert by_id[0] == 1.0 and by_id[10] == 0.0 and 0 < by_id[5] < 1

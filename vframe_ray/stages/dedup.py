@@ -122,6 +122,94 @@ class ShingleStage:
                          "dsize": pa.array(sizes, pa.int64())})
 
 
+def cross_contamination(test_ds, train_ds, *, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_buckets: int | None = None) -> "pd.DataFrame":
+    """Train/test DECONTAMINATION check: for each test doc, how many of
+    its distinct n-gram shingles also appear anywhere in the train
+    corpus (the n-gram-overlap contamination test LLM eval sets run
+    before training).
+
+    Shape: both sides shingle via the shared vectorized kernel
+    (:func:`~vframe_ray.stages.hashing.shingle_rows`), route by
+    hash(shingle) bucket, and each bucket does ONE vectorized is_in of
+    its test shingles against its distinct train-shingle set — a pure
+    semi-join count, never a doc-pair explosion (unlike similarity
+    joins, no per-pair work exists to blow up on hot shingles).
+    Per-bucket partials are ≤ |test docs| rows, so the final combine is
+    bounded by test docs × buckets — eval sets are small by nature
+    (documented assumption; shard the final sum by id bucket if a
+    "test" corpus ever rivals train size).
+
+    Returns (doc_id, n_shingles, n_shared, contamination_r) for every
+    test doc with ≥1 shingle, sorted by doc_id.
+    """
+    import ray
+
+    from ..analyze import Tokenizer
+    from ..runtime import block_refs as _block_refs
+    from ..runtime import num_hash_buckets
+    from .hashing import shingle_rows
+    nb = num_hash_buckets(num_buckets)
+    tok = Tokenizer()
+
+    def mk_partial(side: int):
+        def partial(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            parents, strings, sizes = shingle_rows(tok, t[text_col], n)
+            h = pd.util.hash_array(strings.to_numpy(zero_copy_only=False)
+                                   .astype(object))
+            return pa.table({
+                "__b": pa.array((h % nb).astype(np.int32)),
+                "id": pa.array(ids[parents]),
+                "sh": strings,
+                "n_row": pa.array(sizes),
+                "side": pa.array(np.full(len(parents), side,
+                                         dtype=np.int8)),
+            })
+        return partial
+
+    unioned = test_ds.map_batches(mk_partial(1), batch_format="pyarrow") \
+        .union(train_ds.map_batches(mk_partial(0),
+                                    batch_format="pyarrow"))
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        te = g[g["side"] == 1]
+        if not len(te):
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "n_shingles_p": pa.array([], pa.int64()),
+                             "n_shared_p": pa.array([], pa.int64())})
+        train_set = pd.unique(g.loc[g["side"] == 0, "sh"])
+        hit = te["sh"].isin(train_set)
+        agg = te.assign(hit=hit.astype(np.int64)).groupby(
+            "id", as_index=False).agg(n_shingles_p=("sh", "size"),
+                                      n_shared_p=("hit", "sum"))
+        return pa.table({
+            "id": pa.array(agg["id"].astype("int64")),
+            "n_shingles_p": pa.array(agg["n_shingles_p"].astype("int64")),
+            "n_shared_p": pa.array(agg["n_shared_p"].astype("int64")),
+        })
+
+    parts = unioned.groupby("__b").map_groups(bucket_counts,
+                                              batch_format="pandas")
+    tables = [t for t in ray.get(_block_refs(parts)) if t.num_rows]
+    if not tables:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_shingles": pd.Series([], dtype="int64"),
+                             "n_shared": pd.Series([], dtype="int64"),
+                             "contamination_r":
+                             pd.Series([], dtype="float64")})
+    df = pa.concat_tables(tables).to_pandas().groupby(
+        "id", as_index=False)[["n_shingles_p", "n_shared_p"]].sum()
+    out = pd.DataFrame({
+        "doc_id": df["id"].astype("int64"),
+        "n_shingles": df["n_shingles_p"].astype("int64"),
+        "n_shared": df["n_shared_p"].astype("int64")})
+    out["contamination_r"] = np.round(
+        out["n_shared"].to_numpy() / out["n_shingles"].to_numpy(), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_df: int = 1000):
