@@ -161,6 +161,8 @@ def run_bench() -> dict:
                  ("top_orders", rel.top_orders),
                  ("dedup_exact", entry_queries["dedup_exact"]),
                  ("cosine_topk", entry_queries["cosine_topk"]),
+                 ("range_join", rel.events_in_order_windows),
+                 ("contamination", entry_queries["cross_contamination"]),
                  ("retrieval_suite", retrieval_suite)]
     for name, fn in pipelines:
         fn(SF_DIR)                                # untimed warmup
