@@ -239,18 +239,21 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     nb = _num_buckets(num_buckets)
 
     def tag(side):
-        cols_self = left_cols if side else right_cols
-        cols_other = right_cols if side else left_cols
+        cols_self = set(left_cols if side else right_cols)
 
         def fn(t: pa.Table) -> pa.Table:
             k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
             out = {"__bucket": _bucket_of(k, nb), "__key": t[key],
                    "__side": pa.array(
                        np.full(len(t), side, dtype=np.int8))}
-            for c in cols_self:
-                out[c] = t[c]
-            for c in cols_other:
-                out[c] = pa.nulls(len(t), types[c])
+            # CANONICAL column order on both sides (left_cols then
+            # right_cols) — per-side orders made the union's block
+            # schemas disagree, which Ray Data warns may misbehave
+            for c in left_cols + right_cols:
+                if c in out:
+                    continue            # shared column (e.g. the key)
+                out[c] = t[c] if c in cols_self \
+                    else pa.nulls(len(t), types[c])
             return pa.table(out)
         return fn
 
