@@ -1460,6 +1460,41 @@ SELECT te._id::BIGINT AS doc_id, te.n_shingles::BIGINT AS n_shingles,
 FROM te LEFT JOIN shared ON shared._id = te._id ORDER BY doc_id"""
 
 
+PERCO_QUERIES = [
+    {"query_id": 0, "query_text": "hash join sort"},
+    {"query_id": 1, "query_text": "vector"},
+    {"query_id": 2, "query_text": "zzzmissing vector"},
+]
+
+
+def _q_percolate(sf_dir: str):
+    """Reverse search: standing queries matched against every doc
+    (streaming percolator — zero shuffle, broadcast query table)."""
+    from vframe_ray.stages.textops import percolate
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return percolate(ds, PERCO_QUERIES)
+
+
+def _percolate_sql() -> str:
+    """Percolator oracle: a doc matches a query iff its distinct term
+    set contains EVERY query term (count equality per (query, doc))."""
+    tok = Tokenizer()
+    qterms = []
+    for q in PERCO_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qc AS (SELECT query_id, count(*) AS m FROM q GROUP BY query_id),
+ dt AS (SELECT DISTINCT _id, term FROM tok),
+ hits AS (SELECT q.query_id, dt._id, count(*) AS c
+          FROM q JOIN dt ON dt.term = q.term GROUP BY 1, 2)
+SELECT h._id::BIGINT AS doc_id, h.query_id::INT AS query_id
+FROM hits h JOIN qc ON qc.query_id = h.query_id
+WHERE h.c = qc.m ORDER BY doc_id, query_id"""
+
+
 def _q_dedup_exact(sf_dir: str):
     # per-block (min id, count) partials per content hash, reduced by
     # sha-hash-bucket co-partition + one Arrow C group_by per bucket
@@ -1996,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": _q_cooccurrence,
         "significant_terms": _q_sigterms,
         "cross_contamination": _q_contamination,
+        "percolate_docs": _q_percolate,
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
@@ -2086,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _sigterms_sql(),
         "bm25_search_after": _search_after_sql(),
         "cross_contamination": _contamination_sql(),
+        "percolate_docs": _percolate_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

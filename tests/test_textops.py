@@ -77,3 +77,27 @@ def test_term_stats_match_oracle_counts(ray_session):
             cf_want[w] += 1
     assert out["df"].to_dict() == dict(df_want)
     assert out["cf"].to_dict() == dict(cf_want)
+
+
+def test_percolate_standing_queries(ray_session):
+    """A doc matches a standing query iff it contains EVERY query term;
+    repartitioning must not change the result (pure per-batch map)."""
+    import ray.data
+
+    from vframe_ray.stages.textops import percolate
+
+    rows = [{"doc_id": 0, "text": "alpha beta gamma"},
+            {"doc_id": 1, "text": "alpha alpha"},
+            {"doc_id": 2, "text": "beta gamma"},
+            {"doc_id": 3, "text": ""},
+            {"doc_id": 4, "text": "gamma alpha beta delta"}]
+    qs = [{"query_id": 0, "query_text": "alpha beta"},
+          {"query_id": 1, "query_text": "gamma"},
+          {"query_id": 2, "query_text": "zzz alpha"}]
+    want = sorted([(0, 0), (4, 0), (0, 1), (2, 1), (4, 1)])
+    a = percolate(ray.data.from_items(rows), qs)
+    got = sorted((r["doc_id"], r["query_id"]) for r in a.take_all())
+    assert got == want
+    b = percolate(ray.data.from_items(rows).repartition(4), qs)
+    assert sorted((r["doc_id"], r["query_id"])
+                  for r in b.take_all()) == want

@@ -19,6 +19,72 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def percolate(ds, queries: list[dict], *, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Reverse search (Elasticsearch percolator analog): match each
+    incoming doc against a set of STANDING queries; emit (doc_id,
+    query_id) for every query whose terms are ALL present in the doc —
+    the streaming alerting/routing primitive (reference analog:
+    skip-detections' standing include-predicates applied to every
+    frame as it flows, skip-detections.py:30-53).
+
+    Pure ``map_batches`` — zero shuffle, state is the broadcast query
+    table, so the stage streams at ingest rate at any corpus size.
+    Per batch: distinct (row, term) pairs once, then one vectorized
+    ``isin`` + bincount per query (queries are config-sized).
+    Returns a lazy Dataset of (doc_id, query_id) rows.
+    """
+    import numpy as np
+
+    import ray
+
+    from ..analyze import Tokenizer
+    tok = Tokenizer()
+    parsed = [(int(q["query_id"]),
+               np.array(sorted(set(tok.tokenize(q["query_text"]))),
+                        dtype=object))
+              for q in queries]
+    parsed = [(qid, terms) for qid, terms in parsed if terms.size]
+    parsed_ref = ray.put(parsed)
+
+    def match(t: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        toks = tok.tokenize_array(t[text_col])
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "query_id": pa.array([], pa.int32())})
+        if len(flat) == 0 or not qs:
+            return empty
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        # distinct (row, term) once per batch
+        terms_u, codes = np.unique(flat_np, return_inverse=True)
+        pair = np.unique(codes.astype(np.int64) * t.num_rows + parents)
+        p_code, p_row = pair // t.num_rows, pair % t.num_rows
+        out_id, out_q = [], []
+        for qid, qterms in qs:
+            tsel = np.isin(terms_u, qterms)
+            need = int(tsel.sum())
+            if need < qterms.size:
+                continue                 # a term absent corpus-wide here
+            hits = np.bincount(p_row[tsel[p_code]], minlength=t.num_rows)
+            rows = np.flatnonzero(hits == qterms.size)
+            if rows.size:
+                out_id.append(ids[rows].astype(np.int64))
+                out_q.append(np.full(rows.size, qid, dtype=np.int32))
+        if not out_id:
+            return empty
+        return pa.table({id_col: pa.array(np.concatenate(out_id)),
+                         "query_id": pa.array(np.concatenate(out_q))})
+
+    return ds.map_batches(match, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def redact(ds, *, pattern: str = "[0-9]+", replacement: str = "■",
            text_col: str = "text", out_col: str = "text_redacted"):
     def fn(t: pa.Table) -> pa.Table:
