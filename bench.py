@@ -163,6 +163,8 @@ def run_bench() -> dict:
                  ("cosine_topk", entry_queries["cosine_topk"]),
                  ("range_join", rel.events_in_order_windows),
                  ("contamination", entry_queries["cross_contamination"]),
+                 ("percolate", lambda d: entry_queries["percolate_docs"](
+                     d).materialize()),
                  ("retrieval_suite", retrieval_suite)]
     for name, fn in pipelines:
         fn(SF_DIR)                                # untimed warmup
