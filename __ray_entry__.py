@@ -1242,6 +1242,61 @@ WHERE rr.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _q_stopwords(sf_dir: str):
+    """BM25 over a NON-DEFAULT analyzer (stopwords at index+query
+    time): exercises the config plumbing end to end."""
+    from vframe_ray.pipelines.flagship import bm25_stopwords
+    return bm25_stopwords(sf_dir)
+
+
+def _stopwords_sql() -> str:
+    """Stopword-analyzer oracle: the ordinary BM25 chain over the tok
+    CTE with stopwords removed — dl/avgdl/df/tf all post-stopword, and
+    query terms filtered by the same list."""
+    from vframe_ray.pipelines.flagship import STOP_QUERIES, STOPWORDS
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    stop = set(STOPWORDS)
+    stoplist = ", ".join(f"'{s}'" for s in sorted(stop))
+    qterms, qks = [], []
+    for q in STOP_QUERIES:
+        terms = sorted(set(tok.tokenize(q["query_text"])) - stop)
+        for t in terms:
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ tok2 AS (SELECT * FROM tok WHERE term NOT IN ({stoplist})),
+ dl AS (SELECT _id, count(*) AS dl FROM tok2 GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _q_suggest(sf_dir: str):
     """Autocomplete: per-prefix top-k dictionary terms by df."""
     from vframe_ray.pipelines.flagship import suggest_documents
@@ -2032,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": _q_sigterms,
         "cross_contamination": _q_contamination,
         "percolate_docs": _q_percolate,
+        "bm25_stopwords": _q_stopwords,
         "search_snippets": _q_snippets,
         # text analysis
         "token_count": _q_token_count,
@@ -2123,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_after": _search_after_sql(),
         "cross_contamination": _contamination_sql(),
         "percolate_docs": _percolate_sql(),
+        "bm25_stopwords": _stopwords_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

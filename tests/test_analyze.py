@@ -52,3 +52,37 @@ def test_doc_lengths():
     tk = Tokenizer()
     la = tk.tokenize_array(pa.array(["a b c", "", "x!"]))
     assert tk.doc_lengths(la).to_pylist() == [3, 0, 1]
+
+
+def test_stopword_analyzer_through_index(ray_session, tmp_path):
+    """Stopwords removed at index AND query time: dl/df post-stopword,
+    stopped query terms contribute nothing, all-stopword query empty."""
+    import ray.data
+
+    from vframe_ray.config import AnalyzerConfig, EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+
+    rows = [{"conv_id": "c0", "turn_idx": 0, "text": "the apple the"},
+            {"conv_id": "c1", "turn_idx": 0, "text": "apple banana"},
+            {"conv_id": "c2", "turn_idx": 0, "text": "the the the"}]
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(stopwords=frozenset({"the"})),
+        index=IndexConfig(num_segments=2, block_size=8))
+    idx = str(tmp_path / "stop_idx")
+    build_index(ray.data.from_items(rows), idx, cfg)
+    # 'the apple' == 'apple': stopped term adds nothing
+    a = search_index(idx, [{"query_id": 0, "query_text": "the apple",
+                            "k": 10}])
+    b = search_index(idx, [{"query_id": 0, "query_text": "apple",
+                            "k": 10}])
+    assert a.to_pylist() == b.to_pylist()
+    assert set(a["conv_id"].to_pylist()) == {"c0", "c1"}
+    # all-stopword doc c2 never matches; all-stopword query matches nothing
+    empty = search_index(idx, [{"query_id": 0, "query_text": "the",
+                                "k": 10}])
+    assert empty.num_rows == 0
+    # dl is post-stopword: c0 has dl 1 == c1's per-term footprint differs
+    import json, os
+    stats = json.load(open(os.path.join(idx, "global", "stats.json")))
+    assert stats["total_len"] == 3          # apple + apple banana

@@ -74,6 +74,40 @@ def documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     return index_dir
 
 
+STOPWORDS = ("a", "the")
+STOP_QUERIES = [
+    {"query_id": 0, "query_text": "the customer", "k": 10},
+    {"query_id": 1, "query_text": "spark window merge", "k": 10},
+    {"query_id": 2, "query_text": "a", "k": 10},   # fully stopped: 0 rows
+]
+
+
+def documents_stop_index(sf_dir: str) -> str:
+    """Documents index built under a NON-DEFAULT analyzer (stopwords
+    removed at index AND query time) — exercises the config plumbing
+    end to end: dl/avgdl/df all post-stopword, the cache fingerprint
+    embeds the analyzer so it can never collide with the plain index."""
+    from ..config import AnalyzerConfig
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(stopwords=frozenset(STOPWORDS)),
+        index=IndexConfig(num_segments=4, block_size=128))
+    return documents_index(sf_dir, cfg)
+
+
+def bm25_stopwords(sf_dir: str) -> pa.Table:
+    """STOP_QUERIES over the stopword-analyzer index: stopped query
+    terms vanish ('the customer' scores as 'customer'; an all-stopword
+    query returns nothing), corpus stats are post-stopword."""
+    index_dir = documents_stop_index(sf_dir)
+    res = search_index(index_dir, STOP_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def extended_documents_index(sf_dir: str,
                              cfg: EngineConfig = DOCS_CFG) -> str:
     """Index built in TWO phases through the delta-append path: base
