@@ -75,6 +75,7 @@ def _register_builtins() -> None:
     stays cheap; resolution happens at get())."""
     from .stages import dedup, multimodal, sessionize, similarity, \
         textops, textquality
+    from .stages import stats as _stats
 
     for name, fn in {
         "redact": textops.redact,
@@ -101,6 +102,15 @@ def _register_builtins() -> None:
         "media_header_probe": multimodal.media_header_probe,
         "image_features": multimodal.image_features,
         "frame_sample": multimodal.frame_sample,
+        # round-3 fourth wave
+        "percolate": textops.percolate,
+        "cross_contamination": dedup.cross_contamination,
+        "hopping_window": sessionize.hopping_window,
+        "term_cooccurrence": _stats.term_cooccurrence,
+        "significant_terms": _stats.significant_terms,
+        "binned_quantiles": _stats.binned_quantiles,
+        "rerank_by_embedding": similarity.rerank_by_embedding,
+        "srp_dup_pairs": similarity.srp_dup_pairs,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)
