@@ -698,6 +698,76 @@ SELECT prefix, term, df::BIGINT AS df FROM r WHERE rn <= {SUGGEST_K}
 ORDER BY prefix, term"""
 
 
+def _proximity_ordered_sql() -> str:
+    """Ordered span-near oracle: an increasing-position chain through
+    the query's terms IN ORDER (duplicates are distinct chain slots)
+    with last-first <= window-1; scores = BM25 over the distinct terms
+    restricted to hit docs.  The engine's greedy chain is span-minimal
+    per start, so exists-any-chain == exists-greedy-chain."""
+    from vframe_ray.pipelines.flagship import PROX_ORDERED_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks, hit_selects = [], [], []
+    for q in PROX_ORDERED_QUERIES:
+        terms = tok.tokenize(q["query_text"])      # order + duplicates
+        for t in sorted(set(terms)):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+        if len(terms) == 1:
+            hit_selects.append(
+                f"SELECT DISTINCT {q['query_id']} AS query_id, t0._id AS "
+                f"_id FROM tok t0 WHERE t0.term = '{terms[0]}'")
+            continue
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}._id = t0._id "
+            f"AND t{i}.term = '{terms[i]}' AND t{i}.pos > t{i-1}.pos"
+            for i in range(1, len(terms)))
+        hit_selects.append(
+            f"SELECT DISTINCT {q['query_id']} AS query_id, t0._id AS _id "
+            f"FROM tok t0 {joins} WHERE t0.term = '{terms[0]}' "
+            f"AND t{len(terms)-1}.pos - t0.pos <= {q['window'] - 1}")
+    hits_sql = " UNION ".join(hit_selects)
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ hits AS ({hits_sql}),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id)
+                     AS rank
+            FROM scores s JOIN hits h ON h.query_id = s.query_id
+                                     AND h._id = s.doc_id)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _q_proximity_ordered(sf_dir: str):
+    """Ordered span-near (direction-sensitive proximity)."""
+    from vframe_ray.pipelines.flagship import bm25_proximity_ordered
+    return bm25_proximity_ordered(sf_dir)
+
+
 def _langid_sql() -> str:
     vals = []
     for lang in sorted(LANG_STOPWORDS):
@@ -2075,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_rank": _q_phrase_rank,
         "phrase_rank_punct": _q_phrase_rank_punct,
         "bm25_proximity": _q_proximity,
+        "bm25_proximity_ordered": _q_proximity_ordered,
         "suggest_terms": _q_suggest,
         "facet_dl_ranges": _q_facet_ranges,
         "bm25_boosted": _q_boosted,
@@ -2171,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_rank": _phrase_rank_sql(),
         "phrase_rank_punct": _phrase_rank_sql(punct=True),
         "bm25_proximity": _proximity_sql(),
+        "bm25_proximity_ordered": _proximity_ordered_sql(),
         "suggest_terms": _suggest_sql(),
         "term_cooccurrence": _cooccurrence_sql(),
         "facet_dl_ranges": _facet_ranges_sql(),

@@ -99,3 +99,61 @@ def test_proximity_service_parity(ray_session, tmp_path):
             proximity_rank_index(idx, qs).to_pylist()
     finally:
         svc.shutdown()
+
+
+def brute_hits_ordered(terms: list[str], window: int) -> set[str]:
+    """Reference ordered span-near: strictly increasing positions in the
+    GIVEN term order, span <= window-1."""
+    from itertools import product
+    tok = Tokenizer()
+    out = set()
+    for r in ROWS:
+        toks = tok.tokenize(r["text"])
+        pos = [[i for i, x in enumerate(toks) if x == t] for t in terms]
+        if any(not p for p in pos):
+            continue
+        for combo in product(*pos):
+            if all(b > a for a, b in zip(combo, combo[1:])) \
+                    and combo[-1] - combo[0] <= window - 1:
+                out.add(r["conv_id"])
+                break
+    return out
+
+
+def test_ordered_proximity_vs_bruteforce(ray_session, tmp_path):
+    idx = str(tmp_path / "oprox_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    cases = [
+        (["alpha", "beta"], 2), (["beta", "alpha"], 2),
+        (["alpha", "beta"], 8), (["beta", "alpha"], 8),
+        (["alpha", "beta", "gamma"], 6), (["gamma", "beta", "alpha"], 6),
+        (["alpha", "alpha"], 5),          # duplicate term, ordered
+        (["alpha", "delta"], 4), (["alpha", "zzz"], 10),
+    ]
+    for terms, w in cases:
+        res = proximity_rank_index(idx, [{
+            "query_id": 0, "query_text": " ".join(terms),
+            "window": w, "k": 100, "ordered": True}])
+        got = set(res["conv_id"].to_pylist())
+        want = brute_hits_ordered(terms, w)
+        assert got == want, (terms, w)
+        # ordered hits are a subset of unordered hits over the same set
+        uno = proximity_rank_index(idx, [{
+            "query_id": 0, "query_text": " ".join(terms),
+            "window": w, "k": 100}])
+        assert got <= set(uno["conv_id"].to_pylist())
+
+
+def test_ordered_proximity_service_parity(ray_session, tmp_path):
+    idx = str(tmp_path / "oprox_idx2")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    qs = [{"query_id": 0, "query_text": "beta alpha", "window": 3,
+           "k": 10, "ordered": True},
+          {"query_id": 1, "query_text": "alpha beta", "window": 3,
+           "k": 10}]
+    svc = QueryService(idx, n_actors=2)
+    try:
+        assert svc.search_proximity(qs).to_pylist() == \
+            proximity_rank_index(idx, qs).to_pylist()
+    finally:
+        svc.shutdown()

@@ -622,6 +622,75 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def proximity_hits_ordered(self, terms: list[str], window: int,
+                               postings: dict[str, TermPostings] | None
+                               = None,
+                               doc_mask: np.ndarray | None = None
+                               ) -> np.ndarray:
+        """Ordered span-near: doc_local ids where ``terms`` occur IN THE
+        GIVEN ORDER with strictly increasing positions spanning at most
+        ``window`` tokens.  Greedy chain per candidate doc: for each
+        occurrence of the first term, bisect to the earliest later
+        occurrence of each next term — the greedy chain is span-minimal
+        for its start, so existence is decided in O(total positions)."""
+        from .codec import decode_all
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        distinct = sorted(set(terms))
+        if postings is None:
+            postings = self.load_terms_cached(distinct)
+        if any(t not in postings for t in distinct):
+            return np.empty(0, dtype=np.int64)
+        if len(terms) == 1:
+            docs, _ = decode_all(postings[terms[0]], self.block_size)
+            hit = docs.astype(np.int64)
+            return hit[doc_mask[hit]] if doc_mask is not None else hit
+        decoded = {}
+        cand: np.ndarray | None = None
+        for t in distinct:
+            docs, tfs, pos = decode_all(postings[t], self.block_size,
+                                        with_positions=True)
+            decoded[t] = (docs, tfs, pos)
+            cand = docs if cand is None else \
+                np.intersect1d(cand, docs, assume_unique=True)
+        if doc_mask is not None:
+            cand = cand[doc_mask[cand]]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
+        # per-candidate per-term position lists (small: |cand| docs)
+        import bisect
+        per_doc: dict[int, dict[str, list[int]]] = {}
+        for t, (docs, tfs, pos) in decoded.items():
+            starts = np.concatenate([[0], np.cumsum(tfs)])
+            sel = np.searchsorted(docs, cand)
+            for ci, d in enumerate(cand):
+                j = sel[ci]
+                per_doc.setdefault(int(d), {})[t] = \
+                    pos[starts[j]:starts[j + 1]].tolist()
+        span = window - 1
+        hits: list[int] = []
+        for d in cand:
+            lists = per_doc[int(d)]
+            ok = False
+            for p0 in lists[terms[0]]:
+                p = p0
+                complete = True
+                for t in terms[1:]:
+                    arr = lists[t]
+                    i = bisect.bisect_right(arr, p)
+                    if i == len(arr):
+                        complete = False
+                        break
+                    p = arr[i]
+                if complete and p - p0 <= span:
+                    ok = True
+                    break
+                if not complete:
+                    break       # later starts only shrink the tail
+            if ok:
+                hits.append(int(d))
+        return np.asarray(hits, dtype=np.int64)
+
     def proximity_hits(self, terms: list[str], window: int,
                        postings: dict[str, TermPostings] | None = None,
                        doc_mask: np.ndarray | None = None) -> np.ndarray:
@@ -710,17 +779,25 @@ class SegmentSearcher:
         terms — the same contribution expression and tie-break as plain
         search, so window=∞ reduces to an AND-filtered plain query and
         window=len(terms) with ordered adjacency is strictly looser than
-        the phrase path (both asserted in tests)."""
-        all_terms = sorted(set().union(*[set(t) for _, t, _, _ in queries])
+        the phrase path (both asserted in tests).
+
+        A query tuple may carry a 5th element ``ordered`` (default
+        False): ordered span-near — terms in the GIVEN order with
+        increasing positions (proximity_hits_ordered)."""
+        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
         doc_mask = self._base_mask(predicates)
         qid_out: list[int] = []
         doc_out: list[int] = []
         score_out: list[float] = []
-        for qid, terms, window, k in queries:
-            hits = self.proximity_hits(terms, window, postings=postings,
-                                       doc_mask=doc_mask)
+        for q in queries:
+            qid, terms, window, k = q[0], q[1], q[2], q[3]
+            ordered = bool(q[4]) if len(q) > 4 else False
+            hit_fn = self.proximity_hits_ordered if ordered \
+                else self.proximity_hits
+            hits = hit_fn(terms, window, postings=postings,
+                          doc_mask=doc_mask)
             if hits.size == 0:
                 continue
             mask = np.zeros(self.r.n_docs, dtype=bool)
@@ -1340,7 +1417,7 @@ class _ShardSearcher:
             rows.append(s.search_proximity(parsed, predicates=predicates))
         out = pa.concat_tables(rows)
         if len(rows) > 1:
-            out = self._shard_topk(out, {qid: k for qid, _, _, k in parsed})
+            out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
         return out
 
     def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
@@ -1532,22 +1609,26 @@ class QueryService:
                          predicates: list[str] | None = None) -> pa.Table:
         """queries: [{"query_id", "query_text", "window", "k"}] ->
         ranked scored table: NEAR/W hits (all distinct terms within a
-        ``window``-token span) scored by BM25 over the query terms,
-        served by the resident shards in ONE round-trip per shard."""
+        ``window``-token span; ``"ordered": True`` = span-near in the
+        given order) scored by BM25 over the query terms, served by the
+        resident shards in ONE round-trip per shard."""
         parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(q["query_text"]))),
-                   int(q.get("window", 8)), int(q.get("k", 10)))
+                   (self.tok.tokenize(q["query_text"])
+                    if q.get("ordered")
+                    else sorted(set(self.tok.tokenize(q["query_text"])))),
+                   int(q.get("window", 8)), int(q.get("k", 10)),
+                   bool(q.get("ordered", False)))
                   for q in queries]
         if predicates:
             validate_predicates(self.index_dir, predicates)
-        terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+        terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
         futs = [a.search_proximity.remote(parsed, idf_map, predicates)
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {qid: k for qid, _, _, k in parsed})
+        merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
@@ -1870,8 +1951,9 @@ def proximity_rank_index(index_dir: str, queries: list[dict],
     ``window``-token span and BM25-score the hits
     (SegmentSearcher.search_proximity); the driver merges k·S rows.
 
-    queries: [{"query_id", "query_text", "window", "k"}] →
+    queries: [{"query_id", "query_text", "window", "k", "ordered"?}] →
     (query_id, rank, conv_id, turn_idx, score) like :func:`search_index`.
+    ``ordered=True`` requires the terms in the given order (span-near).
     """
     from .build import load_index_meta
     cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
@@ -1880,10 +1962,12 @@ def proximity_rank_index(index_dir: str, queries: list[dict],
         validate_predicates(index_dir, predicates)
     tok = Tokenizer(cfg.analyzer)
     parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("window", 8)), int(q.get("k", 10)))
+               (tok.tokenize(q["query_text"]) if q.get("ordered")
+                else sorted(set(tok.tokenize(q["query_text"])))),
+               int(q.get("window", 8)), int(q.get("k", 10)),
+               bool(q.get("ordered", False)))
               for q in queries]
-    all_terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+    all_terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
         else set()
     gdf = _global_df_for_terms(index_dir, all_terms)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -1907,7 +1991,7 @@ def proximity_rank_index(index_dir: str, queries: list[dict],
     hits = seg_ds.map_batches(_task, batch_format="pyarrow",
                               batch_size=seg_batch)
     merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _, _, k in parsed})
+                                {q[0]: q[3] for q in parsed})
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)

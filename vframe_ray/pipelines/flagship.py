@@ -303,6 +303,33 @@ PROX_QUERIES = [
 ]
 
 
+PROX_ORDERED_QUERIES = [
+    {"query_id": 0, "query_text": "hash join", "window": 3, "k": 10,
+     "ordered": True},
+    {"query_id": 1, "query_text": "join hash", "window": 3, "k": 10,
+     "ordered": True},
+    {"query_id": 2, "query_text": "the customer order", "window": 8,
+     "k": 10, "ordered": True},
+    {"query_id": 3, "query_text": "batch batch", "window": 5, "k": 10,
+     "ordered": True},
+]
+
+
+def bm25_proximity_ordered(sf_dir: str) -> pa.Table:
+    """Ordered span-near (terms in the given order, increasing
+    positions, bounded span) — queries 0/1 are the same term pair in
+    both directions, so their hit sets differ exactly by order."""
+    from ..index.query import proximity_rank_index
+    index_dir = documents_index(sf_dir)
+    res = proximity_rank_index(index_dir, PROX_ORDERED_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_proximity(sf_dir: str) -> pa.Table:
     """PROX_QUERIES as ranked scored results (query_id, rank, doc_id,
     score_r) on the distributed per-segment proximity path
