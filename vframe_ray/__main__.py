@@ -77,7 +77,8 @@ def cmd_query(args) -> int:
     elif args.window:
         res = q_.proximity_rank_index(args.index, [
             {"query_id": i, "query_text": q, "window": args.window,
-             "k": args.k} for i, q in enumerate(args.query or [])],
+             "k": args.k, "ordered": args.ordered}
+            for i, q in enumerate(args.query or [])],
             predicates=preds)
     elif args.after:
         sc, conv, turn = args.after.split(",")
@@ -243,6 +244,9 @@ def main(argv=None) -> int:
                    help="exact consecutive phrase (ranked); repeatable")
     q.add_argument("--window", type=int, default=0, metavar="W",
                    help="proximity: all terms within a W-token span")
+    q.add_argument("--ordered", action="store_true",
+                   help="with --window: terms must appear in the given "
+                        "order (span-near)")
     q.add_argument("--after", metavar="SCORE,CONV,TURN",
                    help="cursor pagination: results ranked after this "
                         "(score, conv_id, turn_idx)")
