@@ -699,11 +699,15 @@ class SegmentSearcher:
         some choice of one position per term has max-min <= window-1).
 
         Candidate docs are first cut to the AND set (every term present
-        — postings intersection, no positions touched); only those few
-        docs run the classic minimal-cover two-pointer sweep over their
-        merged position lists.  Reference analog: skip-detections'
-        conjunctive within-frame predicates (media.py:422-452) with the
-        positional payload standing in for bbox adjacency."""
+        — postings intersection, no positions touched).  Two-term
+        queries (the common NEAR/W shape) then run one fully vectorized
+        searchsorted over doc<<32|pos keys; only 3+-term queries fall
+        back to the per-candidate minimal-cover two-pointer sweep — the
+        k-way AND set shrinks geometrically with k, so the sweep's doc
+        loop is over a set that is small precisely when the loop runs.
+        Reference analog: skip-detections' conjunctive within-frame
+        predicates (media.py:422-452) with the positional payload
+        standing in for bbox adjacency."""
         from .codec import decode_all
         terms = sorted(set(terms))
         if not terms:
@@ -729,6 +733,29 @@ class SegmentSearcher:
             cand = cand[doc_mask[cand]]
         if cand.size == 0:
             return np.empty(0, dtype=np.int64)
+        if m == 2:
+            # vectorized pair fast path (the common NEAR/W shape): both
+            # terms' occurrences as sorted doc<<32|pos keys; an a-side
+            # occurrence hits iff some b-side key lands in
+            # [key-span, key+span] of the SAME doc — one searchsorted
+            # over all occurrences, no per-doc Python
+            span64 = np.int64(window - 1)
+            keys = []
+            for docs, tfs, pos in per:
+                keep = np.isin(docs, cand, assume_unique=True)
+                keep_pos = np.repeat(keep, tfs)
+                k = (np.repeat(docs, tfs)[keep_pos].astype(np.int64)
+                     << 32) | pos[keep_pos].astype(np.int64)
+                keys.append(k)                    # sorted by (doc, pos)
+            ka, kb = keys
+            doc_a = ka >> 32
+            pos_a = ka & 0xFFFFFFFF
+            lo = (doc_a << 32) | np.maximum(pos_a - span64, 0)
+            hi = (doc_a << 32) | np.minimum(pos_a + span64,
+                                            np.int64(0xFFFFFFFF))
+            i0 = np.searchsorted(kb, lo, side="left")
+            i1 = np.searchsorted(kb, hi, side="right")
+            return np.unique(doc_a[i1 > i0])
         d_all, p_all, s_all = [], [], []
         for slot, (docs, tfs, pos) in enumerate(per):
             keep = np.isin(docs, cand, assume_unique=True)
