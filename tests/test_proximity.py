@@ -2,6 +2,8 @@
 (window=inf == boolean AND; phrase hits ⊆ proximity hits), service
 parity with the one-shot path."""
 
+import pytest
+
 import ray.data
 
 from tests.util import SMALL_CFG
@@ -157,3 +159,51 @@ def test_ordered_proximity_service_parity(ray_session, tmp_path):
             proximity_rank_index(idx, qs).to_pylist()
     finally:
         svc.shutdown()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_proximity_randomized_vs_bruteforce(ray_session, tmp_path, seed):
+    """Fuzz both proximity implementations (vectorized 2-term fast path
+    and k-way sweep; ordered and unordered) against a positions-level
+    brute force on a random corpus."""
+    import numpy as np
+    from itertools import product
+
+    rng = np.random.default_rng(seed)
+    words = ["pa", "qo", "ru", "sv"]
+    rows = []
+    for i in range(12):
+        n = int(rng.integers(1, 15))
+        rows.append({"conv_id": f"c{i:02d}", "turn_idx": 0,
+                     "text": " ".join(rng.choice(words, size=n))})
+    idx = str(tmp_path / f"fuzz_idx{seed}")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    tok = Tokenizer()
+    toks_by_doc = {r["conv_id"]: tok.tokenize(r["text"]) for r in rows}
+
+    def brute(terms, w, ordered):
+        out = set()
+        for cid, toks in toks_by_doc.items():
+            pos = [[i for i, x in enumerate(toks) if x == t]
+                   for t in (terms if ordered else sorted(set(terms)))]
+            if any(not p for p in pos):
+                continue
+            for combo in product(*pos):
+                if ordered and not all(b > a for a, b in
+                                       zip(combo, combo[1:])):
+                    continue
+                if max(combo) - min(combo) <= w - 1:
+                    out.add(cid)
+                    break
+        return out
+
+    for _ in range(25):
+        m = int(rng.integers(1, 5))
+        terms = list(rng.choice(words, size=m))
+        w = int(rng.integers(1, 13))
+        ordered = bool(rng.integers(0, 2))
+        res = proximity_rank_index(idx, [{
+            "query_id": 0, "query_text": " ".join(terms), "window": w,
+            "k": 100, "ordered": ordered}])
+        got = set(res["conv_id"].to_pylist())
+        assert got == brute(terms, w, ordered), (terms, w, ordered)
