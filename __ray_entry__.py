@@ -2191,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "rollup_revenue": rel.rollup_revenue,
+        "cube_revenue": rel.cube_revenue,
         "anti_join_customers": rel.anti_join_customers,
         "range_join_events": rel.events_in_order_windows,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2442,6 +2443,13 @@ FROM r JOIN events e ON e.user_id = r.k
                     AND e.ts >= r.lo
                     AND e.ts <= r.lo + INTERVAL 2 DAY
 GROUP BY r.o_orderkey ORDER BY o_orderkey""",
+        "cube_revenue": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
         "rollup_revenue": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,

@@ -146,6 +146,47 @@ def rollup_revenue(sf_dir: str):
         drop=True)
 
 
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets, derived from the SAME tiny finest-level table as
+    :func:`rollup_revenue` (one data pass; the extra CUBE level is one
+    more driver re-aggregation over O(groups) rows)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(1.0, t["l_discount"]))
+        t = t.append_column("rev", rev)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("rev", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "rev_p", "n_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    fine = _driver_combine(parts, ["l_returnflag", "l_linestatus"],
+                           [("rev_p", "sum", "sum_rev"),
+                            ("n_p", "sum", "n_rows")]).to_pandas()
+    by_a = fine.groupby("l_returnflag", as_index=False)[
+        ["sum_rev", "n_rows"]].sum()
+    by_a["l_linestatus"] = None
+    by_b = fine.groupby("l_linestatus", as_index=False)[
+        ["sum_rev", "n_rows"]].sum()
+    by_b["l_returnflag"] = None
+    total = pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                          "sum_rev": [fine["sum_rev"].sum()],
+                          "n_rows": [fine["n_rows"].sum()]})
+    out = pd.concat([fine, by_a, by_b, total], ignore_index=True)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    )[["l_returnflag", "l_linestatus", "sum_rev", "n_rows"]].reset_index(
+        drop=True)
+
+
 def revenue_by_nation(sf_dir: str):
     """3-table star join with BOTH small sides broadcast: customer and
     nation are read once on the driver, shipped via ``ray.put``, and each
