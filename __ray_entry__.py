@@ -1941,6 +1941,56 @@ FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= {q['k']} ORDER BY rank"""
 
 
+def _phrase_snippets_sql() -> str:
+    """Phrase-snippet oracle: positional-join hit set + BM25 scores over
+    the phrase's terms + whole-phrase regexp highlight (the same
+    surface-robust pattern the engine compiles)."""
+    from vframe_ray.pipelines.flagship import PHRASE_SNIPPET
+    from vframe_ray.stages.snippets import phrase_highlight_pattern
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    terms = tok.tokenize(PHRASE_SNIPPET["phrase"])
+    pattern = phrase_highlight_pattern(terms)
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}._id = t0._id AND t{i}.pos = t0.pos + {i}"
+        f" AND t{i}.term = '{terms[i]}'" for i in range(1, len(terms)))
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN ({tlist}) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN ({tlist}) GROUP BY term),
+ scores AS (
+   SELECT tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM tf JOIN df ON df.term = tf.term
+           JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY tf._id),
+ hits AS (SELECT DISTINCT t0._id AS _id FROM tok t0 {joins}
+          WHERE t0.term = '{terms[0]}'),
+ ranked AS (SELECT s.doc_id, s.score,
+                   row_number() OVER (ORDER BY s.score DESC, s.doc_id)
+                     AS rank
+            FROM scores s JOIN hits h ON h._id = s.doc_id)
+SELECT r.rank::INT AS rank, d.doc_id, round(r.score, 6) AS score_r,
+       regexp_replace(d.text, '{pattern}', '«\\0»', 'g') AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= {PHRASE_SNIPPET['k']} ORDER BY rank"""
+
+
+def _q_phrase_snippets(sf_dir: str):
+    """Whole-phrase highlighting of ranked phrase hits."""
+    from vframe_ray.pipelines.flagship import phrase_snippets
+    return phrase_snippets(sf_dir)
+
+
 def _q_bm25_extend(sf_dir: str):
     """Incremental append (reference continue/extend workflow, open.py
     -i prior.json): base build over 2/3 of documents + extend_index with
@@ -2160,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_docs": _q_percolate,
         "bm25_stopwords": _q_stopwords,
         "search_snippets": _q_snippets,
+        "phrase_snippets": _q_phrase_snippets,
         # text analysis
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_count,
@@ -2533,6 +2584,7 @@ WITH b AS (SELECT event_type, floor(value / 0.01)::BIGINT AS bin,
 SELECT event_type, q, qbin * (0.01::DOUBLE) AS quantile FROM sel
 ORDER BY event_type, q""",
         "search_snippets": _snippets_sql(),
+        "phrase_snippets": _phrase_snippets_sql(),
         "bm25_boolean": _bool_sql(),
         "bm25_prefix": _prefix_sql(),
         "search_facets": _facets_sql(),

@@ -571,6 +571,35 @@ def search_snippets(sf_dir: str, query: dict | None = None) -> pa.Table:
                                 preserve_index=False)
 
 
+PHRASE_SNIPPET = {"query_id": 0, "phrase": "hash join", "k": 10}
+
+
+def phrase_snippets(sf_dir: str) -> pa.Table:
+    """Ranked phrase hits with the WHOLE phrase occurrence highlighted
+    (phrase_highlight_pattern: analyzed terms in order separated by any
+    non-token characters — surface-robust).  Returns
+    (rank, doc_id, score_r, snippet) sorted by rank."""
+    from ..analyze import Tokenizer
+    from ..index.query import phrase_rank_index
+    from ..stages.snippets import highlight_hits, phrase_highlight_pattern
+
+    index_dir = documents_index(sf_dir)
+    res = phrase_rank_index(index_dir, [PHRASE_SNIPPET])
+    hits = pa.table({
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+    terms = Tokenizer().tokenize(PHRASE_SNIPPET["phrase"])
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    out = highlight_hits(ds, hits, terms,
+                         pattern=phrase_highlight_pattern(terms)) \
+        .to_pandas()
+    return pa.Table.from_pandas(out.sort_values("rank"),
+                                preserve_index=False)
+
+
 def entry_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
     """The driver smoke entry: build + query, return ranked hits."""
     return bm25_documents(sf_dir)

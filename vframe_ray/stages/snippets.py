@@ -26,9 +26,18 @@ def highlight_pattern(terms: list[str]) -> str:
         + r")\b"
 
 
+def phrase_highlight_pattern(terms: list[str]) -> str:
+    """Surface pattern for a CONSECUTIVE token phrase: the analyzed
+    terms in order, separated by any non-token characters — robust to
+    punctuation between tokens (the hostile-surface rule), identical
+    semantics in RE2 and DuckDB."""
+    return r"\b" + "[^a-z0-9]+".join(re.escape(t) for t in terms) + r"\b"
+
+
 def highlight_hits(ds, hits: pa.Table, terms: list[str], *,
                    id_col: str = "doc_id", text_col: str = "text",
-                   open_mark: str = "«", close_mark: str = "»"):
+                   open_mark: str = "«", close_mark: str = "»",
+                   pattern: str | None = None):
     """Join the (small) hit table against the corpus Dataset and emit
     highlighted snippets.
 
@@ -37,9 +46,11 @@ def highlight_hits(ds, hits: pa.Table, terms: list[str], *,
     (``ray.put``); each corpus batch filters by ``is_in`` and gathers the
     presentation columns with ``index_in`` — no shuffle join for a
     driver-small hit set.
-    Returns a Dataset of hits.columns + ``snippet``.
+    Returns a Dataset of hits.columns + ``snippet``.  ``pattern``
+    overrides the default per-term alternation (e.g.
+    :func:`phrase_highlight_pattern` marks whole phrase occurrences).
     """
-    pattern = highlight_pattern(terms)
+    pattern = highlight_pattern(terms) if pattern is None else pattern
     repl = open_mark + "\\0" + close_mark
     hits_ref = ray.put(hits)
 
