@@ -80,6 +80,10 @@ def cmd_query(args) -> int:
              "k": args.k, "ordered": args.ordered}
             for i, q in enumerate(args.query or [])],
             predicates=preds)
+    elif args.explain:
+        res = q_.explain_index(args.index, [
+            {"query_id": i, "query_text": q, "k": args.k}
+            for i, q in enumerate(args.query or [])], predicates=preds)
     elif args.after:
         sc, conv, turn = args.after.split(",")
         res = q_.search_after_index(args.index, [
@@ -250,6 +254,9 @@ def main(argv=None) -> int:
     q.add_argument("--after", metavar="SCORE,CONV,TURN",
                    help="cursor pagination: results ranked after this "
                         "(score, conv_id, turn_idx)")
+    q.add_argument("--explain", action="store_true",
+                   help="per-term BM25 contribution rows for the top-k "
+                        "hits (rows sum to the ranked score)")
     q.add_argument("--suggest", action="append", metavar="PREFIX",
                    help="autocomplete: top-k dictionary terms per prefix")
     q.add_argument("--range-facet", dest="range_facet", type=int,
