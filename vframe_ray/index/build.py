@@ -99,7 +99,11 @@ def _run_builders(tokenized, index_dir: str, cfg: EngineConfig,
                                 index_dir=index_dir, cfg=cfg,
                                 run_id=run_id),
                             batch_format="pyarrow",
-                            concurrency=build_concurrency,
+                            # autoscaling (1, N) pool: scales to N under
+                            # load but never warns/overallocates when the
+                            # groupby yields fewer blocks than the pool
+                            # (tiny corpora in tests).
+                            concurrency=(1, build_concurrency),
                             num_cpus=1))
     # task-based builders: no per-execution actor spawn; groups run on
     # the session's default (already-warm) worker pool

@@ -23,8 +23,10 @@ from ..config import EngineConfig, IndexConfig
 from ..index.build import build_index
 from ..index.query import search_index
 from ..sources.readers import read_parquet as _read_parquet
+from ..storage import cache_root as _cache_root
 
-CACHE_ROOT = "/tmp/vframe_ray_cache"
+# Index-cache root: node-local /tmp by default; set VFRAME_RAY_CACHE to a
+# shared-filesystem mount on multi-node clusters (vframe_ray/storage.py).
 
 # fixed reference query set over the documents vocabulary
 DOC_QUERIES = [
@@ -67,7 +69,7 @@ def documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docs-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docs-{tag}-{cfg_fp}")
     manifest = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(manifest):
         build_index(documents_as_transcripts(sf_dir), index_dir, cfg)
@@ -127,7 +129,7 @@ def extended_documents_index(sf_dir: str,
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docs-ext-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docs-ext-{tag}-{cfg_fp}")
     marker = os.path.join(index_dir, "EXTENDED")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -220,7 +222,7 @@ def conversations_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"conv-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"conv-{tag}-{cfg_fp}")
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         build_index(documents_as_conversations(sf_dir), index_dir, cfg,
                     attribute_cols=["lang"])
@@ -524,7 +526,7 @@ def documents_punct_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docsp-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docsp-{tag}-{cfg_fp}")
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         build_index(documents_as_transcripts_punct(sf_dir), index_dir, cfg)
     return index_dir
@@ -739,7 +741,7 @@ def field_documents_index(sf_dir: str, field: str,
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docs-f{field}-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docs-f{field}-{tag}-{cfg_fp}")
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         tok = Tokenizer(cfg.analyzer)
 
@@ -795,7 +797,7 @@ def merged_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docs-merged-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docs-merged-{tag}-{cfg_fp}")
     marker = os.path.join(index_dir, "MERGED")
     if not os.path.exists(marker):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -815,7 +817,7 @@ def merged_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
                     "text": t["text"],
                 })
 
-            d = os.path.join(CACHE_ROOT,
+            d = os.path.join(_cache_root(),
                              f"docs-part{name}-{tag}-{cfg_fp}")
             if not os.path.exists(os.path.join(d, "manifest.json")):
                 ds = _read_parquet(
@@ -884,7 +886,7 @@ def deleted_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
     tag = os.path.basename(os.path.normpath(sf_dir))
     cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
                           .encode()).hexdigest()[:8]
-    index_dir = os.path.join(CACHE_ROOT, f"docs-del-{tag}-{cfg_fp}")
+    index_dir = os.path.join(_cache_root(), f"docs-del-{tag}-{cfg_fp}")
     marker = os.path.join(index_dir, "DELETED")
     if not os.path.exists(marker):
         import shutil

@@ -210,19 +210,26 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.9,
     The O(N²) total work is inherent to the EXACT operator at any
     threshold; for high thresholds :func:`srp_dup_pairs` is the
     sub-quadratic scale path.
+
+    Chunk files are re-read by compare tasks that may run on ANY node,
+    so the scratch root must be cluster-addressable on multi-node
+    clusters: pass ``scratch_dir`` or set ``VFRAME_RAY_SCRATCH`` to a
+    shared-filesystem path or an fsspec URI (s3://…) — both the write
+    and the read paths are URI-capable (see :mod:`vframe_ray.storage`).
     Returns (id_a, id_b, sim_r) with sim rounded to 6 dp (both sides of
     the oracle comparison round identically).
     """
-    import shutil
     import uuid
 
     import pyarrow.parquet as pq
     import ray.data
 
+    from .. import storage
+
     n = ds.count()
     n_chunks = max(1, -(-n // rows_per_chunk))
-    scratch = scratch_dir or os.path.join(
-        "/tmp", "vframe_ray_pairs", uuid.uuid4().hex[:12])
+    scratch = scratch_dir or storage.join(
+        storage.scratch_root(), "pairs", uuid.uuid4().hex[:12])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -236,10 +243,11 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.9,
          .write_parquet(scratch, partition_cols=["chunk"]))
 
         def compare(batch: pa.Table) -> pa.Table:
+            from .. import storage as _storage
             tabs = []
             for ci, cj in zip(batch["ci"].to_pylist(),
                               batch["cj"].to_pylist()):
-                ta = pq.read_table(os.path.join(scratch, f"chunk={ci}"),
+                ta = pq.read_table(_storage.join(scratch, f"chunk={ci}"),
                                    columns=[id_col, vec_col])
                 ids_a = ta[id_col].to_numpy(zero_copy_only=False) \
                     .astype(np.int64)
@@ -247,7 +255,7 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.9,
                 if ci == cj:
                     ids_b, B, same = ids_a, A, True
                 else:
-                    tb = pq.read_table(os.path.join(scratch, f"chunk={cj}"),
+                    tb = pq.read_table(_storage.join(scratch, f"chunk={cj}"),
                                        columns=[id_col, vec_col])
                     ids_b = tb[id_col].to_numpy(zero_copy_only=False) \
                         .astype(np.int64)
@@ -261,7 +269,8 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.9,
                                       "sim_r": pa.array(s)}))
             return pa.concat_tables(tabs)
 
-        present = {int(d.split("=")[1]) for d in os.listdir(scratch)
+        present = {int(d.split("=")[1])
+                   for d in storage.list_dir_names(scratch)
                    if d.startswith("chunk=")}
         items = [{"ci": i, "cj": j} for i in sorted(present)
                  for j in sorted(present) if i <= j]
@@ -270,7 +279,7 @@ def cosine_dup_pairs(ds, *, threshold: float = 0.9,
                .to_pandas())
     finally:
         if scratch_dir is None:
-            shutil.rmtree(scratch, ignore_errors=True)
+            storage.remove_tree(scratch)
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
