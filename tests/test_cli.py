@@ -47,6 +47,39 @@ def test_cli_query_modes(ray_session, tmp_path, capsys):
     assert _lines(capsys)
 
 
+def test_cli_after_cursor_with_comma_conv(ray_session, tmp_path, capsys):
+    """--after cursors survive conv_ids that contain commas: score is
+    before the first comma, turn after the last (ADVICE r3)."""
+    rows = [{"conv_id": f"a,b,{i}", "turn_idx": 0,
+             "text": "needle haystack"} for i in range(4)]
+    idx = str(tmp_path / "comma_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG)
+    assert main(["query", "--index", idx, "--query", "needle",
+                 "-k", "2"]) == 0
+    page1 = _lines(capsys)
+    assert len(page1) == 2
+    last = page1[-1]
+    cursor = f"{last['score']},{last['conv_id']},{last['turn_idx']}"
+    assert main(["query", "--index", idx, "--query", "needle",
+                 "-k", "2", "--after", cursor]) == 0
+    page2 = _lines(capsys)
+    assert len(page2) == 2
+    assert {r["conv_id"] for r in page1}.isdisjoint(
+        r["conv_id"] for r in page2)
+
+
+def test_cli_no_boost_treats_caret_literally(ray_session, tmp_path,
+                                             capsys):
+    """--no-boost opts out of the automatic '^' boost rerouting
+    (ADVICE r3): the query falls through to plain search, where the
+    analyzer strips the caret."""
+    idx = _mk_index(tmp_path, name="noboost_idx")
+    assert main(["query", "--index", idx, "--query", "needle^2",
+                 "--no-boost", "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["rank"] == 1
+
+
 def test_cli_delete_and_merge(ray_session, tmp_path, capsys):
     idx = _mk_index(tmp_path, "cli_del")
     assert main(["delete", "--index", idx, "--conv", "c0",

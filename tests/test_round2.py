@@ -329,6 +329,27 @@ def test_snippet_highlight(ray_session):
     assert out.loc[1, "snippet"] == "«window» «window»"
 
 
+def test_snippet_highlight_mixed_case(ray_session):
+    """Highlight semantics follow the analyzer (lowercase-then-split):
+    capitalized surface occurrences ARE hits and get marked; a single
+    camelCase token is NOT a phrase occurrence (ADVICE r3)."""
+    from vframe_ray.stages.snippets import (highlight_hits,
+                                            phrase_highlight_pattern)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["Alpha Beta starts it", "alphaXbeta is one token",
+                          "mid ALPHA, beta end"])})
+    hits = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "rank": pa.array([1, 2, 3], pa.int32())})
+    pat = phrase_highlight_pattern(["alpha", "beta"])
+    out = highlight_hits(ray.data.from_arrow(docs), hits,
+                         ["alpha", "beta"], pattern=pat).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert out.loc[0, "snippet"] == "«Alpha Beta» starts it"
+    assert out.loc[1, "snippet"] == "alphaXbeta is one token"
+    assert out.loc[2, "snippet"] == "mid «ALPHA, beta» end"
+
+
 def test_winnow_fingerprints_scalar_oracle(ray_session):
     """Vectorized winnowing vs a brute-force scalar implementation of the
     SIGMOD'03 scheme (min per window, rightmost tie; short docs pick

@@ -341,6 +341,25 @@ def test_range_join_vs_bruteforce(ray_session):
     assert got == want and len(want) > 100
 
 
+def test_range_join_empty_intervals_match_nothing(ray_session):
+    """hi < lo covers zero bins → no matches (inner-join semantics),
+    not a negative-repeat ValueError inside a Ray task (ADVICE r3)."""
+    import ray.data
+
+    from vframe_ray.stages.joins import range_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "t": 50, "event_id": 0}])
+    right = ray.data.from_items(
+        [{"k": 1, "lo": 100, "hi": 10, "win_id": 0},   # inverted
+         {"k": 1, "lo": 40, "hi": 60, "win_id": 1}])   # valid
+    out = range_join(left, right, key="k", left_on="t",
+                     right_lo="lo", right_hi="hi", band=64,
+                     left_cols=["event_id"], right_cols=["win_id"])
+    rows = out.to_pandas().to_dict("records")
+    assert [(r["event_id"], r["r_win_id"]) for r in rows] == [(0, 1)]
+
+
 def test_cross_contamination_planted(ray_session):
     """A test doc copied verbatim into train must read 100%
     contaminated; a disjoint-vocab doc 0%; a half-overlapping doc in

@@ -62,6 +62,13 @@ def cmd_query(args) -> int:
     qs = [{"query_id": i, "query_text": q, "k": args.k,
            "offset": args.offset} for i, q in enumerate(args.query or [])]
     preds = args.filter or None
+    boosted = (not args.no_boost
+               and any("^" in q for q in (args.query or [])))
+    if args.offset and (args.window or args.explain or args.phrase
+                        or boosted):
+        print("warning: --offset applies only to plain search; "
+              "ignored in --window/--explain/--phrase/boosted modes",
+              file=sys.stderr)
     if args.suggest:
         res = q_.suggest_terms(args.index, list(args.suggest), k=args.k)
     elif args.export:
@@ -85,7 +92,11 @@ def cmd_query(args) -> int:
             {"query_id": i, "query_text": q, "k": args.k}
             for i, q in enumerate(args.query or [])], predicates=preds)
     elif args.after:
-        sc, conv, turn = args.after.split(",")
+        # cursor is SCORE,CONV,TURN where CONV may itself contain commas:
+        # score is everything before the FIRST comma, turn after the LAST
+        # (ADVICE r3 — a bare 3-way split broke comma-bearing conv ids).
+        sc, rest = args.after.split(",", 1)
+        conv, turn = rest.rsplit(",", 1)
         res = q_.search_after_index(args.index, [
             dict(qq, after=(float(sc), conv, int(turn))) for qq in qs],
             predicates=preds)
@@ -93,7 +104,7 @@ def cmd_query(args) -> int:
         res = q_.facet_ranges_index(args.index, qs,
                                     bin_width=args.range_facet,
                                     predicates=preds)
-    elif any("^" in q for q in (args.query or [])):
+    elif boosted:
         res = q_.search_boosted_index(args.index, qs, predicates=preds)
     elif args.must or args.must_not:
         res = q_.search_boolean_index(args.index, [
@@ -274,6 +285,9 @@ def main(argv=None) -> int:
                    help="expand terms to dictionary entries within D edits")
     q.add_argument("--facet", metavar="COL",
                    help="return per-COL match counts instead of hits")
+    q.add_argument("--no-boost", dest="no_boost", action="store_true",
+                   help="treat '^' in queries literally instead of "
+                        "rerouting to boosted search")
     q.add_argument("--collapse", action="store_true",
                    help="top-k conversations (best turn each)")
     q.add_argument("--filter", action="append",

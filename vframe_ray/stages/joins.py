@@ -167,7 +167,10 @@ def range_join(left, right, *, key: str, left_on: str,
         lo = t[right_lo].to_numpy(zero_copy_only=False).astype(np.int64)
         hi = t[right_hi].to_numpy(zero_copy_only=False).astype(np.int64)
         b0 = lo // band
-        cnt = (hi // band - b0 + 1).astype(np.int64)   # bins covered
+        # empty intervals (hi < lo) cover 0 bins and match nothing
+        # (inner-join semantics) instead of poisoning np.repeat with a
+        # negative count deep inside the Ray task (ADVICE r3).
+        cnt = np.maximum(hi // band - b0 + 1, 0).astype(np.int64)
         idx = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
         csum = np.concatenate([[0], np.cumsum(cnt)])
         bins = (np.arange(int(cnt.sum())) - np.repeat(csum[:-1], cnt)

@@ -21,8 +21,10 @@ import ray
 
 def highlight_pattern(terms: list[str]) -> str:
     """Word-boundary alternation over the (deduped, sorted) terms —
-    identical semantics in RE2 (Arrow kernel) and DuckDB."""
-    return r"\b(" + "|".join(re.escape(t) for t in sorted(set(terms))) \
+    identical semantics in RE2 (Arrow kernel) and DuckDB.  Matches
+    case-insensitively: the analyzer lowercases before matching, so a
+    capitalized surface occurrence IS a hit and must be highlighted."""
+    return r"(?i)\b(" + "|".join(re.escape(t) for t in sorted(set(terms))) \
         + r")\b"
 
 
@@ -30,8 +32,12 @@ def phrase_highlight_pattern(terms: list[str]) -> str:
     """Surface pattern for a CONSECUTIVE token phrase: the analyzed
     terms in order, separated by any non-token characters — robust to
     punctuation between tokens (the hostile-surface rule), identical
-    semantics in RE2 and DuckDB."""
-    return r"\b" + "[^a-z0-9]+".join(re.escape(t) for t in terms) + r"\b"
+    semantics in RE2 and DuckDB.  Case-insensitive, and the separator
+    excludes letters of BOTH cases so 'alphaXbeta' (one analyzer token)
+    is never falsely highlighted as the phrase 'alpha beta' while
+    'Alpha Beta' is (ADVICE r3)."""
+    return (r"(?i)\b"
+            + "[^a-zA-Z0-9]+".join(re.escape(t) for t in terms) + r"\b")
 
 
 def highlight_hits(ds, hits: pa.Table, terms: list[str], *,

@@ -189,10 +189,12 @@ def term_cooccurrence(tokenized_ds, vocab: list[str], *, k: int = 30,
         csum = np.concatenate([[0], np.cumsum(cnt)])
         b_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + a_idx + 1
         code = t[a_idx] * V + t[b_idx]        # ta < tb by the sort
-        n = np.bincount(code, minlength=V * V)
-        nz = np.flatnonzero(n)
+        # O(pairs observed) memory — a dense V*V bincount is ~800 MB per
+        # block task at V=10k even though only seen pairs matter (ADVICE
+        # r3); np.unique yields the same (code, count) rows.
+        nz, counts = np.unique(code, return_counts=True)
         return pa.table({"code": pa.array(nz.astype(np.int64)),
-                         "n_p": pa.array(n[nz].astype(np.int64))})
+                         "n_p": pa.array(counts.astype(np.int64))})
 
     parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
                                      zero_copy_batch=True)
