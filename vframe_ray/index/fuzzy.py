@@ -1,0 +1,199 @@
+"""Fuzzy term expansion against the global dictionary.
+
+Two paths with identical results:
+
+``expand_fuzzy_terms_scan``
+    Linear dictionary scan with a length-pruned banded Levenshtein DP —
+    O(|vocab|) per call.  Kept as the verification oracle and for
+    one-shot queries over small dictionaries.
+
+``expand_fuzzy_terms`` (default — SymSpell deletion table)
+    The public SymSpell scheme (Wolf Garbe; also the dictionary-lookup
+    pattern of the reference's label lookups, src/vframe/models/ —
+    precompute once, range-read per query): every dictionary term
+    contributes all variants reachable by deleting ≤ d characters; two
+    terms within Levenshtein distance d MUST share a deletion variant
+    (take an optimal alignment: each side deletes its unmatched
+    characters — at most d per side — leaving the common subsequence),
+    so the variant table lookup is a complete candidate generator and
+    the banded DP verifies.  The table is built ONCE per dictionary as
+    a Ray Data pipeline (generate variants per block → sort(variant) →
+    partitioned parquet), stored as a fingerprinted sidecar under
+    ``global/fuzzy/``, and each query does one predicate-pushdown read
+    of the query terms' own variants — O(row groups touched), sublinear
+    in vocabulary size exactly like the prefix path
+    (:func:`~vframe_ray.index.query.expand_prefix_terms`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _levenshtein_within(a: str, b: str, d: int) -> bool:
+    """Banded edit distance ≤ d (small d).  O(len·d) per pair."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        if lo > 1:
+            cur[lo - 1] = d + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        if hi < lb:
+            cur[hi + 1:] = [d + 1] * (lb - hi)
+        if min(cur[max(0, lo - 1):hi + 1]) > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
+def _dict_files(index_dir: str) -> list[str]:
+    gdir = os.path.join(index_dir, "global", "terms")
+    if not os.path.isdir(gdir):
+        return []
+    return [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+            if f.endswith(".parquet")]
+
+
+def expand_fuzzy_terms_scan(index_dir: str, terms: list[str],
+                            max_edits: int = 1) -> dict[str, list[str]]:
+    """Linear-scan expansion (the verification oracle): reads the term
+    column of the global dictionary once per call and scans with a
+    length-pruned banded DP."""
+    files = _dict_files(index_dir)
+    out: dict[str, list[str]] = {t: [] for t in terms}
+    if not files or not terms:
+        return out
+    vocab = pq.ParquetDataset(files).read(columns=["term"])["term"] \
+        .to_pylist()
+    lens = np.array([len(v) for v in vocab])
+    for t in out:
+        cand = [vocab[i] for i in
+                np.flatnonzero(np.abs(lens - len(t)) <= max_edits)]
+        out[t] = sorted(v for v in cand
+                        if _levenshtein_within(t, v, max_edits))
+    return out
+
+
+def deletion_variants(term: str, d: int) -> set[str]:
+    """All strings reachable from ``term`` by deleting ≤ d characters
+    (``term`` itself included)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        nxt = {w[:i] + w[i + 1:] for w in frontier for i in range(len(w))}
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
+def _table_fingerprint(files: list[str], max_edits: int) -> str:
+    sig = [(os.path.basename(f), os.path.getsize(f)) for f in files]
+    return hashlib.sha1(
+        json.dumps([max_edits, sig]).encode()).hexdigest()[:12]
+
+
+def deletion_table_dir(index_dir: str, max_edits: int = 1) -> str:
+    """Path the deletion-table sidecar for this dictionary state lives
+    at (fingerprinted by the dictionary files, so an ``extend_index``
+    that rewrites ``global/terms`` automatically invalidates it)."""
+    files = _dict_files(index_dir)
+    fp = _table_fingerprint(files, max_edits)
+    return os.path.join(index_dir, "global", "fuzzy",
+                        f"d{max_edits}-{fp}")
+
+
+def build_deletion_table(index_dir: str, max_edits: int = 1,
+                         rows_per_group: int = 32768) -> str:
+    """Ensure the SymSpell sidecar exists; returns its directory.
+
+    Distributed build: ``map_batches`` over the dictionary blocks emits
+    (variant, term) rows, a ``sort("variant")`` makes parquet row-group
+    min/max stats selective, and the partitioned write keeps per-file
+    size bounded at any vocabulary size.  Stale sidecars (older
+    dictionary fingerprints) are removed; the rename into place is
+    atomic so concurrent builders race benignly."""
+    import ray.data
+
+    out_dir = deletion_table_dir(index_dir, max_edits)
+    if os.path.isdir(out_dir):
+        return out_dir
+    files = _dict_files(index_dir)
+    fuzzy_root = os.path.dirname(out_dir)
+    os.makedirs(fuzzy_root, exist_ok=True)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def gen(t: pa.Table) -> pa.Table:
+        variants: list[str] = []
+        terms: list[str] = []
+        for term in t["term"].to_pylist():
+            for v in deletion_variants(term, max_edits):
+                variants.append(v)
+                terms.append(term)
+        return pa.table({"variant": pa.array(variants, pa.string()),
+                         "term": pa.array(terms, pa.string())})
+
+    if files:
+        (ray.data.read_parquet(files, columns=["term"])
+         .map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+         .sort("variant")
+         .write_parquet(tmp, row_group_size=rows_per_group))
+    else:
+        os.makedirs(tmp, exist_ok=True)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:                      # lost the race: keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
+    # stale fingerprints (dictionary was extended/rewritten) — sweep
+    prefix = f"d{max_edits}-"
+    keep = os.path.basename(out_dir)
+    for d in os.listdir(fuzzy_root):
+        if d.startswith(prefix) and d != keep and not d.endswith(".tmp"):
+            shutil.rmtree(os.path.join(fuzzy_root, d), ignore_errors=True)
+    return out_dir
+
+
+def expand_fuzzy_terms(index_dir: str, terms: list[str],
+                       max_edits: int = 1) -> dict[str, list[str]]:
+    """SymSpell expansion: one pushdown-filtered read of the query
+    terms' deletion variants against the precomputed sidecar, then
+    banded-DP verification of the candidates.  Results are identical to
+    :func:`expand_fuzzy_terms_scan` (property-tested)."""
+    out: dict[str, list[str]] = {t: [] for t in terms}
+    if not terms or not _dict_files(index_dir):
+        return out
+    table_dir = build_deletion_table(index_dir, max_edits)
+    tfiles = [os.path.join(table_dir, f)
+              for f in sorted(os.listdir(table_dir))
+              if f.endswith(".parquet")]
+    if not tfiles:
+        return out
+    qvars = {t: deletion_variants(t, max_edits) for t in out}
+    all_vars = sorted(set().union(*qvars.values()))
+    hit = pq.ParquetDataset(
+        tfiles, filters=[("variant", "in", all_vars)]
+    ).read(columns=["variant", "term"])
+    by_variant: dict[str, set[str]] = {}
+    for v, tm in zip(hit["variant"].to_pylist(), hit["term"].to_pylist()):
+        by_variant.setdefault(v, set()).add(tm)
+    for t, vs in qvars.items():
+        cand = set().union(*(by_variant.get(v, set()) for v in vs)) \
+            if vs else set()
+        out[t] = sorted(c for c in cand
+                        if abs(len(c) - len(t)) <= max_edits
+                        and _levenshtein_within(t, c, max_edits))
+    return out

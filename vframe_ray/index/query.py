@@ -1765,9 +1765,10 @@ class QueryService:
 
     def search_fuzzy(self, queries: list[dict], *, max_edits: int = 1,
                      predicates: list[str] | None = None) -> pa.Table:
-        """Served fuzzy search: Levenshtein dictionary expansion (one
-        dictionary scan per call — SCALE NOTE in expand_fuzzy_terms),
-        then the resident shards."""
+        """Served fuzzy search: SymSpell deletion-table expansion
+        (sidecar built once per dictionary state, pushdown-read per
+        call — sublinear in vocabulary; see index.fuzzy), then the
+        resident shards."""
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(str(q.get("query_text",
                                                           ""))))),
@@ -2726,56 +2727,11 @@ def search_synonym_index(index_dir: str, queries: list[dict],
     return search_index(index_dir, plain, cfg, predicates=predicates)
 
 
-def _levenshtein_within(a: str, b: str, d: int) -> bool:
-    """Banded edit distance ≤ d (small d).  O(len·d) per pair."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > d:
-        return False
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        lo = max(1, i - d)
-        hi = min(lb, i + d)
-        if lo > 1:
-            cur[lo - 1] = d + 1
-        for j in range(lo, hi + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (a[i - 1] != b[j - 1]))
-        if hi < lb:
-            cur[hi + 1:] = [d + 1] * (lb - hi)
-        if min(cur[max(0, lo - 1):hi + 1]) > d:
-            return False
-        prev = cur
-    return prev[lb] <= d
-
-
-def expand_fuzzy_terms(index_dir: str, terms: list[str], max_edits: int = 1
-                       ) -> dict[str, list[str]]:
-    """Expand each term to dictionary terms within ``max_edits`` edit
-    distance (insert/delete/substitute — the Levenshtein the SQL oracle
-    uses).  Reads the term column of the global dictionary once per
-    call and scans with a length-pruned banded DP.
-
-    SCALE NOTE: the dictionary is sublinear in the corpus but can reach
-    tens of millions of terms at 100 TB; this linear scan is then the
-    wrong shape and the documented upgrade is a precomputed
-    deletion-variant (SymSpell) table built once next to
-    ``global/terms`` and ranged-read like the prefix path."""
-    gdir = os.path.join(index_dir, "global", "terms")
-    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
-             if f.endswith(".parquet")]
-    out: dict[str, list[str]] = {t: [] for t in terms}
-    if not files or not terms:
-        return out
-    vocab = pq.ParquetDataset(files).read(columns=["term"])["term"] \
-        .to_pylist()
-    lens = np.array([len(v) for v in vocab])
-    for t in out:
-        cand = [vocab[i] for i in
-                np.flatnonzero(np.abs(lens - len(t)) <= max_edits)]
-        out[t] = sorted(v for v in cand
-                        if _levenshtein_within(t, v, max_edits))
-    return out
+# Fuzzy expansion lives in .fuzzy: the SymSpell deletion-table path
+# (default, sublinear per query) plus the linear-scan oracle.  Re-export
+# here for the established import surface.
+from .fuzzy import (_levenshtein_within, expand_fuzzy_terms,  # noqa: F401
+                    expand_fuzzy_terms_scan)
 
 
 def search_fuzzy_index(index_dir: str, queries: list[dict],
