@@ -59,3 +59,82 @@ def test_full_lifecycle(ray_session, tmp_path):
     build_index(ray.data.from_items(surviving), fresh_surv, SMALL_CFG)
     assert search_index(compacted, Q).to_pylist() == \
         search_index(fresh_surv, Q).to_pylist()
+
+
+def test_extend_heavy_lifecycle_with_tiered_compaction(ray_session,
+                                                       tmp_path):
+    """N extends + in-place tiered compactions (VERDICT r3 next #4):
+    ranking stays identical to a fresh build over the union after every
+    tiered round, segment count is driven down by the cascade, and no
+    single merge ever read more than tier_size source segments (the
+    bounded-per-compaction-wall claim, checked via each merged
+    segment's compacted_from lineage)."""
+    import json
+    import os
+
+    from vframe_ray.index.compact import tiered_compact_index
+
+    idx = str(tmp_path / "tiered_idx")
+    batches = [_rows(range(8), salt="a")]
+    build_index(ray.data.from_items(batches[0]), idx, SMALL_CFG)
+    for i in range(4):                                    # N extends
+        nb = _rows(range(8), salt=f"e{i}")
+        batches.append(nb)
+        extend_index(ray.data.from_items(nb), idx)
+
+    man = json.load(open(os.path.join(idx, "manifest.json")))
+    segs_before = len(man["segments"])
+    assert segs_before >= 15                     # extend-heavy: many segs
+
+    tier = 4
+    stats = tiered_compact_index(idx, tier_size=tier)
+    assert stats["merges"] >= 1
+    man2 = json.load(open(os.path.join(idx, "manifest.json")))
+    assert len(man2["segments"]) < segs_before
+    # bounded merge width: every merged segment's lineage ≤ tier_size
+    for s in man2["segments"]:
+        m = json.load(open(os.path.join(idx, "segments", s,
+                                        "manifest.json")))
+        assert len(m.get("compacted_from", [])) <= tier
+    # rank- and score-identical to a fresh one-shot build on the union
+    union = [r for b in batches for r in b]
+    fresh = str(tmp_path / "tiered_fresh")
+    build_index(ray.data.from_items(union), fresh, SMALL_CFG)
+    assert search_index(idx, Q).to_pylist() == \
+        search_index(fresh, Q).to_pylist()
+
+    # a second call is a no-op (no tier overflows) and keeps results
+    before = search_index(idx, Q).to_pylist()
+    stats2 = tiered_compact_index(idx, tier_size=tier)
+    assert stats2["rounds"] == 0 and stats2["merges"] == 0
+    assert search_index(idx, Q).to_pylist() == before
+
+
+def test_tiered_compaction_purges_merged_deletes(ray_session, tmp_path):
+    """Tombstones in MERGED segments are physically purged and the
+    dictionary rebuilt (Lucene delete semantics): after deleting docs
+    and tier-merging ALL segments, ranking equals a fresh build over
+    the survivors."""
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import delete_docs
+    from vframe_ray.index.compact import tiered_compact_index
+
+    one_seg = EngineConfig(index=IndexConfig(num_segments=1,
+                                             block_size=32))
+    idx = str(tmp_path / "tiered_del_idx")
+    # 5 segments of exactly 8 docs each (same log2 bucket → one tier)
+    all_rows = _rows(range(8), salt="s0")
+    build_index(ray.data.from_items(all_rows), idx, one_seg)
+    for i in range(1, 5):
+        nb = _rows(range(8), salt=f"s{i}")
+        all_rows += nb
+        extend_index(ray.data.from_items(nb), idx, num_new_segments=1)
+    dels = ["cs0000", "cs2004"]
+    delete_docs(idx, dels)
+    stats = tiered_compact_index(idx, tier_size=5)
+    assert stats["merges"] == 1
+    surviving = [r for r in all_rows if r["conv_id"] not in dels]
+    fresh = str(tmp_path / "tiered_del_fresh")
+    build_index(ray.data.from_items(surviving), fresh, one_seg)
+    assert search_index(idx, Q).to_pylist() == \
+        search_index(fresh, Q).to_pylist()

@@ -181,9 +181,16 @@ def cmd_corpus(args) -> int:
 
 def cmd_compact(args) -> int:
     ray = _ray_session(args.num_cpus)
-    from .index.compact import compact_index
-    stats = compact_index(args.index, args.out,
-                          target_segments=args.segments)
+    from .index.compact import compact_index, tiered_compact_index
+    if args.tiered:
+        stats = tiered_compact_index(args.index, tier_size=args.tier_size)
+    else:
+        if not args.out:
+            print("error: --out is required unless --tiered",
+                  file=sys.stderr)
+            return 2
+        stats = compact_index(args.index, args.out,
+                              target_segments=args.segments)
     print(json.dumps(stats))
     ray.shutdown()
     return 0
@@ -339,8 +346,13 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("compact", help="merge small segments for serving")
     cp.add_argument("--index", required=True)
-    cp.add_argument("--out", required=True)
+    cp.add_argument("--out", help="output dir (one-shot mode)")
     cp.add_argument("--segments", type=int, default=64)
+    cp.add_argument("--tiered", action="store_true",
+                    help="in-place incremental tiered merge (Lucene-"
+                         "style; bounded per-merge cost)")
+    cp.add_argument("--tier-size", dest="tier_size", type=int, default=10,
+                    help="segments per tiered merge (default 10)")
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_compact)
 

@@ -424,3 +424,142 @@ def compact_index(index_dir: str, out_dir: str, *,
         "compacted_from": os.path.abspath(index_dir),
     })
     return stats
+
+
+def plan_tiers(seg_sizes: list[tuple[str, int]], *,
+               tier_size: int = 10) -> list[list[str]]:
+    """Tiered merge plan (the public Lucene TieredMergePolicy shape):
+    segments bucket by floor(log2(n_docs)) — "size-adjacent" = within
+    ~2× of each other — and every bucket holding ≥ ``tier_size``
+    segments yields groups of exactly ``tier_size``, smallest first.
+    Merging a full group produces one segment ~tier_size× larger (a
+    higher bucket), so repeated extends cascade upward geometrically
+    and NO merge ever reads more than ``tier_size`` segments."""
+    import math
+
+    buckets: dict[int, list[tuple[int, str]]] = {}
+    for name, n in seg_sizes:
+        b = int(math.log2(n)) if n > 0 else 0
+        buckets.setdefault(b, []).append((n, name))
+    groups: list[list[str]] = []
+    for b in sorted(buckets):
+        members = sorted(buckets[b])
+        while len(members) >= tier_size:
+            take, members = members[:tier_size], members[tier_size:]
+            groups.append([name for _, name in take])
+    return groups
+
+
+def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
+                         max_rounds: int | None = None) -> dict:
+    """IN-PLACE incremental compaction (VERDICT r3 next #4): the
+    background-merge policy that keeps an ``extend_index``-heavy
+    lifecycle servable without ever paying a full one-shot merge.
+
+    Each round: :func:`plan_tiers` picks groups of ``tier_size``
+    size-adjacent segments; each group streams through
+    :func:`compact_group` (one Ray task per group, k-way term-ordered
+    merge, bounded memory) into a NEW segment id; the index manifest is
+    swapped atomically to (survivors + merged); only then are the
+    source segment dirs removed.  Rounds cascade until no tier
+    overflows.  Per-merge wall is bounded by tier_size × that tier's
+    segment size — independent of total index size.
+
+    Delete semantics match Lucene: tombstones in MERGED segments are
+    physically purged (df/cf of the rebuilt dictionary drop for them);
+    tombstones in untouched segments stay query-time sidecars.  With no
+    tombstones anywhere, ranking is rank- and score-identical to a
+    fresh build over the same corpus (segment layout never affects
+    BM25 — the extend/compact invariant), asserted in
+    tests/test_lifecycle.py.
+
+    Returns final stats plus ``rounds`` / ``merges`` counters.
+    """
+    from .build import term_stats_sum
+    from ..sources.readers import read_parquet as _read_parquet
+
+    rounds = 0
+    merges = 0
+    while max_rounds is None or rounds < max_rounds:
+        man = read_json(os.path.join(index_dir, "manifest.json"))
+        names = list(man["segments"])
+        sizes = [(s, int(read_json(os.path.join(
+            index_dir, "segments", s, "manifest.json"))["n_docs"]))
+            for s in names]
+        groups = plan_tiers(sizes, tier_size=tier_size)
+        if not groups:
+            break
+        cfg = EngineConfig.from_dict(
+            read_json(os.path.join(index_dir, "config.json")))
+        next_id = 1 + max(int(s.split("-")[1]) for s in names)
+        cfg_d = cfg.to_dict()
+        items = [{"new_id": next_id + gi,
+                  "segs": "\x00".join(os.path.join(index_dir, "segments", s)
+                                      for s in g)}
+                 for gi, g in enumerate(groups)]
+
+        def stage(batch: pa.Table) -> pa.Table:
+            rows = []
+            for new_id, segs in zip(batch["new_id"].to_pylist(),
+                                    batch["segs"].to_pylist()):
+                m = compact_group(segs.split("\x00"), int(new_id),
+                                  index_dir, EngineConfig.from_dict(cfg_d))
+                rows.append(m["segment"])
+            return pa.table({"segment": pa.array(rows, pa.string())})
+
+        res = (ray.data.from_items(items)
+               .map_batches(stage, batch_format="pyarrow", batch_size=1)
+               .to_pandas())
+        new_names = sorted(res["segment"].tolist())
+        merged_sources = {s for g in groups for s in g}
+        had_deletes = any(os.path.exists(os.path.join(
+            index_dir, "segments", s, "deletes.parquet"))
+            for s in merged_sources)
+        survivors = sorted(
+            [s for s in names if s not in merged_sources] + new_names)
+        surv_dirs = [os.path.join(index_dir, "segments", s)
+                     for s in survivors]
+
+        if had_deletes:
+            # purged tombstones changed df/cf — rebuild the dictionary
+            # over the survivors (same atomic swap as extend_index)
+            import uuid
+            run_id = uuid.uuid4().hex[:8]
+            gdir = os.path.join(index_dir, "global")
+            new_terms = os.path.join(gdir, f"terms.new-{run_id}")
+            term_stats_sum(_read_parquet(
+                [os.path.join(d, "terms.parquet") for d in surv_dirs],
+                columns=["term", "df", "cf"])).write_parquet(new_terms)
+            old_terms = os.path.join(gdir, "terms")
+            bak = old_terms + ".old-" + run_id
+            if os.path.isdir(old_terms):
+                os.rename(old_terms, bak)
+            os.rename(new_terms, old_terms)
+            shutil.rmtree(bak, ignore_errors=True)
+
+        mans = [read_json(os.path.join(d, "manifest.json"))
+                for d in surv_dirs]
+        n_docs = sum(m["n_docs"] for m in mans)
+        total_len = sum(m["total_len"] for m in mans)
+        stats = {
+            "n_docs": int(n_docs),
+            "total_len": int(total_len),
+            "avgdl": (total_len / n_docs) if n_docs else 0.0,
+            "n_segments_built": len(mans),
+            "postings_bytes": int(sum(m["postings_bytes"] for m in mans)),
+        }
+        write_json(os.path.join(index_dir, "global", "stats.json"), stats)
+        write_json(os.path.join(index_dir, "manifest.json"), {
+            "segments": survivors,
+            "stats": stats,
+            "tiered_merges": man.get("tiered_merges", 0) + len(groups),
+        })
+        # sources are unreferenced by the swapped manifest — safe to drop
+        for s in merged_sources:
+            shutil.rmtree(os.path.join(index_dir, "segments", s),
+                          ignore_errors=True)
+        rounds += 1
+        merges += len(groups)
+
+    final = read_json(os.path.join(index_dir, "manifest.json"))
+    return {**final["stats"], "rounds": rounds, "merges": merges}
