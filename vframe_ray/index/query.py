@@ -1,2925 +1,41 @@
-"""BM25 top-k query execution: per-segment scoring + global merge.
+"""Query surface facade.
 
-Per-segment scoring recasts the reference's classification top-k
-(reference: src/vframe/image/processors/base.py:134-146 —
-``np.argsort(preds)[::-1][:limit]`` above a threshold) into a bounded
-top-k heap over BM25 scores, with two interchangeable scorers:
+The round-3 monolith split into cohesive modules (VERDICT r3 next #6,
+no behavior change):
 
-- ``score_full``  — exact term-at-a-time vectorized accumulation
-  (decode every posting, numpy adds); the oracle-shaped baseline.
-- ``score_bmw``   — document-at-a-time with WAND pivoting and
-  block-max pruning: per-term global upper bounds drive the pivot,
-  per-block (max_tf, min_dl) bounds skip whole 128-doc blocks without
-  decoding them (north_star: "document-at-a-time posting-list
-  intersection with block-max WAND pruning and a bounded top-k heap").
+- :mod:`.searcher`    — SegmentSearcher (BM25 full/sparse/BMW scorers,
+  phrase/proximity/boolean/facet kernels) + driver-side top-k merge;
+- :mod:`.scatter`     — shared one-shot plumbing (_SearcherStage,
+  predicate pre-flight);
+- :mod:`.service`     — persistent shard actors + QueryService;
+- :mod:`.entrypoints` — the one-shot ``*_index`` functions;
+- :mod:`.fuzzy`       — SymSpell deletion-table + linear-scan fuzzy
+  expansion.
 
-Rank-identity guarantees (tested vs the oracle and vs each other):
-- per-doc score sums contributions in ascending query-term order →
-  bit-identical float64 vs the single-process oracle;
-- heap entries are (score, -doc_local): within a segment doc_local
-  order IS (conv_id, turn_idx) order, so the worst heap element is the
-  lowest score with the largest key — exact oracle tie-break;
-- WAND prunes only when bound < θ (strictly), so boundary ties that the
-  tie-break could still admit are never lost.
-
-Distributed plan (scatter-gather, no posting ever crosses the network
-at query time): segment list Dataset → actor-pool ``map_batches``
-(searchers hold docmaps; queries + global df broadcast via ``ray.put``)
-→ per-(query, segment) top-k rows → ``groupby(query_id).map_groups``
-global merge (k·S tiny rows) → ranked table.
+This module re-exports the established import surface; new code should
+import from the specific submodule.
 """
 
 from __future__ import annotations
 
-import heapq
-import math
-import os
-
-import numpy as np
-import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
-import pyarrow.parquet as pq
-
-import ray
-import ray.data
-
-from ..analyze import Tokenizer
-from ..config import BM25Config, EngineConfig
-from .codec import TermPostings, decode_all, decode_block
-from .segment import SegmentReader
-
-
-def idf(n_docs: int, df: int) -> float:
-    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-
-class SegmentSearcher:
-    """Scores queries against one segment (docmap resident; postings read
-    per query term with parquet predicate pushdown)."""
-
-    # decoded-postings cache budget per searcher (bytes of docs+tfs
-    # arrays); persistent searchers (QueryService shards) amortize
-    # parquet read + varint decode across calls under this cap
-    DECODE_CACHE_BYTES = 64 << 20
-
-    def __init__(self, seg_dir: str, bm25: BM25Config, n_docs_global: int,
-                 avgdl: float, global_df: dict[str, int],
-                 block_size: int = 128):
-        self.r = SegmentReader(seg_dir)
-        self.bm25 = bm25
-        self.block_size = block_size
-        self.avgdl = avgdl if avgdl > 0 else 1.0
-        self.idf = {t: idf(n_docs_global, df) for t, df in global_df.items()}
-        # doc-length norm denominator component, precomputed per doc
-        self.norm = bm25.k1 * (1.0 - bm25.b
-                               + bm25.b * self.r.doclen / self.avgdl)
-        # (term -> (docs, tfs)) decoded cache, LRU by insertion order
-        from collections import OrderedDict
-        self._decode_cache: "OrderedDict[str, tuple]" = OrderedDict()
-        self._decode_cache_bytes = 0
-        # (term -> TermPostings) raw postings cache for repeated terms
-        self._postings_cache: "OrderedDict[str, TermPostings]" = OrderedDict()
-        self._postings_cache_bytes = 0
-        # (term -> (idf, dense contribution vector)) for HOT terms: warm
-        # serving actors replace the per-call gather+arithmetic+scatter
-        # with one dense float64 add (bit-exact: x + 0.0 == x and the
-        # ascending-term summation order is unchanged)
-        self._contrib_cache: "OrderedDict[str, tuple]" = OrderedDict()
-        self._contrib_cache_bytes = 0
-        self._absent: set[str] = set()   # terms known absent here
-
-    # negative-cache bound: a long-lived service fed ever-new OOV terms
-    # would otherwise grow _absent without limit (ADVICE.md round 2);
-    # clearing just costs one re-read per cleared term
-    ABSENT_CAP = 65536
-
-    def _base_mask(self, predicates: list[str] | None
-                   ) -> np.ndarray | None:
-        """Combined doc mask: attribute predicates AND the segment's
-        tombstone sidecar (deleted docs never match any query; corpus
-        stats stay pre-delete until compaction — Lucene semantics).
-        Returns a fresh array (callers may refine in place)."""
-        mask = None
-        if predicates:
-            from ..sources.readers import compile_mask
-            mask = compile_mask(predicates)(self.r.docs)
-        if self.r.alive is not None:
-            mask = self.r.alive.copy() if mask is None \
-                else (mask & self.r.alive)
-        return mask
-
-    def load_terms_cached(self, terms: list[str]) -> dict[str, TermPostings]:
-        """Postings for ``terms``, reading only cache misses from parquet
-        (one filtered read per call).  Persistent searchers skip the
-        read entirely on repeated query vocabularies."""
-        hit = {}
-        for t in terms:
-            tp = self._postings_cache.get(t)
-            if tp is not None:
-                self._postings_cache.move_to_end(t)   # true LRU on hit
-                hit[t] = tp
-        # negative entries: terms known absent from this segment
-        missing = [t for t in terms
-                   if t not in hit and t not in self._absent]
-        if missing:
-            fresh = self.r.load_terms(missing)
-            for t in missing:
-                tp = fresh.get(t)
-                if tp is None:
-                    if len(self._absent) >= self.ABSENT_CAP:
-                        self._absent.clear()
-                    self._absent.add(t)
-                    continue
-                hit[t] = tp
-                self._postings_cache[t] = tp
-                self._postings_cache_bytes += len(tp.blob) + 200
-            while self._postings_cache_bytes > self.DECODE_CACHE_BYTES \
-                    and self._postings_cache:
-                _t, _tp = self._postings_cache.popitem(last=False)
-                self._postings_cache_bytes -= len(_tp.blob) + 200
-        return hit
-
-    def _decode_cached(self, t: str, tp: TermPostings):
-        from .codec import decode_all
-        cached = self._decode_cache.get(t)
-        if cached is not None:
-            self._decode_cache.move_to_end(t)
-            return cached
-        docs, tfs = decode_all(tp, self.block_size)
-        # score-ready dtype: one cast at insert instead of one per query
-        tfs = tfs.astype(np.float64)
-        self._decode_cache[t] = (docs, tfs)
-        self._decode_cache_bytes += docs.nbytes + tfs.nbytes
-        while self._decode_cache_bytes > self.DECODE_CACHE_BYTES \
-                and self._decode_cache:
-            _t, (_d, _f) = self._decode_cache.popitem(last=False)
-            self._decode_cache_bytes -= _d.nbytes + _f.nbytes
-        return docs, tfs
-
-    # dense contribution vectors are only worth n_docs*8 bytes for terms
-    # hitting at least this fraction of the segment's docs
-    CONTRIB_MIN_DF_FRAC = 8          # df >= n_docs / 8
-    CONTRIB_CACHE_BYTES = 64 << 20
-    # length of the cached per-term (contrib desc, doc asc) prefix: serves
-    # single-term queries directly and bounds multi-term thresholds
-    CONTRIB_TOPK = 1024
-
-    def _contrib_dense_cached(self, t: str, tp) -> tuple | None:
-        """Cache entry ``(idf, dense_vec, top_docs, top_scores, df)`` for a
-        hot term, or None for rare terms (scatter path is cheaper there).
-
-        ``dense_vec`` is the per-doc BM25 contribution over all docs
-        (zeros elsewhere).  ``top_docs``/``top_scores`` are the first
-        ``min(CONTRIB_TOPK, df)`` entries of the exact (contrib desc,
-        doc asc) ordering — the full single-term result prefix.  Keyed on
-        the idf actually in effect so a service idf refresh invalidates."""
-        if tp.n_docs * self.CONTRIB_MIN_DF_FRAC < self.r.n_docs:
-            return None
-        t_idf = self.idf.get(t, 0.0)
-        if t_idf <= 0.0:
-            return None
-        ent = self._contrib_cache.get(t)
-        if ent is not None and ent[0] == t_idf:
-            self._contrib_cache.move_to_end(t)
-            return ent
-        docs, tfs = self._decode_cached(t, tp)
-        # identical expression/association to the scatter path below
-        c = t_idf * (tfs * (self.bm25.k1 + 1.0)) / (tfs + self.norm[docs])
-        v = np.zeros(self.r.n_docs, dtype=np.float64)
-        v[docs] = c
-        m = min(self.CONTRIB_TOPK, docs.size)
-        if docs.size > 4 * m:
-            kth = np.partition(c, c.size - m)[c.size - m]
-            keep = c >= kth                       # boundary ties kept
-            d2, c2 = docs[keep], c[keep]
-        else:
-            d2, c2 = docs, c
-        order = np.lexsort((d2, -c2))[:m]
-        new = (t_idf, v, d2[order], c2[order], docs.size)
-        if ent is not None:                       # idf changed: replace
-            self._contrib_cache_bytes -= ent[1].nbytes
-            del self._contrib_cache[t]
-        self._contrib_cache[t] = new
-        self._contrib_cache_bytes += v.nbytes
-        while self._contrib_cache_bytes > self.CONTRIB_CACHE_BYTES \
-                and self._contrib_cache:
-            _t, _e = self._contrib_cache.popitem(last=False)
-            self._contrib_cache_bytes -= _e[1].nbytes
-        return new
-
-    # ---------- exact baseline: term-at-a-time vectorized ----------
-
-    def score_full(self, terms: list[str], k: int,
-                   postings: dict[str, TermPostings] | None = None,
-                   decode_cache: dict | None = None,
-                   doc_mask: np.ndarray | None = None
-                   ) -> list[tuple[float, int]]:
-        """Returns [(score, doc_local)] sorted (score desc, doc_local asc).
-
-        Accumulates per ascending term order into a dense float64 array →
-        summation order per doc identical to the oracle's.
-        ``decode_cache`` memoizes decoded (docs, tfs) per term so a batch
-        of queries sharing terms decodes each posting list once.
-        """
-        if postings is None:
-            postings = self.r.load_terms(terms)
-        n = self.r.n_docs
-        n_present = sum(1 for t in terms if t in postings)
-        dense_entries: list[tuple] = []
-        if decode_cache is None and doc_mask is None and n_present == 1 \
-                and len(terms) == 1:
-            # single-term fast path: the cached (contrib desc, doc asc)
-            # prefix IS the exact result (score == contrib bit-exactly:
-            # 0.0 + x == x)
-            t = next(t for t in terms if t in postings)
-            ent = self._contrib_dense_cached(t, postings[t])
-            if ent is not None:
-                _i, _v, td, ts_, df = ent
-                if k <= td.size or td.size == df:
-                    kk = min(k, td.size)
-                    return [(float(ts_[i]), int(td[i])) for i in range(kk)]
-        scores = np.zeros(n, dtype=np.float64)
-        seen: np.ndarray | None = None   # lazily allocated (scatter terms
-        # only); dense-cached terms mark candidacy via scores > 0 instead
-        k1 = self.bm25.k1
-        for t in sorted(terms):
-            tp = postings.get(t)
-            if tp is None:
-                continue
-            if decode_cache is None:
-                ent = self._contrib_dense_cached(t, tp)
-                if ent is not None:      # hot term: one dense add
-                    scores += ent[1]
-                    dense_entries.append(ent)
-                    continue
-                docs, tfs = self._decode_cached(t, tp)
-            elif t in decode_cache:
-                docs, tfs = decode_cache[t]
-            else:
-                docs, tfs = decode_all(tp, self.block_size)
-                tfs = tfs.astype(np.float64)
-                decode_cache[t] = (docs, tfs)
-            if tfs.dtype != np.float64:
-                tfs = tfs.astype(np.float64)
-            # evaluation order fixed as idf * (tf*(k1+1)) / (tf+norm) —
-            # bit-identical to the oracle (SURVEY.md §7.4)
-            contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
-                / (tfs + self.norm[docs])
-            scores[docs] += contrib
-            if seen is None:
-                seen = np.zeros(n, dtype=bool)
-            seen[docs] = True
-        dense_any = bool(dense_entries)
-        if seen is None and not dense_any:
-            return []                    # no query term present here
-        if doc_mask is None and dense_any:
-            # τ-threshold fast cut: ≥ k docs carry single-term contrib
-            # ≥ τ for some term, hence ≥ k docs score ≥ τ (all other
-            # contributions are ≥ 0) and no top-k member scores below τ —
-            # the scan collapses to one vectorized compare.  Invalid
-            # under doc_mask (the masked kth score may be lower).
-            taus = [e[3][k - 1] for e in dense_entries if e[3].size >= k]
-            if taus:
-                tau = max(taus)
-                cand = np.flatnonzero(scores >= tau)
-                sc = scores[cand]
-                if cand.size > 4 * k:
-                    kth = np.partition(sc, cand.size - k)[cand.size - k]
-                    keep = sc >= kth
-                    cand, sc = cand[keep], sc[keep]
-                order = np.lexsort((cand, -sc))[:k]
-                return [(float(sc[i]), int(cand[i])) for i in order]
-        if seen is None and doc_mask is None and n > 4 * k:
-            # pure-dense fallback (k above the cached prefix): all
-            # contributions are > 0, so candidates are exactly scores > 0
-            # and the full vector partitions directly
-            kth = np.partition(scores, n - k)[n - k]
-            if kth > 0.0:
-                cand = np.flatnonzero(scores >= kth)   # ties kept
-                sc = scores[cand]
-                order = np.lexsort((cand, -sc))[:k]
-                return [(float(sc[i]), int(cand[i])) for i in order]
-        if seen is None:
-            cand_mask = scores > 0.0
-        elif dense_any:
-            cand_mask = seen | (scores > 0.0)
-        else:
-            cand_mask = seen
-        if doc_mask is not None:
-            cand_mask &= doc_mask      # attribute predicate (skip-labels
-            # analog): masked docs can never enter the result set
-        cand = np.flatnonzero(cand_mask)
-        if cand.size == 0:
-            return []
-        sc = scores[cand]
-        if cand.size > 4 * k:
-            # top-k preselect: keep every candidate scoring >= the k-th
-            # largest value (boundary ties included, so the exact
-            # (score desc, doc asc) cut below is unchanged) — O(n)
-            # partition replaces the O(n log n) full lexsort that
-            # dominated hot-term queries (VERDICT r3 serving push)
-            kth = np.partition(sc, cand.size - k)[cand.size - k]
-            keep = sc >= kth
-            cand, sc = cand[keep], sc[keep]
-        order = np.lexsort((cand, -sc))[:k]
-        return [(float(sc[i]), int(cand[i])) for i in order]
-
-    # ---------- sparse TAAT (small candidate sets) ----------
-
-    # candidate-count bound under which the sparse merge path beats both
-    # the dense accumulator (whose O(n_docs) alloc+zero+flatnonzero
-    # dominates tiny queries) and the Python WAND loop (measured 10.7 ms
-    # vs 0.15 ms at 3.7k candidates on a warm 150k-doc segment)
-    SPARSE_MAX = 4096
-
-    def _sparse_scores(self, terms: list[str],
-                       postings: dict[str, TermPostings],
-                       doc_mask: np.ndarray | None = None
-                       ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact TAAT over a merged sparse candidate vector: candidates =
-        union of the terms' posting doc ids, contributions scattered by
-        ``searchsorted`` position in ascending term order (same float
-        summation order per doc as the oracle).  Returns (cand, scores)
-        uncut — callers apply their own selection."""
-        terms_in = sorted(t for t in terms if t in postings)
-        if not terms_in:
-            return (np.empty(0, dtype=np.int64),
-                    np.empty(0, dtype=np.float64))
-        decoded = [(t,) + tuple(self._decode_cached(t, postings[t]))
-                   for t in terms_in]
-        cand = np.unique(np.concatenate([d for _, d, _ in decoded]))
-        scores = np.zeros(cand.size, dtype=np.float64)
-        k1 = self.bm25.k1
-        for t, docs, tfs in decoded:    # ascending term order == oracle
-            contrib = self.idf.get(t, 0.0) * (tfs * (k1 + 1.0)) \
-                / (tfs + self.norm[docs])
-            scores[np.searchsorted(cand, docs)] += contrib
-        if doc_mask is not None:
-            m = doc_mask[cand]
-            cand, scores = cand[m], scores[m]
-        return cand, scores
-
-    def score_sparse(self, terms: list[str], k: int,
-                     postings: dict[str, TermPostings] | None = None,
-                     doc_mask: np.ndarray | None = None
-                     ) -> list[tuple[float, int]]:
-        """Exact TAAT top-k over the sparse candidate vector — same
-        output contract as ``score_full`` (same summation order, same
-        tie-break) without the O(n_docs) dense accumulator."""
-        if postings is None:
-            postings = self.r.load_terms(terms)
-        cand, scores = self._sparse_scores(terms, postings,
-                                           doc_mask=doc_mask)
-        if cand.size == 0:
-            return []
-        order = np.lexsort((cand, -scores))[:k]
-        return [(float(scores[i]), int(cand[i])) for i in order]
-
-    # ---------- block-max WAND ----------
-
-    def _term_contrib(self, t_idf: float, tf: float, dl_norm: float) -> float:
-        k1 = self.bm25.k1
-        # same association as the oracle: idf * (tf*(k1+1)) / (tf+norm)
-        return t_idf * (tf * (k1 + 1.0)) / (tf + dl_norm)
-
-    def _block_ub(self, t_idf: float, max_tf: int, min_dl: int) -> float:
-        """Upper bound of the term's contribution within a block: the BM25
-        term is increasing in tf and decreasing in dl."""
-        k1, b = self.bm25.k1, self.bm25.b
-        norm = k1 * (1.0 - b + b * min_dl / self.avgdl)
-        return t_idf * max_tf * (k1 + 1.0) / (max_tf + norm)
-
-    def score_bmw(self, terms: list[str], k: int,
-                  postings: dict[str, TermPostings] | None = None,
-                  doc_mask: np.ndarray | None = None
-                  ) -> list[tuple[float, int]]:
-        """Document-at-a-time block-max WAND; exact same output contract as
-        ``score_full`` (asserted in tests)."""
-        if postings is None:
-            postings = self.r.load_terms(terms)
-        terms = sorted(t for t in terms if t in postings)
-        if not terms:
-            return []
-        bs = self.block_size
-
-        class Cur:
-            __slots__ = ("term", "tidf", "tp", "bi", "docs", "tfs", "i",
-                         "doc", "ub", "block_ubs")
-
-        curs: list[Cur] = []
-        for t in terms:
-            tp = postings[t]
-            c = Cur()
-            c.term, c.tp = t, tp
-            c.tidf = self.idf.get(t, 0.0)
-            c.block_ubs = np.array([
-                self._block_ub(c.tidf, int(tp.block_max_tf[bi]),
-                               int(tp.block_min_dl[bi]))
-                for bi in range(tp.n_blocks)])
-            c.ub = float(c.block_ubs.max()) if tp.n_blocks else 0.0
-            c.bi = 0
-            c.docs, c.tfs = decode_block(tp, 0, bs)
-            c.i = 0
-            c.doc = int(c.docs[0])
-            curs.append(c)
-
-        def advance(c: Cur, target: int) -> None:
-            """Move cursor to first doc >= target, skipping whole blocks."""
-            tp = c.tp
-            if target > int(tp.block_last_doc[c.bi]):
-                nbi = int(np.searchsorted(tp.block_last_doc, target))
-                if nbi >= tp.n_blocks:
-                    c.doc = -1          # exhausted
-                    return
-                c.bi = nbi
-                c.docs, c.tfs = decode_block(tp, nbi, bs)
-                c.i = 0
-            j = int(np.searchsorted(c.docs, target, side="left")) \
-                if c.docs[c.i] < target else c.i
-            while j < len(c.docs) and c.docs[j] < target:
-                j += 1
-            if j >= len(c.docs):
-                # target <= block_last_doc guarantees presence; next block
-                c.bi += 1
-                if c.bi >= tp.n_blocks:
-                    c.doc = -1
-                    return
-                c.docs, c.tfs = decode_block(tp, c.bi, bs)
-                c.i = 0
-            else:
-                c.i = j
-            c.doc = int(c.docs[c.i])
-
-        def step(c: Cur) -> None:
-            c.i += 1
-            if c.i >= len(c.docs):
-                c.bi += 1
-                if c.bi >= c.tp.n_blocks:
-                    c.doc = -1
-                    return
-                c.docs, c.tfs = decode_block(c.tp, c.bi, bs)
-                c.i = 0
-            c.doc = int(c.docs[c.i])
-
-        heap: list[tuple[float, int]] = []   # (score, -doc_local) min-heap
-        theta = -math.inf
-
-        live = [c for c in curs if c.doc >= 0]
-        while live:
-            live.sort(key=lambda c: c.doc)
-            # WAND pivot: first prefix whose UB sum can beat theta
-            acc, pivot = 0.0, -1
-            for pi, c in enumerate(live):
-                acc += c.ub
-                if acc >= theta:        # >= : never lose boundary ties
-                    pivot = pi
-                    break
-            if pivot < 0:
-                break
-            pivot_doc = live[pivot].doc
-            if live[0].doc == pivot_doc:
-                # block-max refinement: tighter bound from current blocks.
-                # Must include EVERY cursor sitting at pivot_doc — cursors
-                # beyond the pivot index may also be at it and contribute.
-                bacc = 0.0
-                for c in live:
-                    if c.doc == pivot_doc:
-                        bacc += float(c.block_ubs[c.bi])
-                if bacc >= theta and (doc_mask is None
-                                      or doc_mask[pivot_doc]):
-                    # score pivot_doc exactly, ascending term order
-                    dl_norm = float(self.norm[pivot_doc])
-                    s = 0.0
-                    for c in sorted((c for c in live if c.doc == pivot_doc),
-                                    key=lambda c: c.term):
-                        s += self._term_contrib(c.tidf, float(c.tfs[c.i]),
-                                                dl_norm)
-                    entry = (s, -pivot_doc)
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                        if len(heap) == k:
-                            theta = heap[0][0]
-                    elif entry > heap[0]:
-                        heapq.heapreplace(heap, entry)
-                        theta = heap[0][0]
-                for c in [c for c in live if c.doc == pivot_doc]:
-                    step(c)
-            else:
-                # advance a cursor strictly before the pivot doc (largest UB
-                # → fastest theta growth); such a cursor exists because
-                # live[0].doc != pivot_doc and live is doc-sorted
-                lead = max((c for c in live[:pivot] if c.doc < pivot_doc),
-                           key=lambda c: c.ub)
-                advance(lead, pivot_doc)
-            live = [c for c in live if c.doc >= 0]
-
-        out = sorted(((s, -nd) for s, nd in heap),
-                     key=lambda sd: (-sd[0], sd[1]))
-        return [(float(s), int(d)) for s, d in out]
-
-    # ---------- positional phrase matching ----------
-
-    def phrase_hits(self, terms: list[str],
-                    postings: dict[str, TermPostings] | None = None,
-                    doc_mask: np.ndarray | None = None) -> np.ndarray:
-        """doc_local ids containing the EXACT consecutive token phrase
-        ``terms`` (order-sensitive, positions from the positional
-        postings — reference analog: ordered per-frame positional
-        metadata, src/vframe/models/media.py:343-384).
-
-        Vectorized intersection: each phrase slot i contributes the key
-        set {doc << 32 | (pos - i) : pos >= i}; a phrase occurrence at
-        (doc, p) is exactly a key present in EVERY slot's set.  Runs
-        INSIDE the searcher (scatter-gather like BM25) — the round-1
-        driver-side segment loop is gone (VERDICT: driver materialization
-        died at many-segment scale).
-        """
-        from .codec import decode_all
-        if not terms:
-            return np.empty(0, dtype=np.int64)
-        if postings is None:
-            postings = self.r.load_terms(sorted(set(terms)))
-        if any(t not in postings for t in terms):
-            return np.empty(0, dtype=np.int64)
-        keys: np.ndarray | None = None
-        for slot, t in enumerate(terms):
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
-            doc_per_pos = np.repeat(docs, tfs)
-            valid = pos >= slot
-            k = (doc_per_pos[valid].astype(np.int64) << 32) \
-                | (pos[valid] - slot)
-            keys = k if keys is None else \
-                np.intersect1d(keys, k, assume_unique=True)
-            if keys.size == 0:
-                return np.empty(0, dtype=np.int64)
-        hit = np.unique(keys >> 32)
-        if doc_mask is not None:
-            hit = hit[doc_mask[hit]]
-        return hit
-
-    def search_phrases(self, queries: list[tuple[int, list[str]]],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """queries: [(query_id, phrase_terms)] -> (query_id, conv_id,
-        turn_idx) rows of phrase-matching docs in this segment."""
-        all_terms = sorted(set().union(*[set(t) for _, t in queries])
-                           ) if queries else []
-        postings = self.r.load_terms(all_terms)
-        doc_mask = self._base_mask(predicates)
-        qid_out: list[int] = []
-        conv_out: list = []
-        turn_out: list = []
-        for qid, terms in queries:
-            hits = self.phrase_hits(terms, postings=postings,
-                                    doc_mask=doc_mask)
-            for d in hits:
-                qid_out.append(qid)
-                conv_out.append(self.r.conv_id[int(d)].as_py())
-                turn_out.append(self.r.turn_idx[int(d)].as_py())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pa.array(conv_out, pa.string()),
-            "turn_idx": pa.array(turn_out, pa.int32()),
-        })
-
-    def search_ranked_phrases(self, queries: list[tuple[int, list[str], int]],
-                              predicates: list[str] | None = None
-                              ) -> pa.Table:
-        """queries: [(query_id, phrase_terms, k)] -> scored result rows.
-
-        Phrase-as-filter + BM25 score (VERDICT r2 missing #3: the
-        reference always scores what it returns, base.py:134-146):
-        positional intersection produces the hit set, which then acts as
-        a doc_mask for the exact TAAT scorer over the phrase's distinct
-        terms — so ranked phrase results carry the same bit-exact scores
-        and tie-break as plain BM25 restricted to phrase hits."""
-        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for qid, terms, k in queries:
-            hits = self.phrase_hits(terms, postings=postings,
-                                    doc_mask=doc_mask)
-            if hits.size == 0:
-                continue
-            mask = np.zeros(self.r.n_docs, dtype=bool)
-            mask[hits] = True
-            scored = self.score_full(sorted(set(terms)), k,
-                                     postings=postings, doc_mask=mask)
-            for s, d in scored:
-                qid_out.append(qid)
-                doc_out.append(d)
-                score_out.append(s)
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def proximity_hits_ordered(self, terms: list[str], window: int,
-                               postings: dict[str, TermPostings] | None
-                               = None,
-                               doc_mask: np.ndarray | None = None
-                               ) -> np.ndarray:
-        """Ordered span-near: doc_local ids where ``terms`` occur IN THE
-        GIVEN ORDER with strictly increasing positions spanning at most
-        ``window`` tokens.  Greedy chains from every occurrence of the
-        first term, all advanced together with one searchsorted per
-        hop — the greedy chain is span-minimal for its start, so the
-        final span check decides existence."""
-        from .codec import decode_all
-        if not terms:
-            return np.empty(0, dtype=np.int64)
-        distinct = sorted(set(terms))
-        if postings is None:
-            postings = self.load_terms_cached(distinct)
-        if any(t not in postings for t in distinct):
-            return np.empty(0, dtype=np.int64)
-        if len(terms) == 1:
-            docs, _ = decode_all(postings[terms[0]], self.block_size)
-            hit = docs.astype(np.int64)
-            return hit[doc_mask[hit]] if doc_mask is not None else hit
-        decoded = {}
-        cand: np.ndarray | None = None
-        for t in distinct:
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
-            decoded[t] = (docs, tfs, pos)
-            cand = docs if cand is None else \
-                np.intersect1d(cand, docs, assume_unique=True)
-        if doc_mask is not None:
-            cand = cand[doc_mask[cand]]
-        if cand.size == 0:
-            return np.empty(0, dtype=np.int64)
-        # Vectorized greedy chain over ALL starts at once: occurrences
-        # of each query-order term as sorted doc<<32|pos keys; step t →
-        # t+1 is one searchsorted(side='right') (earliest STRICTLY
-        # later same-doc occurrence — the greedy chain is span-minimal
-        # for its start), filtering surviving starts each hop.  O(m·n
-        # log n), no per-doc Python.
-        keys: list[np.ndarray] = []
-        for t in terms:
-            docs, tfs, pos = decoded[t]
-            keep = np.isin(docs, cand, assume_unique=True)
-            keep_pos = np.repeat(keep, tfs)
-            k = (np.repeat(docs, tfs)[keep_pos].astype(np.int64) << 32) \
-                | pos[keep_pos].astype(np.int64)
-            keys.append(k)                       # sorted by (doc, pos)
-        cur = keys[0]
-        start_doc = cur >> 32
-        start_pos = cur & 0xFFFFFFFF
-        for nxt in keys[1:]:
-            if cur.size == 0 or nxt.size == 0:
-                return np.empty(0, dtype=np.int64)
-            j = np.searchsorted(nxt, cur, side="right")
-            valid = j < nxt.size
-            succ = nxt[np.minimum(j, nxt.size - 1)]
-            ok = valid & ((succ >> 32) == (cur >> 32))
-            cur, start_doc, start_pos = succ[ok], start_doc[ok], \
-                start_pos[ok]
-        span = np.int64(window - 1)
-        hit = (cur & 0xFFFFFFFF) - start_pos <= span
-        return np.unique(start_doc[hit])
-
-    def proximity_hits(self, terms: list[str], window: int,
-                       postings: dict[str, TermPostings] | None = None,
-                       doc_mask: np.ndarray | None = None) -> np.ndarray:
-        """doc_local ids where ALL distinct ``terms`` co-occur within a
-        span of ``window`` consecutive token positions (unordered NEAR/W:
-        some choice of one position per term has max-min <= window-1).
-
-        Candidate docs are first cut to the AND set (every term present
-        — postings intersection, no positions touched).  Two-term
-        queries (the common NEAR/W shape) then run one fully vectorized
-        searchsorted over doc<<32|pos keys; 3+-term queries run the
-        vectorized minimal-cover kernel (per-slot running-max of latest
-        occurrence, doc-boundary reset, one span check per occurrence)
-        — no per-doc Python on either path.
-        Reference analog: skip-detections' conjunctive within-frame
-        predicates (media.py:422-452) with the positional payload
-        standing in for bbox adjacency."""
-        from .codec import decode_all
-        terms = sorted(set(terms))
-        if not terms:
-            return np.empty(0, dtype=np.int64)
-        if postings is None:
-            postings = self.load_terms_cached(terms)
-        if any(t not in postings for t in terms):
-            return np.empty(0, dtype=np.int64)
-        m = len(terms)
-        if m == 1:
-            docs, _ = decode_all(postings[terms[0]], self.block_size)
-            hit = docs.astype(np.int64)
-            return hit[doc_mask[hit]] if doc_mask is not None else hit
-        per = []
-        cand: np.ndarray | None = None
-        for t in terms:
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
-            per.append((docs, tfs, pos))
-            cand = docs if cand is None else \
-                np.intersect1d(cand, docs, assume_unique=True)
-        if doc_mask is not None:
-            cand = cand[doc_mask[cand]]
-        if cand.size == 0:
-            return np.empty(0, dtype=np.int64)
-        if m == 2:
-            # vectorized pair fast path (the common NEAR/W shape): both
-            # terms' occurrences as sorted doc<<32|pos keys; an a-side
-            # occurrence hits iff some b-side key lands in
-            # [key-span, key+span] of the SAME doc — one searchsorted
-            # over all occurrences, no per-doc Python
-            span64 = np.int64(window - 1)
-            keys = []
-            for docs, tfs, pos in per:
-                keep = np.isin(docs, cand, assume_unique=True)
-                keep_pos = np.repeat(keep, tfs)
-                k = (np.repeat(docs, tfs)[keep_pos].astype(np.int64)
-                     << 32) | pos[keep_pos].astype(np.int64)
-                keys.append(k)                    # sorted by (doc, pos)
-            ka, kb = keys
-            doc_a = ka >> 32
-            pos_a = ka & 0xFFFFFFFF
-            lo = (doc_a << 32) | np.maximum(pos_a - span64, 0)
-            hi = (doc_a << 32) | np.minimum(pos_a + span64,
-                                            np.int64(0xFFFFFFFF))
-            i0 = np.searchsorted(kb, lo, side="left")
-            i1 = np.searchsorted(kb, hi, side="right")
-            return np.unique(doc_a[i1 > i0])
-        # 3+-term path, fully vectorized minimal-cover kernel (VERDICT
-        # r3 next #5 replaced the per-candidate Python two-pointer
-        # sweep): merge all kept occurrences sorted by (doc, pos); the
-        # minimal window ENDING at occurrence i uses, for each slot,
-        # that slot's LATEST occurrence ≤ i (a per-slot running max of
-        # row index; "seen in this doc" = latest ≥ the row's doc start).
-        # The doc hits iff some i has every slot seen and
-        # p[i] - p[min-over-slots latest(i)] ≤ span.  O(m·n) numpy, no
-        # per-doc loop.
-        d_all, p_all, s_all = [], [], []
-        for slot, (docs, tfs, pos) in enumerate(per):
-            keep = np.isin(docs, cand, assume_unique=True)
-            keep_pos = np.repeat(keep, tfs)
-            d_all.append(np.repeat(docs, tfs)[keep_pos].astype(np.int64))
-            p_all.append(pos[keep_pos].astype(np.int64))
-            s_all.append(np.full(int(keep_pos.sum()), slot, dtype=np.int32))
-        d = np.concatenate(d_all)
-        p = np.concatenate(p_all)
-        s = np.concatenate(s_all)
-        order = np.lexsort((p, d))
-        d, p, s = d[order], p[order], s[order]
-        n = d.size
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        doc_start = np.repeat(starts, np.diff(np.r_[starts, n]))
-        idx = np.arange(n, dtype=np.int64)
-        span = np.int64(window - 1)
-        seen_all = np.ones(n, dtype=bool)
-        min_latest = np.full(n, n, dtype=np.int64)
-        for k in range(m):
-            latest = np.maximum.accumulate(
-                np.where(s == k, idx, np.int64(-1)))
-            seen_all &= latest >= doc_start
-            np.minimum(min_latest, latest, out=min_latest)
-        rows = np.flatnonzero(seen_all)
-        hit_rows = rows[p[rows] - p[min_latest[rows]] <= span]
-        return np.unique(d[hit_rows])
-
-    def search_proximity(self, queries: list[tuple[int, list[str], int, int]],
-                         predicates: list[str] | None = None) -> pa.Table:
-        """queries: [(query_id, terms, window, k)] -> scored result rows.
-
-        Proximity-as-filter + BM25 score: the NEAR/W hit set acts as the
-        doc_mask for the exact TAAT scorer over the query's distinct
-        terms — the same contribution expression and tie-break as plain
-        search, so window=∞ reduces to an AND-filtered plain query and
-        window=len(terms) with ordered adjacency is strictly looser than
-        the phrase path (both asserted in tests).
-
-        A query tuple may carry a 5th element ``ordered`` (default
-        False): ordered span-near — terms in the GIVEN order with
-        increasing positions (proximity_hits_ordered)."""
-        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for q in queries:
-            qid, terms, window, k = q[0], q[1], q[2], q[3]
-            ordered = bool(q[4]) if len(q) > 4 else False
-            hit_fn = self.proximity_hits_ordered if ordered \
-                else self.proximity_hits
-            hits = hit_fn(terms, window, postings=postings,
-                          doc_mask=doc_mask)
-            if hits.size == 0:
-                continue
-            mask = np.zeros(self.r.n_docs, dtype=bool)
-            mask[hits] = True
-            scored = self.score_full(sorted(set(terms)), k,
-                                     postings=postings, doc_mask=mask)
-            for sc, dd in scored:
-                qid_out.append(qid)
-                doc_out.append(dd)
-                score_out.append(sc)
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def search_after(self, queries: list[tuple],
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Cursor (search_after) pagination: queries [(query_id, terms,
-        k, cursor)] with cursor = (score, conv_id, turn_idx) of the last
-        row already returned.  A doc qualifies iff it sorts strictly
-        AFTER the cursor in the global (score desc, conv_id, turn_idx)
-        order — score < cs, or score == cs with a later identity key.
-        Unlike offset pagination (which over-fetches offset+k per
-        segment), each segment returns only k rows however deep the
-        page: the stateless deep-paging mechanism of real engines.
-
-        Exactness leans on bit-exact scores: the engine's float64 BM25
-        sums are reproducible (property-tested vs the oracle), so the
-        equality arm of the cursor comparison is well-defined."""
-        all_terms = sorted(set().union(*[set(t) for _, t, _, _ in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for qid, terms, k, cursor in queries:
-            cand, scores = self._sparse_scores(sorted(set(terms)),
-                                               postings,
-                                               doc_mask=doc_mask)
-            if cand.size == 0:
-                continue
-            cs, c_conv, c_turn = cursor
-            keep = scores < cs
-            eq = np.flatnonzero(scores == cs)
-            if eq.size:
-                # identity tie-break on the few score-equal docs only
-                conv = np.asarray(
-                    self.r.conv_id.take(pa.array(cand[eq])).to_pylist(),
-                    dtype=object)
-                turn = self.r.turn_idx.take(pa.array(cand[eq])) \
-                    .to_numpy(zero_copy_only=False)
-                after = (conv > c_conv) | ((conv == c_conv)
-                                           & (turn > c_turn))
-                keep[eq] |= after
-            cand2, sc2 = cand[keep], scores[keep]
-            if cand2.size == 0:
-                continue
-            order = np.lexsort((cand2, -sc2))[:k]
-            for i in order:
-                qid_out.append(qid)
-                doc_out.append(int(cand2[i]))
-                score_out.append(float(sc2[i]))
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def search_boosted(self, queries: list[tuple[int, list[tuple], int]],
-                       base_idf: dict[str, float],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """Per-term boosted search: queries [(query_id, [(term, boost)],
-        k)].  A boost multiplies the term's ENTIRE BM25 contribution —
-        implemented as an effective per-query idf map (boost · idf), so
-        every downstream scoring path is reused unchanged; the dense
-        contribution cache stays correct because entries are keyed on
-        the idf actually in effect (boost=1 terms keep their cache).
-        Reference analog: per-model confidence-threshold weighting in
-        OR-composed skip-detections (skip-detections.py:30-53)."""
-        all_terms = sorted(set(t for _, tb, _ in queries for t, _ in tb))
-        postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
-        saved_idf = self.idf
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        try:
-            for qid, term_boosts, k in queries:
-                eff = {}
-                for t, bst in term_boosts:          # last boost wins
-                    eff[t] = float(bst) * base_idf.get(t, 0.0)
-                self.idf = eff
-                scored = self.score_full(sorted(eff), k,
-                                         postings=postings,
-                                         doc_mask=doc_mask)
-                for sc, dd in scored:
-                    qid_out.append(qid)
-                    doc_out.append(dd)
-                    score_out.append(sc)
-        finally:
-            self.idf = saved_idf
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def search_boolean(self, queries: list[tuple],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """Boolean (Lucene bool-query analog) search over this segment.
-
-        queries: [(query_id, must, should, must_not, k)] with each
-        clause a list of analyzed terms.  A doc matches iff it contains
-        EVERY ``must`` term, NO ``must_not`` term, and at least one
-        must-or-should term; its score is the ordinary BM25 sum over
-        the present must∪should terms — the same contribution
-        expression and ascending-term summation order as :meth:`search`,
-        so a boolean query with empty must/must_not scores identically
-        to the plain query (asserted in tests).  Distribution is sound
-        per segment: a must term absent from THIS segment means no doc
-        HERE can match (postings are segment-local), so the segment
-        contributes nothing — other segments are unaffected.
-
-        Reference analog: OR-composed skip-detections with ``--keep``
-        inversion (src/commands/pipe/skip-detections.py) — include/
-        exclude predicates gating which records flow on, here fused
-        with scoring.
-        """
-        all_terms = sorted(set().union(
-            *[set(m) | set(s) | set(n) for _, m, s, n, _k in queries])
-            ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        pred_mask = self._base_mask(predicates)
-        n = self.r.n_docs
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for qid, must, should, must_not, k in queries:
-            must = sorted(set(must))
-            if must and any(t not in postings for t in must):
-                continue                 # a required term has no docs here
-            mask: np.ndarray | None = None
-            if must:
-                # intersect rarest-first: each step can only shrink
-                inter = None
-                for t in sorted(must, key=lambda t: postings[t].n_docs):
-                    docs, _ = self._decode_cached(t, postings[t])
-                    inter = docs if inter is None else \
-                        np.intersect1d(inter, docs, assume_unique=True)
-                    if inter.size == 0:
-                        break
-                if inter.size == 0:
-                    continue
-                mask = np.zeros(n, dtype=bool)
-                mask[inter] = True
-            for t in sorted(set(must_not)):
-                tp = postings.get(t)
-                if tp is None:
-                    continue
-                docs, _ = self._decode_cached(t, tp)
-                if mask is None:
-                    mask = np.ones(n, dtype=bool)
-                mask[docs] = False
-            if pred_mask is not None:
-                mask = pred_mask.copy() if mask is None else (mask & pred_mask)
-            score_terms = sorted(set(must) | set(should))
-            terms_in = [t for t in score_terms if t in postings]
-            if not terms_in:
-                continue
-            n_cand = sum(postings[t].n_docs for t in terms_in)
-            if n_cand <= self.SPARSE_MAX:
-                hits = self.score_sparse(score_terms, k, postings=postings,
-                                         doc_mask=mask)
-            else:
-                hits = self.score_full(score_terms, k, postings=postings,
-                                       doc_mask=mask)
-            for s, d in hits:
-                qid_out.append(qid)
-                doc_out.append(d)
-                score_out.append(s)
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def facet_counts(self, queries: list[tuple[int, list[str]]],
-                     facet_col: str,
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Per-query facet counts over the FULL match set (not top-k) —
-        the search-aggregation analog (reference: summarize-json's
-        grouped counts over matching records, summarize.py).
-
-        queries: [(query_id, terms)] → rows (query_id, facet, n) where a
-        doc matches iff it contains ≥1 query term; n counts matching
-        docs per distinct ``facet_col`` docmap value in this segment.
-        Segment partials sum exactly because docs are disjoint across
-        segments."""
-        all_terms = sorted(set().union(*[set(t) for _, t in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        pred_mask = self._base_mask(predicates)
-        attr = self.r.docs[facet_col]
-        tables = []
-        for qid, terms in queries:
-            present = [t for t in terms if t in postings]
-            if not present:
-                continue
-            docs = np.unique(np.concatenate(
-                [self._decode_cached(t, postings[t])[0] for t in present]))
-            if pred_mask is not None:
-                docs = docs[pred_mask[docs]]
-            if docs.size == 0:
-                continue
-            vc = pc.value_counts(attr.take(pa.array(docs)))
-            nv = len(vc)
-            tables.append(pa.table({
-                "query_id": pa.array([qid] * nv, pa.int32()),
-                "facet": pc.cast(vc.field("values"), pa.string()),
-                "n": pc.cast(vc.field("counts"), pa.int64()),
-            }))
-        if not tables:
-            return pa.table({"query_id": pa.array([], pa.int32()),
-                             "facet": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(tables)
-
-    def facet_range_counts(self, queries: list[tuple[int, list[str]]],
-                           bin_width: int,
-                           predicates: list[str] | None = None) -> pa.Table:
-        """Numeric RANGE facets over the full match set: per-query doc
-        counts binned by document length (bin_lo = (dl // bin_width) ·
-        bin_width) — the histogram-facet analog of :meth:`facet_counts`.
-        Same exactness argument: docs are disjoint across segments, so
-        per-segment (query, bin) partials sum exactly."""
-        all_terms = sorted(set().union(*[set(t) for _, t in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        pred_mask = self._base_mask(predicates)
-        dl = np.asarray(self.r.doclen)
-        tables = []
-        for qid, terms in queries:
-            present = [t for t in terms if t in postings]
-            if not present:
-                continue
-            docs = np.unique(np.concatenate(
-                [self._decode_cached(t, postings[t])[0] for t in present]))
-            if pred_mask is not None:
-                docs = docs[pred_mask[docs]]
-            if docs.size == 0:
-                continue
-            lo = (dl[docs].astype(np.int64) // bin_width) * bin_width
-            bins, counts = np.unique(lo, return_counts=True)
-            tables.append(pa.table({
-                "query_id": pa.array([qid] * len(bins), pa.int32()),
-                "bin_lo": pa.array(bins, pa.int64()),
-                "n": pa.array(counts.astype(np.int64)),
-            }))
-        if not tables:
-            return pa.table({"query_id": pa.array([], pa.int32()),
-                             "bin_lo": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(tables)
-
-    def match_counts(self, queries: list[tuple[int, list[str]]],
-                     predicates: list[str] | None = None) -> pa.Table:
-        """(query_id, n): matching docs (≥1 query term present, optional
-        predicate mask) per query in this segment — the 'total hits'
-        count real engines report alongside top-k."""
-        all_terms = sorted(set().union(*[set(t) for _, t in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        pred_mask = self._base_mask(predicates)
-        qids, ns = [], []
-        for qid, terms in queries:
-            present = [t for t in terms if t in postings]
-            if not present:
-                continue
-            docs = np.unique(np.concatenate(
-                [self._decode_cached(t, postings[t])[0] for t in present]))
-            if pred_mask is not None:
-                docs = docs[pred_mask[docs]]
-            if docs.size:
-                qids.append(qid)
-                ns.append(int(docs.size))
-        return pa.table({"query_id": pa.array(qids, pa.int32()),
-                         "n": pa.array(ns, pa.int64())})
-
-    # Above ~this many candidate postings, the vectorized TAAT scorer
-    # beats the Python doc-at-a-time WAND loop (hot Zipf-head terms make
-    # candidate sets dense; WAND's skipping pays off only when sparse).
-    BMW_MAX_CANDIDATES = 4096
-    # ...and below ~this many docs per segment there is nothing worth
-    # skipping: the whole posting list decodes in a handful of blocks
-    # and one vectorized TAAT pass beats the Python pivot loop (measured
-    # 15ms vs 2.4ms per query on 9.4k-doc segments at 9.6M-doc scale).
-    # Both scorers are exact, so the choice never changes results
-    # (asserted in tests/test_query_paths.py).
-    BMW_MIN_DOCS = 65536
-
-    def search(self, queries: list[tuple[int, list[str], int]],
-               use_bmw: bool = True,
-               predicates: list[str] | None = None,
-               prefer_taat: bool = False,
-               collapse: bool = False) -> pa.Table:
-        """queries: [(query_id, sorted_terms, k)] -> result rows table.
-
-        Postings for the UNION of all query terms are read once per call
-        (one parquet filter read per segment, not one per query) and
-        shared across queries; each query picks a scorer by candidate
-        count — sparse TAAT (small), dense TAAT (large), or block-max
-        WAND for cold small-candidate queries on big segments (where
-        skipping blocks avoids decoding).  ALL scorers are exact, so the
-        choice never changes results (asserted in tests).
-        ``prefer_taat`` is set by persistent serving shards: their decode
-        caches amortize across calls, where the vectorized TAAT paths
-        beat the Python DAAT loop at every candidate count (measured
-        10.7 ms WAND vs 0.15 ms sparse at 3.7k candidates, warm).
-        ``predicates`` are ``attr op value`` strings ANDed over docmap
-        attribute columns.
-
-        ``collapse=True`` returns top-k CONVERSATIONS per query, each
-        represented by its best-scoring turn (ties: smallest turn_idx) —
-        field collapsing.  EXACT with no over-fetch because the build
-        partitions by ``hash(conv_id)``: every turn of a conversation
-        lives in THIS segment, so the per-segment per-conversation max
-        is the global one.  All candidates are scored (k_eff = n_cand)
-        before the vectorized collapse.
-        """
-        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
-                           ) if queries else []
-        postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
-        qid_out: list[int] = []
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for qid, terms, k in queries:
-            terms_in = [t for t in terms if t in postings]
-            n_cand = sum(postings[t].n_docs for t in terms_in)
-            if n_cand == 0:
-                continue
-            # collapse needs every candidate scored (the per-conv max may
-            # hide below the top-k turns); BMW's pruning is pointless at
-            # k_eff = n_cand, so collapse always takes a TAAT path
-            k_eff = n_cand if collapse else k
-            if n_cand <= self.SPARSE_MAX and (
-                    collapse or prefer_taat or not use_bmw
-                    or self.r.n_docs < self.BMW_MIN_DOCS):
-                hits = self.score_sparse(terms, k_eff, postings=postings,
-                                         doc_mask=doc_mask)
-            elif not collapse and use_bmw \
-                    and n_cand <= self.BMW_MAX_CANDIDATES \
-                    and self.r.n_docs >= self.BMW_MIN_DOCS:
-                hits = self.score_bmw(terms, k_eff, postings=postings,
-                                      doc_mask=doc_mask)
-            else:
-                hits = self.score_full(terms, k_eff, postings=postings,
-                                       doc_mask=doc_mask)
-            if collapse and hits:
-                hits = _collapse_hits_impl(self, hits, k)
-            for s, d in hits:
-                qid_out.append(qid)
-                doc_out.append(d)
-                score_out.append(s)
-        # one vectorized docmap gather instead of two .as_py() per hit
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-
-def _collapse_hits_impl(searcher, hits, k):
-    """Per-conversation best turn, then top-k conversations — vectorized
-    over this segment's scored candidates."""
-    import pandas as pd
-    docs = np.array([d for _, d in hits], dtype=np.int64)
-    scores = np.array([s for s, _ in hits], dtype=np.float64)
-    idx = pa.array(docs)
-    df = pd.DataFrame({
-        "conv": searcher.r.conv_id.take(idx).to_pandas(),
-        "turn": searcher.r.turn_idx.take(idx).to_numpy(
-            zero_copy_only=False),
-        "score": scores, "doc": docs})
-    df = df.sort_values(["score", "conv", "turn"],
-                        ascending=[False, True, True])
-    df = df.drop_duplicates("conv", keep="first").head(k)
-    return list(zip(df["score"].to_numpy(), df["doc"].to_numpy()))
-
-
-_RESULT_SCHEMA = pa.schema([
-    ("query_id", pa.int32()), ("rank", pa.int32()),
-    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-    ("score", pa.float64())])
-
-
-def _merge_topk_driver(df: pd.DataFrame, ks: dict[int, int],
-                       offsets: dict[int, int] | None = None
-                       ) -> pd.DataFrame:
-    """Single-pass global merge of per-segment candidate rows: one sort
-    over all rows + cumcount rank within query_id + per-query k cutoff.
-    Replaces the per-query ``df[df.query_id == qid]`` filter loop
-    (O(Q·rows) — VERDICT round 2, wrong #4).
-
-    ``offsets`` (pagination): keep ranks in (offset, offset+k] — ranks
-    stay GLOBAL (page 2 of k=10 carries ranks 11..20).  Callers must
-    have fetched ≥ offset+k rows per segment for the page to be exact
-    (search_index does)."""
-    cols = ["query_id", "rank", "conv_id", "turn_idx", "score"]
-    if df.empty:
-        return pd.DataFrame(columns=cols)
-    df = df.sort_values(["query_id", "score", "conv_id", "turn_idx"],
-                        ascending=[True, False, True, True])
-    df = df.reset_index(drop=True)
-    df["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1) \
-        .astype("int32")
-    omap = df["query_id"].map(offsets).fillna(0) if offsets else 0
-    kmap = df["query_id"].map(ks).fillna(0) + omap
-    keep = df["rank"] <= kmap
-    if offsets:
-        keep &= df["rank"] > omap
-    return df.loc[keep, cols].reset_index(drop=True)
-
-
-def _global_df_for_terms(index_dir: str, terms: set[str]) -> dict[str, int]:
-    """Driver-side lookup of global df for the query's terms only — a
-    broadcast-small-side join (reference analog: labels.txt lookup loaded
-    into each processor, base.py:47-55)."""
-    gdir = os.path.join(index_dir, "global", "terms")
-    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
-             if f.endswith(".parquet")]
-    if not files or not terms:
-        return {}
-    t = pq.ParquetDataset(files, filters=[("term", "in", sorted(terms))]
-                          ).read(columns=["term", "df"])
-    return dict(zip(t["term"].to_pylist(),
-                    (int(x) for x in t["df"].to_pylist())))
-
-
-class _SearcherStage:
-    """Actor: holds broadcast queries + global stats; scores each incoming
-    batch of segment paths."""
-
-    def __init__(self, queries_ref, bm25_dict: dict, n_docs: int,
-                 avgdl: float, gdf_ref, use_bmw: bool, block_size: int,
-                 predicates: list[str] | None = None,
-                 collapse: bool = False):
-        self.queries = ray.get(queries_ref)
-        self.gdf = ray.get(gdf_ref)
-        self.bm25 = BM25Config(**bm25_dict)
-        self.n_docs = n_docs
-        self.avgdl = avgdl
-        self.use_bmw = use_bmw
-        self.block_size = block_size
-        self.predicates = predicates
-        self.collapse = collapse
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, self.bm25, self.n_docs, self.avgdl,
-                                self.gdf, block_size=self.block_size)
-            tables.append(s.search(self.queries, use_bmw=self.use_bmw,
-                                   predicates=self.predicates,
-                                   collapse=self.collapse))
-        return pa.concat_tables(tables)
-
-
-@ray.remote
-class _ShardSearcher:
-    """Persistent query-serving actor owning a shard of segments: docmaps
-    + doc-length norms resident across queries (the reference pattern of
-    scorer state loaded once per worker, detect.py:73 / base.py:47-55)."""
-
-    def __init__(self, seg_dirs: list[str], bm25_dict: dict, n_docs: int,
-                 avgdl: float, block_size: int):
-        from ..runtime import tune_memory
-        tune_memory()
-        self.searchers = [
-            SegmentSearcher(d, BM25Config(**bm25_dict), n_docs, avgdl, {},
-                            block_size=block_size)
-            for d in seg_dirs]
-
-    _EMPTY = pa.table({"query_id": pa.array([], pa.int32()),
-                       "conv_id": pa.array([], pa.string()),
-                       "turn_idx": pa.array([], pa.int32()),
-                       "score": pa.array([], pa.float64())})
-
-    def reload_deletes(self) -> int:
-        """Re-read every resident segment's tombstone sidecar; returns
-        the number of tombstoned docs now visible to this shard."""
-        n = 0
-        for s in self.searchers:
-            s.r.reload_deletes()
-            if s.r.alive is not None:
-                n += int((~s.r.alive).sum())
-        return n
-
-    @staticmethod
-    def _shard_topk(table: pa.Table,
-                    ks: dict[int, int]) -> pa.Table:
-        """Per-query top-k cut over this shard's candidate rows, in the
-        exact global (score desc, conv_id, turn_idx) order — merging
-        per-shard top-ks therefore equals merging every candidate row,
-        and the actor→driver transfer shrinks from O(segments·k) to
-        O(k) per query per shard."""
-        if table.num_rows == 0:
-            return table
-        df = table.to_pandas()
-        df = df.sort_values(["query_id", "score", "conv_id", "turn_idx"],
-                            ascending=[True, False, True, True])
-        r = df.groupby("query_id", sort=False).cumcount() + 1
-        df = df.loc[r <= df["query_id"].map(ks).fillna(0)]
-        return pa.Table.from_pandas(df, preserve_index=False) \
-            .cast(table.schema)
-
-    def search(self, parsed: list[tuple[int, list[str], int]],
-               idf_map: dict[str, float], use_bmw: bool = True,
-               predicates: list[str] | None = None,
-               collapse: bool = False):
-        if not self.searchers:
-            return self._EMPTY
-        rows = []
-        for s in self.searchers:
-            s.idf = idf_map
-            rows.append(s.search(parsed, use_bmw=use_bmw,
-                                 predicates=predicates, prefer_taat=True,
-                                 collapse=collapse))
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            # valid under collapse too: conversations are disjoint across
-            # segments (hash(conv_id) build partitioning), so per-segment
-            # collapsed rows never share a conv_id
-            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
-        return out
-
-    def search_boolean(self, parsed: list[tuple], idf_map: dict[str, float],
-                       predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY
-        rows = []
-        for s in self.searchers:
-            s.idf = idf_map
-            rows.append(s.search_boolean(parsed, predicates=predicates))
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            out = self._shard_topk(
-                out, {qid: k for qid, _m, _s, _n, k in parsed})
-        return out
-
-    def facet_counts(self, parsed: list[tuple[int, list[str]]],
-                     facet_col: str,
-                     predicates: list[str] | None = None):
-        tables = [s.facet_counts(parsed, facet_col, predicates=predicates)
-                  for s in self.searchers]
-        if not tables:
-            return pa.table({"query_id": pa.array([], pa.int32()),
-                             "facet": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(tables)
-
-    def facet_range_counts(self, parsed: list[tuple[int, list[str]]],
-                           bin_width: int,
-                           predicates: list[str] | None = None):
-        tables = [s.facet_range_counts(parsed, bin_width,
-                                       predicates=predicates)
-                  for s in self.searchers]
-        if not tables:
-            return pa.table({"query_id": pa.array([], pa.int32()),
-                             "bin_lo": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(tables)
-
-    def search_phrases(self, parsed: list[tuple[int, list[str]]],
-                       predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY.drop_columns(["score"])
-        return pa.concat_tables([s.search_phrases(parsed,
-                                                  predicates=predicates)
-                                 for s in self.searchers])
-
-    def search_ranked_phrases(self, parsed: list[tuple[int, list[str], int]],
-                              idf_map: dict[str, float],
-                              predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY
-        rows = []
-        for s in self.searchers:
-            s.idf = idf_map
-            rows.append(s.search_ranked_phrases(parsed,
-                                                predicates=predicates))
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
-        return out
-
-    def search_proximity(self, parsed: list[tuple[int, list[str], int, int]],
-                         idf_map: dict[str, float],
-                         predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY
-        rows = []
-        for s in self.searchers:
-            s.idf = idf_map
-            rows.append(s.search_proximity(parsed, predicates=predicates))
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
-        return out
-
-    def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
-                       base_idf: dict[str, float],
-                       predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY
-        rows = [s.search_boosted(parsed, base_idf, predicates=predicates)
-                for s in self.searchers]
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
-        return out
-
-    def search_after(self, parsed: list[tuple],
-                     idf_map: dict[str, float],
-                     predicates: list[str] | None = None):
-        if not self.searchers:
-            return self._EMPTY
-        rows = []
-        for s in self.searchers:
-            s.idf = idf_map
-            rows.append(s.search_after(parsed, predicates=predicates))
-        out = pa.concat_tables(rows)
-        if len(rows) > 1:
-            out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
-        return out
-
-
-class QueryService:
-    """Long-lived BM25 top-k query service over a finished index.
-
-    Spawns ``n_actors`` shard searchers once (segments round-robin);
-    each ``search()`` call tokenizes, looks up global df for the query
-    terms (small parquet filter read), fans out to every shard, and
-    merges the per-shard top-k on the driver.  Amortizes docmap loads
-    and actor spin-up across calls — the serving-path counterpart of the
-    one-shot :func:`search_index`.
-    """
-
-    def __init__(self, index_dir: str, n_actors: int = 8,
-                 cfg: EngineConfig | None = None):
-        from .build import load_index_meta
-        cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-        self.cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
-            else cfg.validate()
-        self.index_dir = index_dir
-        self.stats = stats
-        self.tok = Tokenizer(self.cfg.analyzer)
-        n_actors = max(1, min(n_actors, len(seg_dirs)))
-        shards = [seg_dirs[i::n_actors] for i in range(n_actors)]
-        bm25_dict = {"k1": self.cfg.bm25.k1, "b": self.cfg.bm25.b}
-        self.actors = [
-            _ShardSearcher.remote(sh, bm25_dict, stats["n_docs"],
-                                  stats["avgdl"],
-                                  self.cfg.index.block_size)
-            for sh in shards]
-        # term -> global df (None = absent): the per-call driver-side
-        # parquet filter read was ~24 ms at 9.6M docs (VERDICT r3
-        # serving push) — repeated vocabularies now skip it entirely
-        self._df_cache: dict[str, int | None] = {}
-
-    _DF_CACHE_CAP = 1 << 20   # OOV-flood bound, same spirit as ABSENT_CAP
-
-    def _gdf_cached(self, terms: set[str]) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            if len(self._df_cache) + len(missing) > self._DF_CACHE_CAP:
-                self._df_cache.clear()
-            fresh = _global_df_for_terms(self.index_dir, set(missing))
-            for t in missing:
-                self._df_cache[t] = fresh.get(t)
-        return {t: v for t in terms
-                if (v := self._df_cache.get(t)) is not None}
-
-    def search(self, queries: list[dict], use_bmw: bool = True,
-               predicates: list[str] | None = None,
-               collapse: bool = False) -> pa.Table:
-        offsets = {int(q["query_id"]): int(q.get("offset", 0))
-                   for q in queries}
-        parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(q["query_text"]))),
-                   int(q.get("k", 10)) + int(q.get("offset", 0)))
-                  for q in queries]
-        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
-            else set()
-        gdf = self._gdf_cached(terms)
-        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search.remote(parsed, idf_map, use_bmw, predicates,
-                                collapse)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(
-            df, {qid: k - offsets.get(qid, 0) for qid, _, k in parsed},
-            offsets if any(offsets.values()) else None)
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def search_boolean(self, queries: list[dict],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """Served boolean retrieval — same contract as
-        :func:`search_boolean_index`, on the resident shards."""
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-
-        def _tok(s: str) -> list[str]:
-            return sorted(set(self.tok.tokenize(s or "")))
-
-        parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
-                   _tok(q.get("should", "")), _tok(q.get("must_not", "")),
-                   int(q.get("k", 10))) for q in queries]
-        terms = set().union(*[set(m) | set(s)
-                              for _, m, s, _n, _k in parsed]) \
-            if parsed else set()
-        gdf = self._gdf_cached(terms)
-        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search_boolean.remote(parsed, idf_map, predicates)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(
-            df, {qid: k for qid, _m, _s, _n, k in parsed})
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def search_prefix(self, queries: list[dict],
-                      predicates: list[str] | None = None,
-                      collapse: bool = False) -> pa.Table:
-        """Served wildcard/prefix search — expansion against the global
-        dictionary (one small range read per call), then :meth:`search`."""
-        per_q, all_prefixes = _parse_wildcard_queries(self.tok, queries)
-        plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
-        return self.search(plain, predicates=predicates, collapse=collapse)
-
-    def facet_counts(self, queries: list[dict], facet_col: str,
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Served faceted search — per-shard partials summed on the
-        driver; same contract as :func:`facet_counts_index`."""
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(q["query_text"]))))
-                  for q in queries]
-        futs = [a.facet_counts.remote(parsed, facet_col, predicates)
-                for a in self.actors]
-        parts = pa.concat_tables(ray.get(futs)).to_pandas()
-        schema = pa.schema([("query_id", pa.int32()),
-                            ("facet", pa.string()), ("n", pa.int64())])
-        if parts.empty:
-            return pa.table({f.name: [] for f in schema}, schema=schema)
-        out = parts.groupby(["query_id", "facet"], as_index=False)["n"] \
-            .sum().sort_values(["query_id", "facet"])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-    def more_like_this(self, seeds: list[dict], *,
-                       max_query_terms: int = 10,
-                       predicates: list[str] | None = None) -> pa.Table:
-        """Served MLT — term selection reuses the service df cache, then
-        :meth:`search` with seed exclusion (k+1 over-fetch + trim)."""
-        seed_tfs, all_terms = _mlt_seed_tfs(self.tok, seeds)
-        gdf = self._gdf_cached(all_terms)
-        plain = _mlt_plain_queries(seed_tfs, seeds, gdf,
-                                   self.stats["n_docs"], max_query_terms)
-        res = self.search(plain, predicates=predicates)
-        return _mlt_trim_excluded(res, seeds)
-
-    def search_ranked_phrases(self, phrases: list[dict],
-                              predicates: list[str] | None = None
-                              ) -> pa.Table:
-        """phrases: [{"query_id", "phrase", "k"}] -> ranked scored table
-        (query_id, rank, conv_id, turn_idx, score): phrase hits scored
-        by BM25 over the phrase's terms, served by the resident shards
-        in ONE actor round-trip per shard."""
-        parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]),
-                   int(p.get("k", 10))) for p in phrases]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
-            else set()
-        gdf = self._gdf_cached(terms)
-        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search_ranked_phrases.remote(parsed, idf_map, predicates)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def search_proximity(self, queries: list[dict],
-                         predicates: list[str] | None = None) -> pa.Table:
-        """queries: [{"query_id", "query_text", "window", "k"}] ->
-        ranked scored table: NEAR/W hits (all distinct terms within a
-        ``window``-token span; ``"ordered": True`` = span-near in the
-        given order) scored by BM25 over the query terms, served by the
-        resident shards in ONE round-trip per shard."""
-        parsed = [(int(q["query_id"]),
-                   (self.tok.tokenize(q["query_text"])
-                    if q.get("ordered")
-                    else sorted(set(self.tok.tokenize(q["query_text"])))),
-                   int(q.get("window", 8)), int(q.get("k", 10)),
-                   bool(q.get("ordered", False)))
-                  for q in queries]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
-            else set()
-        gdf = self._gdf_cached(terms)
-        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search_proximity.remote(parsed, idf_map, predicates)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def search_phrases(self, phrases: list[dict],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """phrases: [{"query_id", "phrase"}] -> (query_id, conv_id,
-        turn_idx) of docs containing each exact consecutive phrase,
-        scatter-gathered across the resident shard actors."""
-        parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]))
-                  for p in phrases]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        futs = [a.search_phrases.remote(parsed, predicates)
-                for a in self.actors]
-        out = pa.concat_tables(ray.get(futs))
-        return out.sort_by([("query_id", "ascending"),
-                            ("conv_id", "ascending"),
-                            ("turn_idx", "ascending")])
-
-    def search_boosted(self, queries: list[dict],
-                       predicates: list[str] | None = None) -> pa.Table:
-        """Boosted search served by the resident shards: queries
-        [{"query_id", "query_text", "k"}] with ``term^2.5`` boost
-        syntax in the text (see :func:`parse_boosted_query`)."""
-        parsed = [(int(q["query_id"]),
-                   parse_boosted_query(self.tok, str(q["query_text"])),
-                   int(q.get("k", 10))) for q in queries]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        terms = set(t for _, tb, _ in parsed for t, _ in tb)
-        gdf = self._gdf_cached(terms)
-        base_idf = {t: idf(self.stats["n_docs"], df)
-                    for t, df in gdf.items()}
-        futs = [a.search_boosted.remote(parsed, base_idf, predicates)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def search_after(self, queries: list[dict],
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Served cursor pagination: queries [{"query_id", "query_text",
-        "k", "after": (score, conv_id, turn_idx)}] — each shard returns
-        only k rows past the cursor (no offset over-fetch)."""
-        parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(q["query_text"]))),
-                   int(q.get("k", 10)),
-                   (float(q["after"][0]), str(q["after"][1]),
-                    int(q["after"][2])))
-                  for q in queries]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
-            else set()
-        gdf = self._gdf_cached(terms)
-        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
-        futs = [a.search_after.remote(parsed, idf_map, predicates)
-                for a in self.actors]
-        df = pa.concat_tables(ray.get(futs)).to_pandas()
-        merged = _merge_topk_driver(df, {qid: k for qid, _, k, _ in parsed})
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
-            _RESULT_SCHEMA)
-
-    def facet_ranges(self, queries: list[dict], bin_width: int,
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Served range facets (doc-length histogram over the full match
-        set): per-shard (query, bin) partials summed on the driver."""
-        parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(q["query_text"]))))
-                  for q in queries]
-        if predicates:
-            validate_predicates(self.index_dir, predicates)
-        futs = [a.facet_range_counts.remote(parsed, bin_width, predicates)
-                for a in self.actors]
-        parts = pa.concat_tables(ray.get(futs)).to_pandas()
-        schema = pa.schema([("query_id", pa.int32()),
-                            ("bin_lo", pa.int64()), ("n", pa.int64())])
-        if parts.empty:
-            return pa.table({f.name: [] for f in schema}, schema=schema)
-        out = parts.groupby(["query_id", "bin_lo"], as_index=False)["n"] \
-            .sum().sort_values(["query_id", "bin_lo"])
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-    def search_synonyms(self, queries: list[dict],
-                        synonyms: dict[str, list[str]],
-                        predicates: list[str] | None = None) -> pa.Table:
-        """Served synonym expansion: the same pure query rewrite as
-        :func:`search_synonym_index`, then the resident shards."""
-        syn_norm: dict[str, list[str]] = {}
-        for key, vals in synonyms.items():
-            kt = self.tok.tokenize(key)
-            if len(kt) != 1:
-                raise ValueError(f"synonym key {key!r} must analyze to "
-                                 f"one term")
-            syn_norm[kt[0]] = [t for v in vals for t in self.tok.tokenize(v)]
-        plain = []
-        for q in queries:
-            terms = set()
-            for t in self.tok.tokenize(str(q.get("query_text", ""))):
-                terms.add(t)
-                terms.update(syn_norm.get(t, ()))
-            plain.append({"query_id": int(q["query_id"]),
-                          "query_text": " ".join(sorted(terms)),
-                          "k": int(q.get("k", 10))})
-        return self.search(plain, predicates=predicates)
-
-    def search_fuzzy(self, queries: list[dict], *, max_edits: int = 1,
-                     predicates: list[str] | None = None) -> pa.Table:
-        """Served fuzzy search: SymSpell deletion-table expansion
-        (sidecar built once per dictionary state, pushdown-read per
-        call — sublinear in vocabulary; see index.fuzzy), then the
-        resident shards."""
-        parsed = [(int(q["query_id"]),
-                   sorted(set(self.tok.tokenize(str(q.get("query_text",
-                                                          ""))))),
-                   int(q.get("k", 10))) for q in queries]
-        all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
-                           ) if parsed else []
-        expansion = expand_fuzzy_terms(self.index_dir, all_terms,
-                                       max_edits)
-        plain = []
-        for qid, terms, k in parsed:
-            ex = set()
-            for t in terms:
-                ex.update(expansion[t])
-            plain.append({"query_id": qid,
-                          "query_text": " ".join(sorted(ex)), "k": k})
-        return self.search(plain, predicates=predicates)
-
-    def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
-        """Autocomplete against the index's global term dictionary —
-        see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
-        return suggest_terms(self.index_dir, prefixes, k)
-
-    def refresh_deletes(self) -> int:
-        """Make tombstones written after service start visible: every
-        shard re-reads its sidecars.  Returns total tombstoned docs."""
-        return sum(ray.get([a.reload_deletes.remote()
-                            for a in self.actors]))
-
-    def shutdown(self):
-        for a in self.actors:
-            ray.kill(a)
-        self.actors = []
-
-
-def validate_predicates(index_dir: str, predicates: list[str]) -> None:
-    """Pre-flight check of predicate attribute columns against the
-    docmap schema — a clean ValueError instead of a Ray-wrapped worker
-    traceback mid-query (VERDICT round 1, 'What's missing' #4)."""
-    from ..sources.readers import parse_predicates
-    from .build import load_index_meta
-    _, _, seg_dirs = load_index_meta(index_dir)
-    if not seg_dirs:
-        return
-    schema = pq.read_schema(os.path.join(seg_dirs[0], "docs.parquet"))
-    cols = set(schema.names)
-    for expr in predicates:
-        for attr, _op, _raw, _neg in parse_predicates([expr]):
-            if attr not in cols:
-                raise ValueError(
-                    f"predicate references unknown attribute column "
-                    f"{attr!r}; docmap columns are {sorted(cols)} "
-                    f"(pass attribute_cols=[...] at build_index time)")
-
-
-def search_index(index_dir: str, queries: list[dict],
-                 cfg: EngineConfig | None = None, *,
-                 use_bmw: bool = True, concurrency=(1, 8),
-                 predicates: list[str] | None = None,
-                 collapse: bool = False,
-                 driver_merge_max_rows: int = 1_000_000) -> pa.Table:
-    """Distributed top-k search.
-
-    queries: [{"query_id", "query_text", "k"}] →
-    table (query_id, rank, conv_id, turn_idx, score) sorted by
-    (query_id, rank); global order = (score desc, conv_id, turn_idx).
-
-    ``collapse=True`` = field collapsing: top-k CONVERSATIONS per query,
-    each represented by its single best turn (per-conv ties: smallest
-    turn_idx).  Exact with per-segment collapsed top-k and the ordinary
-    merge, because the build's ``hash(conv_id)`` partitioning puts every
-    turn of a conversation in one segment — conversations are disjoint
-    across segments, so no cross-segment re-collapse is needed.
-
-    Pagination: a per-query ``"offset"`` returns ranks
-    (offset, offset+k] with GLOBAL rank numbers — exact because each
-    segment fetches its local top-(offset+k), a superset of every
-    possible page member.
-    """
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    # the stored index config is authoritative for analyzer/scoring params
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-
-    tok = Tokenizer(cfg.analyzer)
-    offsets = {int(q["query_id"]): int(q.get("offset", 0)) for q in queries}
-    # segments must surface their full local top-(offset+k)
-    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("k", 10)) + int(q.get("offset", 0)))
-              for q in queries]
-    all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-
-    q_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    stage_kwargs = dict(
-        queries_ref=q_ref, bm25_dict={"k1": cfg.bm25.k1, "b": cfg.bm25.b},
-        n_docs=stats["n_docs"], avgdl=stats["avgdl"], gdf_ref=gdf_ref,
-        use_bmw=use_bmw, block_size=cfg.index.block_size,
-        predicates=predicates, collapse=collapse)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    ks = {qid: k - offsets.get(qid, 0) for qid, _, k in parsed}
-    max_hits = sum(k for _, _, k in parsed) * len(seg_dirs)
-    any_offset = any(offsets.values())
-
-    if max_hits <= driver_merge_max_rows:
-        # Small scatter-gather: per-segment top-k as plain TASKS (reuse
-        # warm workers, no actor-pool spin-up) and merge the ≤1M candidate
-        # rows on the driver — one round-trip, no shuffle.
-        def _task(batch: pa.Table) -> pa.Table:
-            stage = _SearcherStage(**stage_kwargs)
-            return stage(batch)
-
-        # several segments per task: task-launch overhead amortizes and
-        # the task count stays ~O(cpus) even with hundreds of segments
-        seg_batch = max(1, len(seg_dirs) // 64)
-        hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                                  batch_size=seg_batch)
-        merged_df = _merge_topk_driver(hits.to_pandas(), ks,
-                                       offsets if any_offset else None)
-    else:
-        # Large fan-in: distributed merge via groupby(query_id) so no
-        # single process holds every candidate row.
-        hits = seg_ds.map_batches(_SearcherStage,
-                                  fn_constructor_kwargs=stage_kwargs,
-                                  batch_format="pyarrow", batch_size=1,
-                                  concurrency=concurrency)
-
-        def merge(group: pa.Table) -> pa.Table:
-            qid = int(group["query_id"][0].as_py())
-            off = offsets.get(qid, 0)
-            df = group.to_pandas().sort_values(
-                ["score", "conv_id", "turn_idx"],
-                ascending=[False, True, True]) \
-                .head(ks.get(qid, 10) + off).iloc[off:]
-            df["rank"] = np.arange(off + 1, off + len(df) + 1,
-                                   dtype=np.int32)
-            return pa.Table.from_pandas(df[["query_id", "rank", "conv_id",
-                                            "turn_idx", "score"]],
-                                        preserve_index=False) \
-                .replace_schema_metadata(None)
-
-        merged = hits.groupby("query_id").map_groups(merge,
-                                                     batch_format="pyarrow")
-        merged_df = merged.to_pandas()
-
-    out = pa.Table.from_pandas(
-        merged_df.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def phrase_rank_index(index_dir: str, phrases: list[dict],
-                      cfg: EngineConfig | None = None, *,
-                      predicates: list[str] | None = None) -> pa.Table:
-    """Distributed RANKED phrase search: per-segment tasks intersect
-    positions and BM25-score the hits (SegmentSearcher.
-    search_ranked_phrases); the driver merges k·S candidate rows.
-
-    phrases: [{"query_id", "phrase", "k"}] →
-    (query_id, rank, conv_id, turn_idx, score) like :func:`search_index`.
-    """
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(p["query_id"]), tok.tokenize(p["phrase"]),
-               int(p.get("k", 10))) for p in phrases]
-    all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
-        else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            tables.append(s.search_ranked_phrases(qs,
-                                                  predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _, k in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def proximity_rank_index(index_dir: str, queries: list[dict],
-                         cfg: EngineConfig | None = None, *,
-                         predicates: list[str] | None = None) -> pa.Table:
-    """Distributed RANKED proximity (NEAR/W) search: per-segment tasks
-    find docs where all distinct query terms co-occur within a
-    ``window``-token span and BM25-score the hits
-    (SegmentSearcher.search_proximity); the driver merges k·S rows.
-
-    queries: [{"query_id", "query_text", "window", "k", "ordered"?}] →
-    (query_id, rank, conv_id, turn_idx, score) like :func:`search_index`.
-    ``ordered=True`` requires the terms in the given order (span-near).
-    """
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]),
-               (tok.tokenize(q["query_text"]) if q.get("ordered")
-                else sorted(set(tok.tokenize(q["query_text"])))),
-               int(q.get("window", 8)), int(q.get("k", 10)),
-               bool(q.get("ordered", False)))
-              for q in queries]
-    all_terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
-        else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            tables.append(s.search_proximity(qs, predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {q[0]: q[3] for q in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def phrase_search_index(index_dir: str, phrases: list[dict],
-                        cfg: EngineConfig | None = None, *,
-                        predicates: list[str] | None = None) -> pa.Table:
-    """Distributed exact-phrase search: positional intersection runs
-    INSIDE per-segment tasks (scatter-gather like BM25) — no postings
-    are ever decoded on the driver (the round-1 driver-side segment
-    loop was the scale-killer flagged in VERDICT.md).
-
-    phrases: [{"query_id", "phrase"}] →
-    table (query_id, conv_id, turn_idx) sorted ascending.
-    """
-    from .build import load_index_meta
-    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(p["query_id"]), tok.tokenize(p["phrase"]))
-              for p in phrases]
-    parsed_ref = ray.put(parsed)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
-                                {}, block_size=block_size)
-            tables.append(s.search_phrases(qs, predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    schema = pa.schema([("query_id", pa.int32()),
-                        ("conv_id", pa.string()),
-                        ("turn_idx", pa.int32())])
-    df = hits.to_pandas()
-    if df.empty:
-        return pa.table({f.name: [] for f in schema}, schema=schema)
-    out = pa.Table.from_pandas(df, preserve_index=False).cast(schema)
-    return out.sort_by([("query_id", "ascending"),
-                        ("conv_id", "ascending"),
-                        ("turn_idx", "ascending")])
-
-
-def expand_prefix_terms(index_dir: str, prefixes: list[str]
-                        ) -> dict[str, list[str]]:
-    """Expand prefixes against the GLOBAL term dictionary in one pruned
-    range read (OR-of-ranges DNF filter; ``global/terms`` is the
-    complete corpus vocabulary with df ≥ 1).  Expansion must be global,
-    not per-segment: every segment has to score the same expanded term
-    set with the same global df, or per-segment top-k merges would be
-    inconsistent.  The analyzer emits only ``[a-z0-9]+`` runs, so
-    ``prefix + '{'`` (chr after 'z') upper-bounds every continuation."""
-    gdir = os.path.join(index_dir, "global", "terms")
-    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
-             if f.endswith(".parquet")]
-    out: dict[str, list[str]] = {p: [] for p in prefixes}
-    if not files or not prefixes:
-        return out
-    filt = [[("term", ">=", p), ("term", "<", p + "{")]
-            for p in sorted(set(prefixes))]
-    t = pq.ParquetDataset(files, filters=filt).read(columns=["term"])
-    vocab = sorted(set(t["term"].to_pylist()))
-    for p in out:
-        out[p] = [v for v in vocab if v.startswith(p)]
-    return out
-
-
-def suggest_terms(index_dir: str, prefixes: list[str], k: int = 10
-                  ) -> pa.Table:
-    """Autocomplete: for each prefix, the top-k corpus terms by document
-    frequency (df desc, term asc) from the GLOBAL term dictionary — the
-    same pruned OR-of-ranges read as :func:`expand_prefix_terms`, plus
-    the df column.  A dictionary-only operator: no postings are touched,
-    so cost is O(matching dictionary rows), independent of corpus size.
-
-    Returns (prefix, term, df) sorted by (prefix, term)."""
-    gdir = os.path.join(index_dir, "global", "terms")
-    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
-             if f.endswith(".parquet")]
-    out_prefix: list[str] = []
-    out_term: list[str] = []
-    out_df: list[int] = []
-    if files and prefixes:
-        filt = [[("term", ">=", p), ("term", "<", p + "{")]
-                for p in sorted(set(prefixes))]
-        t = pq.ParquetDataset(files, filters=filt).read(
-            columns=["term", "df"])
-        terms = t["term"].to_pylist()
-        dfs = t["df"].to_pylist()
-        for p in sorted(set(prefixes)):
-            cand = [(d, tm) for tm, d in zip(terms, dfs)
-                    if tm.startswith(p)]
-            cand.sort(key=lambda x: (-x[0], x[1]))
-            for d, tm in cand[:k]:
-                out_prefix.append(p)
-                out_term.append(tm)
-                out_df.append(int(d))
-    tbl = pa.table({"prefix": pa.array(out_prefix, pa.string()),
-                    "term": pa.array(out_term, pa.string()),
-                    "df": pa.array(out_df, pa.int64())})
-    return tbl.sort_by([("prefix", "ascending"), ("term", "ascending")])
-
-
-def _parse_wildcard_queries(tok: Tokenizer, queries: list[dict]
-                            ) -> tuple[list[tuple], set[str]]:
-    """Split each query into literal terms and '*'-suffixed prefixes."""
-    per_q: list[tuple[int, list[str], list[str], int]] = []
-    all_prefixes: set[str] = set()
-    for q in queries:
-        literals: list[str] = []
-        prefixes: list[str] = []
-        for raw in str(q.get("query_text", "")).split():
-            if raw.endswith("*"):
-                stem = tok.tokenize(raw[:-1])
-                if stem:                     # "foo-bar*": prefix applies
-                    literals += stem[:-1]    # to the last token only
-                    prefixes.append(stem[-1])
-            else:
-                literals += tok.tokenize(raw)
-        all_prefixes.update(prefixes)
-        per_q.append((int(q["query_id"]), literals, prefixes,
-                      int(q.get("k", 10))))
-    return per_q, all_prefixes
-
-
-def _expand_wildcards(index_dir: str, per_q: list[tuple],
-                      all_prefixes: set[str]) -> list[dict]:
-    expansion = expand_prefix_terms(index_dir, sorted(all_prefixes))
-    plain = []
-    for qid, literals, prefixes, k in per_q:
-        terms = set(literals)
-        for p in prefixes:
-            terms.update(expansion[p])
-        plain.append({"query_id": qid, "query_text": " ".join(sorted(terms)),
-                      "k": k})
-    return plain
-
-
-def search_prefix_index(index_dir: str, queries: list[dict],
-                        cfg: EngineConfig | None = None, *,
-                        predicates: list[str] | None = None,
-                        collapse: bool = False) -> pa.Table:
-    """Wildcard/prefix search: query tokens ending in ``*`` expand
-    against the global term dictionary; the expanded term union then
-    scores exactly like a plain multi-term query (each expanded term
-    contributes its own idf — per-term-idf expansion semantics).
-
-    queries: [{"query_id", "query_text", "k"}] with e.g.
-    ``"sp* merge"`` → same result shape as :func:`search_index`, to
-    which this delegates after expansion (one tiny dictionary range
-    read; everything downstream — scoring paths, predicates, collapse,
-    merge — is the plain machinery)."""
-    from .build import load_index_meta
-    cfg_dict, _stats, _segs = load_index_meta(index_dir)
-    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
-    per_q, all_prefixes = _parse_wildcard_queries(tok, queries)
-    plain = _expand_wildcards(index_dir, per_q, all_prefixes)
-    return search_index(index_dir, plain, cfg, predicates=predicates,
-                        collapse=collapse)
-
-
-def facet_counts_index(index_dir: str, queries: list[dict],
-                       facet_col: str,
-                       cfg: EngineConfig | None = None, *,
-                       predicates: list[str] | None = None) -> pa.Table:
-    """Distributed faceted search: per-segment match-set facet partials
-    (≤ queries × facet-cardinality rows per segment, already reduced),
-    summed in one tiny driver groupby — the maximally pre-aggregated
-    combiner shape, no shuffle.
-
-    queries: [{"query_id", "query_text"}] →
-    table (query_id, facet, n) sorted by (query_id, facet)."""
-    from .build import load_index_meta
-    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
-              for q in queries]
-    parsed_ref = ray.put(parsed)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
-                                {}, block_size=block_size)
-            tables.append(s.facet_counts(qs, facet_col,
-                                         predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
-                               batch_size=seg_batch).to_pandas()
-    schema = pa.schema([("query_id", pa.int32()), ("facet", pa.string()),
-                        ("n", pa.int64())])
-    if parts.empty:
-        return pa.table({f.name: [] for f in schema}, schema=schema)
-    out = parts.groupby(["query_id", "facet"], as_index=False)["n"].sum() \
-        .sort_values(["query_id", "facet"])
-    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-
-def search_after_index(index_dir: str, queries: list[dict],
-                       cfg: EngineConfig | None = None, *,
-                       predicates: list[str] | None = None) -> pa.Table:
-    """Distributed cursor (search_after) pagination: queries
-    [{"query_id", "query_text", "k", "after": (score, conv_id,
-    turn_idx)}] → the k results ranked strictly after the cursor in the
-    global (score desc, conv_id, turn_idx) order.  Each segment emits
-    only k rows however deep the page — the scale advantage over
-    ``offset=`` (which over-fetches offset+k per segment)."""
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("k", 10)),
-               (float(q["after"][0]), str(q["after"][1]),
-                int(q["after"][2])))
-              for q in queries]
-    all_terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
-        else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            tables.append(s.search_after(qs, predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _, k, _ in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def export_matches(index_dir: str, queries: list[dict],
-                   cfg: EngineConfig | None = None, *,
-                   predicates: list[str] | None = None):
-    """Streaming export of the FULL match set (no top-k cut): every doc
-    containing ≥1 query term, with its exact BM25 score — the
-    "select matching docs into a training subset" operator.  Returns a
-    lazy ``ray.data.Dataset`` of (query_id, conv_id, turn_idx, score)
-    whose blocks are produced per segment: consume with
-    ``write_parquet`` / ``iter_batches``; nothing is materialized on
-    the driver however large the match set.
-
-    Reference analog: `pipe open` + skip predicates feeding a sink —
-    the whole-corpus filtered export path (open.py:93-116), here with
-    scores attached."""
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(q["query_text"]))))
-              for q in queries]
-    all_terms = set().union(*[set(t) for _, t in parsed]) if parsed \
-        else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            postings = s.load_terms_cached(
-                sorted(set().union(*[set(t) for _, t in qs]))
-                if qs else [])
-            doc_mask = s._base_mask(predicates)
-            for qid, terms in qs:
-                cand, scores = s._sparse_scores(terms, postings,
-                                                doc_mask=doc_mask)
-                if cand.size == 0:
-                    continue
-                idx = pa.array(cand)
-                tables.append(pa.table({
-                    "query_id": pa.array(
-                        np.full(cand.size, qid, dtype=np.int32)),
-                    "conv_id": pc.cast(s.r.conv_id.take(idx),
-                                       pa.string()),
-                    "turn_idx": pc.cast(s.r.turn_idx.take(idx),
-                                        pa.int32()),
-                    "score": pa.array(scores, pa.float64()),
-                }))
-        if not tables:
-            return pa.table({"query_id": pa.array([], pa.int32()),
-                             "conv_id": pa.array([], pa.string()),
-                             "turn_idx": pa.array([], pa.int32()),
-                             "score": pa.array([], pa.float64())})
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    return seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-
-
-def explain_index(index_dir: str, queries: list[dict],
-                  cfg: EngineConfig | None = None, *,
-                  predicates: list[str] | None = None) -> pa.Table:
-    """Score explanation (Lucene ``explain`` analog): for each query's
-    GLOBAL top-k docs, one row per contributing term with its exact
-    BM25 contribution — the sum of a doc's rows is bit-exactly its
-    ranked score (same expression, same float association).
-
-    Two phases: (1) the ordinary distributed top-k search fixes the
-    doc set; (2) one more per-segment pass decomposes scores for just
-    those ≤ queries·k docs (broadcast hit set, postings tf looked up by
-    searchsorted).  Returns (query_id, rank, conv_id, turn_idx, term,
-    contrib) sorted by (query_id, rank, term)."""
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(cfg.analyzer)
-    top = search_index(index_dir, queries, cfg, predicates=predicates)
-    parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(q["query_text"]))))
-              for q in queries]
-    all_terms = set().union(*[set(t) for _, t in parsed]) if parsed \
-        else set()
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    # broadcast the (query, doc, rank) hit set; conv_id keys the segment
-    hits_ref = ray.put(top.select(["query_id", "rank", "conv_id",
-                                   "turn_idx"]))
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-    schema = pa.schema([("query_id", pa.int32()), ("rank", pa.int32()),
-                        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                        ("term", pa.string()), ("contrib", pa.float64())])
-
-    def _task(batch: pa.Table) -> pa.Table:
-        from .codec import decode_all
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        hits = ray.get(hits_ref)
-        out = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            # segment-resident hit docs: vectorized (conv, turn) ->
-            # doc_local via one pandas merge (no per-doc Python)
-            seg_keys = pd.DataFrame({
-                "conv_id": s.r.conv_id.to_pandas(),
-                "turn_idx": s.r.turn_idx.to_pandas(),
-                "_loc": np.arange(s.r.n_docs, dtype=np.int64)})
-            resident = hits.to_pandas().merge(seg_keys,
-                                              on=["conv_id", "turn_idx"],
-                                              how="inner")
-            if resident.empty:
-                continue
-            postings = s.load_terms_cached(
-                sorted(set().union(*[set(t) for _, t in qs]))
-                if qs else [])
-            qterms = dict(qs)
-            for row in resident.to_dict("records"):   # <= queries*k rows
-                loc = int(row["_loc"])
-                for t in qterms[row["query_id"]]:
-                    tp = postings.get(t)
-                    if tp is None:
-                        continue
-                    docs, tfs = s._decode_cached(t, tp)
-                    j = np.searchsorted(docs, loc)
-                    if j >= docs.size or docs[j] != loc:
-                        continue              # term absent from this doc
-                    contrib = s.idf.get(t, 0.0) \
-                        * (tfs[j] * (bm25_dict["k1"] + 1.0)) \
-                        / (tfs[j] + s.norm[loc])
-                    out.append((row["query_id"], row["rank"],
-                                row["conv_id"], row["turn_idx"], t,
-                                float(contrib)))
-        if not out:
-            return pa.table({f.name: [] for f in schema}, schema=schema)
-        cols = list(zip(*out))
-        return pa.table({
-            "query_id": pa.array(cols[0], pa.int32()),
-            "rank": pa.array(cols[1], pa.int32()),
-            "conv_id": pa.array(cols[2], pa.string()),
-            "turn_idx": pa.array(cols[3], pa.int32()),
-            "term": pa.array(cols[4], pa.string()),
-            "contrib": pa.array(cols[5], pa.float64()),
-        })
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    res = seg_ds.map_batches(_task, batch_format="pyarrow",
-                             batch_size=seg_batch).to_pandas()
-    if res.empty:
-        return pa.table({f.name: [] for f in schema}, schema=schema)
-    out = pa.Table.from_pandas(
-        res.sort_values(["query_id", "rank", "term"]),
-        preserve_index=False).cast(schema)
-    return out
-
-
-def parse_boosted_query(tok: Tokenizer, query_text: str
-                        ) -> list[tuple[str, float]]:
-    """Parse ``term^2.5`` boost syntax: each whitespace chunk may end in
-    ``^<positive float>``; the boost applies to every analyzed token of
-    the chunk, default 1.0.  The same term mentioned twice keeps the
-    LAST boost (dict semantics, mirrored in the SQL oracle)."""
-    out: dict[str, float] = {}
-    for raw in query_text.split():
-        boost = 1.0
-        word = raw
-        if "^" in raw:
-            word, _, bs = raw.rpartition("^")
-            try:
-                boost = float(bs)
-            except ValueError:
-                word = raw
-                boost = 1.0
-        if boost <= 0.0:
-            raise ValueError(f"boost must be > 0, got {boost!r} in "
-                             f"{raw!r} (non-positive boosts break the "
-                             f"positive-contribution pruning invariants)")
-        for t in tok.tokenize(word):
-            out[t] = boost
-    return sorted(out.items())
-
-
-def search_boosted_index(index_dir: str, queries: list[dict],
-                         cfg: EngineConfig | None = None, *,
-                         predicates: list[str] | None = None) -> pa.Table:
-    """Distributed per-term boosted search: boost multiplies the term's
-    whole BM25 contribution via an effective idf (boost · idf), reusing
-    the exact TAAT scorer per segment (SegmentSearcher.search_boosted).
-
-    queries: [{"query_id", "query_text", "k"}] with ``term^2.5``
-    syntax → (query_id, rank, conv_id, turn_idx, score)."""
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]),
-               parse_boosted_query(tok, str(q["query_text"])),
-               int(q.get("k", 10))) for q in queries]
-    all_terms = set(t for _, tb, _ in parsed for t, _ in tb)
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    base_idf = {t: idf(n_docs, df) for t, df in gdf.items()}
-    parsed_ref = ray.put(parsed)
-    idf_ref = ray.put(base_idf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        bidf = ray.get(idf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, {}, block_size=block_size)
-            tables.append(s.search_boosted(qs, bidf,
-                                           predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _, k in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def facet_ranges_index(index_dir: str, queries: list[dict],
-                       bin_width: int = 16,
-                       cfg: EngineConfig | None = None, *,
-                       predicates: list[str] | None = None) -> pa.Table:
-    """Distributed RANGE facets: per-query doc-length histogram over the
-    full match set (bin_lo = (dl // bin_width) · bin_width).  Identical
-    shape to :func:`facet_counts_index` — per-segment partials are
-    already ≤ queries × bins rows, one tiny driver sum, no shuffle.
-
-    queries: [{"query_id", "query_text"}] →
-    table (query_id, bin_lo, n) sorted by (query_id, bin_lo)."""
-    from .build import load_index_meta
-    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
-              for q in queries]
-    parsed_ref = ray.put(parsed)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
-                                {}, block_size=block_size)
-            tables.append(s.facet_range_counts(qs, bin_width,
-                                               predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
-                               batch_size=seg_batch).to_pandas()
-    schema = pa.schema([("query_id", pa.int32()), ("bin_lo", pa.int64()),
-                        ("n", pa.int64())])
-    if parts.empty:
-        return pa.table({f.name: [] for f in schema}, schema=schema)
-    out = parts.groupby(["query_id", "bin_lo"], as_index=False)["n"].sum() \
-        .sort_values(["query_id", "bin_lo"])
-    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-
-def _mlt_seed_tfs(tok: Tokenizer, seeds: list[dict]
-                  ) -> tuple[list[tuple[int, dict, int]], set[str]]:
-    """Per-seed term frequencies + the union vocabulary."""
-    seed_tfs: list[tuple[int, dict[str, int], int]] = []
-    all_terms: set[str] = set()
-    for s in seeds:
-        tf: dict[str, int] = {}
-        for t in tok.tokenize(str(s.get("text", ""))):
-            tf[t] = tf.get(t, 0) + 1
-        all_terms.update(tf)
-        seed_tfs.append((int(s["query_id"]), tf, int(s.get("k", 10))))
-    return seed_tfs, all_terms
-
-
-def _mlt_plain_queries(seed_tfs, seeds, gdf: dict[str, int], n_docs: int,
-                       max_query_terms: int) -> list[dict]:
-    """Select each seed's most informative terms (tf × idf desc, term
-    asc) and emit plain queries, over-fetching k+1 when the seed doc
-    itself will be excluded afterwards."""
-    plain = []
-    for (qid, tf, k), s in zip(seed_tfs, seeds):
-        scored = [(-tf[t] * idf(n_docs, gdf[t]), t) for t in tf if t in gdf]
-        scored.sort()                       # weight desc, term asc
-        chosen = sorted(t for _, t in scored[:max_query_terms])
-        plain.append({"query_id": qid, "query_text": " ".join(chosen),
-                      "k": k + (1 if s.get("exclude") else 0)})
-    return plain
-
-
-def _mlt_trim_excluded(res: pa.Table, seeds: list[dict]) -> pa.Table:
-    """Drop each seed's excluded identity and re-rank to the original k."""
-    drop = {int(s["query_id"]): tuple(s["exclude"])
-            for s in seeds if s.get("exclude")}
-    if not drop or res.num_rows == 0:
-        return res
-    df = res.to_pandas()
-    excl = df.apply(lambda r: drop.get(r["query_id"]) ==
-                    (r["conv_id"], r["turn_idx"]), axis=1)
-    df = df[~excl]
-    df["rank"] = df.groupby("query_id", sort=False).cumcount() \
-        .astype("int32") + 1
-    ks = {int(s["query_id"]): int(s.get("k", 10)) for s in seeds}
-    df = df[df["rank"] <= df["query_id"].map(ks)]
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False).cast(_RESULT_SCHEMA)
-
-
-def more_like_this_index(index_dir: str, seeds: list[dict],
-                         cfg: EngineConfig | None = None, *,
-                         max_query_terms: int = 10,
-                         predicates: list[str] | None = None) -> pa.Table:
-    """More-like-this: for each seed TEXT, select its most informative
-    terms (tf-in-seed × global idf, ties by term asc), then run a plain
-    BM25 search with them — the Elasticsearch MLT shape.
-
-    seeds: [{"query_id", "text", "k", "exclude"?}] where ``exclude`` is
-    an optional (conv_id, turn_idx) identity to drop from the result
-    (the seed doc itself, which otherwise ranks first).  Exclusion
-    over-fetches k+1 per query then trims, so the returned top-k is
-    exact.  Term selection reads only the seed terms' dictionary rows
-    (one pruned lookup), never the corpus."""
-    from .build import load_index_meta
-    cfg_dict, stats, _segs = load_index_meta(index_dir)
-    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
-    seed_tfs, all_terms = _mlt_seed_tfs(tok, seeds)
-    gdf = _global_df_for_terms(index_dir, all_terms)
-    plain = _mlt_plain_queries(seed_tfs, seeds, gdf, stats["n_docs"],
-                               max_query_terms)
-    res = search_index(index_dir, plain, cfg, predicates=predicates)
-    return _mlt_trim_excluded(res, seeds)
-
-
-def match_counts_index(index_dir: str, queries: list[dict],
-                       cfg: EngineConfig | None = None, *,
-                       predicates: list[str] | None = None) -> pa.Table:
-    """Distributed total-hit counts: per-segment (query_id, n) partials
-    (docs are disjoint across segments, so partials sum exactly) merged
-    in one tiny driver groupby.  Queries with no matches report n = 0.
-
-    queries: [{"query_id", "query_text"}] → (query_id, n) sorted."""
-    from .build import load_index_meta
-    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
-              for q in queries]
-    parsed_ref = ray.put(parsed)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
-                                {}, block_size=block_size)
-            tables.append(s.match_counts(qs, predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
-                               batch_size=seg_batch).to_pandas()
-    sums = parts.groupby("query_id")["n"].sum() if not parts.empty else {}
-    qids = sorted(qid for qid, _ in parsed)
-    return pa.table({
-        "query_id": pa.array(qids, pa.int32()),
-        "n": pa.array([int(sums.get(q, 0)) for q in qids], pa.int64()),
-    })
-
-
-def search_synonym_index(index_dir: str, queries: list[dict],
-                         synonyms: dict[str, list[str]],
-                         cfg: EngineConfig | None = None, *,
-                         predicates: list[str] | None = None) -> pa.Table:
-    """Query-time synonym expansion: each analyzed query term is
-    replaced by {term} ∪ synonyms[term] (synonym values are analyzed
-    too), then the union scores as a plain multi-term query — per-term
-    idf, like prefix expansion.  ``synonyms`` is user config (the
-    reference's label-alias map pattern), so it broadcasts with the
-    query, no data pass."""
-    from .build import load_index_meta
-    cfg_dict, _stats, _segs = load_index_meta(index_dir)
-    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
-    syn_norm: dict[str, list[str]] = {}
-    for k, vals in synonyms.items():
-        kt = tok.tokenize(k)
-        if len(kt) != 1:
-            raise ValueError(f"synonym key {k!r} must analyze to one term")
-        syn_norm[kt[0]] = [t for v in vals for t in tok.tokenize(v)]
-    plain = []
-    for q in queries:
-        terms = set()
-        for t in tok.tokenize(str(q.get("query_text", ""))):
-            terms.add(t)
-            terms.update(syn_norm.get(t, ()))
-        plain.append({"query_id": int(q["query_id"]),
-                      "query_text": " ".join(sorted(terms)),
-                      "k": int(q.get("k", 10))})
-    return search_index(index_dir, plain, cfg, predicates=predicates)
-
-
-# Fuzzy expansion lives in .fuzzy: the SymSpell deletion-table path
-# (default, sublinear per query) plus the linear-scan oracle.  Re-export
-# here for the established import surface.
-from .fuzzy import (_levenshtein_within, expand_fuzzy_terms,  # noqa: F401
+from .fuzzy import (_levenshtein_within, expand_fuzzy_terms,
                     expand_fuzzy_terms_scan)
+from .scatter import _SearcherStage, validate_predicates
+from .searcher import (SegmentSearcher, _collapse_hits_impl,
+                       _global_df_for_terms, _merge_topk_driver, idf)
+from .service import QueryService, _ShardSearcher
+from .entrypoints import (expand_prefix_terms, explain_index,
+                          export_matches, facet_counts_index,
+                          facet_ranges_index, match_counts_index,
+                          more_like_this_index, parse_boosted_query,
+                          phrase_rank_index, phrase_search_index,
+                          proximity_rank_index, search_after_index,
+                          search_boolean_index, search_boosted_index,
+                          search_fields_index, search_fuzzy_index,
+                          search_index, search_prefix_index,
+                          search_synonym_index, suggest_terms,
+                          _expand_wildcards, _mlt_plain_queries,
+                          _mlt_seed_tfs, _mlt_trim_excluded,
+                          _parse_wildcard_queries)
 
-
-def search_fuzzy_index(index_dir: str, queries: list[dict],
-                       cfg: EngineConfig | None = None, *,
-                       max_edits: int = 1,
-                       predicates: list[str] | None = None) -> pa.Table:
-    """Fuzzy search: every query term expands to the dictionary terms
-    within ``max_edits`` Levenshtein distance (itself included when
-    present), and the union scores as a plain multi-term query."""
-    from .build import load_index_meta
-    cfg_dict, _stats, _segs = load_index_meta(index_dir)
-    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
-    parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(str(q.get("query_text", ""))))),
-               int(q.get("k", 10))) for q in queries]
-    all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
-                       ) if parsed else []
-    expansion = expand_fuzzy_terms(index_dir, all_terms, max_edits)
-    plain = []
-    for qid, terms, k in parsed:
-        ex = set()
-        for t in terms:
-            ex.update(expansion[t])
-        plain.append({"query_id": qid, "query_text": " ".join(sorted(ex)),
-                      "k": k})
-    return search_index(index_dir, plain, cfg, predicates=predicates)
-
-
-def search_fields_index(fields: list[tuple[str, float]],
-                        queries: list[dict],
-                        cfg: EngineConfig | None = None) -> pa.Table:
-    """Weighted multi-field search (Lucene per-field-boost model):
-    score(doc) = Σ_f weight_f × BM25_f(doc), each field scored against
-    its OWN index (own df/avgdl/doclen).
-
-    ``fields``: [(index_dir, weight)] — the field indexes must be built
-    from the same corpus with the same config, which makes them ALIGNED:
-    identical segment count, identical per-segment conversation sets
-    (same hash(conv_id) partitioning) and identical docmap order
-    (sorted by (conv_id, turn_idx)), so ``doc_local`` ids agree across
-    fields and the per-segment weighted combine is one vectorized
-    bincount.  Exact per-segment top-k then the ordinary merge."""
-    from .build import load_index_meta
-    metas = [load_index_meta(d) for d, _ in fields]
-    cfg0 = metas[0][0]
-    for (d, _w), (c, _s, _g) in zip(fields[1:], metas[1:]):
-        if c != cfg0:
-            raise ValueError(f"field index {d} config differs from "
-                             f"{fields[0][0]} — fields must share one "
-                             f"engine config")
-    seg_lists = [m[2] for m in metas]
-    n_segs = len(seg_lists[0])
-    if any(len(s) != n_segs for s in seg_lists):
-        raise ValueError("field indexes are not aligned (different "
-                         "segment counts) — build them from the same "
-                         "corpus with the same config")
-    eff = EngineConfig.from_dict(cfg0) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
-    parsed = [(int(q["query_id"]),
-               sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("k", 10))) for q in queries]
-    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
-        if parsed else set()
-    gdfs = [_global_df_for_terms(d, all_terms) for d, _ in fields]
-    weights = [float(w) for _, w in fields]
-    field_stats = [m[1] for m in metas]
-    bm25_dict = {"k1": eff.bm25.k1, "b": eff.bm25.b}
-    block_size = eff.index.block_size
-    shared_ref = ray.put((parsed, gdfs))
-
-    _EMPTY_HITS = pa.table({"query_id": pa.array([], pa.int32()),
-                            "conv_id": pa.array([], pa.string()),
-                            "turn_idx": pa.array([], pa.int32()),
-                            "score": pa.array([], pa.float64())})
-
-    def _one_segment(ordinal: int, parsed_l, gdfs_l) -> pa.Table:
-        searchers = [
-            SegmentSearcher(seg_lists[f][ordinal], BM25Config(**bm25_dict),
-                            field_stats[f]["n_docs"],
-                            field_stats[f]["avgdl"], gdfs_l[f],
-                            block_size=block_size)
-            for f in range(len(fields))]
-        r0 = searchers[0].r            # aligned docmaps: field 0 carries
-        qid_out: list[int] = []        # the identity for every field
-        doc_out: list[int] = []
-        score_out: list[float] = []
-        for qid, terms, k in parsed_l:
-            docs_parts: list[np.ndarray] = []
-            score_parts: list[np.ndarray] = []
-            for s, w in zip(searchers, weights):
-                postings = s.load_terms_cached(terms)
-                terms_in = [t for t in terms if t in postings]
-                if not terms_in:
-                    continue
-                n_cand = sum(postings[t].n_docs for t in terms_in)
-                # k = n_cand keeps EVERY candidate: a per-field top-k is
-                # not enough — a doc weak in one field can still win on
-                # the weighted sum
-                if n_cand <= s.SPARSE_MAX:
-                    hits = s.score_sparse(terms, n_cand, postings=postings)
-                else:
-                    hits = s.score_full(terms, n_cand, postings=postings)
-                if hits:
-                    docs_parts.append(np.array([d for _, d in hits],
-                                               dtype=np.int64))
-                    score_parts.append(np.array([sc for sc, _ in hits]) * w)
-            if not docs_parts:
-                continue
-            docs_all = np.concatenate(docs_parts)
-            scores_all = np.concatenate(score_parts)
-            uniq, inv = np.unique(docs_all, return_inverse=True)
-            comb = np.bincount(inv, weights=scores_all)
-            order = np.lexsort((uniq, -comb))[:k]
-            for i in order:
-                qid_out.append(qid)
-                doc_out.append(int(uniq[i]))
-                score_out.append(float(comb[i]))
-        if not qid_out:
-            return _EMPTY_HITS
-        idx = pa.array(doc_out, pa.int64())
-        return pa.table({
-            "query_id": pa.array(qid_out, pa.int32()),
-            "conv_id": pc.cast(r0.conv_id.take(idx), pa.string()),
-            "turn_idx": pc.cast(r0.turn_idx.take(idx), pa.int32()),
-            "score": pa.array(score_out, pa.float64()),
-        })
-
-    def _task(batch: pa.Table) -> pa.Table:
-        parsed_l, gdfs_l = ray.get(shared_ref)
-        return pa.concat_tables([_one_segment(i, parsed_l, gdfs_l)
-                                 for i in batch["i"].to_pylist()])
-
-    seg_ds = ray.data.from_items([{"i": i} for i in range(n_segs)])
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow", batch_size=1)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _, k in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
-
-
-def search_boolean_index(index_dir: str, queries: list[dict],
-                         cfg: EngineConfig | None = None, *,
-                         predicates: list[str] | None = None) -> pa.Table:
-    """Distributed boolean (must/should/must_not) top-k search.
-
-    queries: [{"query_id", "must", "should", "must_not", "k"}] with the
-    three clause fields free text run through the index analyzer →
-    table (query_id, rank, conv_id, turn_idx, score) like
-    :func:`search_index`.  Semantics per :meth:`SegmentSearcher.
-    search_boolean`: docs must contain every must term and no must_not
-    term; score = BM25 over the present must∪should terms.  The
-    scatter-gather is identical to plain search — per-segment top-k
-    candidates, one driver merge over ≤ k·S rows — and sound because a
-    doc's full posting state lives in exactly one segment.
-    """
-    from .build import load_index_meta
-    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
-    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    if predicates:
-        validate_predicates(index_dir, predicates)
-    tok = Tokenizer(cfg.analyzer)
-
-    def _tok(s: str) -> list[str]:
-        return sorted(set(tok.tokenize(s or "")))
-
-    parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
-               _tok(q.get("should", "")), _tok(q.get("must_not", "")),
-               int(q.get("k", 10))) for q in queries]
-    score_terms = set().union(*[set(m) | set(s)
-                                for _, m, s, _n, _k in parsed]) \
-        if parsed else set()
-    gdf = _global_df_for_terms(index_dir, score_terms)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    parsed_ref = ray.put(parsed)
-    gdf_ref = ray.put(gdf)
-    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
-    block_size = cfg.index.block_size
-
-    def _task(batch: pa.Table) -> pa.Table:
-        qs = ray.get(parsed_ref)
-        gdf_l = ray.get(gdf_ref)
-        tables = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
-                                avgdl, gdf_l, block_size=block_size)
-            tables.append(s.search_boolean(qs, predicates=predicates))
-        return pa.concat_tables(tables)
-
-    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    seg_batch = max(1, len(seg_dirs) // 64)
-    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
-                              batch_size=seg_batch)
-    merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _m, _s, _n, k in parsed})
-    out = pa.Table.from_pandas(
-        merged.sort_values(["query_id", "rank"]), preserve_index=False)
-    return out.cast(_RESULT_SCHEMA)
+__all__ = [n for n in dir() if not n.startswith("__")]

@@ -1,0 +1,526 @@
+"""Long-lived query serving: persistent shard-searcher actors + the
+QueryService front end.  Split out of the former index/query.py
+monolith (VERDICT r3 next #6 — no behavior change)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..analyze import Tokenizer
+from ..config import BM25Config, EngineConfig
+from .entrypoints import (_expand_wildcards, _mlt_plain_queries,
+                          _mlt_seed_tfs, _mlt_trim_excluded,
+                          _parse_wildcard_queries, parse_boosted_query,
+                          suggest_terms)
+from .fuzzy import expand_fuzzy_terms
+from .scatter import validate_predicates
+from .searcher import (_RESULT_SCHEMA, SegmentSearcher,
+                       _global_df_for_terms, _merge_topk_driver,
+                       idf)
+
+
+@ray.remote
+class _ShardSearcher:
+    """Persistent query-serving actor owning a shard of segments: docmaps
+    + doc-length norms resident across queries (the reference pattern of
+    scorer state loaded once per worker, detect.py:73 / base.py:47-55)."""
+
+    def __init__(self, seg_dirs: list[str], bm25_dict: dict, n_docs: int,
+                 avgdl: float, block_size: int):
+        from ..runtime import tune_memory
+        tune_memory()
+        self.searchers = [
+            SegmentSearcher(d, BM25Config(**bm25_dict), n_docs, avgdl, {},
+                            block_size=block_size)
+            for d in seg_dirs]
+
+    _EMPTY = pa.table({"query_id": pa.array([], pa.int32()),
+                       "conv_id": pa.array([], pa.string()),
+                       "turn_idx": pa.array([], pa.int32()),
+                       "score": pa.array([], pa.float64())})
+
+    def reload_deletes(self) -> int:
+        """Re-read every resident segment's tombstone sidecar; returns
+        the number of tombstoned docs now visible to this shard."""
+        n = 0
+        for s in self.searchers:
+            s.r.reload_deletes()
+            if s.r.alive is not None:
+                n += int((~s.r.alive).sum())
+        return n
+
+    @staticmethod
+    def _shard_topk(table: pa.Table,
+                    ks: dict[int, int]) -> pa.Table:
+        """Per-query top-k cut over this shard's candidate rows, in the
+        exact global (score desc, conv_id, turn_idx) order — merging
+        per-shard top-ks therefore equals merging every candidate row,
+        and the actor→driver transfer shrinks from O(segments·k) to
+        O(k) per query per shard."""
+        if table.num_rows == 0:
+            return table
+        df = table.to_pandas()
+        df = df.sort_values(["query_id", "score", "conv_id", "turn_idx"],
+                            ascending=[True, False, True, True])
+        r = df.groupby("query_id", sort=False).cumcount() + 1
+        df = df.loc[r <= df["query_id"].map(ks).fillna(0)]
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(table.schema)
+
+    def search(self, parsed: list[tuple[int, list[str], int]],
+               idf_map: dict[str, float], use_bmw: bool = True,
+               predicates: list[str] | None = None,
+               collapse: bool = False):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search(parsed, use_bmw=use_bmw,
+                                 predicates=predicates, prefer_taat=True,
+                                 collapse=collapse))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            # valid under collapse too: conversations are disjoint across
+            # segments (hash(conv_id) build partitioning), so per-segment
+            # collapsed rows never share a conv_id
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
+
+    def search_boolean(self, parsed: list[tuple], idf_map: dict[str, float],
+                       predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_boolean(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(
+                out, {qid: k for qid, _m, _s, _n, k in parsed})
+        return out
+
+    def facet_counts(self, parsed: list[tuple[int, list[str]]],
+                     facet_col: str,
+                     predicates: list[str] | None = None):
+        tables = [s.facet_counts(parsed, facet_col, predicates=predicates)
+                  for s in self.searchers]
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
+    def facet_range_counts(self, parsed: list[tuple[int, list[str]]],
+                           bin_width: int,
+                           predicates: list[str] | None = None):
+        tables = [s.facet_range_counts(parsed, bin_width,
+                                       predicates=predicates)
+                  for s in self.searchers]
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "bin_lo": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
+    def search_phrases(self, parsed: list[tuple[int, list[str]]],
+                       predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY.drop_columns(["score"])
+        return pa.concat_tables([s.search_phrases(parsed,
+                                                  predicates=predicates)
+                                 for s in self.searchers])
+
+    def search_ranked_phrases(self, parsed: list[tuple[int, list[str], int]],
+                              idf_map: dict[str, float],
+                              predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_ranked_phrases(parsed,
+                                                predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
+
+    def search_proximity(self, parsed: list[tuple[int, list[str], int, int]],
+                         idf_map: dict[str, float],
+                         predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_proximity(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
+        return out
+
+    def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
+                       base_idf: dict[str, float],
+                       predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = [s.search_boosted(parsed, base_idf, predicates=predicates)
+                for s in self.searchers]
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
+
+    def search_after(self, parsed: list[tuple],
+                     idf_map: dict[str, float],
+                     predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_after(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
+        return out
+
+
+class QueryService:
+    """Long-lived BM25 top-k query service over a finished index.
+
+    Spawns ``n_actors`` shard searchers once (segments round-robin);
+    each ``search()`` call tokenizes, looks up global df for the query
+    terms (small parquet filter read), fans out to every shard, and
+    merges the per-shard top-k on the driver.  Amortizes docmap loads
+    and actor spin-up across calls — the serving-path counterpart of the
+    one-shot :func:`search_index`.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 8,
+                 cfg: EngineConfig | None = None):
+        from .build import load_index_meta
+        cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+        self.cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
+            else cfg.validate()
+        self.index_dir = index_dir
+        self.stats = stats
+        self.tok = Tokenizer(self.cfg.analyzer)
+        n_actors = max(1, min(n_actors, len(seg_dirs)))
+        shards = [seg_dirs[i::n_actors] for i in range(n_actors)]
+        bm25_dict = {"k1": self.cfg.bm25.k1, "b": self.cfg.bm25.b}
+        self.actors = [
+            _ShardSearcher.remote(sh, bm25_dict, stats["n_docs"],
+                                  stats["avgdl"],
+                                  self.cfg.index.block_size)
+            for sh in shards]
+        # term -> global df (None = absent): the per-call driver-side
+        # parquet filter read was ~24 ms at 9.6M docs (VERDICT r3
+        # serving push) — repeated vocabularies now skip it entirely
+        self._df_cache: dict[str, int | None] = {}
+
+    _DF_CACHE_CAP = 1 << 20   # OOV-flood bound, same spirit as ABSENT_CAP
+
+    def _gdf_cached(self, terms: set[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            if len(self._df_cache) + len(missing) > self._DF_CACHE_CAP:
+                self._df_cache.clear()
+            fresh = _global_df_for_terms(self.index_dir, set(missing))
+            for t in missing:
+                self._df_cache[t] = fresh.get(t)
+        return {t: v for t in terms
+                if (v := self._df_cache.get(t)) is not None}
+
+    def search(self, queries: list[dict], use_bmw: bool = True,
+               predicates: list[str] | None = None,
+               collapse: bool = False) -> pa.Table:
+        offsets = {int(q["query_id"]): int(q.get("offset", 0))
+                   for q in queries}
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("k", 10)) + int(q.get("offset", 0)))
+                  for q in queries]
+        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search.remote(parsed, idf_map, use_bmw, predicates,
+                                collapse)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(
+            df, {qid: k - offsets.get(qid, 0) for qid, _, k in parsed},
+            offsets if any(offsets.values()) else None)
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_boolean(self, queries: list[dict],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Served boolean retrieval — same contract as
+        :func:`search_boolean_index`, on the resident shards."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+
+        def _tok(s: str) -> list[str]:
+            return sorted(set(self.tok.tokenize(s or "")))
+
+        parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
+                   _tok(q.get("should", "")), _tok(q.get("must_not", "")),
+                   int(q.get("k", 10))) for q in queries]
+        terms = set().union(*[set(m) | set(s)
+                              for _, m, s, _n, _k in parsed]) \
+            if parsed else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_boolean.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(
+            df, {qid: k for qid, _m, _s, _n, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_prefix(self, queries: list[dict],
+                      predicates: list[str] | None = None,
+                      collapse: bool = False) -> pa.Table:
+        """Served wildcard/prefix search — expansion against the global
+        dictionary (one small range read per call), then :meth:`search`."""
+        per_q, all_prefixes = _parse_wildcard_queries(self.tok, queries)
+        plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
+        return self.search(plain, predicates=predicates, collapse=collapse)
+
+    def facet_counts(self, queries: list[dict], facet_col: str,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served faceted search — per-shard partials summed on the
+        driver; same contract as :func:`facet_counts_index`."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))))
+                  for q in queries]
+        futs = [a.facet_counts.remote(parsed, facet_col, predicates)
+                for a in self.actors]
+        parts = pa.concat_tables(ray.get(futs)).to_pandas()
+        schema = pa.schema([("query_id", pa.int32()),
+                            ("facet", pa.string()), ("n", pa.int64())])
+        if parts.empty:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        out = parts.groupby(["query_id", "facet"], as_index=False)["n"] \
+            .sum().sort_values(["query_id", "facet"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def more_like_this(self, seeds: list[dict], *,
+                       max_query_terms: int = 10,
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Served MLT — term selection reuses the service df cache, then
+        :meth:`search` with seed exclusion (k+1 over-fetch + trim)."""
+        seed_tfs, all_terms = _mlt_seed_tfs(self.tok, seeds)
+        gdf = self._gdf_cached(all_terms)
+        plain = _mlt_plain_queries(seed_tfs, seeds, gdf,
+                                   self.stats["n_docs"], max_query_terms)
+        res = self.search(plain, predicates=predicates)
+        return _mlt_trim_excluded(res, seeds)
+
+    def search_ranked_phrases(self, phrases: list[dict],
+                              predicates: list[str] | None = None
+                              ) -> pa.Table:
+        """phrases: [{"query_id", "phrase", "k"}] -> ranked scored table
+        (query_id, rank, conv_id, turn_idx, score): phrase hits scored
+        by BM25 over the phrase's terms, served by the resident shards
+        in ONE actor round-trip per shard."""
+        parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]),
+                   int(p.get("k", 10))) for p in phrases]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_ranked_phrases.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_proximity(self, queries: list[dict],
+                         predicates: list[str] | None = None) -> pa.Table:
+        """queries: [{"query_id", "query_text", "window", "k"}] ->
+        ranked scored table: NEAR/W hits (all distinct terms within a
+        ``window``-token span; ``"ordered": True`` = span-near in the
+        given order) scored by BM25 over the query terms, served by the
+        resident shards in ONE round-trip per shard."""
+        parsed = [(int(q["query_id"]),
+                   (self.tok.tokenize(q["query_text"])
+                    if q.get("ordered")
+                    else sorted(set(self.tok.tokenize(q["query_text"])))),
+                   int(q.get("window", 8)), int(q.get("k", 10)),
+                   bool(q.get("ordered", False)))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_proximity.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_phrases(self, phrases: list[dict],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """phrases: [{"query_id", "phrase"}] -> (query_id, conv_id,
+        turn_idx) of docs containing each exact consecutive phrase,
+        scatter-gathered across the resident shard actors."""
+        parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]))
+                  for p in phrases]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        futs = [a.search_phrases.remote(parsed, predicates)
+                for a in self.actors]
+        out = pa.concat_tables(ray.get(futs))
+        return out.sort_by([("query_id", "ascending"),
+                            ("conv_id", "ascending"),
+                            ("turn_idx", "ascending")])
+
+    def search_boosted(self, queries: list[dict],
+                       predicates: list[str] | None = None) -> pa.Table:
+        """Boosted search served by the resident shards: queries
+        [{"query_id", "query_text", "k"}] with ``term^2.5`` boost
+        syntax in the text (see :func:`parse_boosted_query`)."""
+        parsed = [(int(q["query_id"]),
+                   parse_boosted_query(self.tok, str(q["query_text"])),
+                   int(q.get("k", 10))) for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set(t for _, tb, _ in parsed for t, _ in tb)
+        gdf = self._gdf_cached(terms)
+        base_idf = {t: idf(self.stats["n_docs"], df)
+                    for t, df in gdf.items()}
+        futs = [a.search_boosted.remote(parsed, base_idf, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_after(self, queries: list[dict],
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served cursor pagination: queries [{"query_id", "query_text",
+        "k", "after": (score, conv_id, turn_idx)}] — each shard returns
+        only k rows past the cursor (no offset over-fetch)."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("k", 10)),
+                   (float(q["after"][0]), str(q["after"][1]),
+                    int(q["after"][2])))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
+        futs = [a.search_after.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k, _ in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def facet_ranges(self, queries: list[dict], bin_width: int,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served range facets (doc-length histogram over the full match
+        set): per-shard (query, bin) partials summed on the driver."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))))
+                  for q in queries]
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        futs = [a.facet_range_counts.remote(parsed, bin_width, predicates)
+                for a in self.actors]
+        parts = pa.concat_tables(ray.get(futs)).to_pandas()
+        schema = pa.schema([("query_id", pa.int32()),
+                            ("bin_lo", pa.int64()), ("n", pa.int64())])
+        if parts.empty:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        out = parts.groupby(["query_id", "bin_lo"], as_index=False)["n"] \
+            .sum().sort_values(["query_id", "bin_lo"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def search_synonyms(self, queries: list[dict],
+                        synonyms: dict[str, list[str]],
+                        predicates: list[str] | None = None) -> pa.Table:
+        """Served synonym expansion: the same pure query rewrite as
+        :func:`search_synonym_index`, then the resident shards."""
+        syn_norm: dict[str, list[str]] = {}
+        for key, vals in synonyms.items():
+            kt = self.tok.tokenize(key)
+            if len(kt) != 1:
+                raise ValueError(f"synonym key {key!r} must analyze to "
+                                 f"one term")
+            syn_norm[kt[0]] = [t for v in vals for t in self.tok.tokenize(v)]
+        plain = []
+        for q in queries:
+            terms = set()
+            for t in self.tok.tokenize(str(q.get("query_text", ""))):
+                terms.add(t)
+                terms.update(syn_norm.get(t, ()))
+            plain.append({"query_id": int(q["query_id"]),
+                          "query_text": " ".join(sorted(terms)),
+                          "k": int(q.get("k", 10))})
+        return self.search(plain, predicates=predicates)
+
+    def search_fuzzy(self, queries: list[dict], *, max_edits: int = 1,
+                     predicates: list[str] | None = None) -> pa.Table:
+        """Served fuzzy search: SymSpell deletion-table expansion
+        (sidecar built once per dictionary state, pushdown-read per
+        call — sublinear in vocabulary; see index.fuzzy), then the
+        resident shards."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(str(q.get("query_text",
+                                                          ""))))),
+                   int(q.get("k", 10))) for q in queries]
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
+                           ) if parsed else []
+        expansion = expand_fuzzy_terms(self.index_dir, all_terms,
+                                       max_edits)
+        plain = []
+        for qid, terms, k in parsed:
+            ex = set()
+            for t in terms:
+                ex.update(expansion[t])
+            plain.append({"query_id": qid,
+                          "query_text": " ".join(sorted(ex)), "k": k})
+        return self.search(plain, predicates=predicates)
+
+    def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
+        """Autocomplete against the index's global term dictionary —
+        see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
+        return suggest_terms(self.index_dir, prefixes, k)
+
+    def refresh_deletes(self) -> int:
+        """Make tombstones written after service start visible: every
+        shard re-reads its sidecars.  Returns total tombstoned docs."""
+        return sum(ray.get([a.reload_deletes.remote()
+                            for a in self.actors]))
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
