@@ -76,3 +76,57 @@ def test_service_parity_fuzzy_synonyms(ray_session, tmp_path):
             search_fuzzy_index(idx, fq, max_edits=1).to_pylist()
     finally:
         svc.shutdown()
+
+
+def test_service_mixed_mode_single_roundtrip_parity(ray_session, tmp_path):
+    """search_mixed (ONE round trip per shard for a heterogeneous
+    batch, VERDICT r3 next #7) is value-identical to calling each
+    per-mode service method separately."""
+    idx = str(tmp_path / "svc_mixed_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    svc = QueryService(idx, n_actors=2)
+    try:
+        sq = [{"query_id": 0, "query_text": "apple rare", "k": 4},
+              {"query_id": 1, "query_text": "banana", "k": 3,
+               "offset": 1}]
+        bq = [{"query_id": 0, "must": "apple", "should": "banana",
+               "must_not": "cherry", "k": 10}]
+        xq = [{"query_id": 0, "query_text": "banana apple", "window": 3,
+               "k": 10},
+              {"query_id": 1, "query_text": "apple rare", "window": 2,
+               "k": 10, "ordered": True}]
+        phq = [{"query_id": 0, "phrase": "apple banana", "k": 5}]
+        boq = [{"query_id": 0, "query_text": "apple^3 cherry", "k": 5}]
+        fq = [{"query_id": 0, "query_text": "apple"},
+              {"query_id": 1, "query_text": "cherry rare"}]
+        rq = [{"query_id": 0, "query_text": "apple"}]
+        first = svc.search([{"query_id": 0, "query_text": "rare",
+                             "k": 2}]).to_pylist()
+        aq = [{"query_id": 0, "query_text": "rare", "k": 2,
+               "after": (first[-1]["score"], first[-1]["conv_id"],
+                         first[-1]["turn_idx"])}]
+
+        mixed = svc.search_mixed([
+            {"mode": "search", "queries": sq},
+            {"mode": "boolean", "queries": bq},
+            {"mode": "proximity", "queries": xq},
+            {"mode": "phrase_rank", "queries": phq},
+            {"mode": "boosted", "queries": boq},
+            {"mode": "facets", "queries": fq, "facet_col": "lang"},
+            {"mode": "facet_ranges", "queries": rq, "bin_width": 2},
+            {"mode": "after", "queries": aq},
+        ])
+        assert mixed[0].to_pylist() == svc.search(sq).to_pylist()
+        assert mixed[1].to_pylist() == svc.search_boolean(bq).to_pylist()
+        assert mixed[2].to_pylist() == svc.search_proximity(xq).to_pylist()
+        assert mixed[3].to_pylist() == \
+            svc.search_ranked_phrases(phq).to_pylist()
+        assert mixed[4].to_pylist() == svc.search_boosted(boq).to_pylist()
+        assert mixed[5].to_pylist() == \
+            svc.facet_counts(fq, "lang").to_pylist()
+        assert mixed[6].to_pylist() == svc.facet_ranges(rq, 2).to_pylist()
+        assert mixed[7].to_pylist() == svc.search_after(aq).to_pylist()
+        assert sum(len(t) for t in mixed) > 0
+    finally:
+        svc.shutdown()

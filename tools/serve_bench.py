@@ -23,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _hash(table) -> str:
     import pandas as pd
-    df = table.to_pandas().sort_values(["query_id", "rank"]) \
-        .reset_index(drop=True)
+    df = table.to_pandas()
+    keys = ["query_id", "rank"] if "rank" in df.columns \
+        else list(df.columns)
+    df = df.sort_values(keys).reset_index(drop=True)
     return hashlib.md5(pd.util.hash_pandas_object(
         df, index=False).values.tobytes()).hexdigest()[:12]
 
@@ -37,6 +39,9 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--check", action="store_true",
                     help="also verify service == one-shot search_index")
+    ap.add_argument("--mixed", action="store_true",
+                    help="also bench the heterogeneous search_mixed "
+                         "batch vs one call per mode")
     args = ap.parse_args()
 
     import ray
@@ -65,6 +70,40 @@ def main() -> int:
             print(f"one-shot parity: rows={want.num_rows} "
                   f"hash={_hash(want)} match={ok}")
             if not ok:
+                return 1
+        if args.mixed:
+            third = max(1, len(queries) // 3)
+            sq = queries[:third]
+            xq = [dict(q, window=8) for q in queries[third:2 * third]]
+            bq = [{"query_id": q["query_id"],
+                   "must": q["query_text"].split()[0],
+                   "should": q["query_text"], "must_not": "", "k": 10}
+                  for q in queries[2 * third:]]
+            rq = [{"query_id": q["query_id"],
+                   "query_text": q["query_text"]} for q in sq[:4]]
+            reqs = [{"mode": "search", "queries": sq},
+                    {"mode": "proximity", "queries": xq},
+                    {"mode": "boolean", "queries": bq},
+                    {"mode": "facet_ranges", "queries": rq,
+                     "bin_width": 16}]
+            nq = len(sq) + len(xq) + len(bq) + len(rq)
+            svc.search_mixed(reqs)                       # warm
+            t0 = time.time()
+            for _ in range(args.reps):
+                mixed = svc.search_mixed(reqs)
+            el_mixed = time.time() - t0
+            t0 = time.time()
+            for _ in range(args.reps):
+                sep = [svc.search(sq), svc.search_proximity(xq),
+                       svc.search_boolean(bq), svc.facet_ranges(rq, 16)]
+            el_sep = time.time() - t0
+            par = all(_hash(m) == _hash(s) for m, s in zip(mixed, sep))
+            print(f"mixed-mode batch ({nq} queries / 4 modes): "
+                  f"{nq * args.reps / el_mixed:.1f} q/s one-round-trip vs "
+                  f"{nq * args.reps / el_sep:.1f} q/s per-mode calls "
+                  f"({el_mixed / args.reps * 1000:.1f} vs "
+                  f"{el_sep / args.reps * 1000:.1f} ms/call)  parity={par}")
+            if not par:
                 return 1
     finally:
         svc.shutdown()

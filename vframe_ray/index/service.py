@@ -194,6 +194,44 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
         return out
 
+    def search_mixed(self, ops: list[dict], idf_map: dict[str, float],
+                     predicates: list[str] | None = None):
+        """ONE round trip for a heterogeneous query batch (VERDICT r3
+        next #7: mixed proximity/boolean/facets/… used to fan out one
+        actor call per mode).  ``ops`` entries carry {"mode", "parsed",
+        …mode extras}; returns one table per op, each already per-shard
+        top-k cut where the mode is ranked.  A single idf map covers
+        the union of every op's terms, so hot decoded postings pinned
+        by one op are reused by the next within the same call."""
+        out = []
+        for op in ops:
+            mode, parsed = op["mode"], op["parsed"]
+            if mode == "search":
+                out.append(self.search(parsed, idf_map,
+                                       op.get("use_bmw", True), predicates,
+                                       op.get("collapse", False)))
+            elif mode == "boolean":
+                out.append(self.search_boolean(parsed, idf_map, predicates))
+            elif mode == "proximity":
+                out.append(self.search_proximity(parsed, idf_map,
+                                                 predicates))
+            elif mode == "phrase_rank":
+                out.append(self.search_ranked_phrases(parsed, idf_map,
+                                                      predicates))
+            elif mode == "boosted":
+                out.append(self.search_boosted(parsed, idf_map, predicates))
+            elif mode == "after":
+                out.append(self.search_after(parsed, idf_map, predicates))
+            elif mode == "facets":
+                out.append(self.facet_counts(parsed, op["facet_col"],
+                                             predicates))
+            elif mode == "facet_ranges":
+                out.append(self.facet_range_counts(parsed, op["bin_width"],
+                                                   predicates))
+            else:
+                raise ValueError(f"search_mixed: unknown mode {mode!r}")
+        return out
+
 
 class QueryService:
     """Long-lived BM25 top-k query service over a finished index.
@@ -506,6 +544,141 @@ class QueryService:
             plain.append({"query_id": qid,
                           "query_text": " ".join(sorted(ex)), "k": k})
         return self.search(plain, predicates=predicates)
+
+    def search_mixed(self, requests: list[dict],
+                     predicates: list[str] | None = None
+                     ) -> list[pa.Table]:
+        """Heterogeneous query batch in ONE round trip per shard
+        (VERDICT r3 next #7).  Each request is {"mode": one of
+        search|boolean|proximity|phrase_rank|boosted|after|facets|
+        facet_ranges, "queries": [...], + mode extras ("facet_col",
+        "bin_width", "collapse", "use_bmw")}; returns one result table
+        per request, value-identical to calling the per-mode method
+        (parity-tested).  Compared to one call per mode this saves
+        (modes-1) × actor round trips and lets every mode share one
+        global-df lookup and the shards' pinned hot postings."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        ops: list[dict] = []
+        merges: list[tuple] = []          # (kind, per-op merge payload)
+        all_terms: set[str] = set()
+        for req in requests:
+            mode = req["mode"]
+            qs = req["queries"]
+            if mode == "search":
+                offsets = {int(q["query_id"]): int(q.get("offset", 0))
+                           for q in qs}
+                parsed = [(int(q["query_id"]),
+                           sorted(set(self.tok.tokenize(q["query_text"]))),
+                           int(q.get("k", 10)) + int(q.get("offset", 0)))
+                          for q in qs]
+                ops.append({"mode": mode, "parsed": parsed,
+                            "use_bmw": bool(req.get("use_bmw", True)),
+                            "collapse": bool(req.get("collapse", False))})
+                merges.append(("topk",
+                               {qid: k - offsets.get(qid, 0)
+                                for qid, _, k in parsed},
+                               offsets if any(offsets.values()) else None))
+                all_terms |= {t for _, ts, _ in parsed for t in ts}
+            elif mode == "boolean":
+                def _tok(s):
+                    return sorted(set(self.tok.tokenize(s or "")))
+                parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
+                           _tok(q.get("should", "")),
+                           _tok(q.get("must_not", "")),
+                           int(q.get("k", 10))) for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk",
+                               {qid: k for qid, _m, _s, _n, k in parsed},
+                               None))
+                all_terms |= {t for _, m, s, _n, _k in parsed
+                              for t in (*m, *s)}
+            elif mode == "proximity":
+                parsed = [(int(q["query_id"]),
+                           (self.tok.tokenize(q["query_text"])
+                            if q.get("ordered")
+                            else sorted(set(
+                                self.tok.tokenize(q["query_text"])))),
+                           int(q.get("window", 8)), int(q.get("k", 10)),
+                           bool(q.get("ordered", False))) for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {q[0]: q[3] for q in parsed}, None))
+                all_terms |= {t for q in parsed for t in q[1]}
+            elif mode == "phrase_rank":
+                parsed = [(int(p["query_id"]),
+                           self.tok.tokenize(p["phrase"]),
+                           int(p.get("k", 10))) for p in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {qid: k for qid, _, k in parsed},
+                               None))
+                all_terms |= {t for _, ts, _ in parsed for t in ts}
+            elif mode == "boosted":
+                parsed = [(int(q["query_id"]),
+                           parse_boosted_query(self.tok,
+                                               str(q["query_text"])),
+                           int(q.get("k", 10))) for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {qid: k for qid, _, k in parsed},
+                               None))
+                all_terms |= {t for _, tb, _ in parsed for t, _ in tb}
+            elif mode == "after":
+                parsed = [(int(q["query_id"]),
+                           sorted(set(self.tok.tokenize(q["query_text"]))),
+                           int(q.get("k", 10)),
+                           (float(q["after"][0]), str(q["after"][1]),
+                            int(q["after"][2]))) for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {qid: k for qid, _, k, _ in parsed},
+                               None))
+                all_terms |= {t for _, ts, _, _ in parsed for t in ts}
+            elif mode in ("facets", "facet_ranges"):
+                parsed = [(int(q["query_id"]),
+                           sorted(set(self.tok.tokenize(q["query_text"]))))
+                          for q in qs]
+                op = {"mode": mode, "parsed": parsed}
+                if mode == "facets":
+                    op["facet_col"] = req["facet_col"]
+                    merges.append(("facet", "facet"))
+                else:
+                    op["bin_width"] = int(req["bin_width"])
+                    merges.append(("facet", "bin_lo"))
+                ops.append(op)
+                all_terms |= {t for _, ts in parsed for t in ts}
+            else:
+                raise ValueError(f"search_mixed: unknown mode {mode!r}")
+
+        gdf = self._gdf_cached(all_terms)
+        idf_map = {t: idf(self.stats["n_docs"], df)
+                   for t, df in gdf.items()}
+        futs = [a.search_mixed.remote(ops, idf_map, predicates)
+                for a in self.actors]
+        per_shard = ray.get(futs)         # [shard][op] -> table
+
+        results: list[pa.Table] = []
+        for oi, merge in enumerate(merges):
+            parts = pa.concat_tables([sh[oi] for sh in per_shard])
+            if merge[0] == "topk":
+                _, ks, offsets = merge
+                merged = _merge_topk_driver(parts.to_pandas(), ks, offsets)
+                results.append(pa.Table.from_pandas(
+                    merged, preserve_index=False).cast(_RESULT_SCHEMA))
+            else:
+                key = merge[1]
+                schema = pa.schema([
+                    ("query_id", pa.int32()),
+                    (key, pa.string() if key == "facet" else pa.int64()),
+                    ("n", pa.int64())])
+                df = parts.to_pandas()
+                if df.empty:
+                    results.append(pa.table({f.name: [] for f in schema},
+                                            schema=schema))
+                else:
+                    out = df.groupby(["query_id", key],
+                                     as_index=False)["n"].sum() \
+                        .sort_values(["query_id", key])
+                    results.append(pa.Table.from_pandas(
+                        out, preserve_index=False).cast(schema))
+        return results
 
     def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
         """Autocomplete against the index's global term dictionary —
