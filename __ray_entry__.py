@@ -2179,6 +2179,117 @@ def _q_stratified_sample(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+# ------------------------------------------------------------------ round 4
+
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+PACK_BUDGET = 512
+
+
+def _q_top_bigrams(sf_dir: str):
+    """Corpus top-20 adjacent-token bigrams: per-block combiner +
+    bucketed reduce + per-bucket local top-k (stats.top_bigrams)."""
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import top_bigrams
+    from vframe_ray.stages.tokenize import tokenize
+    return top_bigrams(tokenize(documents_as_transcripts(sf_dir)), k=20)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by tf·idf (keyword extraction): df attached
+    inside the term groupby — no vocab broadcast at any scale."""
+    from vframe_ray.stages.stats import tfidf_top_terms
+    from vframe_ray.stages.tokenize import tokenize
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return tfidf_top_terms(tokenize(ds), n_docs, top=3)
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Token-window chunking (size 64 / stride 48): the LLM-pipeline
+    reshape before embedding/packing — vectorized per chunk ordinal."""
+    from vframe_ray.stages.chunking import chunk_documents
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    out = chunk_documents(ds, size=CHUNK_SIZE,
+                          stride=CHUNK_STRIDE).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequential sequence packing within each source (budget
+    512 tokens): seq_id = running-prior-tokens // budget — one keyed
+    exchange + per-group vectorized cumsum."""
+    from vframe_ray.stages.chunking import pack_sequences
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "source", "text"])
+    out = pack_sequences(ds, budget=PACK_BUDGET).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """NDJSON source coverage: documents exported once to JSONL
+    (deterministic sidecar under the cache root), re-read via
+    ray.data.read_json, token counts must equal the parquet oracle."""
+    import pandas as _pd
+
+    from vframe_ray.sources.readers import read_jsonl
+    from vframe_ray.stages.textquality import quality_features
+    from vframe_ray.storage import cache_root
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    side = os.path.join(cache_root(), f"docs-{tag}.jsonl")
+    if not os.path.exists(side):
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        df = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).to_pandas()
+        tmp = side + ".tmp"
+        df.to_json(tmp, orient="records", lines=True, force_ascii=False)
+        os.rename(tmp, side)
+    ds = read_jsonl(side, columns=["doc_id", "text"])
+    out = quality_features(ds).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "n_tokens", "n_distinct"]]
+
+
+def _q_csv_events_agg(sf_dir: str):
+    """CSV source coverage: (event_type, value) exported once to CSV,
+    re-read via ray.data.read_csv, grouped count/min/max must equal the
+    parquet oracle (min/max are association-free, so float equality is
+    exact through the text roundtrip)."""
+    import pyarrow.csv as pacsv
+
+    from vframe_ray.sources.readers import read_csv
+    from vframe_ray.storage import cache_root
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    side = os.path.join(cache_root(), f"events-{tag}.csv")
+    if not os.path.exists(side):
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "value"])
+        tmp = side + ".tmp"
+        pacsv.write_csv(t, tmp)
+        os.rename(tmp, side)
+    ds = read_csv(side)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")])
+        return g.rename_columns(["event_type", "n_partial",
+                                 "min_partial", "max_partial"])
+
+    out = rel._driver_combine(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"],
+        [("n_partial", "sum", "n_events"),
+         ("min_partial", "min", "min_value"),
+         ("max_partial", "max", "max_value")]).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -2215,6 +2326,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fields": _q_bm25_fields,
         "grep_documents": _q_grep_documents,
         # --- new in round 4 ---
+        "top_bigrams": _q_top_bigrams,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "running_customer_revenue": rel.running_customer_revenue,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_events_agg": _q_csv_events_agg,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -2608,6 +2727,96 @@ ORDER BY event_type, q""",
         "bm25_fields": _fields_sql(),
         "grep_documents": """SELECT doc_id FROM documents
 WHERE regexp_matches(text, 'vector [a-z]*am') ORDER BY doc_id""",
+        # ---- round 4 ----
+        "top_bigrams": f"""{_TOK},
+ big AS (SELECT t1.term AS term_a, t2.term AS term_b
+         FROM tok t1 JOIN tok t2
+              ON t2._id = t1._id AND t2.pos = t1.pos + 1)
+SELECT term_a, term_b, count(*)::BIGINT AS n_pair
+FROM big GROUP BY term_a, term_b
+ORDER BY n_pair DESC, term_a, term_b LIMIT 20""",
+        "tfidf_top_terms": f"""{_TOK},
+ tf AS (SELECT _id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ df AS (SELECT term, count(DISTINCT _id)::BIGINT AS df FROM tok
+        GROUP BY term),
+ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ s AS (SELECT _id, tf.term, tf, df, ln(n.n / df) * tf AS score
+       FROM tf JOIN df USING (term), n),
+ r AS (SELECT *, row_number() OVER (PARTITION BY _id
+                                    ORDER BY score DESC, term) AS rnk
+       FROM s)
+SELECT _id AS doc_id, rnk::INT AS rnk, term, tf, df,
+       round(score, 6) AS score_r
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+        "chunk_documents": f"""
+WITH arr AS (SELECT doc_id AS _id,
+                    list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                t -> t <> '') AS arr
+             FROM documents),
+ n AS (SELECT _id, arr, len(arr)::BIGINT AS n FROM arr
+       WHERE len(arr) > 0),
+ g AS (SELECT _id, arr, n,
+              unnest(generate_series(
+                  0, CAST(ceil(n / {float(CHUNK_STRIDE)}) AS BIGINT) - 1))
+              AS ci
+       FROM n)
+SELECT _id AS doc_id, ci::INT AS chunk_idx,
+       least({CHUNK_SIZE}, n - ci * {CHUNK_STRIDE})::BIGINT AS n_tokens,
+       array_to_string(list_slice(arr, ci * {CHUNK_STRIDE} + 1,
+                                  least(ci * {CHUNK_STRIDE}
+                                        + {CHUNK_SIZE}, n)),
+                       ' ') AS chunk_text
+FROM g ORDER BY doc_id, chunk_idx""",
+        "pack_sequences": f"""{_TOK},
+ c AS (SELECT _id, count(*)::BIGINT AS n FROM tok GROUP BY _id),
+ t AS (SELECT d.doc_id, d.source, coalesce(c.n, 0)::BIGINT AS n_tokens
+       FROM documents d LEFT JOIN c ON c._id = d.doc_id),
+ w AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                  - n_tokens) AS prior
+       FROM t)
+SELECT doc_id, source, n_tokens,
+       (prior // {PACK_BUDGET})::BIGINT AS seq_id
+FROM w ORDER BY doc_id""",
+        "q3_shipping_priority": f"""
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{rel.Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{rel.Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{rel.Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT {rel.Q3_K}""",
+        "running_customer_revenue": """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       (sum(cents) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)) / 100.0 AS running
+FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""",
+        # the JSONL/CSV roundtrips re-read engine-written sidecar files;
+        # the oracle stays on the canonical parquet views, so any loss in
+        # the text roundtrip fails the hash
+        "jsonl_roundtrip": f"""{_TOK},
+ c AS (SELECT _id, count(*)::BIGINT AS n_tokens,
+              count(DISTINCT term)::BIGINT AS n_distinct
+       FROM tok GROUP BY _id)
+SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.n_distinct, 0) AS n_distinct
+FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
+        "csv_events_agg": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_collapsed": f"""{_bm25_scores_prefix()},
  cm AS (SELECT doc_id, source,
                (row_number() OVER (PARTITION BY source

@@ -1,0 +1,144 @@
+"""Round-4 additions: chunking, sequence packing, bigram stats,
+tf-idf keywords, JSONL/CSV sources — each against a plain-Python
+brute-force oracle, plus repartition invariance for the distributed
+reduces."""
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+DOCS = [
+    {"doc_id": 0, "source": "s0",
+     "text": "alpha beta gamma alpha beta delta " * 20},   # 120 tokens
+    {"doc_id": 1, "source": "s0", "text": "alpha beta"},
+    {"doc_id": 2, "source": "s1", "text": ""},             # 0 tokens
+    {"doc_id": 3, "source": "s1", "text": "Gamma, GAMMA! gamma?"},
+    {"doc_id": 4, "source": "s0", "text": "epsilon " * 70},  # 70 tokens
+    {"doc_id": 5, "source": "s1", "text": "zeta eta " * 40},
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.from_items(DOCS).repartition(3)
+
+
+def test_chunk_documents_vs_scalar_oracle(ray_session, docs_ds):
+    from vframe_ray.stages.chunking import chunk_documents
+    size, stride = 16, 12
+    got = chunk_documents(docs_ds, size=size, stride=stride).to_pandas()
+    got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    want = []
+    for d in DOCS:
+        ts = _toks(d["text"])
+        for ci in range(-(-len(ts) // stride)):
+            chunk = ts[ci * stride: ci * stride + size]
+            want.append((d["doc_id"], ci, len(chunk), " ".join(chunk)))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # 0-token doc yields no chunks; overlap carries tokens forward
+    assert 2 not in set(got["doc_id"])
+    d0 = got[got["doc_id"] == 0]
+    assert len(d0) == math.ceil(120 / stride)
+    first, second = d0.iloc[0]["chunk_text"], d0.iloc[1]["chunk_text"]
+    assert first.split()[stride:] == second.split()[:size - stride]
+
+
+def test_pack_sequences_vs_scalar_oracle(ray_session, docs_ds):
+    from vframe_ray.stages.chunking import pack_sequences
+    budget = 100
+    got = pack_sequences(docs_ds, budget=budget).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = {}
+    for src in ("s0", "s1"):
+        run = 0
+        for d in sorted((d for d in DOCS if d["source"] == src),
+                        key=lambda d: d["doc_id"]):
+            n = len(_toks(d["text"]))
+            want[d["doc_id"]] = (src, n, run // budget)
+            run += n
+    for row in got.itertuples(index=False):
+        assert want[row.doc_id] == (row.source, row.n_tokens, row.seq_id)
+    # a sequence closes once it reaches the budget: doc 0 (120 tokens)
+    # fills s0/seq0, so docs 1 and 4 land in seq 1
+    by_id = {r.doc_id: r.seq_id for r in got.itertuples(index=False)}
+    assert by_id[0] == 0 and by_id[1] == 1 and by_id[4] == 1
+
+
+def test_top_bigrams_vs_counter_and_repartition(ray_session):
+    from vframe_ray.stages.stats import top_bigrams
+    from vframe_ray.stages.tokenize import tokenize
+    want = Counter()
+    for d in DOCS:
+        ts = _toks(d["text"])
+        want.update(zip(ts, ts[1:]))
+    expect = sorted(((n, a, b) for (a, b), n in want.items()),
+                    key=lambda x: (-x[0], x[1], x[2]))[:10]
+    for nparts in (1, 4):
+        ds = ray.data.from_items(DOCS).repartition(nparts)
+        got = top_bigrams(tokenize(ds), k=10)
+        assert [(r.n_pair, r.term_a, r.term_b)
+                for r in got.itertuples(index=False)] == expect
+
+
+def test_tfidf_top_terms_vs_scalar_oracle(ray_session, docs_ds):
+    from vframe_ray.stages.stats import tfidf_top_terms
+    from vframe_ray.stages.tokenize import tokenize
+    n_docs = len(DOCS)
+    got = tfidf_top_terms(tokenize(docs_ds), n_docs, top=2)
+    tf = {d["doc_id"]: Counter(_toks(d["text"])) for d in DOCS}
+    df = Counter()
+    for c in tf.values():
+        df.update(set(c))
+    for doc_id, c in tf.items():
+        scored = sorted(
+            ((math.log(n_docs / df[t]) * n, t) for t, n in c.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        rows = got[got["doc_id"] == doc_id]
+        assert [r.term for r in rows.itertuples(index=False)] == \
+            [t for _, t in scored]
+        assert [r.score_r for r in rows.itertuples(index=False)] == \
+            [round(s, 6) for s, _ in scored]
+
+
+def test_jsonl_csv_sources_roundtrip(ray_session, tmp_path):
+    """read_jsonl / read_csv land the same rows the parquet path does
+    (column projection applied)."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from vframe_ray.sources.readers import read_csv, read_jsonl
+    t = pa.table({"doc_id": pa.array([3, 1, 2], pa.int64()),
+                  "text": pa.array(["a,b \"q\"", "hello world", ""]),
+                  "extra": pa.array([1.5, -2.0, 0.25])})
+    pd_df = t.to_pandas()
+    jpath = str(tmp_path / "docs.jsonl")
+    pd_df.to_json(jpath, orient="records", lines=True, force_ascii=False)
+    cpath = str(tmp_path / "docs.csv")
+    pacsv.write_csv(t, cpath)
+
+    jgot = read_jsonl(jpath, columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert jgot.to_dict("list") == {"doc_id": [1, 2, 3],
+                                    "text": ["hello world", "",
+                                             'a,b "q"']}
+    cgot = read_csv(cpath, columns=["doc_id", "extra"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert cgot["extra"].tolist() == [-2.0, 0.25, 1.5]
+
+
+def test_round4_stages_registered(ray_session):
+    from vframe_ray import registry
+    for name in ("chunk_documents", "pack_sequences", "top_bigrams",
+                 "tfidf_top_terms"):
+        assert registry.get(name) is not None

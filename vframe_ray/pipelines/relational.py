@@ -550,3 +550,126 @@ def order_revenue_shuffle_join(sf_dir: str):
                     right_cols=["o_orderdate"], post=revenue)
     df = out.to_pandas()[["o_orderkey", "revenue"]]
     return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q3_CUTOFF = pd.Timestamp("1998-07-01")
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def q3_shipping_priority(sf_dir: str, k: int = Q3_K):
+    """TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem, in-flight orders at
+    a cutoff date): the BUILDING-segment customer keys are the small
+    side (broadcast once via ray.put, per-batch is_in filter — no
+    shuffle for the first join); the lineitem ⋈ orders leg is the
+    large-large shuffle hash join with the revenue aggregate fused into
+    the join bucket (stages/joins.hash_join post=, one exchange total);
+    the driver merges only per-bucket candidate rows for the top-k.
+
+    Returns pandas (o_orderkey, revenue, o_orderdate, o_orderpriority)
+    top-k by (revenue desc, o_orderdate, o_orderkey).
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_join
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT))
+    keys_ref = ray.put(keys["c_custkey"].combine_chunks())
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return batch.filter(pc.is_in(batch["o_custkey"], value_set=ks)) \
+            .drop_columns(["o_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"],
+                   filter=pc.field("o_orderdate") < pc.scalar(Q3_CUTOFF)) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=pc.field("l_shipdate") > pc.scalar(Q3_CUTOFF)) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "l_extendedprice", "l_discount"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def revenue(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "revenue": pd.Series(dtype="float64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series(dtype="object")})
+        if not len(j):
+            return empty
+        j = j.sort_values(["o_orderkey", "l_extendedprice", "l_discount"])
+        rev = (j["l_extendedprice"].to_numpy()
+               * (1.0 - j["l_discount"].to_numpy()))
+        g = pd.DataFrame({"o_orderkey": j["o_orderkey"].to_numpy(np.int64),
+                          "rev": rev,
+                          "o_orderdate": j["o_orderdate"].to_numpy(),
+                          "o_orderpriority": j["o_orderpriority"]
+                          .to_numpy()})
+        s = g.groupby("o_orderkey", sort=True).agg(
+            revenue=("rev", "sum"), o_orderdate=("o_orderdate", "first"),
+            o_orderpriority=("o_orderpriority", "first")).reset_index()
+        s["revenue"] = s["revenue"].round(2)
+        # per-bucket local top-k: only candidate rows leave the reducer
+        return s.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    out = hash_join(li, orders,
+                    key="o_orderkey",
+                    left_cols=["o_orderkey", "l_extendedprice",
+                               "l_discount"],
+                    right_cols=["o_orderdate", "o_orderpriority"],
+                    post=revenue)
+    df = out.to_pandas()
+    df = df.sort_values(["revenue", "o_orderdate", "o_orderkey"],
+                        ascending=[False, True, True]).head(k)
+    return df[["o_orderkey", "revenue", "o_orderdate",
+               "o_orderpriority"]].reset_index(drop=True)
+
+
+def running_customer_revenue(sf_dir: str):
+    """Per-customer running revenue over order dates — the cumulative
+    window aggregate (SQL: SUM() OVER (PARTITION BY … ORDER BY … ROWS
+    UNBOUNDED PRECEDING)).  ONE keyed exchange (groupby custkey), then
+    a sequential-by-definition vectorized cumsum per group.  Totals are
+    accumulated in integer CENTS on both engine and oracle sides, so
+    the running sum is exact at any prefix length (float cumsum
+    association can never drift the hash).
+
+    Returns pandas (o_custkey, o_orderkey, o_orderdate, running) sorted
+    by (o_custkey, o_orderdate, o_orderkey); running is dollars at 2dp.
+    """
+    from ..runtime import arrow_group
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "cents": pa.array(cents)})
+
+    def running(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]) \
+            .reset_index(drop=True)
+        g["running"] = np.cumsum(g["cents"].to_numpy(np.int64)) / 100.0
+        return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
+                              "running"]])
+
+    out = (orders.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("o_custkey")
+           .map_groups(running, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)

@@ -73,8 +73,8 @@ def load_plugins(paths: list[str] | None = None) -> list[str]:
 def _register_builtins() -> None:
     """Built-in stage table (lazy callables so importing the registry
     stays cheap; resolution happens at get())."""
-    from .stages import dedup, multimodal, sessionize, similarity, \
-        textops, textquality
+    from .stages import chunking, dedup, multimodal, sessionize, \
+        similarity, textops, textquality
     from .stages import stats as _stats
 
     for name, fn in {
@@ -111,6 +111,11 @@ def _register_builtins() -> None:
         "binned_quantiles": _stats.binned_quantiles,
         "rerank_by_embedding": similarity.rerank_by_embedding,
         "srp_dup_pairs": similarity.srp_dup_pairs,
+        # round 4
+        "chunk_documents": chunking.chunk_documents,
+        "pack_sequences": chunking.pack_sequences,
+        "top_bigrams": _stats.top_bigrams,
+        "tfidf_top_terms": _stats.tfidf_top_terms,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)

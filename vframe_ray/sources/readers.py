@@ -297,3 +297,31 @@ def read_transcripts(path: str, *, columns: list[str] | None = None,
     if limit is not None:
         ds = ds.limit(limit)
     return ds
+
+
+def read_jsonl(paths, *, columns: list[str] | None = None,
+               **kwargs) -> "ray.data.Dataset":
+    """NDJSON source (reference analog: `pipe open` consuming the
+    save-detections JSON shards, open.py:26-28).  ``ray.data.read_json``
+    streams line-delimited JSON block-by-block; JSON has no column
+    pruning at the read, so an immediate projection keeps only
+    ``columns`` past the first map stage (documented trade-off vs
+    parquet — prefer parquet for anything re-read at scale)."""
+    import ray.data
+    ds = ray.data.read_json(paths, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_csv(paths, *, columns: list[str] | None = None,
+             **kwargs) -> "ray.data.Dataset":
+    """CSV source (`pipe open` over tabular sidecars — the reference's
+    media-attrs CSV path).  Projection applied right after the read;
+    pass ``parse_options``/``convert_options`` through to Arrow for
+    typed columns."""
+    import ray.data
+    ds = ray.data.read_csv(paths, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

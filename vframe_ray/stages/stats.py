@@ -425,3 +425,128 @@ def binned_quantiles(ds, *, key_col: str = "event_type",
                            zero_copy_batch=True)
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(combine, batch_format="pandas"))
+
+
+def top_bigrams(tokenized_ds, *, k: int = 20):
+    """Corpus-wide top-k adjacent-token bigrams (reference analog: the
+    summarize-json grouped histogram one level up — over token PAIRS).
+
+    Scale shape: per-block combiner collapses every occurrence to ≤ one
+    row per distinct bigram per block (np.unique — O(pairs seen)
+    memory), the bucketed :func:`salted_sum` kernel reduces partials
+    co-partitioned by bigram hash, a per-bucket local top-k bounds what
+    leaves each reducer, and the driver merges ≤ buckets×k tiny rows.
+    No all-to-all over occurrences, no dense vocab² anything.
+
+    Returns pandas (term_a, term_b, n_pair) sorted by
+    (n_pair desc, term_a, term_b), top k.
+    """
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens) \
+            .to_numpy(zero_copy_only=False)
+        if flat.size < 2:
+            return empty
+        same = parents[1:] == parents[:-1]
+        a, b = flat[:-1][same], flat[1:][same]
+        if a.size == 0:
+            return empty
+        # separator must survive numpy's fixed-width unicode cast
+        # (\x00 is silently truncated as padding); tokens are
+        # [a-z0-9]+ so a space can never collide
+        pair = np.add(np.add(a, " "), b)           # object-str concat
+        up, counts = np.unique(pair, return_counts=True)
+        return pa.table({"pair": pa.array(up, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    summed = salted_sum(parts, "pair", ["n"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["n", "pair"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = summed.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas()
+    cand = cand.sort_values(["n", "pair"],
+                            ascending=[False, True]).head(k)
+    split = cand["pair"].str.split(" ", n=1, expand=True)
+    out = pd.DataFrame({"term_a": split[0], "term_b": split[1],
+                        "n_pair": cand["n"].astype("int64")})
+    return out.reset_index(drop=True)
+
+
+def tfidf_top_terms(tokenized_ds, n_docs: int, *, top: int = 3,
+                    id_col: str = "doc_id"):
+    """Per-document top terms by tf·idf, idf = ln(n_docs / df) — the
+    keyword-extraction primitive of a training-data pipeline (what the
+    reference's per-frame top-k class scores are to an image,
+    base.py:134-146, this is to a document).
+
+    Two keyed exchanges, both bounded: (doc, term, tf) rows (distinct
+    per doc — each doc is one input row, so block-local tf IS global
+    tf) groupby(term) to attach df, then groupby(doc) for the per-doc
+    top-k.  df is attached IN the term groupby — no driver-side vocab
+    broadcast, so the vocabulary can be arbitrarily large.
+
+    Returns pandas (doc_id, rnk, term, tf, df, score_r) sorted by
+    (doc_id, rnk); score_r = round(ln(n_docs/df) * tf, 6) with the
+    idf-then-multiply association the SQL oracle uses.
+    """
+    from ..runtime import arrow_group
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens) \
+            .to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if flat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        terms_u, codes = np.unique(flat, return_inverse=True)
+        key = parents.astype(np.int64) * len(terms_u) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids[(uk // len(terms_u)).astype(np.int64)],
+                             pa.int64()),
+            "term": pa.array(terms_u[uk % len(terms_u)], pa.string()),
+            "tf": pa.array(counts.astype(np.int64))})
+
+    tf_rows = tokenized_ds.map_batches(tf_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        g["df"] = np.int64(len(g))
+        return arrow_group(g)
+
+    with_df = tf_rows.groupby("term").map_groups(attach_df,
+                                                 batch_format="pandas")
+
+    def doc_topk(g: pd.DataFrame) -> pa.Table:
+        g = g.copy()
+        # rank on the UNROUNDED score (the oracle's row_number does),
+        # round only for output
+        g["score"] = (np.log(float(n_docs)
+                             / g["df"].to_numpy(dtype=np.float64))
+                      * g["tf"].to_numpy(dtype=np.float64))
+        g = g.sort_values(["score", "term"],
+                          ascending=[False, True]).head(top)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        g["score_r"] = np.round(g["score"].to_numpy(), 6)
+        return arrow_group(g[[id_col, "rnk", "term", "tf", "df",
+                              "score_r"]])
+
+    out = with_df.groupby(id_col).map_groups(doc_topk,
+                                             batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values([id_col, "rnk"]).reset_index(drop=True)
