@@ -165,7 +165,11 @@ def run_bench() -> dict:
                  ("contamination", entry_queries["cross_contamination"]),
                  ("percolate", lambda d: entry_queries["percolate_docs"](
                      d).materialize()),
-                 ("retrieval_suite", retrieval_suite)]
+                 ("retrieval_suite", retrieval_suite),
+                 # round 4: the two data-sized new operators (the rest
+                 # run over the 500-row documents table)
+                 ("q3_join_topk", rel.q3_shipping_priority),
+                 ("running_window", rel.running_customer_revenue)]
     for name, fn in pipelines:
         fn(SF_DIR)                                # untimed warmup
         t0 = time.time()

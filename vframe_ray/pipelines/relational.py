@@ -636,39 +636,56 @@ def q3_shipping_priority(sf_dir: str, k: int = Q3_K):
 def running_customer_revenue(sf_dir: str):
     """Per-customer running revenue over order dates — the cumulative
     window aggregate (SQL: SUM() OVER (PARTITION BY … ORDER BY … ROWS
-    UNBOUNDED PRECEDING)).  ONE keyed exchange (groupby custkey), then
-    a sequential-by-definition vectorized cumsum per group.  Totals are
-    accumulated in integer CENTS on both engine and oracle sides, so
-    the running sum is exact at any prefix length (float cumsum
-    association can never drift the hash).
+    UNBOUNDED PRECEDING)).  ONE keyed exchange — but keyed on
+    hash(custkey) % nb BUCKETS, not on the raw key: a per-customer
+    map_groups pays ~1-2 ms of UDF dispatch per group (≈ 40 s of pure
+    overhead at sf0.1's 15k customers); a per-BUCKET kernel runs one
+    vectorized segmented cumsum over every customer in the bucket.
+    Totals are accumulated in integer CENTS on both engine and oracle
+    sides, so the running sum is exact at any prefix length (float
+    cumsum association can never drift the hash).
 
     Returns pandas (o_custkey, o_orderkey, o_orderdate, running) sorted
     by (o_custkey, o_orderdate, o_orderkey); running is dollars at 2dp.
     """
-    from ..runtime import arrow_group
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
 
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderkey", "o_orderdate",
                             "o_totalprice"])
 
     def to_cents(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
         cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
                          * 100.0).astype(np.int64)
-        return pa.table({"o_custkey": t["o_custkey"],
+        return pa.table({"__bucket": int_bucket_of(
+                             cust.astype(np.int64), nb),
+                         "o_custkey": t["o_custkey"],
                          "o_orderkey": t["o_orderkey"],
                          "o_orderdate": t["o_orderdate"],
                          "cents": pa.array(cents)})
 
     def running(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]) \
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
             .reset_index(drop=True)
-        g["running"] = np.cumsum(g["cents"].to_numpy(np.int64)) / 100.0
+        cust = g["o_custkey"].to_numpy(np.int64)
+        cs = np.cumsum(g["cents"].to_numpy(np.int64))
+        # segmented cumsum: subtract the prefix total carried in from
+        # the previous customer at each group start
+        starts = np.flatnonzero(
+            np.r_[True, cust[1:] != cust[:-1]]) if len(cust) else \
+            np.empty(0, np.int64)
+        counts = np.diff(np.append(starts, len(cust)))
+        carry = np.repeat(cs[starts] - g["cents"].to_numpy(np.int64)[starts],
+                          counts) if len(cust) else cs
+        g["running"] = (cs - carry) / 100.0
         return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
                               "running"]])
 
     out = (orders.map_batches(to_cents, batch_format="pyarrow",
                               zero_copy_batch=True)
-           .groupby("o_custkey")
+           .groupby("__bucket")
            .map_groups(running, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
