@@ -2334,6 +2334,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_customer_revenue": rel.running_customer_revenue,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_events_agg": _q_csv_events_agg,
+        "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
+        "moving_window_revenue": rel.moving_window_revenue,
+        "order_gap_days": rel.order_gap_days,
+        "intersect_customers": rel.intersect_customers,
+        "monthly_revenue_trend": rel.monthly_revenue_trend,
+        "above_nation_avg_customers": rel.above_nation_avg_customers,
+        "json_field_rollup": rel.json_field_rollup,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -2803,6 +2810,64 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)) / 100.0 AS running
 FROM o ORDER BY o_custkey, o_orderdate, o_orderkey""",
+        # revenue in integer 1e-4 dollars on both sides: price/discount
+        # have exactly 2 decimals each, so the sum is association-free
+        "q5_local_supplier_revenue": """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC""",
+        "moving_window_revenue": """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       (sum(cents) OVER w) / 100.0 AS win_sum,
+       (count(*) OVER w)::BIGINT AS win_n
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey""",
+        "order_gap_days": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       coalesce(date_diff('day',
+                          lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                          o_orderdate), -1)::BIGINT AS gap_days
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+        "intersect_customers": """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+ORDER BY o_custkey""",
+        "monthly_revenue_trend": """
+SELECT date_trunc('month', o_orderdate) AS month,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY month ORDER BY month""",
+        "above_nation_avg_customers": """
+WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS ct
+           FROM customer),
+ a AS (SELECT c_nationkey, sum(ct)::DOUBLE / count(*) AS av
+       FROM c GROUP BY c_nationkey)
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM c JOIN a USING (c_nationkey)
+WHERE ct > av ORDER BY c_custkey""",
+        "json_field_rollup": """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type ORDER BY event_type""",
         # the JSONL/CSV roundtrips re-read engine-written sidecar files;
         # the oracle stays on the canonical parquet views, so any loss in
         # the text roundtrip fails the hash

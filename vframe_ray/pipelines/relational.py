@@ -690,3 +690,367 @@ def running_customer_revenue(sf_dir: str):
            .to_pandas())
     return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
         .reset_index(drop=True)
+
+
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                              date_lo: str = "1996-01-01",
+                              date_hi: str = "1997-01-01"):
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    ordering customer share a nation inside one region — the 6-table
+    join (region ⋈ nation ⋈ supplier, customer ⋈ orders ⋈ lineitem).
+
+    Physical plan, ONE shuffle total:
+    - region/nation/supplier/customer resolve on the driver into four
+      broadcast Arrow/numpy lookups (suppkey→nationkey,
+      custkey→nationkey, nationkey→in-region mask, nationkey→name).
+      supplier/nation/region are genuinely tiny; the customer side is
+      two int64/int8 columns (~9 B/customer — low GBs even at 10⁹
+      customers; the escape hatch if that ever exceeds the object
+      store is a second hash_join on custkey, documented not built).
+    - lineitem ⋈ orders(date-pruned read) is the one big-big edge:
+      the existing shuffle hash join on orderkey, with the nation
+      resolution + region filter + per-nation partial aggregate FUSED
+      into the join's per-bucket hook, so only ≤ |nations| rows per
+      bucket leave the reduce.
+    - driver combines the tiny partials and attaches names.
+
+    Reference analog: priors broadcast join (media.py:79-111) composed
+    with the summarize-json grouped reduce (summarize-json.py:29-105).
+    Returns pandas (n_name, revenue) sorted by revenue desc."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    cus = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey"])
+
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    n_keys = nat["n_nationkey"].to_numpy()
+    in_region = np.zeros(int(n_keys.max()) + 1, dtype=bool)
+    in_region[n_keys[pc.is_in(nat["n_regionkey"],
+                              value_set=rkeys.combine_chunks())
+                     .to_numpy(zero_copy_only=False)]] = True
+    names = np.empty(int(n_keys.max()) + 1, dtype=object)
+    names[n_keys] = nat["n_name"].to_numpy(zero_copy_only=False)
+
+    # sorted-key lookup arrays (searchsorted gather per bucket)
+    s_k = sup["s_suppkey"].to_numpy()
+    s_ord = np.argsort(s_k, kind="stable")
+    c_k = cus["c_custkey"].to_numpy()
+    c_ord = np.argsort(c_k, kind="stable")
+    lookup_ref = ray.put((s_k[s_ord],
+                          sup["s_nationkey"].to_numpy()[s_ord],
+                          c_k[c_ord],
+                          cus["c_nationkey"].to_numpy()[c_ord],
+                          in_region))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    # o_orderdate is projected only so the pruned-schema fast path can
+    # resolve the filter (readers.read_parquet); the join's tag stage
+    # drops it before the exchange
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pc.scalar(pd.Timestamp(date_lo)))
+                           & (pc.field("o_orderdate")
+                              < pc.scalar(pd.Timestamp(date_hi)))))
+    # Project-op rename (propagates schema without executing the read —
+    # a map_batches lambda leaves schema() unresolvable for hash_join)
+    orders = orders.rename_columns({"o_orderkey": "l_orderkey"})
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        # revenue in integer 1e-4 dollars: price and discount each have
+        # exactly 2 decimals, so pe*(100-di) is EXACT — the sum is
+        # association-free and matches the oracle bit-for-bit no matter
+        # how partials combine
+        empty = pd.DataFrame({"nk": pd.Series(dtype="int64"),
+                              "rev_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        sk, sn, ck, cn, mask = ray.get(lookup_ref)
+        s_nat = sn[np.searchsorted(sk, j["l_suppkey"].to_numpy())]
+        c_nat = cn[np.searchsorted(ck, j["o_custkey"].to_numpy())]
+        keep = (s_nat == c_nat) & mask[s_nat]
+        if not keep.any():
+            return empty
+        pe = np.round(j["l_extendedprice"].to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        di = np.round(j["l_discount"].to_numpy()[keep]
+                      * 100.0).astype(np.int64)
+        return pd.DataFrame({"nk": s_nat[keep].astype(np.int64),
+                             "rev_p": pe * (100 - di)}).groupby(
+            "nk", as_index=False, sort=False).sum()
+
+    parts = hash_join(li, orders, key="l_orderkey",
+                      left_cols=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"],
+                      right_cols=["o_custkey"], post=fused,
+                      right_schema=pa.schema(
+                          [("l_orderkey", pa.int64()),
+                           ("o_custkey", pa.int64()),
+                           ("o_orderdate", pa.timestamp("us"))]))
+    out = _driver_combine(parts, ["nk"], [("rev_p", "sum", "rev_e4")])
+    df = out.to_pandas()
+    df["n_name"] = names[df["nk"].to_numpy(np.int64)]
+    df["revenue"] = df["rev_e4"].to_numpy(np.int64) / 10_000.0
+    return df.sort_values("revenue", ascending=False)[
+        ["n_name", "revenue"]].reset_index(drop=True)
+
+
+def moving_window_revenue(sf_dir: str, window: int = 4):
+    """Per-customer moving window over the last ``window`` orders (SQL:
+    SUM/COUNT OVER (PARTITION BY … ORDER BY … ROWS BETWEEN w-1
+    PRECEDING AND CURRENT ROW)) — the bounded-frame sibling of
+    :func:`running_customer_revenue`, same bucketed one-exchange plan.
+
+    Per bucket: one sort, one global cents cumsum, then the window sum
+    of row i is ``cs[i] - cs[j-1]`` with ``j = i - min(pos_in_group,
+    w-1)`` — since j never precedes the group start, frames cannot leak
+    across customers and the whole bucket is frame-summed with pure
+    numpy gathers.  Cents keep every prefix association-exact.
+
+    Returns pandas (o_custkey, o_orderkey, o_orderdate, win_sum,
+    win_n) sorted by (o_custkey, o_orderdate, o_orderkey)."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    w = int(window)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"__bucket": int_bucket_of(
+                             cust.astype(np.int64), nb),
+                         "o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "cents": pa.array(cents)})
+
+    def frames(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+            .reset_index(drop=True)
+        n = len(g)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        cs = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]]) \
+            if n else np.empty(0, np.int64)
+        counts = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, counts)
+        width = np.minimum(pos, w - 1)
+        j = np.arange(n) - width
+        win = cs - np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        g["win_sum"] = win / 100.0
+        g["win_n"] = (width + 1).astype(np.int64)
+        return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
+                              "win_sum", "win_n"]])
+
+    out = (orders.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("__bucket")
+           .map_groups(frames, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def order_gap_days(sf_dir: str):
+    """Per-customer days since the previous order (SQL LAG) — the
+    navigation-window operator.  Same bucketed one-exchange plan as the
+    other windows; the LAG itself is one shifted subtraction per bucket
+    with group starts reset to the -1 sentinel.  Dates in this corpus
+    are midnight-aligned timestamps, so integer µs division by 86400e6
+    equals the calendar-day diff.
+
+    Returns pandas (o_custkey, o_orderkey, o_orderdate, gap_days)
+    sorted by (o_custkey, o_orderdate, o_orderkey); gap_days int64,
+    -1 on each customer's first order."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__bucket", pa.array(int_bucket_of(
+            cust.astype(np.int64), nb)))
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+            .reset_index(drop=True)
+        n = len(g)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        us = g["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[0] = -1
+            same = cust[1:] == cust[:-1]
+            gap[1:] = np.where(same,
+                               (us[1:] - us[:-1]) // 86_400_000_000, -1)
+        g["gap_days"] = gap
+        return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
+                              "gap_days"]])
+
+    out = (orders.map_batches(bucketed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("__bucket")
+           .map_groups(lag, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def intersect_customers(sf_dir: str, price: float = 150_000.0):
+    """INTERSECT set op: customers with ≥1 URGENT order AND ≥1 order
+    above ``price`` — both sides from ONE pruned read of orders.
+
+    Per block: rows matching either predicate collapse to ≤ 1 row per
+    (custkey in block) carrying two boolean flags (Arrow group_by max),
+    so the exchange moves flag partials, never order rows; one bucketed
+    reduce ORs the flags per customer and keeps both-true keys.  At any
+    scale the shuffle payload is bounded by blocks × distinct customers
+    per block.  Returns pandas (o_custkey) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.equal(t["o_orderpriority"], "1-URGENT")
+        h = pc.greater(t["o_totalprice"], price)
+        t = pa.table({"o_custkey": t["o_custkey"],
+                      "u": pc.cast(u, pa.int8()),
+                      "h": pc.cast(h, pa.int8())})
+        t = t.filter(pc.or_(pc.equal(t["u"], 1), pc.equal(t["h"], 1)))
+        g = t.group_by("o_custkey").aggregate([("u", "max"),
+                                               ("h", "max")])
+        g = g.rename_columns(["o_custkey", "u", "h"])
+        k = g["o_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__bucket",
+                            pa.array(int_bucket_of(k.astype(np.int64),
+                                                   nb)))
+
+    def both(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_custkey", sort=True).agg(
+            u=("u", "max"), h=("h", "max")).reset_index()
+        keep = agg.loc[(agg["u"] == 1) & (agg["h"] == 1), ["o_custkey"]]
+        return arrow_group(keep.reset_index(drop=True))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__bucket")
+           .map_groups(both, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def monthly_revenue_trend(sf_dir: str):
+    """Monthly order-revenue trend (GROUP BY DATE_TRUNC month) — the
+    time-bucketed rollup every monitoring pipeline runs.  Arrow
+    floor_temporal per block + per-block partial sums in integer cents,
+    driver-combined (≤ months × blocks partial rows; month cardinality
+    is calendar-bounded, so the q1 driver-combine bound applies at any
+    corpus size).  Returns pandas (month, revenue, n_orders) sorted."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"month": month, "cents": cents}) \
+            .group_by("month").aggregate([("cents", "sum"),
+                                          ([], "count_all")])
+        return g.rename_columns(["month", "cents_p", "n_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["month"],
+                          [("cents_p", "sum", "cents"),
+                           ("n_p", "sum", "n_orders")])
+    df = out.to_pandas().sort_values("month").reset_index(drop=True)
+    df["revenue"] = df["cents"].to_numpy(np.int64) / 100.0
+    return df[["month", "revenue", "n_orders"]]
+
+
+def above_nation_avg_customers(sf_dir: str):
+    """Customers whose account balance beats their nation's average —
+    the correlated-subquery shape (SQL: balance > AVG() OVER
+    (PARTITION BY nation)).  Two passes over customer, zero shuffles:
+    per-block (nation, sum_cents, n) partials driver-combine to ≤
+    |nations| rows, the avg array broadcasts back, and a vectorized
+    filter pass keeps qualifying rows.  The average is compared as
+    ``cents > sum_cents/n`` with one float64 division on both engine
+    and oracle sides, so the boundary predicate is bit-identical.
+    Returns pandas (c_custkey, c_nationkey, c_acctbal) sorted."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                        pa.int64())
+        g = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents}) \
+            .group_by("c_nationkey").aggregate([("cents", "sum"),
+                                                ([], "count_all")])
+        return g.rename_columns(["c_nationkey", "cents_p", "n_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    stats = _driver_combine(parts, ["c_nationkey"],
+                            [("cents_p", "sum", "cents"),
+                             ("n_p", "sum", "n")]).to_pandas()
+    nk = stats["c_nationkey"].to_numpy(np.int64)
+    avg = np.full(int(nk.max()) + 1, np.inf)
+    avg[nk] = stats["cents"].to_numpy(np.int64) \
+        / stats["n"].to_numpy(np.int64)
+    avg_ref = ray.put(avg)
+
+    def above(t: pa.Table) -> pa.Table:
+        a = ray.get(avg_ref)
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        nat = t["c_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(cents > a[nat]))
+
+    out = ds.map_batches(above, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def json_field_rollup(sf_dir: str):
+    """Semi-structured extraction: pull an integer field out of the
+    events table's JSON ``props`` column and roll it up per event type
+    — the json_extract + aggregate shape, with the parse VECTORIZED as
+    one Arrow ``extract_regex`` kernel per block (a per-row json.loads
+    is the classic hot-path Python loop this engine bans).  Partials
+    are ≤ |event types| rows per block, driver-combined.
+
+    Returns pandas (event_type, sum_k, n_events) sorted by type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, 0), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k}) \
+            .group_by("event_type").aggregate([("k", "sum"),
+                                               ([], "count_all")])
+        return g.rename_columns(["event_type", "sum_k_p", "n_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["event_type"],
+                          [("sum_k_p", "sum", "sum_k"),
+                           ("n_p", "sum", "n_events")])
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)

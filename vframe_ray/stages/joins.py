@@ -217,7 +217,9 @@ def range_join(left, right, *, key: str, left_on: str,
 
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], post=None,
-              num_buckets: int | None = None):
+              num_buckets: int | None = None,
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None):
     """Large-large equi-join by co-partitioning (shuffle hash join).
 
     The broadcast joins in pipelines/relational.py are the right tool
@@ -235,8 +237,13 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     # side and the group-level pandas upcast (int64-with-nulls ->
     # float64) must both round-trip back to the source type, or blocks
     # from different groups drift schema.
-    lsch = left.schema().base_schema
-    rsch = right.schema().base_schema
+    # explicit schemas take precedence: Dataset.schema()'s limit-1 probe
+    # resolves to None when an upstream filter leaves the probe block
+    # empty (e.g. a date-pruned read behind a Project rename)
+    lsch = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    rsch = right_schema if right_schema is not None \
+        else right.schema().base_schema
     types = {**{c: lsch.field(c).type for c in left_cols},
              **{c: rsch.field(c).type for c in right_cols}}
     nb = _num_buckets(num_buckets)
