@@ -2074,6 +2074,85 @@ def _q_bm25_fuzzy(sf_dir: str):
     return bm25_fuzzy(sf_dir)
 
 
+def _q_bm25_wildcard(sf_dir: str):
+    """General mid-pattern wildcard search (* / ? anywhere in a token)."""
+    from vframe_ray.pipelines.flagship import bm25_wildcard
+    return bm25_wildcard(sf_dir)
+
+
+def _q_did_you_mean(sf_dir: str):
+    """Spell correction: edit-1 dictionary candidate with max df."""
+    from vframe_ray.pipelines.flagship import did_you_mean
+    return did_you_mean(sf_dir)
+
+
+def _wildcard_sql() -> str:
+    """Wildcard oracle: per-query terms = corpus vocabulary matching
+    each token as a SQL LIKE pattern (* → %, ? → _ — identical
+    single-char/any-run semantics to the engine's Arrow match_like),
+    then the plain BM25 chain."""
+    from vframe_ray.pipelines.flagship import WILD_QUERIES
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qpat, qks = [], []
+    for q in WILD_QUERIES:
+        for raw in sorted(set(q["query_text"].lower().split())):
+            pat = raw.replace("*", "%").replace("?", "_")
+            qpat.append(f"({q['query_id']}, '{pat}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ qpat(query_id, pat) AS (VALUES {', '.join(qpat)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ vocab AS (SELECT DISTINCT term FROM tok),
+ q AS (SELECT DISTINCT r.query_id, v.term
+       FROM qpat r JOIN vocab v ON v.term LIKE r.pat),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _dym_sql() -> str:
+    """Did-you-mean oracle: per input term, the vocabulary term within
+    Levenshtein distance 1 with max df (ties → lexicographically
+    smallest); terms with no candidate emit no row."""
+    from vframe_ray.pipelines.flagship import DYM_TERMS
+    vals = ", ".join(f"('{t}')" for t in sorted(set(DYM_TERMS)))
+    return f"""{_TOK},
+ df AS (SELECT term, count(DISTINCT _id)::BIGINT AS df FROM tok
+        GROUP BY term),
+ q(query_term) AS (VALUES {vals}),
+ cand AS (SELECT q.query_term, df.term, df.df
+          FROM q JOIN df ON levenshtein(q.query_term, df.term) <= 1),
+ best AS (SELECT *, row_number() OVER (PARTITION BY query_term
+                                       ORDER BY df DESC, term) AS rn
+          FROM cand)
+SELECT query_term, term AS suggestion, df
+FROM best WHERE rn = 1 ORDER BY query_term"""
+
+
 def _q_bm25_paged(sf_dir: str):
     """Offset pagination: page 2 (global ranks 6..10) of DOC_QUERIES."""
     from vframe_ray.pipelines.flagship import bm25_paged
@@ -2341,6 +2420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_trend": rel.monthly_revenue_trend,
         "above_nation_avg_customers": rel.above_nation_avg_customers,
         "json_field_rollup": rel.json_field_rollup,
+        "bm25_wildcard": _q_bm25_wildcard,
+        "did_you_mean": _q_did_you_mean,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -2868,6 +2949,8 @@ SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "bm25_wildcard": _wildcard_sql(),
+        "did_you_mean": _dym_sql(),
         # the JSONL/CSV roundtrips re-read engine-written sidecar files;
         # the oracle stays on the canonical parquet views, so any loss in
         # the text roundtrip fails the hash

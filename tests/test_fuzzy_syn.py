@@ -132,3 +132,47 @@ def test_synonym_expansion(ray_session, tmp_path):
     want = search_index(idx, [
         {"query_id": 0, "query_text": "merge stream", "k": 10}])
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_like_patterns_and_wildcard_search(ray_session, tmp_path):
+    """Mid-pattern wildcard expansion + search ≡ the expanded plain
+    query; leading wildcards scan; charset is validated."""
+    import pytest
+
+    from vframe_ray.index.query import expand_like_patterns, \
+        search_like_index
+    idx = _planted_index(tmp_path)
+    exp = expand_like_patterns(idx, ["v?ctor", "v*", "*or", "me?ge",
+                                     "x*z"])
+    assert exp["v?ctor"] == ["vector", "victor"]
+    assert exp["v*"] == ["vector", "vectors", "victor"]
+    assert exp["*or"] == ["vector", "victor"]        # leading wildcard
+    assert exp["me?ge"] == ["merge"]
+    assert exp["x*z"] == []
+    got = search_like_index(idx, [
+        {"query_id": 0, "query_text": "v?ctor stream", "k": 10}])
+    want = search_index(idx, [
+        {"query_id": 0, "query_text": "vector victor stream", "k": 10}])
+    assert got.to_pylist() == want.to_pylist()
+    with pytest.raises(ValueError):
+        search_like_index(idx, [
+            {"query_id": 0, "query_text": "bad%token*", "k": 5}])
+
+
+def test_suggest_corrections_df_ranking(ray_session, tmp_path):
+    """did-you-mean picks the max-df edit-1 candidate; ties break to
+    the lexicographically smallest term; no-candidate terms emit no
+    row."""
+    from vframe_ray.index.query import suggest_corrections
+    idx = _planted_index(tmp_path)
+    # df: vector=2 (c0,c1), victor=1, stream=3, merge=1, vectors=1
+    got = suggest_corrections(idx, ["vektor", "stream", "zzzzz"],
+                              max_edits=1).to_pylist()
+    assert got == [
+        {"query_term": "stream", "suggestion": "stream", "df": 3},
+        {"query_term": "vektor", "suggestion": "vector", "df": 2},
+    ]
+    # distance-2 expansion reaches victor too, but vector's df wins
+    got2 = suggest_corrections(idx, ["vektor"], max_edits=2).to_pylist()
+    assert got2 == [{"query_term": "vektor", "suggestion": "vector",
+                     "df": 2}]

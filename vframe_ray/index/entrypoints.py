@@ -966,6 +966,131 @@ def search_fuzzy_index(index_dir: str, queries: list[dict],
     return search_index(index_dir, plain, cfg, predicates=predicates)
 
 
+def expand_like_patterns(index_dir: str, patterns: list[str]
+                         ) -> dict[str, list[str]]:
+    """Mid-pattern wildcard expansion (``*`` = any run, ``?`` = exactly
+    one char) against the GLOBAL term dictionary.
+
+    One pruned read narrowed by each pattern's leading LITERAL prefix
+    (the same OR-of-ranges pushdown as :func:`expand_prefix_terms`),
+    then one vectorized Arrow ``match_like`` kernel per pattern — no
+    per-term Python.  A pattern that STARTS with a wildcard cannot
+    prune and scans the dictionary (Lucene's leading-wildcard caveat;
+    cost is per-query over the vocabulary, never over postings)."""
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    out: dict[str, list[str]] = {p: [] for p in patterns}
+    pats = sorted(out)
+    if not files or not pats:
+        return out
+    import re as _re
+    lits = {p: _re.match(r"[a-z0-9]*", p).group(0) for p in pats}
+    filt = None
+    if all(lits[p] for p in pats):
+        filt = [[("term", ">=", lits[p]), ("term", "<", lits[p] + "{")]
+                for p in pats]
+    terms = pq.ParquetDataset(files, filters=filt) \
+        .read(columns=["term"])["term"].combine_chunks()
+    for p in pats:
+        like = p.replace("*", "%").replace("?", "_")
+        out[p] = sorted(set(
+            pc.filter(terms, pc.match_like(terms, like)).to_pylist()))
+    return out
+
+
+def search_like_index(index_dir: str, queries: list[dict],
+                      cfg: EngineConfig | None = None, *,
+                      predicates: list[str] | None = None) -> pa.Table:
+    """General wildcard search: query tokens containing ``*`` / ``?``
+    ANYWHERE (``m?chine ver*fy``, not just trailing-star prefixes)
+    expand against the dictionary, then the term union scores as a
+    plain multi-term query with per-term idf — same delegation shape
+    as prefix/fuzzy/synonym search."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    per_q, all_pats = [], set()
+    for q in queries:
+        literals, pats = set(), set()
+        for raw in str(q.get("query_text", "")).lower().split():
+            if "*" in raw or "?" in raw:
+                if not all(c.isalnum() or c in "*?" for c in raw):
+                    raise ValueError(f"wildcard token {raw!r} may only "
+                                     "contain [a-z0-9*?]")
+                pats.add(raw)
+            else:
+                literals.update(tok.tokenize(raw))
+        per_q.append((int(q["query_id"]), literals, pats,
+                      int(q.get("k", 10))))
+        all_pats.update(pats)
+    expansion = expand_like_patterns(index_dir, sorted(all_pats))
+    plain = []
+    for qid, literals, pats, k in per_q:
+        terms = set(literals)
+        for p in pats:
+            terms.update(expansion[p])
+        plain.append({"query_id": qid,
+                      "query_text": " ".join(sorted(terms)), "k": k})
+    return search_index(index_dir, plain, cfg, predicates=predicates)
+
+
+def suggest_corrections(index_dir: str, terms: list[str],
+                        max_edits: int = 1) -> pa.Table:
+    """Did-you-mean: for each input term, the corpus term within
+    ``max_edits`` Levenshtein distance with the highest document
+    frequency (ties → lexicographically smallest).  Candidates come
+    from the SymSpell deletion-table expansion; their df from one
+    pushdown-filtered dictionary read.  Terms with no candidate emit
+    no row (ask the caller to widen max_edits).  A dictionary-only
+    operator — no postings are touched.
+
+    Returns (query_term, suggestion, df) sorted by query_term."""
+    from .fuzzy import expand_fuzzy_terms
+    uniq = sorted(set(terms))
+    expansion = expand_fuzzy_terms(index_dir, uniq, max_edits)
+    cands = sorted(set().union(*expansion.values())) if uniq else []
+    empty = pa.table({"query_term": pa.array([], pa.string()),
+                      "suggestion": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+    if not cands:
+        return empty
+    gdir = os.path.join(index_dir, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    t = pq.ParquetDataset(files, filters=[("term", "in", cands)]) \
+        .read(columns=["term", "df"])
+    dfmap = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    rows = []
+    for q in uniq:
+        best = max(expansion[q], key=lambda c: (dfmap.get(c, 0), _NEG(c)),
+                   default=None)
+        if best is not None:
+            rows.append((q, best, int(dfmap.get(best, 0))))
+    if not rows:
+        return empty
+    return pa.table({"query_term": pa.array([r[0] for r in rows]),
+                     "suggestion": pa.array([r[1] for r in rows]),
+                     "df": pa.array([r[2] for r in rows], pa.int64())})
+
+
+class _NEG:
+    """Reverse-order wrapper so max() breaks df ties on the SMALLEST
+    string (df desc, term asc — the autocomplete tie rule)."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __lt__(self, other: "_NEG") -> bool:
+        return self.s > other.s
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _NEG) and self.s == other.s
+
+
 def search_fields_index(fields: list[tuple[str, float]],
                         queries: list[dict],
                         cfg: EngineConfig | None = None) -> pa.Table:

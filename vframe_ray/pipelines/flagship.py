@@ -991,3 +991,38 @@ def bm25_conversations_collapsed(sf_dir: str) -> pa.Table:
         "turn_idx": res["turn_idx"],
         "score_r": pc.round(res["score"], ndigits=6),
     })
+
+
+WILD_QUERIES = [
+    {"query_id": 0, "query_text": "v*r filter", "k": 10},  # mid-star + literal
+    {"query_id": 1, "query_text": "qu?ry", "k": 10},       # single-char hole
+    {"query_id": 2, "query_text": "*ow", "k": 10},         # leading wildcard
+]
+
+
+def bm25_wildcard(sf_dir: str) -> pa.Table:
+    """WILD_QUERIES with general mid-pattern wildcard expansion
+    (index/entrypoints.search_like_index): ``*``/``?`` anywhere in a
+    token, leading-literal dictionary pushdown, per-term-idf scoring."""
+    from ..index.query import search_like_index
+    index_dir = documents_index(sf_dir)
+    res = search_like_index(index_dir, WILD_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
+DYM_TERMS = ["vectr", "haash", "colum", "lin", "zzzzz"]
+
+
+def did_you_mean(sf_dir: str) -> pa.Table:
+    """Spell correction over the corpus dictionary: SymSpell edit-1
+    candidates ranked by document frequency (df desc, term asc);
+    'zzzzz' has no candidate and emits no row
+    (index/entrypoints.suggest_corrections)."""
+    from ..index.query import suggest_corrections
+    index_dir = documents_index(sf_dir)
+    return suggest_corrections(index_dir, DYM_TERMS, max_edits=1)
