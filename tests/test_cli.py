@@ -94,3 +94,23 @@ def test_cli_delete_and_merge(ray_session, tmp_path, capsys):
     assert main(["merge", "--index", idx, "--index", other,
                  "--out", out, "--segments", "2"]) == 0
     assert _lines(capsys)[0]["n_docs"] == 22      # 12 - 2 purged + 12
+
+
+def test_cli_wildcard_and_correct(ray_session, tmp_path, capsys):
+    """Mid-pattern wildcards route through search_like_index; --correct
+    prints did-you-mean rows."""
+    idx = _mk_index(tmp_path)
+    assert main(["query", "--index", idx, "--query", "n?edle",
+                 "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["rank"] == 1
+
+    assert main(["query", "--index", idx, "--query", "*eta",
+                 "-k", "3"]) == 0
+    assert _lines(capsys)                 # leading wildcard -> beta
+
+    assert main(["query", "--index", idx, "--correct", "neddle",
+                 "--correct", "qqqqq"]) == 0
+    got = _lines(capsys)
+    assert got == [{"query_term": "neddle", "suggestion": "needle",
+                    "df": 12}]

@@ -69,7 +69,10 @@ def cmd_query(args) -> int:
         print("warning: --offset applies only to plain search; "
               "ignored in --window/--explain/--phrase/boosted modes",
               file=sys.stderr)
-    if args.suggest:
+    if args.correct:
+        res = q_.suggest_corrections(args.index, list(args.correct),
+                                     max_edits=args.fuzzy or 1)
+    elif args.suggest:
         res = q_.suggest_terms(args.index, list(args.suggest), k=args.k)
     elif args.export:
         ds = q_.export_matches(args.index, qs, predicates=preds)
@@ -116,9 +119,11 @@ def cmd_query(args) -> int:
         res = q_.search_fuzzy_index(args.index, qs,
                                     max_edits=args.fuzzy,
                                     predicates=preds)
-    elif any("*" in q for q in (args.query or [])):
-        res = q_.search_prefix_index(args.index, qs, predicates=preds,
-                                     collapse=args.collapse)
+    elif any(c in q for q in (args.query or []) for c in "*?"):
+        # general wildcard path (mid-pattern * / ?); trailing-star
+        # prefixes expand to the same term set as search_prefix_index
+        res = q_.search_like_index(args.index, qs, predicates=preds,
+                                   collapse=args.collapse)
     elif args.facet:
         res = q_.facet_counts_index(args.index, qs, args.facet,
                                     predicates=preds)
@@ -275,6 +280,9 @@ def main(argv=None) -> int:
     q.add_argument("--explain", action="store_true",
                    help="per-term BM25 contribution rows for the top-k "
                         "hits (rows sum to the ranked score)")
+    q.add_argument("--correct", action="append", metavar="TERM",
+                   help="did-you-mean: max-df dictionary term within "
+                        "--fuzzy edits (default 1) of TERM")
     q.add_argument("--suggest", action="append", metavar="PREFIX",
                    help="autocomplete: top-k dictionary terms per prefix")
     q.add_argument("--range-facet", dest="range_facet", type=int,

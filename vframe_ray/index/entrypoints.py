@@ -1001,7 +1001,8 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
 
 def search_like_index(index_dir: str, queries: list[dict],
                       cfg: EngineConfig | None = None, *,
-                      predicates: list[str] | None = None) -> pa.Table:
+                      predicates: list[str] | None = None,
+                      collapse: bool = False) -> pa.Table:
     """General wildcard search: query tokens containing ``*`` / ``?``
     ANYWHERE (``m?chine ver*fy``, not just trailing-star prefixes)
     expand against the dictionary, then the term union scores as a
@@ -1033,7 +1034,8 @@ def search_like_index(index_dir: str, queries: list[dict],
             terms.update(expansion[p])
         plain.append({"query_id": qid,
                       "query_text": " ".join(sorted(terms)), "k": k})
-    return search_index(index_dir, plain, cfg, predicates=predicates)
+    return search_index(index_dir, plain, cfg, predicates=predicates,
+                        collapse=collapse)
 
 
 def suggest_corrections(index_dir: str, terms: list[str],
