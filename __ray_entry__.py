@@ -1393,6 +1393,15 @@ def _q_quality(sf_dir: str):
         drop=True)
 
 
+def _q_repetition(sf_dir: str):
+    from vframe_ray.stages.textquality import repetition_features
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = repetition_features(ds).to_pandas().sort_values("doc_id")
+    return out[["doc_id", "n_tokens", "dup_bigram_frac",
+                "top_token_frac"]].reset_index(drop=True)
+
+
 def _q_winnow(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import winnow_fingerprints
@@ -2422,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_rollup": rel.json_field_rollup,
         "bm25_wildcard": _q_bm25_wildcard,
         "did_you_mean": _q_did_you_mean,
+        "repetition_features": _q_repetition,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -2951,6 +2961,31 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_wildcard": _wildcard_sql(),
         "did_you_mean": _dym_sql(),
+        # repetition: both sides compute 1 − distinct/total and mode/n
+        # with one float64 division each, so the hash is exact
+        "repetition_features": f"""{_TOK},
+ c AS (SELECT _id, count(*)::BIGINT AS n FROM tok GROUP BY _id),
+ tc AS (SELECT _id, term, count(*)::BIGINT AS cnt FROM tok
+        GROUP BY _id, term),
+ top AS (SELECT _id, max(cnt) AS mx FROM tc GROUP BY _id),
+ big AS (SELECT t1._id, t1.term || ' ' || t2.term AS bg
+         FROM tok t1 JOIN tok t2
+              ON t2._id = t1._id AND t2.pos = t1.pos + 1),
+ bstat AS (SELECT _id, count(*)::BIGINT AS tot,
+                  count(DISTINCT bg)::BIGINT AS dist
+           FROM big GROUP BY _id)
+SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(bstat.tot, 0) > 0
+            THEN 1.0 - bstat.dist / bstat.tot::DOUBLE ELSE 0.0
+       END AS dup_bigram_frac,
+       CASE WHEN coalesce(c.n, 0) > 0
+            THEN top.mx / c.n::DOUBLE ELSE 0.0
+       END AS top_token_frac
+FROM documents d
+LEFT JOIN c ON c._id = d.doc_id
+LEFT JOIN top ON top._id = d.doc_id
+LEFT JOIN bstat ON bstat._id = d.doc_id
+ORDER BY d.doc_id""",
         # the JSONL/CSV roundtrips re-read engine-written sidecar files;
         # the oracle stays on the canonical parquet views, so any loss in
         # the text roundtrip fails the hash

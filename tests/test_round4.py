@@ -142,3 +142,31 @@ def test_round4_stages_registered(ray_session):
     for name in ("chunk_documents", "pack_sequences", "top_bigrams",
                  "tfidf_top_terms"):
         assert registry.get(name) is not None
+
+
+def test_repetition_features_vs_scalar_oracle(ray_session):
+    """Gopher repetition stats match a per-doc Counter brute force;
+    empty/single-token/all-same-token docs hit the zero guards."""
+    from vframe_ray.stages.textquality import repetition_features
+    docs = [
+        {"doc_id": 0, "text": "a b a b a b"},        # all bigrams dup-ish
+        {"doc_id": 1, "text": ""},                   # no tokens
+        {"doc_id": 2, "text": "solo"},               # no bigrams
+        {"doc_id": 3, "text": "x x x x"},            # one distinct bigram
+        {"doc_id": 4, "text": "Every token here is distinct once"},
+        {"doc_id": 5, "text": "AA! aa? bb aa"},      # case-folded repeats
+    ]
+    got = repetition_features(
+        ray.data.from_items(docs).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for d in docs:
+        ts = _toks(d["text"])
+        row = got[got["doc_id"] == d["doc_id"]].iloc[0]
+        assert row["n_tokens"] == len(ts)
+        bigs = list(zip(ts, ts[1:]))
+        want_dup = (1.0 - len(set(bigs)) / len(bigs)) if bigs else 0.0
+        want_top = (max(Counter(ts).values()) / len(ts)) if ts else 0.0
+        assert row["dup_bigram_frac"] == want_dup
+        assert row["top_token_frac"] == want_top
+    assert got.loc[3, "dup_bigram_frac"] == 1.0 - 1.0 / 3
+    assert got.loc[3, "top_token_frac"] == 1.0

@@ -130,3 +130,26 @@ def test_service_mixed_mode_single_roundtrip_parity(ray_session, tmp_path):
         assert sum(len(t) for t in mixed) > 0
     finally:
         svc.shutdown()
+
+
+def test_service_parity_like_and_corrections(ray_session, tmp_path):
+    """Served wildcard (mid-pattern) and did-you-mean match the
+    one-shot entry points."""
+    from vframe_ray.index.query import (search_like_index,
+                                        suggest_corrections)
+    idx = str(tmp_path / "svc_like_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        lq = [{"query_id": 0, "query_text": "ap?le cherry", "k": 10},
+              {"query_id": 1, "query_text": "*rry", "k": 10}]
+        assert svc.search_like(lq).to_pylist() == \
+            search_like_index(idx, lq).to_pylist()
+        assert svc.suggest_corrections(["aple", "qqq"]).to_pylist() == \
+            suggest_corrections(idx, ["aple", "qqq"]).to_pylist()
+        # and the served rows are actually non-empty
+        assert svc.search_like(lq).num_rows
+        assert svc.suggest_corrections(["aple"]).to_pylist() == [
+            {"query_term": "aple", "suggestion": "apple", "df": 4}]
+    finally:
+        svc.shutdown()

@@ -999,19 +999,11 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
     return out
 
 
-def search_like_index(index_dir: str, queries: list[dict],
-                      cfg: EngineConfig | None = None, *,
-                      predicates: list[str] | None = None,
-                      collapse: bool = False) -> pa.Table:
-    """General wildcard search: query tokens containing ``*`` / ``?``
-    ANYWHERE (``m?chine ver*fy``, not just trailing-star prefixes)
-    expand against the dictionary, then the term union scores as a
-    plain multi-term query with per-term idf — same delegation shape
-    as prefix/fuzzy/synonym search."""
-    from .build import load_index_meta
-    cfg_dict, _stats, _segs = load_index_meta(index_dir)
-    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
-    tok = Tokenizer(eff.analyzer)
+def _like_plain_queries(index_dir: str, tok: Tokenizer,
+                        queries: list[dict]) -> list[dict]:
+    """Shared parse+expand for the general wildcard path (one-shot
+    entry point and QueryService): tokens containing ``*``/``?``
+    expand via :func:`expand_like_patterns`, literals tokenize."""
     per_q, all_pats = [], set()
     for q in queries:
         literals, pats = set(), set()
@@ -1034,6 +1026,23 @@ def search_like_index(index_dir: str, queries: list[dict],
             terms.update(expansion[p])
         plain.append({"query_id": qid,
                       "query_text": " ".join(sorted(terms)), "k": k})
+    return plain
+
+
+def search_like_index(index_dir: str, queries: list[dict],
+                      cfg: EngineConfig | None = None, *,
+                      predicates: list[str] | None = None,
+                      collapse: bool = False) -> pa.Table:
+    """General wildcard search: query tokens containing ``*`` / ``?``
+    ANYWHERE (``m?chine ver*fy``, not just trailing-star prefixes)
+    expand against the dictionary, then the term union scores as a
+    plain multi-term query with per-term idf — same delegation shape
+    as prefix/fuzzy/synonym search."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    plain = _like_plain_queries(index_dir, tok, queries)
     return search_index(index_dir, plain, cfg, predicates=predicates,
                         collapse=collapse)
 

@@ -337,6 +337,24 @@ class QueryService:
         plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
         return self.search(plain, predicates=predicates, collapse=collapse)
 
+    def search_like(self, queries: list[dict],
+                    predicates: list[str] | None = None,
+                    collapse: bool = False) -> pa.Table:
+        """Served general wildcard search (``*``/``?`` anywhere in a
+        token) — the same driver-side dictionary expansion as
+        :func:`search_like_index`, then :meth:`search` on the resident
+        shards."""
+        from .entrypoints import _like_plain_queries
+        plain = _like_plain_queries(self.index_dir, self.tok, queries)
+        return self.search(plain, predicates=predicates, collapse=collapse)
+
+    def suggest_corrections(self, terms: list[str],
+                            max_edits: int = 1) -> pa.Table:
+        """Served did-you-mean — dictionary-only, so it simply reuses
+        the one-shot path (no postings, no shard fan-out needed)."""
+        from .entrypoints import suggest_corrections
+        return suggest_corrections(self.index_dir, terms, max_edits)
+
     def facet_counts(self, queries: list[dict], facet_col: str,
                      predicates: list[str] | None = None) -> pa.Table:
         """Served faceted search — per-shard partials summed on the

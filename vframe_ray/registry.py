@@ -116,6 +116,7 @@ def _register_builtins() -> None:
         "pack_sequences": chunking.pack_sequences,
         "top_bigrams": _stats.top_bigrams,
         "tfidf_top_terms": _stats.tfidf_top_terms,
+        "repetition_features": textquality.repetition_features,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)

@@ -306,3 +306,77 @@ class FingerprintStage:
 def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(FingerprintStage(id_col, text_col),
                           batch_format="pyarrow")
+
+
+class RepetitionStage:
+    """Gopher-style repetition features per doc (Rae et al. 2021's
+    repetition-removal rules, the standard LLM-data quality filter):
+    ``dup_bigram_frac`` = 1 − distinct/total adjacent bigrams and
+    ``top_token_frac`` = most-frequent-token count / n_tokens.  Both
+    zero on docs too short to have the statistic.
+
+    Fully vectorized: one dictionary-encode for term codes, lexsort +
+    adjacent-dup drops for the distinct counts, ``np.maximum.at`` over
+    run lengths for the per-doc mode — no per-row Python.  Embarrassing
+    parallelism (each doc's stats are row-local), zero shuffle."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+        self.tok = Tokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].combine_chunks() \
+            if isinstance(batch[self.text_col], pa.ChunkedArray) \
+            else batch[self.text_col]
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
+        parents, flat, counts = flat_tokens(self.tok, texts)
+        if len(flat):
+            denc = pc.dictionary_encode(flat)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            V = np.int64(len(denc.dictionary))
+            # per-doc mode count: sort (row, code), run-length encode,
+            # scatter-max run lengths onto rows
+            order = np.lexsort((codes, parents))
+            ps, cs = parents[order], codes[order]
+            new = np.r_[True, (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])]
+            run_len = np.diff(np.r_[np.flatnonzero(new), len(ps)])
+            top = np.zeros(n, dtype=np.int64)
+            np.maximum.at(top, ps[new], run_len)
+            # adjacent bigrams (flat is in (row, position) order)
+            same = parents[1:] == parents[:-1]
+            bp = parents[1:][same]
+            key = codes[:-1][same] * V + codes[1:][same]
+            tot_big = np.bincount(bp, minlength=n).astype(np.int64)
+            if len(bp):
+                order2 = np.lexsort((key, bp))
+                p2, k2 = bp[order2], key[order2]
+                keep = np.r_[True, (p2[1:] != p2[:-1])
+                             | (k2[1:] != k2[:-1])]
+                dist_big = np.bincount(p2[keep], minlength=n) \
+                    .astype(np.int64)
+            else:
+                dist_big = np.zeros(n, dtype=np.int64)
+        else:
+            top = np.zeros(n, dtype=np.int64)
+            tot_big = dist_big = np.zeros(n, dtype=np.int64)
+        # identical float64 op order to the SQL oracle:
+        # 1 − distinct/total and mode/n, each one division
+        dup_frac = np.where(tot_big > 0,
+                            1.0 - dist_big / np.maximum(tot_big, 1), 0.0)
+        top_frac = np.where(counts > 0,
+                            top / np.maximum(counts, 1), 0.0)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_tokens": pa.array(counts),
+            "dup_bigram_frac": pa.array(dup_frac),
+            "top_token_frac": pa.array(top_frac),
+        })
+
+
+def repetition_features(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(RepetitionStage(id_col, text_col),
+                          batch_format="pyarrow", zero_copy_batch=True)
