@@ -1762,6 +1762,26 @@ def _q_hopping(sf_dir: str):
         .reset_index(drop=True)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel over events: users reaching each step
+    via a strictly-increasing timestamp chain (greedy-min chain —
+    optimal for reachability).  Bucketed per-user kernel; ≤ |steps|
+    partial rows per bucket, summed here."""
+    import pandas as pd
+
+    from vframe_ray.stages.sessionize import event_funnel
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "ts", "event_type"])
+    parts = event_funnel(ds, steps=FUNNEL_STEPS).to_pandas()
+    out = parts.groupby("step", as_index=False)["n_users_p"].sum() \
+        .rename(columns={"n_users_p": "n_users"}).sort_values("step")
+    out["step_name"] = [FUNNEL_STEPS[i - 1] for i in out["step"]]
+    return out[["step", "step_name", "n_users"]].reset_index(drop=True)
+
+
 def _q_value_quantiles(sf_dir: str):
     """Deterministic binned quantiles (p50/p90/p99 of value per event
     type, 0.01 bins) — no sketch randomness, bit-exact SQL mirror."""
@@ -2432,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_wildcard": _q_bm25_wildcard,
         "did_you_mean": _q_did_you_mean,
         "repetition_features": _q_repetition,
+        "event_funnel": _q_event_funnel,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -2986,6 +3007,24 @@ LEFT JOIN c ON c._id = d.doc_id
 LEFT JOIN top ON top._id = d.doc_id
 LEFT JOIN bstat ON bstat._id = d.doc_id
 ORDER BY d.doc_id""",
+        # funnel: greedy earliest chain — min ts per step strictly after
+        # the previous step's bound
+        "event_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+ s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+ s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1::INT AS step, 'view' AS step_name,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+ORDER BY step""",
         # the JSONL/CSV roundtrips re-read engine-written sidecar files;
         # the oracle stays on the canonical parquet views, so any loss in
         # the text roundtrip fails the hash

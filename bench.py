@@ -169,7 +169,8 @@ def run_bench() -> dict:
                  # round 4: the two data-sized new operators (the rest
                  # run over the 500-row documents table)
                  ("q3_join_topk", rel.q3_shipping_priority),
-                 ("running_window", rel.running_customer_revenue)]
+                 ("running_window", rel.running_customer_revenue),
+                 ("q5_join", rel.q5_local_supplier_revenue)]
     for name, fn in pipelines:
         fn(SF_DIR)                                # untimed warmup
         t0 = time.time()

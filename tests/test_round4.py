@@ -170,3 +170,43 @@ def test_repetition_features_vs_scalar_oracle(ray_session):
         assert row["top_token_frac"] == want_top
     assert got.loc[3, "dup_bigram_frac"] == 1.0 - 1.0 / 3
     assert got.loc[3, "top_token_frac"] == 1.0
+
+
+def test_event_funnel_strict_ordering(ray_session):
+    """Funnel chains must be strictly increasing in ts: equal-ts and
+    out-of-order steps do not convert; greedy-min chain finds the
+    conversion when ANY valid chain exists."""
+    import pyarrow as pa
+
+    from vframe_ray.stages.sessionize import event_funnel
+    T = pd.Timestamp
+    rows = [
+        # u1 full funnel in order
+        (1, T("2024-01-01 10:00"), "view"),
+        (1, T("2024-01-01 10:05"), "click"),
+        (1, T("2024-01-01 10:10"), "purchase"),
+        # u2 purchase BEFORE click -> stops at click
+        (2, T("2024-01-01 10:00"), "view"),
+        (2, T("2024-01-01 10:01"), "purchase"),
+        (2, T("2024-01-01 10:02"), "click"),
+        # u3 click at SAME ts as view -> strict > excludes; stops at view
+        (3, T("2024-01-01 10:00"), "view"),
+        (3, T("2024-01-01 10:00"), "click"),
+        # u4 never views (click+purchase only) -> counted nowhere
+        (4, T("2024-01-01 10:00"), "click"),
+        (4, T("2024-01-01 10:01"), "purchase"),
+        # u5 greedy trap: early view, early click, purchase after
+        # a LATER second click — greedy min chain still converts
+        (5, T("2024-01-01 09:00"), "view"),
+        (5, T("2024-01-01 09:30"), "click"),
+        (5, T("2024-01-01 11:00"), "purchase"),
+        (5, T("2024-01-01 12:00"), "click"),
+    ]
+    ds = ray.data.from_items([
+        {"user_id": u, "ts": t, "event_type": e, "value": 0.0}
+        for u, t, e in rows]).repartition(3)
+    parts = event_funnel(ds).to_pandas()
+    out = parts.groupby("step")["n_users_p"].sum()
+    assert out[1] == 4          # u1 u2 u3 u5 viewed
+    assert out[2] == 3          # u1 u2 u5 clicked after view
+    assert out[3] == 2          # u1 u5 purchased after that click

@@ -117,6 +117,7 @@ def _register_builtins() -> None:
         "top_bigrams": _stats.top_bigrams,
         "tfidf_top_terms": _stats.tfidf_top_terms,
         "repetition_features": textquality.repetition_features,
+        "event_funnel": sessionize.event_funnel,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)

@@ -182,3 +182,58 @@ def hopping_window(ds, *, length_s: int = 600, hop_s: int = 300,
                            zero_copy_batch=True)
             .map_batches(_str_bucket(key_col, nb), batch_format="pyarrow")
             .groupby("__b").map_groups(combine, batch_format="pandas"))
+
+
+def event_funnel(ds, *, steps: tuple = ("view", "click", "purchase"),
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type"):
+    """Ordered funnel analysis: how many keys (users) performed the
+    step-1 event, then a step-2 event STRICTLY after it, then step-3
+    after that — the classic conversion funnel.  The greedy
+    earliest-timestamp chain is optimal for reachability, so each step
+    is one "min ts above the previous bound" reduction per user.
+
+    ONE keyed exchange: bucket by hash(user), then per bucket the whole
+    funnel runs vectorized (one merge + filter + groupby-min per step;
+    the loop is over the CONFIG-sized step list, never rows).  Each
+    bucket emits ≤ len(steps) partial rows; the driver sums them — the
+    same partial-combine bound as every grouped aggregate here.
+
+    Returns a Dataset of (step int32, n_users_p) partials; callers sum
+    per step (``__ray_entry__`` attaches step names and presents
+    (step, step_name, n_users))."""
+    nb = num_hash_buckets(None)
+    steps = list(steps)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # prune: only funnel-step events ride the exchange
+        import pyarrow.compute as pc
+        t = t.filter(pc.is_in(t[type_col],
+                              value_set=pa.array(steps, pa.string())))
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(int_bucket_of(k, nb)),
+            key_col: t[key_col], ts_col: t[ts_col],
+            type_col: t[type_col]})
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        counts = []
+        e1 = g.loc[g[type_col] == steps[0], [key_col, ts_col]]
+        bound = e1.groupby(key_col, sort=False)[ts_col].min() \
+            .reset_index().rename(columns={ts_col: "__bound"})
+        counts.append(len(bound))
+        for s in steps[1:]:
+            e = g.loc[g[type_col] == s, [key_col, ts_col]] \
+                .merge(bound, on=key_col)
+            e = e[e[ts_col] > e["__bound"]]
+            bound = e.groupby(key_col, sort=False)[ts_col].min() \
+                .reset_index().rename(columns={ts_col: "__bound"})
+            counts.append(len(bound))
+        return _arrow(pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int32),
+            "n_users_p": np.array(counts, dtype=np.int64)}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(funnel, batch_format="pandas"))
