@@ -1402,6 +1402,28 @@ def _q_repetition(sf_dir: str):
                 "top_token_frac"]].reset_index(drop=True)
 
 
+DUP_CHUNK_SIZE = 16
+
+
+def _q_dup_chunk_fraction(sf_dir: str):
+    """Chunk-level cross-doc duplication: per doc, the fraction of its
+    non-overlapping 16-token chunks whose text appears in ≥ 1 other
+    doc.  Zero-chunk docs are re-attached with zeros here (the operator
+    streams only docs that produced chunks)."""
+    import pandas as pd
+
+    from vframe_ray.stages.chunking import duplicate_chunk_fraction
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    out = duplicate_chunk_fraction(ds, size=DUP_CHUNK_SIZE).to_pandas()
+    all_ids = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id"])
+    out = all_ids.merge(out, on="doc_id", how="left")
+    out["n_chunks"] = out["n_chunks"].fillna(0).astype("int64")
+    out["dup_chunk_frac"] = out["dup_chunk_frac"].fillna(0.0)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_winnow(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import winnow_fingerprints
@@ -2453,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_you_mean": _q_did_you_mean,
         "repetition_features": _q_repetition,
         "event_funnel": _q_event_funnel,
+        "dup_chunk_fraction": _q_dup_chunk_fraction,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -3025,6 +3048,38 @@ SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY step""",
+        "dup_chunk_fraction": f"""
+WITH arr AS (SELECT doc_id AS _id,
+                    list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                t -> t <> '') AS arr
+             FROM documents),
+ nn AS (SELECT _id, arr, len(arr)::BIGINT AS n FROM arr
+        WHERE len(arr) > 0),
+ g AS (SELECT _id, arr, n,
+              unnest(generate_series(
+                  0, CAST(ceil(n / {float(DUP_CHUNK_SIZE)}) AS BIGINT)
+                  - 1)) AS ci
+       FROM nn),
+ ch AS (SELECT _id,
+               array_to_string(list_slice(arr,
+                                          ci * {DUP_CHUNK_SIZE} + 1,
+                                          least(ci * {DUP_CHUNK_SIZE}
+                                                + {DUP_CHUNK_SIZE}, n)),
+                               ' ') AS chunk_text
+        FROM g),
+ dup AS (SELECT chunk_text FROM ch GROUP BY chunk_text
+         HAVING count(DISTINCT _id) >= 2),
+ per AS (SELECT _id, count(*)::BIGINT AS n_chunks,
+                sum(CASE WHEN chunk_text IN (SELECT chunk_text FROM dup)
+                         THEN 1 ELSE 0 END)::BIGINT AS ndup
+         FROM ch GROUP BY _id)
+SELECT d.doc_id, coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
+       CASE WHEN coalesce(per.n_chunks, 0) > 0
+            THEN per.ndup / per.n_chunks::DOUBLE ELSE 0.0
+       END AS dup_chunk_frac
+FROM documents d LEFT JOIN per ON per._id = d.doc_id
+ORDER BY d.doc_id""",
         # the JSONL/CSV roundtrips re-read engine-written sidecar files;
         # the oracle stays on the canonical parquet views, so any loss in
         # the text roundtrip fails the hash

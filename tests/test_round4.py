@@ -210,3 +210,42 @@ def test_event_funnel_strict_ordering(ray_session):
     assert out[1] == 4          # u1 u2 u3 u5 viewed
     assert out[2] == 3          # u1 u2 u5 clicked after view
     assert out[3] == 2          # u1 u5 purchased after that click
+
+
+def test_duplicate_chunk_fraction_planted(ray_session):
+    """Cross-doc duplicate chunks flag; a doc repeating its OWN chunk
+    does not (distinct-doc rule); empty docs emit no row."""
+    from vframe_ray.stages.chunking import duplicate_chunk_fraction
+    block = " ".join(f"t{i}" for i in range(8))        # one 8-token chunk
+    docs = [
+        {"doc_id": 0, "text": block + " unique0 " + "filler0 " * 7},
+        {"doc_id": 1, "text": block + " unique1 " + "filler1 " * 7},
+        {"doc_id": 2, "text": (block + " ") * 2},      # own-repeat only?
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "totally different words here now ok yes no"},
+    ]
+    ds = ray.data.from_items(docs).repartition(2)
+    got = duplicate_chunk_fraction(ds, size=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1, 2, 4]      # doc 3: no chunks
+    by = got.set_index("doc_id")
+    # docs 0/1/2 all contain the shared block as chunk 0 -> duplicate
+    assert by.loc[0, "dup_chunk_frac"] == 1.0 / by.loc[0, "n_chunks"]
+    assert by.loc[1, "dup_chunk_frac"] == 1.0 / by.loc[1, "n_chunks"]
+    # doc 2 = block twice: BOTH its chunks equal the shared text
+    assert by.loc[2, "n_chunks"] == 2
+    assert by.loc[2, "dup_chunk_frac"] == 1.0
+    assert by.loc[4, "dup_chunk_frac"] == 0.0
+
+
+def test_duplicate_chunk_own_repeat_not_cross_doc(ray_session):
+    """A chunk repeated only WITHIN one doc is not a cross-doc dup."""
+    from vframe_ray.stages.chunking import duplicate_chunk_fraction
+    block = " ".join(f"s{i}" for i in range(8))
+    docs = [{"doc_id": 0, "text": (block + " ") * 3},
+            {"doc_id": 1, "text": "other words " * 4}]
+    got = duplicate_chunk_fraction(
+        ray.data.from_items(docs), size=8).to_pandas() \
+        .set_index("doc_id")
+    assert got.loc[0, "dup_chunk_frac"] == 0.0
+    assert got.loc[1, "dup_chunk_frac"] == 0.0

@@ -118,6 +118,7 @@ def _register_builtins() -> None:
         "tfidf_top_terms": _stats.tfidf_top_terms,
         "repetition_features": textquality.repetition_features,
         "event_funnel": sessionize.event_funnel,
+        "duplicate_chunk_fraction": chunking.duplicate_chunk_fraction,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)

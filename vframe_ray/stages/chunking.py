@@ -113,3 +113,69 @@ def pack_sequences(ds, *, budget: int = 512, group_col: str = "source",
 
     return counted.groupby(group_col).map_groups(pack,
                                                  batch_format="pandas")
+
+
+def duplicate_chunk_fraction(ds, *, size: int = 16,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             cfg: AnalyzerConfig | None = None):
+    """Cross-document chunk-level duplication: split every doc into
+    NON-OVERLAPPING ``size``-token chunks and report, per doc, the
+    fraction of its chunks whose text also appears in ≥ 1 OTHER doc —
+    the chunk-granularity contamination/near-copy signal (C4/Gopher
+    style dedup diagnostics at sub-document resolution).
+
+    Two bounded exchanges:
+    1. chunks co-partition by hash(chunk_text) buckets; inside a bucket
+       duplicates are decided by grouping on the TEXT itself, so a
+       64-bit hash collision can never create a false duplicate (it
+       only co-locates two innocent groups).  Each bucket emits ≤ one
+       partial row per (doc, bucket): chunk + duplicate counts.
+    2. partials co-partition by hash(doc) and sum; the final division
+       is one float64 op, matching the SQL oracle bit-for-bit.
+
+    Returns a Dataset of (id_col, n_chunks, dup_chunk_frac) — docs
+    with zero chunks (empty text) emit no row; callers needing them
+    left-join the doc table (see ``__ray_entry__``)."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from .hashing import dict_hash_u64
+    nb = num_hash_buckets(None)
+    chunks = chunk_documents(ds, size=size, stride=size, id_col=id_col,
+                             text_col=text_col, cfg=cfg)
+
+    def bucket_by_chunk(t: pa.Table) -> pa.Table:
+        ct = t["chunk_text"]
+        if isinstance(ct, pa.ChunkedArray):
+            ct = ct.combine_chunks()
+        h = dict_hash_u64(ct)
+        return pa.table({"__b": pa.array(int_bucket_of(h, nb)),
+                         id_col: t[id_col], "chunk_text": ct})
+
+    def mark(g: pd.DataFrame) -> pa.Table:
+        dup = g.groupby("chunk_text", sort=False)[id_col] \
+            .transform("nunique").to_numpy() >= 2
+        part = pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             "dup": dup.astype(np.int64)})
+        agg = part.groupby(id_col, as_index=False, sort=False).agg(
+            n_chunks_p=("dup", "size"), n_dup_p=("dup", "sum"))
+        return arrow_group(agg)
+
+    parts = (chunks.map_batches(bucket_by_chunk, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("__b").map_groups(mark, batch_format="pandas"))
+
+    def bucket_by_doc(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b2", pa.array(int_bucket_of(k, nb)))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(id_col, as_index=False, sort=False).agg(
+            n_chunks=("n_chunks_p", "sum"), n_dup=("n_dup_p", "sum"))
+        agg["n_chunks"] = agg["n_chunks"].astype(np.int64)
+        agg["dup_chunk_frac"] = (agg["n_dup"].to_numpy(np.int64)
+                                 / agg["n_chunks"].to_numpy(np.int64))
+        return arrow_group(agg[[id_col, "n_chunks", "dup_chunk_frac"]])
+
+    return (parts.map_batches(bucket_by_doc, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("__b2").map_groups(combine, batch_format="pandas"))
