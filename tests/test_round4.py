@@ -249,3 +249,37 @@ def test_duplicate_chunk_own_repeat_not_cross_doc(ray_session):
         .set_index("doc_id")
     assert got.loc[0, "dup_chunk_frac"] == 0.0
     assert got.loc[1, "dup_chunk_frac"] == 0.0
+
+
+def test_event_funnel_fuzz_vs_scalar(ray_session):
+    """Randomized funnel streams vs a per-user greedy chain oracle
+    (ties, duplicates, interleaved other-type events)."""
+    import numpy as np
+
+    from vframe_ray.stages.sessionize import event_funnel
+    rng = np.random.default_rng(11)
+    steps = ("view", "click", "purchase")
+    for trial in range(6):
+        n = int(rng.integers(1, 80))
+        users = rng.integers(1, 6, n)
+        tss = rng.integers(0, 15, n)          # many ties on purpose
+        types = rng.choice(list(steps) + ["other"], n)
+        ds = ray.data.from_items([
+            {"user_id": int(u), "ts": pd.Timestamp(2024, 1, 1)
+             + pd.Timedelta(seconds=int(t)), "event_type": str(e)}
+            for u, t, e in zip(users, tss, types)]).repartition(2)
+        parts = event_funnel(ds, steps=steps).to_pandas()
+        got = parts.groupby("step")["n_users_p"].sum().reindex(
+            [1, 2, 3], fill_value=0).tolist()
+        want = [0, 0, 0]
+        for u in set(users.tolist()):
+            ev = [(int(t), str(e)) for uu, t, e in zip(users, tss, types)
+                  if uu == u]
+            bound = -1.0
+            for i, s in enumerate(steps):
+                cands = [t for t, e in ev if e == s and t > bound]
+                if not cands:
+                    break
+                bound = min(cands)
+                want[i] += 1
+        assert got == want, (trial, got, want)
