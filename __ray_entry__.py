@@ -2476,6 +2476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_features": _q_repetition,
         "event_funnel": _q_event_funnel,
         "dup_chunk_fraction": _q_dup_chunk_fraction,
+        "source_stats_join": rel.source_stats_join,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -3005,6 +3006,11 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_wildcard": _wildcard_sql(),
         "did_you_mean": _dym_sql(),
+        "source_stats_join": """
+WITH s AS (SELECT source, count(*)::BIGINT AS src_docs
+           FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars, s.src_docs
+FROM documents d JOIN s USING (source) ORDER BY d.doc_id""",
         # repetition: both sides compute 1 − distinct/total and mode/n
         # with one float64 division each, so the hash is exact
         "repetition_features": f"""{_TOK},

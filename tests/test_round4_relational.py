@@ -218,3 +218,23 @@ def test_json_field_rollup(ray_session, tmp_path):
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["sum_k"].tolist() == want["sum_k"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+def test_hash_join_string_keys(ray_session):
+    """hash_join on STRING keys (unicode, empty, comma-bearing) matches
+    a pandas merge; int path unchanged."""
+    import ray.data
+
+    from vframe_ray.stages.joins import hash_join
+    left = [{"k": k, "lv": i} for i, k in enumerate(
+        ["", "a", "b,b", "ünï", "a", "missing-right", "ünï"])]
+    right = [{"k": k, "rv": 10 * i} for i, k in enumerate(
+        ["a", "ünï", "", "b,b", "missing-left"])]
+    got = hash_join(ray.data.from_items(left).repartition(3),
+                    ray.data.from_items(right).repartition(2),
+                    key="k", left_cols=["k", "lv"], right_cols=["rv"]) \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    want = pd.DataFrame(left).merge(pd.DataFrame(right), on="k") \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    assert got[["k", "lv", "rv"]].to_dict("list") == \
+        want[["k", "lv", "rv"]].to_dict("list")

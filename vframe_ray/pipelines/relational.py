@@ -1054,3 +1054,35 @@ def json_field_rollup(sf_dir: str):
                           [("sum_k_p", "sum", "sum_k"),
                            ("n_p", "sum", "n_events")])
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def source_stats_join(sf_dir: str):
+    """STRING-keyed shuffle hash join showcase: every document row
+    joined to its source's corpus-wide doc count through the generic
+    :func:`~vframe_ray.stages.joins.hash_join` — the key buckets via
+    ``runtime.key_bucket_of`` (vectorized string hashing), everything
+    downstream of the exchange is dtype-agnostic.  (At this size a
+    broadcast would win; the point is exercising the big-big string-key
+    path the engine needs when neither side fits the object store.)
+
+    Returns pandas (doc_id, source, n_chars, src_docs) sorted."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_p"])
+
+    stats = _driver_combine(
+        _read(sf_dir, "documents", columns=["source"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["source"], [("n_p", "sum", "src_docs")])
+    right = ray.data.from_arrow(stats)
+
+    out = hash_join(docs, right, key="source",
+                    left_cols=["doc_id", "source", "n_chars"],
+                    right_cols=["src_docs"])
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "source", "n_chars", "src_docs"]]

@@ -134,3 +134,18 @@ def pair_bucket_of(a, b, n: int):
     h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
          ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
     return ((h >> np.uint64(33)) % np.uint64(n)).astype(np.int32)
+
+
+def key_bucket_of(keys, n: int):
+    """Avalanching bucket id for int64 OR string key arrays (the
+    generic front end to :func:`int_bucket_of`): integer keys use the
+    integer mix; strings hash via ``pd.util.hash_array`` (stable,
+    vectorized) before the same avalanche+mod."""
+    import numpy as np
+    a = np.asarray(keys)
+    if a.dtype.kind in "iu":
+        return int_bucket_of(a.astype(np.int64), n)
+    import pandas as pd
+    h = pd.util.hash_array(a.astype(object)).astype(np.uint64)
+    h *= np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33)) % np.uint64(n)).astype(np.int32)

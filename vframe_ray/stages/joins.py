@@ -36,6 +36,7 @@ from ..runtime import arrow_group as _arrow
 
 
 from ..runtime import int_bucket_of as _bucket_of
+from ..runtime import key_bucket_of as _key_bucket_of
 from ..runtime import num_hash_buckets as _num_buckets
 
 
@@ -252,8 +253,11 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
         cols_self = set(left_cols if side else right_cols)
 
         def fn(t: pa.Table) -> pa.Table:
-            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-            out = {"__bucket": _bucket_of(k, nb), "__key": t[key],
+            # generic key bucketing: int64 keys use the integer mix,
+            # string keys hash first (join machinery below is
+            # dtype-agnostic — pandas merges on "__key" either way)
+            k = t[key].to_numpy(zero_copy_only=False)
+            out = {"__bucket": _key_bucket_of(k, nb), "__key": t[key],
                    "__side": pa.array(
                        np.full(len(t), side, dtype=np.int8))}
             # CANONICAL column order on both sides (left_cols then
