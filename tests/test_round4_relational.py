@@ -238,3 +238,41 @@ def test_hash_join_string_keys(ray_session):
         .sort_values(["k", "lv"]).reset_index(drop=True)
     assert got[["k", "lv", "rv"]].to_dict("list") == \
         want[["k", "lv", "rv"]].to_dict("list")
+
+
+def test_degenerate_parameters(ray_session, sf_dir):
+    """Window=1 frames equal each row; single-step funnel counts step-1
+    users; empty correction list returns an empty typed table."""
+    import ray.data
+
+    from vframe_ray.pipelines.relational import moving_window_revenue
+    from vframe_ray.stages.sessionize import event_funnel
+    got = moving_window_revenue(sf_dir, window=1)
+    o = _orders(sf_dir)
+    cents = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    assert (got["win_n"] == 1).all()
+    assert sorted(got["win_sum"].tolist()) == \
+        sorted((cents / 100.0).tolist())
+
+    ev = ray.data.from_items([
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-01"),
+         "event_type": "view"},
+        {"user_id": 2, "ts": pd.Timestamp("2024-01-01"),
+         "event_type": "click"}])
+    parts = event_funnel(ev, steps=("view",)).to_pandas()
+    assert parts.groupby("step")["n_users_p"].sum().tolist() == [1]
+
+
+def test_suggest_corrections_empty_terms(ray_session, tmp_path):
+    import ray.data
+
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import suggest_corrections
+    idx = str(tmp_path / "empty_sugg_idx")
+    build_index(ray.data.from_items(
+        [{"conv_id": "c0", "turn_idx": 0, "text": "alpha"}]), idx,
+        SMALL_CFG)
+    out = suggest_corrections(idx, [])
+    assert out.num_rows == 0
+    assert out.column_names == ["query_term", "suggestion", "df"]
