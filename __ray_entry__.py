@@ -2477,6 +2477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "dup_chunk_fraction": _q_dup_chunk_fraction,
         "source_stats_join": rel.source_stats_join,
+        "q18_large_orders": rel.q18_large_orders,
+        "priority_sequence": rel.priority_sequence,
         # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
@@ -3011,6 +3013,22 @@ WITH s AS (SELECT source, count(*)::BIGINT AS src_docs
            FROM documents GROUP BY source)
 SELECT d.doc_id, d.source, d.n_chars, s.src_docs
 FROM documents d JOIN s USING (source) ORDER BY d.doc_id""",
+        "q18_large_orders": f"""
+WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > {rel.Q18_QTY})
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT {rel.Q18_K}""",
+        "priority_sequence": """
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       string_agg(o_orderpriority, ' '
+                  ORDER BY o_orderdate, o_orderkey) AS priority_seq
+FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
         # repetition: both sides compute 1 − distinct/total and mode/n
         # with one float64 division each, so the hash is exact
         "repetition_features": f"""{_TOK},

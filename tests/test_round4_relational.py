@@ -276,3 +276,43 @@ def test_suggest_corrections_empty_terms(ray_session, tmp_path):
     out = suggest_corrections(idx, [])
     assert out.num_rows == 0
     assert out.column_names == ["query_term", "suggestion", "df"]
+
+
+def test_q18_vs_duckdb(sf_dir):
+    import duckdb
+
+    from vframe_ray.pipelines.relational import q18_large_orders
+    got = q18_large_orders(sf_dir, qty=100.0, k=10)
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute("""
+        WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 100)
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM orders o
+        JOIN big ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 10""").fetchdf()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["sum_qty"].tolist() == want["sum_qty"].tolist()
+    assert got["c_name"].tolist() == want["c_name"].tolist()
+    assert 0 < len(got) <= 10
+
+
+def test_priority_sequence_ordered_agg(sf_dir):
+    from vframe_ray.pipelines.relational import priority_sequence
+    got = priority_sequence(sf_dir)
+    o = _orders(sf_dir).sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"])
+    want = o.groupby("o_custkey").agg(
+        n_orders=("o_orderpriority", "size"),
+        priority_seq=("o_orderpriority", " ".join)).reset_index()
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["priority_seq"].tolist() == want["priority_seq"].tolist()
+    # the planted same-date tie pair resolves by orderkey on both sides
+    assert got["n_orders"].sum() == len(o)

@@ -1086,3 +1086,114 @@ def source_stats_join(sf_dir: str):
                     right_cols=["src_docs"])
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return df[["doc_id", "source", "n_chars", "src_docs"]]
+
+
+Q18_QTY = 200.0
+Q18_K = 100
+
+
+def q18_large_orders(sf_dir: str, qty: float = Q18_QTY, k: int = Q18_K):
+    """TPC-H Q18 shape (large-volume orders): filter orders by a
+    GROUPED-AGGREGATE THRESHOLD over their lineitems (HAVING
+    sum(quantity) > qty), join back to orders + customer, global
+    top-k by price.
+
+    Physical plan: per-block Arrow partial sums by orderkey → bucketed
+    exact sum (orderkey cardinality is corpus-sized, so no driver
+    combine) → HAVING filter inside the bucket kernel (only qualifying
+    orders leave the reduce) → shuffle hash join to orders with the
+    per-block top-k partial FUSED into the join's bucket hook (each
+    bucket emits ≤ k candidate rows) → driver merges ≤ k·buckets rows
+    and resolves customer names from a broadcast-read of the ≤ k final
+    custkeys.  Two exchanges total, both bounded.
+
+    Returns pandas (c_name, o_custkey, o_orderkey, o_orderdate,
+    o_totalprice, sum_qty) sorted by (o_totalprice desc, o_orderdate,
+    o_orderkey), ≤ k rows."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..stages.joins import hash_join
+    nb = num_hash_buckets(None)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        g = g.rename_columns(["o_orderkey", "qty_p"])
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(key.astype(np.int64), nb)))
+
+    def having(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_orderkey", as_index=False, sort=False)[
+            "qty_p"].sum().rename(columns={"qty_p": "sum_qty"})
+        return arrow_group(agg[agg["sum_qty"] > qty]
+                           .reset_index(drop=True))
+
+    big = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(having, batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def topk_partial(j: pd.DataFrame) -> pd.DataFrame:
+        if not len(j):
+            return j
+        return j.sort_values(["o_totalprice", "o_orderdate",
+                              "o_orderkey"],
+                             ascending=[False, True, True]).head(k)
+
+    j = hash_join(orders, big, key="o_orderkey",
+                  left_cols=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"],
+                  right_cols=["sum_qty"], post=topk_partial)
+    df = j.to_pandas().sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True]).head(k).reset_index(drop=True)
+    import pyarrow.parquet as pq
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    df = df.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .drop(columns="c_custkey")
+    return df.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True])[
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+         "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+def priority_sequence(sf_dir: str):
+    """Grouped ORDERED string aggregation (SQL string_agg /
+    collect_list): per customer, the space-joined sequence of order
+    priorities in (date, orderkey) order — the collect-to-list operator
+    shape.  Bucketed one-exchange plan; the per-group join runs inside
+    pandas' C-level groupby-agg (string concatenation is inherently
+    object work — it is per GROUP, not per row, and bounded by the
+    group's output string).
+
+    Returns pandas (o_custkey, n_orders, priority_seq) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(int_bucket_of(
+            cust.astype(np.int64), nb)))
+
+    def agg(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        out = g.groupby("o_custkey", sort=True).agg(
+            n_orders=("o_orderpriority", "size"),
+            priority_seq=("o_orderpriority", " ".join)).reset_index()
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return arrow_group(out)
+
+    out = (orders.map_batches(bucketed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("__b").map_groups(agg, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
