@@ -153,3 +153,28 @@ def test_service_parity_like_and_corrections(ray_session, tmp_path):
             {"query_term": "aple", "suggestion": "apple", "df": 4}]
     finally:
         svc.shutdown()
+
+
+def test_service_mixed_wildcard_modes(ray_session, tmp_path):
+    """'like' and 'prefix' requests inside a mixed batch match their
+    dedicated per-mode calls."""
+    from vframe_ray.index.query import search_like_index
+    idx = str(tmp_path / "svc_mixed_like_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        lq = [{"query_id": 0, "query_text": "ap?le *rry", "k": 10}]
+        pq_ = [{"query_id": 0, "query_text": "ap* rare", "k": 10}]
+        sq = [{"query_id": 0, "query_text": "banana", "k": 5}]
+        outs = svc.search_mixed([
+            {"mode": "like", "queries": lq},
+            {"mode": "prefix", "queries": pq_},
+            {"mode": "search", "queries": sq}])
+        assert outs[0].to_pylist() == \
+            search_like_index(idx, lq).to_pylist()
+        assert outs[1].to_pylist() == \
+            search_prefix_index(idx, pq_).to_pylist()
+        assert outs[2].to_pylist() == svc.search(sq).to_pylist()
+        assert outs[0].num_rows and outs[1].num_rows
+    finally:
+        svc.shutdown()

@@ -569,7 +569,9 @@ class QueryService:
         """Heterogeneous query batch in ONE round trip per shard
         (VERDICT r3 next #7).  Each request is {"mode": one of
         search|boolean|proximity|phrase_rank|boosted|after|facets|
-        facet_ranges, "queries": [...], + mode extras ("facet_col",
+        facet_ranges|prefix|like (the wildcard modes expand driver-side
+        and ride as plain searches), "queries": [...], + mode extras
+        ("facet_col",
         "bin_width", "collapse", "use_bmw")}; returns one result table
         per request, value-identical to calling the per-mode method
         (parity-tested).  Compared to one call per mode this saves
@@ -583,6 +585,17 @@ class QueryService:
         for req in requests:
             mode = req["mode"]
             qs = req["queries"]
+            if mode in ("like", "prefix"):
+                # wildcard modes expand driver-side (one dictionary
+                # read) and then ride the batch as plain searches
+                if mode == "like":
+                    from .entrypoints import _like_plain_queries
+                    qs = _like_plain_queries(self.index_dir, self.tok, qs)
+                else:
+                    per_q, pats = _parse_wildcard_queries(self.tok, qs)
+                    qs = _expand_wildcards(self.index_dir, per_q, pats)
+                req = {**req, "queries": qs}
+                mode = "search"
             if mode == "search":
                 offsets = {int(q["query_id"]): int(q.get("offset", 0))
                            for q in qs}
