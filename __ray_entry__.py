@@ -1798,10 +1798,18 @@ def _q_event_funnel(sf_dir: str):
     ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
                        columns=["user_id", "ts", "event_type"])
     parts = event_funnel(ds, steps=FUNNEL_STEPS).to_pandas()
-    out = parts.groupby("step", as_index=False)["n_users_p"].sum() \
-        .rename(columns={"n_users_p": "n_users"}).sort_values("step")
-    out["step_name"] = [FUNNEL_STEPS[i - 1] for i in out["step"]]
-    return out[["step", "step_name", "n_users"]].reset_index(drop=True)
+    # reindex over ALL steps: a corpus with zero funnel-step events
+    # yields no partials at all, but the oracle's UNION ALL always
+    # emits one zero-count row per step
+    sums = parts.groupby("step")["n_users_p"].sum() if len(parts) \
+        else pd.Series(dtype="int64")
+    out = pd.DataFrame({
+        "step": pd.array(range(1, len(FUNNEL_STEPS) + 1), dtype="int32"),
+        "step_name": list(FUNNEL_STEPS),
+        "n_users": [int(sums.get(i, 0))
+                    for i in range(1, len(FUNNEL_STEPS) + 1)]})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
 
 
 def _q_value_quantiles(sf_dir: str):

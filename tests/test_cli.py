@@ -114,3 +114,23 @@ def test_cli_wildcard_and_correct(ray_session, tmp_path, capsys):
     got = _lines(capsys)
     assert got == [{"query_term": "neddle", "suggestion": "needle",
                     "df": 12}]
+
+
+def test_cli_wildcard_routing_edges(ray_session, tmp_path, capsys):
+    """Mixed-punctuation stems keep the legacy prefix path (no crash);
+    a bare '?' amid punctuation is punctuation, not a wildcard."""
+    idx = _mk_index(tmp_path)
+    # 'alpha-x al*' -> not a clean wildcard token set ('alpha-x' has
+    # no wildcard, 'al*' is clean) ... but 'foo-bar*' itself must not
+    # crash: legacy prefix path tokenizes the stem
+    assert main(["query", "--index", idx, "--query", "needle-x al*",
+                 "-k", "3"]) == 0
+    assert _lines(capsys)                 # like path: al* -> alpha
+    # the crash shape: punctuation INSIDE the wildcard token itself
+    assert main(["query", "--index", idx, "--query", "needle-al*",
+                 "-k", "3"]) == 0
+    assert _lines(capsys)                 # legacy prefix path, no crash
+    # natural-language '?' stays plain search (tokenizer strips it)
+    assert main(["query", "--index", idx, "--query", "is needle here?!",
+                 "-k", "3"]) == 0
+    assert _lines(capsys)

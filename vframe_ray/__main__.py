@@ -56,6 +56,18 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _clean_wildcards(queries) -> bool:
+    """True iff the queries contain wildcard tokens AND every
+    wildcard-bearing token is pure ``[a-z0-9*?]`` — the shape
+    search_like_index accepts.  A '?' inside ordinary punctuation
+    ("is this right?") is NOT a wildcard request."""
+    import re
+    wild = [w for q in (queries or []) for w in q.lower().split()
+            if "*" in w or "?" in w]
+    return bool(wild) and all(
+        re.fullmatch(r"[a-z0-9*?]+", w) for w in wild)
+
+
 def cmd_query(args) -> int:
     ray = _ray_session(args.num_cpus)
     from .index import query as q_
@@ -119,11 +131,18 @@ def cmd_query(args) -> int:
         res = q_.search_fuzzy_index(args.index, qs,
                                     max_edits=args.fuzzy,
                                     predicates=preds)
-    elif any(c in q for q in (args.query or []) for c in "*?"):
+    elif _clean_wildcards(args.query):
         # general wildcard path (mid-pattern * / ?); trailing-star
         # prefixes expand to the same term set as search_prefix_index
         res = q_.search_like_index(args.index, qs, predicates=preds,
                                    collapse=args.collapse)
+    elif any("*" in q for q in (args.query or [])):
+        # legacy mixed-punctuation stems ("foo-bar*"): the prefix path
+        # tokenizes the stem (literal 'foo' + prefix 'bar*') instead of
+        # rejecting the token; a bare '?' with other punctuation is
+        # plain punctuation and falls through to plain search below
+        res = q_.search_prefix_index(args.index, qs, predicates=preds,
+                                     collapse=args.collapse)
     elif args.facet:
         res = q_.facet_counts_index(args.index, qs, args.facet,
                                     predicates=preds)

@@ -1004,12 +1004,17 @@ def _like_plain_queries(index_dir: str, tok: Tokenizer,
     """Shared parse+expand for the general wildcard path (one-shot
     entry point and QueryService): tokens containing ``*``/``?``
     expand via :func:`expand_like_patterns`, literals tokenize."""
+    import re as _re
     per_q, all_pats = [], set()
     for q in queries:
         literals, pats = set(), set()
         for raw in str(q.get("query_text", "")).lower().split():
             if "*" in raw or "?" in raw:
-                if not all(c.isalnum() or c in "*?" for c in raw):
+                # ASCII-strict: the '{' range upper bound in
+                # expand_like_patterns is only valid for [a-z0-9]
+                # prefixes (non-ASCII letters sort above '{' in UTF-8
+                # and would silently fall outside the pushdown range)
+                if not _re.fullmatch(r"[a-z0-9*?]+", raw):
                     raise ValueError(f"wildcard token {raw!r} may only "
                                      "contain [a-z0-9*?]")
                 pats.add(raw)
@@ -1075,8 +1080,9 @@ def suggest_corrections(index_dir: str, terms: list[str],
     dfmap = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
     rows = []
     for q in uniq:
-        best = max(expansion[q], key=lambda c: (dfmap.get(c, 0), _NEG(c)),
-                   default=None)
+        # (df desc, term asc) — the suggest_terms tie rule
+        best = min(expansion[q],
+                   key=lambda c: (-dfmap.get(c, 0), c), default=None)
         if best is not None:
             rows.append((q, best, int(dfmap.get(best, 0))))
     if not rows:
@@ -1084,22 +1090,6 @@ def suggest_corrections(index_dir: str, terms: list[str],
     return pa.table({"query_term": pa.array([r[0] for r in rows]),
                      "suggestion": pa.array([r[1] for r in rows]),
                      "df": pa.array([r[2] for r in rows], pa.int64())})
-
-
-class _NEG:
-    """Reverse-order wrapper so max() breaks df ties on the SMALLEST
-    string (df desc, term asc — the autocomplete tie rule)."""
-
-    __slots__ = ("s",)
-
-    def __init__(self, s: str):
-        self.s = s
-
-    def __lt__(self, other: "_NEG") -> bool:
-        return self.s > other.s
-
-    def __eq__(self, other: object) -> bool:
-        return isinstance(other, _NEG) and self.s == other.s
 
 
 def search_fields_index(fields: list[tuple[str, float]],

@@ -633,23 +633,20 @@ def q3_shipping_priority(sf_dir: str, k: int = Q3_K):
                "o_orderpriority"]].reset_index(drop=True)
 
 
-def running_customer_revenue(sf_dir: str):
-    """Per-customer running revenue over order dates — the cumulative
-    window aggregate (SQL: SUM() OVER (PARTITION BY … ORDER BY … ROWS
-    UNBOUNDED PRECEDING)).  ONE keyed exchange — but keyed on
-    hash(custkey) % nb BUCKETS, not on the raw key: a per-customer
-    map_groups pays ~1-2 ms of UDF dispatch per group (≈ 40 s of pure
-    overhead at sf0.1's 15k customers); a per-BUCKET kernel runs one
-    vectorized segmented cumsum over every customer in the bucket.
-    Totals are accumulated in integer CENTS on both engine and oracle
-    sides, so the running sum is exact at any prefix length (float
-    cumsum association can never drift the hash).
+def _group_starts(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of the equal-key runs in a SORTED key array —
+    the segmentation every bucketed window kernel shares."""
+    n = len(keys)
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) if n \
+        else np.empty(0, dtype=np.int64)
+    return starts, np.diff(np.append(starts, n))
 
-    Returns pandas (o_custkey, o_orderkey, o_orderdate, running) sorted
-    by (o_custkey, o_orderdate, o_orderkey); running is dollars at 2dp.
-    """
-    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
-    nb = num_hash_buckets(None)
+
+def _orders_cents_bucketed(sf_dir: str, nb: int):
+    """orders pruned to the window columns, totalprice in integer
+    cents, plus the hash(custkey) bucket column — the shared input
+    stage of the per-customer window operators."""
+    from ..runtime import int_bucket_of
 
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderkey", "o_orderdate",
@@ -666,25 +663,43 @@ def running_customer_revenue(sf_dir: str):
                          "o_orderdate": t["o_orderdate"],
                          "cents": pa.array(cents)})
 
+    return orders.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def running_customer_revenue(sf_dir: str):
+    """Per-customer running revenue over order dates — the cumulative
+    window aggregate (SQL: SUM() OVER (PARTITION BY … ORDER BY … ROWS
+    UNBOUNDED PRECEDING)).  ONE keyed exchange — but keyed on
+    hash(custkey) % nb BUCKETS, not on the raw key: a per-customer
+    map_groups pays ~1-2 ms of UDF dispatch per group (≈ 40 s of pure
+    overhead at sf0.1's 15k customers); a per-BUCKET kernel runs one
+    vectorized segmented cumsum over every customer in the bucket.
+    Totals are accumulated in integer CENTS on both engine and oracle
+    sides, so the running sum is exact at any prefix length (float
+    cumsum association can never drift the hash).
+
+    Returns pandas (o_custkey, o_orderkey, o_orderdate, running) sorted
+    by (o_custkey, o_orderdate, o_orderkey); running is dollars at 2dp.
+    """
+    from ..runtime import arrow_group, num_hash_buckets
+    nb = num_hash_buckets(None)
+
     def running(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
             .reset_index(drop=True)
-        cust = g["o_custkey"].to_numpy(np.int64)
-        cs = np.cumsum(g["cents"].to_numpy(np.int64))
+        cents = g["cents"].to_numpy(np.int64)
+        cs = np.cumsum(cents)
         # segmented cumsum: subtract the prefix total carried in from
         # the previous customer at each group start
-        starts = np.flatnonzero(
-            np.r_[True, cust[1:] != cust[:-1]]) if len(cust) else \
-            np.empty(0, np.int64)
-        counts = np.diff(np.append(starts, len(cust)))
-        carry = np.repeat(cs[starts] - g["cents"].to_numpy(np.int64)[starts],
-                          counts) if len(cust) else cs
+        starts, counts = _group_starts(g["o_custkey"].to_numpy(np.int64))
+        carry = np.repeat(cs[starts] - cents[starts], counts) \
+            if len(cents) else cs
         g["running"] = (cs - carry) / 100.0
         return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
                               "running"]])
 
-    out = (orders.map_batches(to_cents, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    out = (_orders_cents_bucketed(sf_dir, nb)
            .groupby("__bucket")
            .map_groups(running, batch_format="pandas")
            .to_pandas())
@@ -773,9 +788,19 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA",
         if not len(j):
             return empty
         sk, sn, ck, cn, mask = ray.get(lookup_ref)
-        s_nat = sn[np.searchsorted(sk, j["l_suppkey"].to_numpy())]
-        c_nat = cn[np.searchsorted(ck, j["o_custkey"].to_numpy())]
-        keep = (s_nat == c_nat) & mask[s_nat]
+
+        def lookup(keys_sorted, vals, x):
+            # FK-safe gather: a key absent from the dimension table is
+            # a no-match, never a silent neighbor read or an
+            # IndexError past the end
+            pos = np.minimum(np.searchsorted(keys_sorted, x),
+                             len(keys_sorted) - 1)
+            ok = keys_sorted[pos] == x
+            return vals[pos], ok
+
+        s_nat, s_ok = lookup(sk, sn, j["l_suppkey"].to_numpy())
+        c_nat, c_ok = lookup(ck, cn, j["o_custkey"].to_numpy())
+        keep = s_ok & c_ok & (s_nat == c_nat) & mask[s_nat]
         if not keep.any():
             return empty
         pe = np.round(j["l_extendedprice"].to_numpy()[keep]
@@ -816,35 +841,17 @@ def moving_window_revenue(sf_dir: str, window: int = 4):
 
     Returns pandas (o_custkey, o_orderkey, o_orderdate, win_sum,
     win_n) sorted by (o_custkey, o_orderdate, o_orderkey)."""
-    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..runtime import arrow_group, num_hash_buckets
     nb = num_hash_buckets(None)
     w = int(window)
-
-    orders = _read(sf_dir, "orders",
-                   columns=["o_custkey", "o_orderkey", "o_orderdate",
-                            "o_totalprice"])
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
-                         * 100.0).astype(np.int64)
-        return pa.table({"__bucket": int_bucket_of(
-                             cust.astype(np.int64), nb),
-                         "o_custkey": t["o_custkey"],
-                         "o_orderkey": t["o_orderkey"],
-                         "o_orderdate": t["o_orderdate"],
-                         "cents": pa.array(cents)})
 
     def frames(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
             .reset_index(drop=True)
         n = len(g)
-        cust = g["o_custkey"].to_numpy(np.int64)
         cents = g["cents"].to_numpy(np.int64)
         cs = np.cumsum(cents)
-        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]]) \
-            if n else np.empty(0, np.int64)
-        counts = np.diff(np.append(starts, n))
+        starts, counts = _group_starts(g["o_custkey"].to_numpy(np.int64))
         pos = np.arange(n) - np.repeat(starts, counts)
         width = np.minimum(pos, w - 1)
         j = np.arange(n) - width
@@ -854,8 +861,7 @@ def moving_window_revenue(sf_dir: str, window: int = 4):
         return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
                               "win_sum", "win_n"]])
 
-    out = (orders.map_batches(to_cents, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    out = (_orders_cents_bucketed(sf_dir, nb)
            .groupby("__bucket")
            .map_groups(frames, batch_format="pandas")
            .to_pandas())
@@ -1152,8 +1158,14 @@ def q18_large_orders(sf_dir: str, qty: float = Q18_QTY, k: int = Q18_K):
         ["o_totalprice", "o_orderdate", "o_orderkey"],
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     import pyarrow.parquet as pq
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"]).to_pandas()
+    # pushdown-filtered read: only the ≤ k finalists' names leave
+    # storage, never the whole customer table
+    finalists = sorted(set(df["o_custkey"].tolist()))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", finalists)] if finalists else None
+    ).to_pandas()
     df = df.merge(cust, left_on="o_custkey", right_on="c_custkey") \
         .drop(columns="c_custkey")
     return df.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],

@@ -138,12 +138,15 @@ def pair_bucket_of(a, b, n: int):
 
 def key_bucket_of(keys, n: int):
     """Avalanching bucket id for int64 OR string key arrays (the
-    generic front end to :func:`int_bucket_of`): integer keys use the
-    integer mix; strings hash via ``pd.util.hash_array`` (stable,
-    vectorized) before the same avalanche+mod."""
+    generic front end to :func:`int_bucket_of`): NUMERIC keys — ints
+    and int-valued floats alike — go through the int64 mix, so the
+    same logical key buckets identically even when one join side's
+    parquet upcast the column to float64 (a pandas-NaN artifact);
+    strings hash via ``pd.util.hash_array`` (stable, vectorized)
+    before the same avalanche+mod."""
     import numpy as np
     a = np.asarray(keys)
-    if a.dtype.kind in "iu":
+    if a.dtype.kind in "iuf":
         return int_bucket_of(a.astype(np.int64), n)
     import pandas as pd
     h = pd.util.hash_array(a.astype(object)).astype(np.uint64)
