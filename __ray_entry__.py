@@ -2366,6 +2366,20 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _sidecar_tag(sf_dir: str, table: str) -> str:
+    """Fingerprint for exported sidecar caches: basename of the corpus
+    dir PLUS a digest of the source parquet's (size, mtime_ns), so a
+    regenerated corpus at the same path — or a different corpus with
+    the same dirname — never silently reuses a stale sidecar (mirrors
+    how flagship.py fingerprints index caches by config)."""
+    import hashlib
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    h = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()
+    return f"{os.path.basename(os.path.normpath(sf_dir))}-{h[:12]}"
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """NDJSON source coverage: documents exported once to JSONL
     (deterministic sidecar under the cache root), re-read via
@@ -2376,7 +2390,7 @@ def _q_jsonl_roundtrip(sf_dir: str):
     from vframe_ray.stages.textquality import quality_features
     from vframe_ray.storage import cache_root
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sidecar_tag(sf_dir, "documents")
     side = os.path.join(cache_root(), f"docs-{tag}.jsonl")
     if not os.path.exists(side):
         os.makedirs(os.path.dirname(side), exist_ok=True)
@@ -2401,7 +2415,7 @@ def _q_csv_events_agg(sf_dir: str):
     from vframe_ray.sources.readers import read_csv
     from vframe_ray.storage import cache_root
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _sidecar_tag(sf_dir, "events")
     side = os.path.join(cache_root(), f"events-{tag}.csv")
     if not os.path.exists(side):
         os.makedirs(os.path.dirname(side), exist_ok=True)
@@ -3011,7 +3025,8 @@ FROM c JOIN a USING (c_nationkey)
 WHERE ct > av ORDER BY c_custkey""",
         "json_field_rollup": """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       (sum(CAST(json_extract_string(props, '$.k') AS BIGINT)))::BIGINT
+           AS sum_k,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY event_type ORDER BY event_type""",
         "bm25_wildcard": _wildcard_sql(),

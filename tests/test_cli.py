@@ -134,3 +134,18 @@ def test_cli_wildcard_routing_edges(ray_session, tmp_path, capsys):
     assert main(["query", "--index", idx, "--query", "is needle here?!",
                  "-k", "3"]) == 0
     assert _lines(capsys)
+    # BARE trailing '?' on a clean token (ADVICE r4): "needle?" must
+    # NOT route to LIKE 'needle_' (which can never match the term
+    # 'needle') — it is a plain question and must hit the term.
+    assert main(["query", "--index", idx, "--query", "is this needle?",
+                 "-k", "3"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["rank"] == 1
+    # a mid-token '?' is still a real wildcard ("n?edle" test above),
+    # and so is a trailing '?' alongside a '*' in the same token
+    from vframe_ray.__main__ import _clean_wildcards
+    assert _clean_wildcards(["is this needle?"]) is False
+    assert _clean_wildcards(["needl?"]) is False      # single trailing
+    assert _clean_wildcards(["n?edle"]) is True
+    assert _clean_wildcards(["needle??"]) is True     # doubled = explicit
+    assert _clean_wildcards(["needl*?"]) is True      # '*' marks intent

@@ -62,8 +62,13 @@ def _clean_wildcards(queries) -> bool:
     search_like_index accepts.  A '?' inside ordinary punctuation
     ("is this right?") is NOT a wildcard request."""
     import re
-    wild = [w for q in (queries or []) for w in q.lower().split()
-            if "*" in w or "?" in w]
+    toks = [w for q in (queries or []) for w in q.lower().split()]
+    # A single trailing '?' is natural-language punctuation ("right?"),
+    # never a wildcard request — strip it BEFORE detection so plain
+    # questions route to term search, not LIKE 'right_'.
+    toks = [w[:-1] if w.endswith("?") and "?" not in w[:-1]
+            and "*" not in w else w for w in toks]
+    wild = [w for w in toks if "*" in w or "?" in w]
     return bool(wild) and all(
         re.fullmatch(r"[a-z0-9*?]+", w) for w in wild)
 
