@@ -266,7 +266,12 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
             for c in left_cols + right_cols:
                 if c in out:
                     continue            # shared column (e.g. the key)
-                out[c] = t[c] if c in cols_self \
+                # self columns are cast to the DECLARED type (zero-copy
+                # when already equal): an explicit left/right_schema that
+                # widens a storage type (int32 parquet column declared
+                # int64) must not leave the union's two inputs with
+                # disagreeing block schemas
+                out[c] = t[c].cast(types[c]) if c in cols_self \
                     else pa.nulls(len(t), types[c])
             return pa.table(out)
         return fn
