@@ -72,7 +72,8 @@ def chunk_documents(ds, *, size: int = 64, stride: int = 48,
 
 def pack_sequences(ds, *, budget: int = 512, group_col: str = "source",
                    id_col: str = "doc_id", text_col: str = "text",
-                   cfg: AnalyzerConfig | None = None):
+                   cfg: AnalyzerConfig | None = None,
+                   split_id_width: int | None = None):
     """Greedy sequential sequence packing: within each ``group_col``
     (documents ordered by ``id_col``), a doc joins sequence
     ``prior_tokens // budget`` where ``prior_tokens`` is the running
@@ -80,12 +81,22 @@ def pack_sequences(ds, *, budget: int = 512, group_col: str = "source",
     (sequences fill to ≥ budget then roll over; a window cumsum, so the
     exact same rule is one SQL window expression).
 
-    Distributed as a per-group ``map_groups``: the only exchange is the
+    Default plan: per-group ``map_groups`` — the only exchange is the
     groupby(``group_col``) shuffle; the cumsum inside a group is
     sequential by definition (np.cumsum, no Python loop).  Assumes a
-    group's docs fit one reducer — at larger scale pre-split groups by
-    id range and offset the running totals (documented assumption, same
-    as sessionize).
+    group's docs fit one reducer.
+
+    ``split_id_width`` is the giant-group escape hatch (two-pass plan):
+    docs are sliced by ``id_col // split_id_width`` — monotone in the
+    pack order, so every doc of slice s packs before every doc of slice
+    s+1.  Pass 1 computes per-(group, slice) token totals (tiny: one
+    int per slice), the driver prefix-sums them into per-slice carried
+    offsets, and pass 2 co-partitions by hash(group, slice) and runs
+    the same cumsum per slice with the carried offset added.  Output is
+    IDENTICAL to the single-reducer path (pytest-asserted), but no
+    reducer ever holds more than one slice of any group — a dominant
+    ``source`` at the 100-TB design point streams through
+    group_tokens/split-width reducers instead of one.
 
     Returns a Dataset of (id_col, group_col, n_tokens, seq_id).
     """
@@ -104,15 +115,83 @@ def pack_sequences(ds, *, budget: int = 512, group_col: str = "source",
     counted = ds.map_batches(count_tokens, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    def pack(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(id_col).reset_index(drop=True)
-        n = g["n_tokens"].to_numpy(dtype=np.int64)
-        prior = np.cumsum(n) - n
+    if split_id_width is None:
+        def pack(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values(id_col).reset_index(drop=True)
+            n = g["n_tokens"].to_numpy(dtype=np.int64)
+            prior = np.cumsum(n) - n
+            g["seq_id"] = prior // budget
+            return arrow_group(g[[id_col, group_col, "n_tokens",
+                                  "seq_id"]])
+
+        return counted.groupby(group_col).map_groups(
+            pack, batch_format="pandas")
+
+    # ---- giant-group pre-split path ----
+    import ray
+    from ..runtime import block_refs, num_hash_buckets, pair_bucket_of
+    nb = num_hash_buckets(None)
+    W = int(split_id_width)
+    # counted feeds both passes; materialize so tokenization runs once
+    # (3 narrow columns — the object store spills if needed)
+    counted = counted.materialize()
+
+    def slice_of(t: pa.Table) -> np.ndarray:
+        return (t[id_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64) // W)
+
+    # pass 1: per-(group, slice) token totals, block-level Arrow
+    # partials -> tiny driver combine (≤ groups × occupied slices rows)
+    def totals(t: pa.Table) -> pa.Table:
+        t = t.append_column("__slice", pa.array(slice_of(t)))
+        g = t.group_by([group_col, "__slice"]).aggregate(
+            [("n_tokens", "sum")])
+        return g.rename_columns([group_col, "__slice", "tok_p"])
+
+    parts = counted.map_batches(totals, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    tabs = ray.get(block_refs(parts))
+    tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+    tot = pa.concat_tables(tabs).group_by([group_col, "__slice"]) \
+        .aggregate([("tok_p", "sum")]).to_pandas()
+    tot.columns = [group_col, "__slice", "tok"]
+    tot = tot.sort_values([group_col, "__slice"]).reset_index(drop=True)
+    cum = tot.groupby(group_col, sort=False)["tok"].cumsum()
+    tot["__offset"] = (cum - tot["tok"]).astype(np.int64)
+    offsets_ref = ray.put(tot[[group_col, "__slice", "__offset"]])
+
+    # pass 2: co-partition by hash(group, slice); per bucket one
+    # vectorized segmented cumsum with the carried offset
+    def add_bucket(t: pa.Table) -> pa.Table:
+        sl = slice_of(t)
+        gh = pd.util.hash_array(
+            t[group_col].to_pandas().to_numpy(dtype=object)) \
+            .astype(np.int64)
+        return pa.table({
+            "__b": pa.array(pair_bucket_of(gh, sl, nb)),
+            "__slice": pa.array(sl),
+            id_col: t[id_col], group_col: t[group_col],
+            "n_tokens": t["n_tokens"]})
+
+    def pack_sliced(g: pd.DataFrame) -> pa.Table:
+        g = g.merge(ray.get(offsets_ref), on=[group_col, "__slice"]) \
+            .sort_values([group_col, "__slice", id_col]) \
+            .reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        cs = np.cumsum(n)
+        seg = (g[group_col].ne(g[group_col].shift())
+               | g["__slice"].ne(g["__slice"].shift())).to_numpy()
+        starts = np.flatnonzero(seg)
+        counts = np.diff(np.append(starts, len(g)))
+        base = np.repeat(cs[starts] - n[starts], counts)
+        prior = g["__offset"].to_numpy(np.int64) + (cs - base) - n
         g["seq_id"] = prior // budget
         return arrow_group(g[[id_col, group_col, "n_tokens", "seq_id"]])
 
-    return counted.groupby(group_col).map_groups(pack,
-                                                 batch_format="pandas")
+    return (counted.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("__b").map_groups(pack_sliced,
+                                       batch_format="pandas"))
 
 
 def duplicate_chunk_fraction(ds, *, size: int = 16,
