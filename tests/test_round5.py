@@ -99,6 +99,78 @@ def test_sessionize_presplit_matches_single_reducer(ray_session):
     assert spans.any()
 
 
+def _tiny_index(tmp_path, name, n_segs=5):
+    import ray
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index, extend_index
+    cfg = EngineConfig(index=IndexConfig(num_segments=1, block_size=32))
+    idx = str(tmp_path / name)
+    rows = [{"conv_id": f"c{s}{i:03d}", "turn_idx": 0,
+             "text": f"alpha bravo seg{s} tok{i} charlie"}
+            for s in range(1) for i in range(8)]
+    build_index(ray.data.from_items(rows), idx, cfg)
+    for s in range(1, n_segs):
+        nb = [{"conv_id": f"c{s}{i:03d}", "turn_idx": 0,
+               "text": f"alpha bravo seg{s} tok{i} charlie"}
+              for i in range(8)]
+        extend_index(ray.data.from_items(nb), idx, num_new_segments=1)
+    return idx
+
+
+def test_terms_swap_crash_recovery(ray_session, tmp_path):
+    """A crash between the dictionary swap's two renames (index left
+    with NO global/terms) is healed by terms_dir()/recover_terms_swap —
+    readers see the completed new dictionary (ADVICE r4 #2a)."""
+    import shutil
+    from vframe_ray.index.query import search_index
+    from vframe_ray.state.manifest import (TERMS_SWAP_JOURNAL,
+                                           terms_dir, write_json)
+    idx = _tiny_index(tmp_path, "swapidx", n_segs=2)
+    gdir = os.path.join(idx, "global")
+    terms = os.path.join(gdir, "terms")
+    # simulate the crash window: journal written, old terms renamed to
+    # the backup, new dict complete, second rename never happened
+    shutil.copytree(terms, os.path.join(gdir, "terms.new-zz"))
+    write_json(os.path.join(gdir, TERMS_SWAP_JOURNAL),
+               {"new": "terms.new-zz", "bak": "terms.old-zz"})
+    os.rename(terms, os.path.join(gdir, "terms.old-zz"))
+    assert not os.path.exists(terms)
+    got = terms_dir(idx)                          # heals
+    assert os.path.isdir(got) and os.path.isdir(terms)
+    assert not os.path.exists(os.path.join(gdir, TERMS_SWAP_JOURNAL))
+    assert not os.path.exists(os.path.join(gdir, "terms.old-zz"))
+    res = search_index(idx, [{"query_id": 0, "query_text": "alpha",
+                              "k": 3}]).to_pandas()
+    assert len(res) == 3
+
+
+def test_tiered_compaction_defers_source_deletion(ray_session, tmp_path):
+    """Merged source segments survive the manifest swap for the reader
+    grace period (in-flight queries on the old manifest keep working),
+    and are swept once it passes (ADVICE r4 #2c)."""
+    import json
+    from vframe_ray.index.compact import tiered_compact_index
+    from vframe_ray.state.manifest import gc_deferred_deletes
+    idx = _tiny_index(tmp_path, "deferidx", n_segs=5)
+    before = set(json.load(open(
+        os.path.join(idx, "manifest.json")))["segments"])
+    stats = tiered_compact_index(idx, tier_size=5,
+                                 tombstone_grace_s=3600)
+    assert stats["merges"] >= 1
+    after = set(json.load(open(
+        os.path.join(idx, "manifest.json")))["segments"])
+    retired = before - after
+    assert retired
+    # grace not elapsed: retired dirs still readable on disk
+    for s in retired:
+        assert os.path.isdir(os.path.join(idx, "segments", s))
+    assert gc_deferred_deletes(idx, grace_seconds=3600) == 0
+    # grace elapsed: swept
+    assert gc_deferred_deletes(idx, grace_seconds=0) == len(retired)
+    for s in retired:
+        assert not os.path.exists(os.path.join(idx, "segments", s))
+
+
 @needs_testdata
 def test_bench_supervisor_partial_on_crash(tmp_path):
     """A hard mid-run crash (simulated raylet abort after index_build)

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..config import EngineConfig
-from ..state.manifest import read_json, write_json
+from ..state.manifest import read_json, swap_terms_dir, write_json
 
 from ..sources.readers import read_parquet as _read_parquet
 from ..stages.tokenize import assign_segment_ids
@@ -307,6 +307,12 @@ def extend_index(ds_new: "ray.data.Dataset", index_dir: str, *,
 
     import numpy as np
 
+    # index-exclusive writer entry: heal a crashed dictionary swap and
+    # sweep segment dirs a past compaction retired (grace elapsed)
+    from ..state.manifest import gc_deferred_deletes, recover_terms_swap
+    recover_terms_swap(os.path.join(index_dir, "global"))
+    gc_deferred_deletes(index_dir)
+
     cfg = EngineConfig.from_dict(
         read_json(os.path.join(index_dir, "config.json"))).validate()
     man = read_json(os.path.join(index_dir, "manifest.json"))
@@ -366,12 +372,9 @@ def extend_index(ds_new: "ray.data.Dataset", index_dir: str, *,
     term_stats_sum(
         _read_parquet(terms_files, columns=["term", "df", "cf"])
     ).write_parquet(new_terms_dir)
-    old_terms = os.path.join(gdir, "terms")
-    bak = old_terms + ".old-" + run_id
-    if os.path.isdir(old_terms):
-        os.rename(old_terms, bak)
-    os.rename(new_terms_dir, old_terms)
-    shutil.rmtree(bak, ignore_errors=True)
+    # journaled two-rename: an interrupted swap is rolled forward by
+    # any later writer/reader (state.manifest.recover_terms_swap)
+    swap_terms_dir(gdir, new_terms_dir, run_id)
 
     # ---- stats/manifest from all segment manifests
     mans = [read_json(os.path.join(d, "manifest.json")) for d in seg_dirs]
@@ -389,12 +392,15 @@ def extend_index(ds_new: "ray.data.Dataset", index_dir: str, *,
         "docs_per_sec_per_builder": round(
             1000.0 * n_docs / sum(build_ms), 1) if sum(build_ms) else 0.0,
     }
-    write_json(os.path.join(gdir, "stats.json"), stats)
+    # manifest (the authoritative commit — readers take stats from it)
+    # BEFORE the derived stats.json copy, so a crash between the two
+    # can never publish a manifest inconsistent with itself (ADVICE r4)
     write_json(os.path.join(index_dir, "manifest.json"), {
         "segments": all_names,
         "stats": stats,
         "extended_by": sorted(r["segment"] for r in new_rows),
     })
+    write_json(os.path.join(gdir, "stats.json"), stats)
     return stats
 
 

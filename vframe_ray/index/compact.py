@@ -35,7 +35,9 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..config import EngineConfig
-from ..state.manifest import read_json, write_atomic_dir, write_json
+from ..state.manifest import (defer_segment_delete, gc_deferred_deletes,
+                              read_json, swap_terms_dir,
+                              write_atomic_dir, write_json)
 from .codec import encode_postings_batch
 from .segment import TERMS_SCHEMA
 
@@ -451,7 +453,8 @@ def plan_tiers(seg_sizes: list[tuple[str, int]], *,
 
 
 def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
-                         max_rounds: int | None = None) -> dict:
+                         max_rounds: int | None = None,
+                         tombstone_grace_s: float = 60.0) -> dict:
     """IN-PLACE incremental compaction (VERDICT r3 next #4): the
     background-merge policy that keeps an ``extend_index``-heavy
     lifecycle servable without ever paying a full one-shot merge.
@@ -481,6 +484,12 @@ def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
     rounds = 0
     merges = 0
     while max_rounds is None or rounds < max_rounds:
+        # heal a crashed dictionary swap, then collect segment dirs a
+        # previous round retired and whose reader grace has passed
+        # (``tombstone_grace_s=0`` deletes immediately — tests/bench)
+        from ..state.manifest import recover_terms_swap
+        recover_terms_swap(os.path.join(index_dir, "global"))
+        gc_deferred_deletes(index_dir, grace_seconds=tombstone_grace_s)
         man = read_json(os.path.join(index_dir, "manifest.json"))
         names = list(man["segments"])
         sizes = [(s, int(read_json(os.path.join(
@@ -522,7 +531,9 @@ def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
 
         if had_deletes:
             # purged tombstones changed df/cf — rebuild the dictionary
-            # over the survivors (same atomic swap as extend_index)
+            # over the survivors (same journaled swap as extend_index;
+            # a crash between the renames is rolled forward by
+            # state.manifest.recover_terms_swap — ADVICE r4 #2a)
             import uuid
             run_id = uuid.uuid4().hex[:8]
             gdir = os.path.join(index_dir, "global")
@@ -530,12 +541,7 @@ def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
             term_stats_sum(_read_parquet(
                 [os.path.join(d, "terms.parquet") for d in surv_dirs],
                 columns=["term", "df", "cf"])).write_parquet(new_terms)
-            old_terms = os.path.join(gdir, "terms")
-            bak = old_terms + ".old-" + run_id
-            if os.path.isdir(old_terms):
-                os.rename(old_terms, bak)
-            os.rename(new_terms, old_terms)
-            shutil.rmtree(bak, ignore_errors=True)
+            swap_terms_dir(gdir, new_terms, run_id)
 
         mans = [read_json(os.path.join(d, "manifest.json"))
                 for d in surv_dirs]
@@ -548,18 +554,26 @@ def tiered_compact_index(index_dir: str, *, tier_size: int = 10,
             "n_segments_built": len(mans),
             "postings_bytes": int(sum(m["postings_bytes"] for m in mans)),
         }
-        write_json(os.path.join(index_dir, "global", "stats.json"), stats)
+        # manifest (the authoritative commit) BEFORE the derived
+        # stats.json copy — a crash between the writes leaves only the
+        # informational sidecar stale, never an inconsistent manifest
+        # (ADVICE r4 #2b)
         write_json(os.path.join(index_dir, "manifest.json"), {
             "segments": survivors,
             "stats": stats,
             "tiered_merges": man.get("tiered_merges", 0) + len(groups),
         })
-        # sources are unreferenced by the swapped manifest — safe to drop
-        for s in merged_sources:
-            shutil.rmtree(os.path.join(index_dir, "segments", s),
-                          ignore_errors=True)
+        write_json(os.path.join(index_dir, "global", "stats.json"), stats)
+        # sources are unreferenced by the swapped manifest, but
+        # in-flight queries that loaded the OLD manifest may still be
+        # reading them — retire via the deferred-delete journal instead
+        # of an immediate rmtree (ADVICE r4 #2c); dirs are removed by
+        # gc once the grace period passes
+        defer_segment_delete(index_dir, sorted(merged_sources))
         rounds += 1
         merges += len(groups)
 
+    # one more sweep so grace 0 (tests / bench) leaves no retired dirs
+    gc_deferred_deletes(index_dir, grace_seconds=tombstone_grace_s)
     final = read_json(os.path.join(index_dir, "manifest.json"))
     return {**final["stats"], "rounds": rounds, "merges": merges}

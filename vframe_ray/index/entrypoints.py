@@ -26,6 +26,7 @@ from .scatter import _SearcherStage, validate_predicates
 from .searcher import (_RESULT_SCHEMA, SegmentSearcher,
                        _collapse_hits_impl, _global_df_for_terms,
                        _merge_topk_driver, idf)
+from ..state.manifest import terms_dir as _terms_dir
 
 
 def search_index(index_dir: str, queries: list[dict],
@@ -287,7 +288,7 @@ def expand_prefix_terms(index_dir: str, prefixes: list[str]
     set with the same global df, or per-segment top-k merges would be
     inconsistent.  The analyzer emits only ``[a-z0-9]+`` runs, so
     ``prefix + '{'`` (chr after 'z') upper-bounds every continuation."""
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
     out: dict[str, list[str]] = {p: [] for p in prefixes}
@@ -311,7 +312,7 @@ def suggest_terms(index_dir: str, prefixes: list[str], k: int = 10
     so cost is O(matching dictionary rows), independent of corpus size.
 
     Returns (prefix, term, df) sorted by (prefix, term)."""
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
     out_prefix: list[str] = []
@@ -977,7 +978,7 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
     per-term Python.  A pattern that STARTS with a wildcard cannot
     prune and scans the dictionary (Lucene's leading-wildcard caveat;
     cost is per-query over the vocabulary, never over postings)."""
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
     out: dict[str, list[str]] = {p: [] for p in patterns}
@@ -1072,7 +1073,7 @@ def suggest_corrections(index_dir: str, terms: list[str],
                       "df": pa.array([], pa.int64())})
     if not cands:
         return empty
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
     t = pq.ParquetDataset(files, filters=[("term", "in", cands)]) \

@@ -35,6 +35,7 @@ import shutil
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+from ..state.manifest import terms_dir as _terms_dir
 
 
 def _levenshtein_within(a: str, b: str, d: int) -> bool:
@@ -61,7 +62,7 @@ def _levenshtein_within(a: str, b: str, d: int) -> bool:
 
 
 def _dict_files(index_dir: str) -> list[str]:
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     if not os.path.isdir(gdir):
         return []
     return [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))

@@ -48,6 +48,7 @@ from ..analyze import Tokenizer
 from ..config import BM25Config, EngineConfig
 from .codec import TermPostings, decode_all, decode_block
 from .segment import SegmentReader
+from ..state.manifest import terms_dir as _terms_dir
 
 
 
@@ -88,6 +89,13 @@ class SegmentSearcher:
         # ascending-term summation order is unchanged)
         self._contrib_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._contrib_cache_bytes = 0
+        # (term -> (docs, tfs, positions)) decoded POSITIONAL cache:
+        # phrase/proximity modes used to re-run the positional varint
+        # decode on every call — the dominant cost of the mixed-mode
+        # serving batch (VERDICT r4 next #6); warm shards now pin hot
+        # position lists under the same LRU discipline
+        self._pos_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._pos_cache_bytes = 0
         self._absent: set[str] = set()   # terms known absent here
 
     # negative-cache bound: a long-lived service fed ever-new OOV terms
@@ -157,6 +165,46 @@ class SegmentSearcher:
             _t, (_d, _f) = self._decode_cache.popitem(last=False)
             self._decode_cache_bytes -= _d.nbytes + _f.nbytes
         return docs, tfs
+
+    # positional decode budget: positions are ~cf int32s per term —
+    # larger entries than docs/tfs, so they get their own pool rather
+    # than evicting the scoring caches
+    POS_CACHE_BYTES = 128 << 20
+
+    def _decode_pos_cached(self, t: str, tp: TermPostings):
+        """(docs, tfs, positions) for ``t``, LRU-cached — the positional
+        sibling of :meth:`_decode_cached` (phrase / NEAR/W / ordered
+        span-near all reuse it, across AND within calls)."""
+        from .codec import decode_all
+        cached = self._pos_cache.get(t)
+        if cached is not None:
+            self._pos_cache.move_to_end(t)
+            return cached[:3]
+        ent = list(decode_all(tp, self.block_size, with_positions=True))
+        ent.append(None)      # slot 3: lazily-built doc<<32|pos keys
+        self._pos_cache[t] = ent
+        self._pos_cache_bytes += sum(a.nbytes for a in ent[:3])
+        while self._pos_cache_bytes > self.POS_CACHE_BYTES \
+                and self._pos_cache:
+            _t, _ent = self._pos_cache.popitem(last=False)
+            self._pos_cache_bytes -= sum(a.nbytes for a in _ent
+                                         if a is not None)
+        return tuple(ent[:3])
+
+    def _pos_keys_cached(self, t: str, tp: TermPostings) -> np.ndarray:
+        """Sorted ``doc<<32|pos`` key array over ALL of ``t``'s
+        occurrences, built once per term and pinned with the positional
+        decode — the pair NEAR/W path probes these directly, so a warm
+        shard answers 2-term proximity with two searchsorteds and ZERO
+        per-call array construction."""
+        self._decode_pos_cached(t, tp)          # ensure entry exists
+        ent = self._pos_cache[t]
+        if ent[3] is None:
+            docs, tfs, pos = ent[0], ent[1], ent[2]
+            ent[3] = (np.repeat(docs, tfs).astype(np.int64) << 32) \
+                | pos.astype(np.int64)
+            self._pos_cache_bytes += ent[3].nbytes
+        return ent[3]
 
     # dense contribution vectors are only worth n_docs*8 bytes for terms
     # hitting at least this fraction of the segment's docs
@@ -536,17 +584,15 @@ class SegmentSearcher:
         driver-side segment loop is gone (VERDICT: driver materialization
         died at many-segment scale).
         """
-        from .codec import decode_all
         if not terms:
             return np.empty(0, dtype=np.int64)
         if postings is None:
-            postings = self.r.load_terms(sorted(set(terms)))
+            postings = self.load_terms_cached(sorted(set(terms)))
         if any(t not in postings for t in terms):
             return np.empty(0, dtype=np.int64)
         keys: np.ndarray | None = None
         for slot, t in enumerate(terms):
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
+            docs, tfs, pos = self._decode_pos_cached(t, postings[t])
             doc_per_pos = np.repeat(docs, tfs)
             valid = pos >= slot
             k = (doc_per_pos[valid].astype(np.int64) << 32) \
@@ -566,7 +612,7 @@ class SegmentSearcher:
         turn_idx) rows of phrase-matching docs in this segment."""
         all_terms = sorted(set().union(*[set(t) for _, t in queries])
                            ) if queries else []
-        postings = self.r.load_terms(all_terms)
+        postings = self.load_terms_cached(all_terms)
         doc_mask = self._base_mask(predicates)
         qid_out: list[int] = []
         conv_out: list = []
@@ -649,8 +695,7 @@ class SegmentSearcher:
         decoded = {}
         cand: np.ndarray | None = None
         for t in distinct:
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
+            docs, tfs, pos = self._decode_pos_cached(t, postings[t])
             decoded[t] = (docs, tfs, pos)
             cand = docs if cand is None else \
                 np.intersect1d(cand, docs, assume_unique=True)
@@ -718,33 +763,21 @@ class SegmentSearcher:
             docs, _ = decode_all(postings[terms[0]], self.block_size)
             hit = docs.astype(np.int64)
             return hit[doc_mask[hit]] if doc_mask is not None else hit
-        per = []
-        cand: np.ndarray | None = None
-        for t in terms:
-            docs, tfs, pos = decode_all(postings[t], self.block_size,
-                                        with_positions=True)
-            per.append((docs, tfs, pos))
-            cand = docs if cand is None else \
-                np.intersect1d(cand, docs, assume_unique=True)
-        if doc_mask is not None:
-            cand = cand[doc_mask[cand]]
-        if cand.size == 0:
-            return np.empty(0, dtype=np.int64)
         if m == 2:
             # vectorized pair fast path (the common NEAR/W shape): both
-            # terms' occurrences as sorted doc<<32|pos keys; an a-side
-            # occurrence hits iff some b-side key lands in
-            # [key-span, key+span] of the SAME doc — one searchsorted
-            # over all occurrences, no per-doc Python
+            # terms' occurrences as PINNED sorted doc<<32|pos key arrays
+            # (_pos_keys_cached — zero per-call construction on a warm
+            # shard); an a-side occurrence hits iff some b-side key
+            # lands in [key-span, key+span] of the SAME doc — one
+            # searchsorted over all occurrences, no per-doc Python.
+            # A within-window pair implies both terms present, so the
+            # AND-candidate pre-cut is unnecessary here; the doc mask
+            # applies to the (small) hit set instead.
             span64 = np.int64(window - 1)
-            keys = []
-            for docs, tfs, pos in per:
-                keep = np.isin(docs, cand, assume_unique=True)
-                keep_pos = np.repeat(keep, tfs)
-                k = (np.repeat(docs, tfs)[keep_pos].astype(np.int64)
-                     << 32) | pos[keep_pos].astype(np.int64)
-                keys.append(k)                    # sorted by (doc, pos)
-            ka, kb = keys
+            ka = self._pos_keys_cached(terms[0], postings[terms[0]])
+            kb = self._pos_keys_cached(terms[1], postings[terms[1]])
+            if ka.size > kb.size:
+                ka, kb = kb, ka              # probe from the rarer side
             doc_a = ka >> 32
             pos_a = ka & 0xFFFFFFFF
             lo = (doc_a << 32) | np.maximum(pos_a - span64, 0)
@@ -752,7 +785,19 @@ class SegmentSearcher:
                                             np.int64(0xFFFFFFFF))
             i0 = np.searchsorted(kb, lo, side="left")
             i1 = np.searchsorted(kb, hi, side="right")
-            return np.unique(doc_a[i1 > i0])
+            hit = np.unique(doc_a[i1 > i0])
+            return hit[doc_mask[hit]] if doc_mask is not None else hit
+        per = []
+        cand: np.ndarray | None = None
+        for t in terms:
+            docs, tfs, pos = self._decode_pos_cached(t, postings[t])
+            per.append((docs, tfs, pos))
+            cand = docs if cand is None else \
+                np.intersect1d(cand, docs, assume_unique=True)
+        if doc_mask is not None:
+            cand = cand[doc_mask[cand]]
+        if cand.size == 0:
+            return np.empty(0, dtype=np.int64)
         # 3+-term path, fully vectorized minimal-cover kernel (VERDICT
         # r3 next #5 replaced the per-candidate Python two-pointer
         # sweep): merge all kept occurrences sorted by (doc, pos); the
@@ -1258,7 +1303,7 @@ def _global_df_for_terms(index_dir: str, terms: set[str]) -> dict[str, int]:
     """Driver-side lookup of global df for the query's terms only — a
     broadcast-small-side join (reference analog: labels.txt lookup loaded
     into each processor, base.py:47-55)."""
-    gdir = os.path.join(index_dir, "global", "terms")
+    gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
     if not files or not terms:

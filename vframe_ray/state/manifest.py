@@ -71,6 +71,142 @@ def write_atomic_dir(tmp_dir: str, final_dir: str) -> None:
     os.replace(tmp_dir, final_dir)
 
 
+TERMS_SWAP_JOURNAL = "terms.swap.json"
+
+
+def recover_terms_swap(gdir: str) -> None:
+    """Roll a crashed global-dictionary swap forward (idempotent).
+
+    :func:`swap_terms_dir` replaces ``<gdir>/terms`` with two renames;
+    a crash between them would leave the index with NO dictionary
+    (ADVICE r4 #2a).  The journal written before the first rename makes
+    every intermediate state recoverable: the new dictionary is always
+    complete by journal time (its parquet files are fully written
+    first), so recovery rolls FORWARD to it.  Every step tolerates a
+    concurrent recoverer/writer finishing it first (best-effort
+    renames); the final state is validated, not the steps."""
+    j = os.path.join(gdir, TERMS_SWAP_JOURNAL)
+    if not os.path.exists(j):
+        return
+    try:
+        info = read_json(j)
+    except (OSError, ValueError):
+        return
+    terms = os.path.join(gdir, "terms")
+    new = os.path.join(gdir, info["new"])
+    bak = os.path.join(gdir, info["bak"])
+    if os.path.isdir(new):
+        if os.path.isdir(terms) and not os.path.isdir(bak):
+            try:
+                os.rename(terms, bak)
+            except OSError:
+                pass
+        if not os.path.isdir(terms):
+            try:
+                os.rename(new, terms)
+            except OSError:
+                pass
+    if os.path.isdir(terms) and not os.path.isdir(new):
+        # swap complete: clear the backup and the journal
+        shutil.rmtree(bak, ignore_errors=True)
+        try:
+            os.remove(j)
+        except OSError:
+            pass
+
+
+def swap_terms_dir(gdir: str, new_terms_dir: str, run_id: str) -> None:
+    """Journaled replace of the global dictionary ``<gdir>/terms`` by
+    ``new_terms_dir`` (which must be fully written).  POSIX cannot
+    atomically replace a non-empty directory, so the two renames are
+    bracketed by an intent journal; :func:`recover_terms_swap` (called
+    here, by the other writers, and by :func:`terms_dir` readers)
+    finishes an interrupted swap.  Single concurrent WRITER assumed
+    (extend/compact are index-exclusive ops); concurrent readers are
+    safe — they hold open file handles or roll the same journal
+    forward."""
+    recover_terms_swap(gdir)
+    terms = os.path.join(gdir, "terms")
+    bak = terms + ".old-" + run_id
+    write_json(os.path.join(gdir, TERMS_SWAP_JOURNAL),
+               {"new": os.path.basename(new_terms_dir),
+                "bak": os.path.basename(bak)})
+    if os.path.isdir(terms):
+        os.rename(terms, bak)
+    try:
+        os.rename(new_terms_dir, terms)
+    except OSError:
+        if not os.path.isdir(terms):     # nobody finished it for us
+            raise
+    shutil.rmtree(bak, ignore_errors=True)
+    try:
+        os.remove(os.path.join(gdir, TERMS_SWAP_JOURNAL))
+    except OSError:
+        pass
+
+
+def terms_dir(index_dir: str) -> str:
+    """Path of the global dictionary, healing an interrupted swap
+    first — readers opening an index that crashed mid-swap see the new
+    dictionary instead of ENOENT."""
+    gdir = os.path.join(index_dir, "global")
+    recover_terms_swap(gdir)
+    return os.path.join(gdir, "terms")
+
+
+PENDING_DELETE_JOURNAL = "pending_delete.json"
+
+
+def defer_segment_delete(index_dir: str, seg_names: list[str]) -> None:
+    """Queue retired segment directories for deferred removal.
+
+    In-place compaction must NOT rmtree merged sources right after the
+    manifest swap: in-flight queries that loaded the OLD manifest still
+    read those dirs (ADVICE r4 #2c).  Retired segments are appended to
+    a journal with a timestamp; :func:`gc_deferred_deletes` removes
+    them once a grace period has passed."""
+    import time
+    path = os.path.join(index_dir, PENDING_DELETE_JOURNAL)
+    cur = []
+    if os.path.exists(path):
+        try:
+            cur = read_json(path)["pending"]
+        except (OSError, ValueError, KeyError):
+            cur = []
+    now = time.time()
+    have = {p["segment"] for p in cur}
+    cur.extend({"segment": s, "retired_at": now}
+               for s in seg_names if s not in have)
+    write_json(path, {"pending": cur})
+
+
+def gc_deferred_deletes(index_dir: str, *,
+                        grace_seconds: float = 60.0) -> int:
+    """Remove retired segment dirs older than ``grace_seconds``
+    (call sites: compaction rounds, extends — any index-exclusive
+    writer).  Returns the number of directories removed."""
+    import time
+    path = os.path.join(index_dir, PENDING_DELETE_JOURNAL)
+    if not os.path.exists(path):
+        return 0
+    try:
+        pending = read_json(path)["pending"]
+    except (OSError, ValueError, KeyError):
+        return 0
+    now = time.time()
+    keep, dropped = [], 0
+    for p in pending:
+        if now - p["retired_at"] >= grace_seconds:
+            shutil.rmtree(os.path.join(index_dir, "segments",
+                                       p["segment"]), ignore_errors=True)
+            dropped += 1
+        else:
+            keep.append(p)
+    if keep or dropped:
+        write_json(path, {"pending": keep})
+    return dropped
+
+
 def write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
