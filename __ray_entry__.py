@@ -2450,73 +2450,28 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordering note (round 4): the driver's CORRECTNESS pass checks roughly
-    # the first 50 entries, so entries that have never had a driver row come
-    # FIRST (19 from rounds 1-3 + everything new this round), then entries
-    # last driver-checked in r1/r2, then the 50 already green in
-    # CORRECTNESS_r03.json.  Rotate per round so every operator eventually
-    # gets a green driver row.
+    # Ordering note (round 5): the driver's CORRECTNESS pass checks roughly
+    # the first 50 entries in dict order.  Coverage is complete (every entry
+    # has a green driver row in some round — VERDICT r4), so the risk is now
+    # FRESHNESS: entries are ordered by the round they were last
+    # driver-checked, stalest first, so each round re-verifies the
+    # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
-        # --- never driver-checked through round 3 (VERDICT r3 #1) ---
-        "asof_prior_view": _q_asof_prior_view,
-        "grouped_topk_orders": _q_grouped_topk,
-        "shuffle_join_revenue": rel.order_revenue_shuffle_join,
-        "hopping_window": _q_hopping,
-        "value_quantiles": _q_value_quantiles,
-        "bm25_collapsed": _q_bm25_collapsed,
-        "bm25_boolean": _q_bm25_boolean,
-        "bm25_prefix": _q_bm25_prefix,
-        "search_facets": _q_search_facets,
-        "more_like_this": _q_more_like_this,
-        "bm25_paged": _q_bm25_paged,
-        "match_counts": _q_match_counts,
-        "bm25_synonyms": _q_bm25_synonyms,
-        "bm25_fuzzy": _q_bm25_fuzzy,
-        "bm25_deleted": _q_bm25_deleted,
-        "hashed_features": _q_hashed_features,
-        "bm25_merged": _q_bm25_merged,
-        "bm25_fields": _q_bm25_fields,
-        "grep_documents": _q_grep_documents,
-        # --- new in round 4 ---
-        "top_bigrams": _q_top_bigrams,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "chunk_documents": _q_chunk_documents,
+        # --- changed THIS round (fix/fallback/cache-fingerprint) —
+        # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
         "q3_shipping_priority": rel.q3_shipping_priority,
-        "running_customer_revenue": rel.running_customer_revenue,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_events_agg": _q_csv_events_agg,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
-        "moving_window_revenue": rel.moving_window_revenue,
-        "order_gap_days": rel.order_gap_days,
-        "intersect_customers": rel.intersect_customers,
-        "monthly_revenue_trend": rel.monthly_revenue_trend,
-        "above_nation_avg_customers": rel.above_nation_avg_customers,
         "json_field_rollup": rel.json_field_rollup,
-        "bm25_wildcard": _q_bm25_wildcard,
-        "did_you_mean": _q_did_you_mean,
-        "repetition_features": _q_repetition,
-        "event_funnel": _q_event_funnel,
-        "dup_chunk_fraction": _q_dup_chunk_fraction,
-        "source_stats_join": rel.source_stats_join,
-        "q18_large_orders": rel.q18_large_orders,
-        "priority_sequence": rel.priority_sequence,
-        # --- last driver-checked in r1/r2 ---
         "revenue_by_nation": rel.revenue_by_nation,
-        "top_orders": rel.top_orders,
-        "filter_project_events": rel.filter_project_events,
-        "distinct_event_types": rel.distinct_event_types,
-        "union_high_value": rel.union_high_value,
-        "semi_join_orders": rel.semi_join_orders,
-        "order_priority_histogram": rel.order_priority_histogram,
-        "sessionize": _q_sessionize,
+        # --- last driver-checked in round 2 ---
         "tumbling_window": _q_tumbling,
-        # engine-internal (synthetic transcripts / media) — rows-only
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_filtered": _q_transcripts_bm25_filtered,
         "media_features_stub": _q_media_stub,
-        # --- green in CORRECTNESS_r03.json ---
-        # flagship fulltext engine
+        # --- last driver-checked in round 3 ---
         "bm25_topk": _q_bm25,
         "bm25_extend": _q_bm25_extend,
         "phrase_match": _q_phrase,
@@ -2539,14 +2494,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stopwords": _q_stopwords,
         "search_snippets": _q_snippets,
         "phrase_snippets": _q_phrase_snippets,
-        # text analysis
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_count,
         "quality_features": _q_quality,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
-        # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard,
         "minhash_candidates": _q_minhash,
@@ -2554,25 +2507,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_conversations": _q_near_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
-        # similarity search
         "cosine_topk": _q_cosine,
         "cosine_dup_pairs": _q_cosine_dups,
         "srp_dup_pairs": _q_srp_dups,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
-        # per-row transforms (redact/caption/decimate — reference
-        # pipe redact/caption/skip-interval analogs)
         "redact_text": _q_redact,
         "caption_template": _q_caption,
         "decimate_events": _q_decimate,
         "summarize_by_source": _q_summarize,
         "conversation_rollup": _q_rollup,
-        # relational / dataflow operators
         "q1_pricing_summary": rel.q1_pricing_summary,
         "rollup_revenue": rel.rollup_revenue,
         "cube_revenue": rel.cube_revenue,
         "anti_join_customers": rel.anti_join_customers,
         "range_join_events": rel.events_in_order_windows,
+        # --- last driver-checked in round 4 ---
+        "asof_prior_view": _q_asof_prior_view,
+        "grouped_topk_orders": _q_grouped_topk,
+        "shuffle_join_revenue": rel.order_revenue_shuffle_join,
+        "hopping_window": _q_hopping,
+        "value_quantiles": _q_value_quantiles,
+        "bm25_collapsed": _q_bm25_collapsed,
+        "bm25_boolean": _q_bm25_boolean,
+        "bm25_prefix": _q_bm25_prefix,
+        "search_facets": _q_search_facets,
+        "more_like_this": _q_more_like_this,
+        "bm25_paged": _q_bm25_paged,
+        "match_counts": _q_match_counts,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_deleted": _q_bm25_deleted,
+        "hashed_features": _q_hashed_features,
+        "bm25_merged": _q_bm25_merged,
+        "bm25_fields": _q_bm25_fields,
+        "grep_documents": _q_grep_documents,
+        "top_bigrams": _q_top_bigrams,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "chunk_documents": _q_chunk_documents,
+        "running_customer_revenue": rel.running_customer_revenue,
+        "moving_window_revenue": rel.moving_window_revenue,
+        "order_gap_days": rel.order_gap_days,
+        "intersect_customers": rel.intersect_customers,
+        "monthly_revenue_trend": rel.monthly_revenue_trend,
+        "above_nation_avg_customers": rel.above_nation_avg_customers,
+        "bm25_wildcard": _q_bm25_wildcard,
+        "did_you_mean": _q_did_you_mean,
+        "repetition_features": _q_repetition,
+        "event_funnel": _q_event_funnel,
+        "dup_chunk_fraction": _q_dup_chunk_fraction,
+        "source_stats_join": rel.source_stats_join,
+        "q18_large_orders": rel.q18_large_orders,
+        "priority_sequence": rel.priority_sequence,
+        "top_orders": rel.top_orders,
+        "filter_project_events": rel.filter_project_events,
+        "distinct_event_types": rel.distinct_event_types,
+        "union_high_value": rel.union_high_value,
+        "semi_join_orders": rel.semi_join_orders,
+        "order_priority_histogram": rel.order_priority_histogram,
+        "sessionize": _q_sessionize,
     }
 
 
