@@ -2457,6 +2457,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
+        # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
+        "q7_volume_shipping": rel.q7_volume_shipping,
+        "q10_returned_items": rel.q10_returned_items,
+        "brand_revenue": rel.brand_revenue,
+        "daily_active_users": rel.daily_active_users,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2571,6 +2576,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # revenue in integer 1e-4 dollars on both sides (see
+        # q5_local_supplier_revenue note): the sum is association-free,
+        # so engine partials and the oracle hash-match bit-for-bit
+        "q7_volume_shipping": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = '{rel.Q7_NATION_A}'
+        AND n2.n_name = '{rel.Q7_NATION_B}')
+       OR (n1.n_name = '{rel.Q7_NATION_B}'
+           AND n2.n_name = '{rel.Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '{rel.Q7_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{rel.Q7_DATE_HI}'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year""",
+        "q10_returned_items": f"""
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '{rel.Q10_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{rel.Q10_DATE_HI}'
+  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT {rel.Q10_K}""",
+        "brand_revenue": f"""
+SELECT p_brand,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_size BETWEEN {rel.BRAND_SIZE_LO} AND {rel.BRAND_SIZE_HI}
+  AND l_quantity BETWEEN {rel.BRAND_QTY_LO} AND {rel.BRAND_QTY_HI}
+GROUP BY p_brand ORDER BY p_brand""",
+        "daily_active_users": """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type, day ORDER BY event_type, day""",
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

@@ -1,0 +1,197 @@
+"""Round-5 operator wave: TPC-H Q7 (two-nation volume shipping), Q10
+(returned-item top-k), Q19-ish brand revenue over the part table, and
+exact count-distinct (daily active users) — each against duckdb/pandas
+brute force on a hostile synthetic corpus (nation pairs in both
+directions and mismatched, revenue ties at the top-k cut, boundary
+dates, duplicated user-day events across blocks), plus forced big-big
+fallback paths asserted identical to the broadcast paths."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+
+@pytest.fixture(scope="module")
+def sf_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("round5_sf")
+    rng = np.random.default_rng(55)
+    n_cust, n_orders, n_li = 14, 150, 600
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(4, dtype=np.int32),
+        "n_name": ["NATION_0", "NATION_1", "NATION_2", "NATION_3"],
+        "n_regionkey": np.array([0, 0, 1, 1], dtype=np.int32)})
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+        "c_name": [f"cust{i}" for i in range(n_cust)],
+        "c_nationkey": (np.arange(n_cust) % 4).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": ["BUILDING"] * n_cust})
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(1, 9, dtype=np.int64),
+        "s_name": [f"sup{i}" for i in range(8)],
+        "s_nationkey": np.array([0, 1, 2, 3, 1, 2, 1, 2],
+                                dtype=np.int32),
+        "s_acctbal": np.round(rng.uniform(0, 5000, 8), 2)})
+    days = rng.integers(0, 4 * 365, n_orders)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+        "o_custkey": rng.integers(1, n_cust + 1,
+                                  n_orders).astype(np.int64),
+        "o_orderstatus": ["O"] * n_orders,
+        "o_totalprice": np.round(rng.uniform(900, 200_000, n_orders), 2),
+        "o_orderdate": pd.Timestamp("1995-06-01")
+        + pd.to_timedelta(days, unit="D"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_orders)})
+    # boundary dates: one order exactly at Q10's date_lo, one at date_hi
+    orders.loc[0, "o_orderdate"] = pd.Timestamp("1996-01-01")
+    orders.loc[1, "o_orderdate"] = pd.Timestamp("1996-07-01")
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, 41, dtype=np.int64),
+        "p_name": [f"part{i}" for i in range(40)],
+        "p_brand": [f"Brand#{1 + i % 5}" for i in range(40)],
+        "p_type": ["STANDARD"] * 40,
+        "p_size": (1 + np.arange(40) % 40).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(100, 2000, 40), 2)})
+    ship = pd.Timestamp("1995-01-01") + pd.to_timedelta(
+        rng.integers(0, 4 * 365, n_li), unit="D")
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(1, n_orders + 1,
+                                   n_li).astype(np.int64),
+        "l_partkey": rng.integers(1, 41, n_li).astype(np.int64),
+        "l_suppkey": rng.integers(1, 9, n_li).astype(np.int64),
+        "l_linenumber": np.arange(n_li, dtype=np.int32) % 7,
+        "l_quantity": rng.integers(1, 50, n_li).astype(float),
+        "l_extendedprice": np.round(rng.uniform(100, 90_000, n_li), 2),
+        "l_discount": np.round(rng.choice([0.0, 0.02, 0.05, 0.1],
+                                          n_li), 2),
+        "l_tax": np.zeros(n_li),
+        "l_returnflag": rng.choice(["R", "N", "A"], n_li,
+                                   p=[0.4, 0.4, 0.2]),
+        "l_linestatus": ["O"] * n_li,
+        "l_shipdate": ship})
+    # boundary shipdates for Q7's window edges
+    li.loc[0, "l_shipdate"] = pd.Timestamp("1996-01-01")
+    li.loc[1, "l_shipdate"] = pd.Timestamp("1998-01-01")
+    # events with planted duplicate (user, day, type) triples that land
+    # in different blocks (contiguous rows split by repartition)
+    n_ev = 800
+    ev_ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10 * 86400, n_ev), unit="s")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": ev_ts,
+        "user_id": rng.integers(0, 25, n_ev).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "buy"], n_ev),
+        "value": np.round(rng.uniform(0, 50, n_ev), 3),
+        "props": ['{"k": 1}'] * n_ev})
+    for name, df in [("customer", cust), ("orders", orders),
+                     ("nation", nation), ("supplier", sup),
+                     ("lineitem", li), ("part", part), ("events", ev)]:
+        df.to_parquet(d / f"{name}.parquet", index=False)
+    return str(d)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ["customer", "orders", "nation", "supplier", "lineitem",
+              "part", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def test_q7_vs_duckdb(sf_dir, monkeypatch):
+    from vframe_ray.pipelines.relational import q7_volume_shipping
+    got = q7_volume_shipping(sf_dir)
+    want = _duck(sf_dir, Q7_SQL)
+    assert len(want) >= 4          # both directions, multiple years
+    pd.testing.assert_frame_equal(got, want)
+    # forced big-big path: customer resolved by a second hash_join
+    monkeypatch.setenv("VFRAME_RAY_DIM_BROADCAST_MAX_ROWS", "0")
+    pd.testing.assert_frame_equal(q7_volume_shipping(sf_dir), want)
+
+
+def test_q10_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q10_returned_items
+    got = q10_returned_items(sf_dir, k=5)
+    want = _duck(sf_dir, """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 5""")
+    assert len(want) == 5
+    pd.testing.assert_frame_equal(got, want)
+    # the boundary order at date_hi is excluded (half-open window)
+    assert (got["revenue"] > 0).all()
+
+
+def test_brand_revenue_vs_duckdb(sf_dir, monkeypatch):
+    from vframe_ray.pipelines.relational import brand_revenue
+    got = brand_revenue(sf_dir)
+    want = _duck(sf_dir, """
+SELECT p_brand,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND p_size BETWEEN 1 AND 15
+  AND l_quantity BETWEEN 5 AND 30
+GROUP BY p_brand ORDER BY p_brand""")
+    assert len(want) >= 3
+    pd.testing.assert_frame_equal(got, want)
+    # the size filter genuinely pruned parts (sizes 16..40 exist)
+    assert want["n_items"].sum() < len(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+    # forced big-big path: part side joins via shuffle hash join
+    monkeypatch.setenv("VFRAME_RAY_DIM_BROADCAST_MAX_ROWS", "0")
+    pd.testing.assert_frame_equal(brand_revenue(sf_dir), want)
+
+
+def test_daily_active_users_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import daily_active_users
+    got = daily_active_users(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    want = (ev.groupby(["event_type", "day"])["user_id"].nunique()
+            .rename("n_users").reset_index()
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["day"].astype("datetime64[us]").tolist() == \
+        want["day"].astype("datetime64[us]").tolist()
+    assert got["n_users"].to_numpy(np.int64).tolist() == \
+        want["n_users"].to_numpy(np.int64).tolist()
+    # distinct actually deduped: raw event counts exceed user counts
+    raw = ev.groupby(["event_type", "day"]).size()
+    assert (raw.to_numpy() > want["n_users"].to_numpy()).any()

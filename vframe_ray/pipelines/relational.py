@@ -1391,3 +1391,459 @@ def priority_sequence(sf_dir: str):
            .groupby("__b").map_groups(agg, batch_format="pandas")
            .to_pandas())
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = Q7_NATION_A,
+                       nation_b: str = Q7_NATION_B,
+                       date_lo: str = Q7_DATE_LO,
+                       date_hi: str = Q7_DATE_HI):
+    """TPC-H Q7 shape (volume shipping): revenue shipped between two
+    nations per (supplier nation, customer nation, ship year).
+
+    Physical plan: the supplier-nation filter runs BEFORE the shuffle —
+    a broadcast suppkey→nationkey lookup prunes lineitem to the two
+    nations' suppliers (2/|nations| of rows) and reduces each surviving
+    row to (orderkey, supp_nk, year, exact-integer revenue), so the one
+    big-big exchange (hash join to orders on orderkey) moves only
+    pruned, pre-projected rows.  Customer nation resolves like Q5:
+    broadcast custkey→nationkey under ``DIM_BROADCAST_MAX_ROWS``, else
+    a second hash join on custkey with the pair filter inside its
+    buckets.  Partials are ≤ 2·|years| rows per bucket; driver-combined.
+
+    Reference analog: priors broadcast join (media.py:79-111) +
+    summarize-json grouped reduce, composed across two fact tables.
+    Returns pandas (supp_nation, cust_nation, l_year, revenue) sorted.
+    """
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    n_keys = nat["n_nationkey"].to_numpy()
+    names = np.empty(int(n_keys.max()) + 1, dtype=object)
+    names[n_keys] = nat["n_name"].to_numpy(zero_copy_only=False)
+    name_to_key = {n: int(k) for k, n in zip(n_keys, names[n_keys])}
+    a_key, b_key = name_to_key[nation_a], name_to_key[nation_b]
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    s_k = sup["s_suppkey"].to_numpy()
+    s_ord = np.argsort(s_k, kind="stable")
+    broadcast_cust = _dim_broadcast_ok(sf_dir, "customer")
+    if broadcast_cust:
+        cus = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_nationkey"])
+    else:
+        cus = pa.table({"c_custkey": pa.array([], pa.int64()),
+                        "c_nationkey": pa.array([], pa.int64())})
+    c_k = cus["c_custkey"].to_numpy()
+    c_ord = np.argsort(c_k, kind="stable")
+    lookup_ref = ray.put((s_k[s_ord],
+                          sup["s_nationkey"].to_numpy()[s_ord]
+                          .astype(np.int64),
+                          c_k[c_ord],
+                          cus["c_nationkey"].to_numpy()[c_ord]
+                          .astype(np.int64)))
+
+    def _sorted_lookup(keys_sorted, vals, x):
+        pos = np.minimum(np.searchsorted(keys_sorted, x),
+                         len(keys_sorted) - 1)
+        ok = keys_sorted[pos] == x
+        return vals[pos], ok
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"],
+               filter=((pc.field("l_shipdate")
+                        >= pc.scalar(pd.Timestamp(date_lo)))
+                       & (pc.field("l_shipdate")
+                          < pc.scalar(pd.Timestamp(date_hi)))))
+
+    def prune(t: pa.Table) -> pa.Table:
+        # supplier-nation prune + exact-integer revenue BEFORE the
+        # exchange: price/discount have exactly 2 decimals each, so
+        # pe*(100-di) in 1e-4 dollars is association-free
+        sk, sn, _, _ = ray.get(lookup_ref)
+        s_nat, ok = _sorted_lookup(
+            sk, sn, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        keep = ok & ((s_nat == a_key) | (s_nat == b_key))
+        pe = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        di = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        year = pc.year(t["l_shipdate"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[keep],
+            "supp_nk": s_nat[keep], "l_year": year,
+            "rev_p": pe * (100 - di)})
+
+    li = li.map_batches(prune, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("supp_nk", pa.int64()),
+                           ("l_year", pa.int64()),
+                           ("rev_p", pa.int64())])
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        # broadcast path: resolve customer nation here; keep only the
+        # (a→b) / (b→a) pairs; ≤ 2·|years| partial rows leave the bucket
+        empty = pd.DataFrame({"supp_nk": pd.Series(dtype="int64"),
+                              "cust_nk": pd.Series(dtype="int64"),
+                              "l_year": pd.Series(dtype="int64"),
+                              "rev_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        _, _, ck, cn = ray.get(lookup_ref)
+        c_nat, ok = _sorted_lookup(ck, cn, j["o_custkey"].to_numpy())
+        s_nat = j["supp_nk"].to_numpy(np.int64)
+        keep = ok & (((s_nat == a_key) & (c_nat == b_key))
+                     | ((s_nat == b_key) & (c_nat == a_key)))
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"supp_nk": s_nat[keep], "cust_nk": c_nat[keep],
+             "l_year": j["l_year"].to_numpy(np.int64)[keep],
+             "rev_p": j["rev_p"].to_numpy(np.int64)[keep]}).groupby(
+            ["supp_nk", "cust_nk", "l_year"],
+            as_index=False, sort=False).sum()
+
+    def fused_by_cust(j: pd.DataFrame) -> pd.DataFrame:
+        # big-big path: customer nation is not broadcast; emit partial
+        # revenue keyed by (custkey, supp_nk, year) — ≤ 2·|years| rows
+        # per custkey (the supplier side is already pruned to {a,b})
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                              "supp_nk": pd.Series(dtype="int64"),
+                              "l_year": pd.Series(dtype="int64"),
+                              "rev_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        return j[["o_custkey", "supp_nk", "l_year", "rev_p"]].groupby(
+            ["o_custkey", "supp_nk", "l_year"],
+            as_index=False, sort=False).sum()
+
+    parts = hash_join(li, orders, key="l_orderkey",
+                      left_cols=["l_orderkey", "supp_nk", "l_year",
+                                 "rev_p"],
+                      right_cols=["o_custkey"],
+                      post=fused if broadcast_cust else fused_by_cust,
+                      left_schema=li_schema,
+                      right_schema=pa.schema(
+                          [("l_orderkey", pa.int64()),
+                           ("o_custkey", pa.int64())]))
+    if not broadcast_cust:
+        cust_ds = _read(sf_dir, "customer",
+                        columns=["c_custkey", "c_nationkey"]) \
+            .rename_columns({"c_custkey": "o_custkey"})
+
+        def resolve(j: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"supp_nk": pd.Series(dtype="int64"),
+                                  "cust_nk": pd.Series(dtype="int64"),
+                                  "l_year": pd.Series(dtype="int64"),
+                                  "rev_p": pd.Series(dtype="int64")})
+            if not len(j):
+                return empty
+            s_nat = j["supp_nk"].to_numpy(np.int64)
+            c_nat = j["c_nationkey"].to_numpy(np.int64)
+            keep = (((s_nat == a_key) & (c_nat == b_key))
+                    | ((s_nat == b_key) & (c_nat == a_key)))
+            if not keep.any():
+                return empty
+            out = j.loc[keep, ["supp_nk", "l_year", "rev_p"]].copy()
+            out["cust_nk"] = c_nat[keep]
+            return out.groupby(["supp_nk", "cust_nk", "l_year"],
+                               as_index=False, sort=False)["rev_p"].sum()
+
+        parts = hash_join(
+            parts, cust_ds, key="o_custkey",
+            left_cols=["o_custkey", "supp_nk", "l_year", "rev_p"],
+            right_cols=["c_nationkey"], post=resolve,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("supp_nk", pa.int64()),
+                                   ("l_year", pa.int64()),
+                                   ("rev_p", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
+    out = _driver_combine(parts, ["supp_nk", "cust_nk", "l_year"],
+                          [("rev_p", "sum", "rev_e4")]).to_pandas()
+    out["supp_nation"] = names[out["supp_nk"].to_numpy(np.int64)]
+    out["cust_nation"] = names[out["cust_nk"].to_numpy(np.int64)]
+    out["revenue"] = out["rev_e4"].to_numpy(np.int64) / 10_000.0
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"])[
+        ["supp_nation", "cust_nation", "l_year", "revenue"]] \
+        .reset_index(drop=True)
+
+
+Q10_DATE_LO = "1996-01-01"
+Q10_DATE_HI = "1996-07-01"
+Q10_K = 20
+
+
+def q10_returned_items(sf_dir: str, date_lo: str = Q10_DATE_LO,
+                       date_hi: str = Q10_DATE_HI, k: int = Q10_K):
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by
+    revenue lost to returned lineitems of a date window's orders.
+
+    Physical plan: both fact reads are pushdown-pruned (orders by date,
+    lineitem by returnflag), ONE big-big hash join on orderkey with the
+    per-custkey revenue partial fused into the join bucket, then one
+    bucketed exchange on custkey for the exact per-customer sum with a
+    per-bucket top-k partial (≤ k rows per bucket leave the reduce).
+    The driver merges ≤ k·buckets rows and resolves the ≤ k finalists'
+    names/balances via a pushdown-filtered customer read — the Q18
+    finalist pattern; the whole customer table never moves.
+
+    Returns pandas (c_custkey, c_name, revenue, c_acctbal, n_name)
+    sorted by revenue desc then custkey, ≤ k rows."""
+    import pyarrow.parquet as pq
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..stages.joins import hash_join
+    nb = num_hash_buckets(None)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pc.scalar(pd.Timestamp(date_lo)))
+                           & (pc.field("o_orderdate")
+                              < pc.scalar(pd.Timestamp(date_hi))))) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"],
+               filter=(pc.field("l_returnflag") == pc.scalar("R")))
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                              "rev_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        pe = np.round(j["l_extendedprice"].to_numpy()
+                      * 100.0).astype(np.int64)
+        di = np.round(j["l_discount"].to_numpy()
+                      * 100.0).astype(np.int64)
+        return pd.DataFrame({"o_custkey": j["o_custkey"]
+                             .to_numpy(np.int64),
+                             "rev_p": pe * (100 - di)}).groupby(
+            "o_custkey", as_index=False, sort=False).sum()
+
+    parts = hash_join(
+        li, orders, key="l_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_custkey"], post=fused,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_extendedprice", pa.float64()),
+                               ("l_discount", pa.float64()),
+                               ("l_returnflag", pa.string())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(key.astype(np.int64), nb)))
+
+    def topk_bucket(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_custkey", as_index=False, sort=False)[
+            "rev_p"].sum()
+        agg = agg.sort_values(["rev_p", "o_custkey"],
+                              ascending=[False, True]).head(k)
+        return arrow_group(agg.reset_index(drop=True))
+
+    df = (parts.map_batches(bucketed, batch_format="pyarrow",
+                            zero_copy_batch=True)
+          .groupby("__b").map_groups(topk_bucket, batch_format="pandas")
+          .to_pandas())
+    df = df.sort_values(["rev_p", "o_custkey"],
+                        ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    finalists = sorted(set(df["o_custkey"].tolist()))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", finalists)] if finalists else None
+    ).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
+        .to_pandas()
+    df = df.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nat[["n_nationkey", "n_name"]],
+               left_on="c_nationkey", right_on="n_nationkey")
+    df["revenue"] = df["rev_p"].to_numpy(np.int64) / 10_000.0
+    return df.sort_values(["revenue", "c_custkey"],
+                          ascending=[False, True])[
+        ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]] \
+        .reset_index(drop=True)
+
+
+BRAND_SIZE_LO = 1
+BRAND_SIZE_HI = 15
+BRAND_QTY_LO = 5.0
+BRAND_QTY_HI = 30.0
+
+
+def brand_revenue(sf_dir: str, size_lo: int = BRAND_SIZE_LO,
+                  size_hi: int = BRAND_SIZE_HI,
+                  qty_lo: float = BRAND_QTY_LO,
+                  qty_hi: float = BRAND_QTY_HI):
+    """TPC-H Q19 shape (discounted revenue by part attributes): revenue
+    per brand over lineitems of size-filtered parts within a quantity
+    band — the fact⋈dimension predicate-join every catalog pipeline
+    runs, and the first operator over the ``part`` table.
+
+    Physical plan: the part side is read predicate-pruned (p_size
+    range) to (partkey, brand-code); under ``DIM_BROADCAST_MAX_ROWS``
+    it broadcasts as a sorted partkey array + int8 brand codes and the
+    whole query is ZERO-shuffle (per-block membership searchsorted +
+    partial sums per brand, driver-combined).  Above the threshold it
+    flips to the shuffle hash join on partkey with the same partial
+    aggregate fused into the join buckets.  Brand cardinality is
+    catalog-bounded, so the q1 driver-combine bound applies.
+
+    Returns pandas (p_brand, revenue, n_items) sorted by brand."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    qty_filter = ((pc.field("l_quantity") >= pc.scalar(qty_lo))
+                  & (pc.field("l_quantity") <= pc.scalar(qty_hi)))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"], filter=qty_filter)
+
+    if _dim_broadcast_ok(sf_dir, "part"):
+        prt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+            filters=[("p_size", ">=", size_lo),
+                     ("p_size", "<=", size_hi)])
+        brands = pc.unique(prt["p_brand"].combine_chunks()).sort()
+        brand_names = brands.to_pylist()
+        code_of = {b: i for i, b in enumerate(brand_names)}
+        p_k = prt["p_partkey"].to_numpy()
+        ordix = np.argsort(p_k, kind="stable")
+        codes = np.array([code_of[b] for b in
+                          prt["p_brand"].to_pylist()],
+                         dtype=np.int64)[ordix]
+        lookup_ref = ray.put((p_k[ordix], codes))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk, cd = ray.get(lookup_ref)
+            if not len(pk):
+                return pa.table({"code": pa.array([], pa.int64()),
+                                 "rev_p": pa.array([], pa.int64()),
+                                 "n_p": pa.array([], pa.int64())})
+            x = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(pk, x), len(pk) - 1)
+            ok = pk[pos] == x
+            pe = np.round(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[ok] * 100.0).astype(np.int64)
+            di = np.round(t["l_discount"].to_numpy(
+                zero_copy_only=False)[ok] * 100.0).astype(np.int64)
+            g = pa.table({"code": pa.array(cd[pos[ok]]),
+                          "rev": pa.array(pe * (100 - di))}) \
+                .group_by("code").aggregate([("rev", "sum"),
+                                             ([], "count_all")])
+            return g.rename_columns(["code", "rev_p", "n_p"])
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+        out = _driver_combine(parts, ["code"],
+                              [("rev_p", "sum", "rev_e4"),
+                               ("n_p", "sum", "n_items")]).to_pandas()
+        out["p_brand"] = [brand_names[c] for c in
+                          out["code"].to_numpy(np.int64)]
+    else:
+        prt_ds = _read(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_size"],
+                       filter=((pc.field("p_size") >= pc.scalar(size_lo))
+                               & (pc.field("p_size")
+                                  <= pc.scalar(size_hi)))) \
+            .rename_columns({"p_partkey": "l_partkey"})
+
+        def fused(j: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                                  "rev_p": pd.Series(dtype="int64"),
+                                  "n_p": pd.Series(dtype="int64")})
+            if not len(j):
+                return empty
+            pe = np.round(j["l_extendedprice"].to_numpy()
+                          * 100.0).astype(np.int64)
+            di = np.round(j["l_discount"].to_numpy()
+                          * 100.0).astype(np.int64)
+            out = pd.DataFrame({"p_brand": j["p_brand"].to_numpy(),
+                                "rev_p": pe * (100 - di)})
+            g = out.groupby("p_brand", as_index=False, sort=False) \
+                .agg(rev_p=("rev_p", "sum"), n_p=("rev_p", "size"))
+            g["n_p"] = g["n_p"].astype(np.int64)
+            return g
+
+        parts = hash_join(
+            li, prt_ds, key="l_partkey",
+            left_cols=["l_partkey", "l_extendedprice", "l_discount"],
+            right_cols=["p_brand"], post=fused,
+            left_schema=pa.schema([("l_partkey", pa.int64()),
+                                   ("l_quantity", pa.float64()),
+                                   ("l_extendedprice", pa.float64()),
+                                   ("l_discount", pa.float64())]),
+            right_schema=pa.schema([("l_partkey", pa.int64()),
+                                    ("p_brand", pa.string()),
+                                    ("p_size", pa.int32())]))
+        out = _driver_combine(parts, ["p_brand"],
+                              [("rev_p", "sum", "rev_e4"),
+                               ("n_p", "sum", "n_items")]).to_pandas()
+    out["revenue"] = out["rev_e4"].to_numpy(np.int64) / 10_000.0
+    out["n_items"] = out["n_items"].to_numpy(np.int64)
+    return out.sort_values("p_brand")[
+        ["p_brand", "revenue", "n_items"]].reset_index(drop=True)
+
+
+def daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per (event_type, day) — the
+    count-distinct rollup every analytics pipeline runs, built to stay
+    exact at corpus scale: per-block dedup of (event_type, day, user)
+    triples (combiner), ONE exchange bucketed by hash(user) — every row
+    of a user lands in exactly one bucket, so the per-bucket triple
+    dedup is globally exact and per-(type, day) partial counts sum
+    without double-counting — then a driver combine over ≤ buckets ×
+    |types·days| tiny partial rows.  No corpus-sized distinct set is
+    ever collected in one place.
+
+    Returns pandas (event_type, day, n_users) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "user_id"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"event_type": t["event_type"], "day": day,
+                      "user_id": t["user_id"]}) \
+            .group_by(["event_type", "day", "user_id"]) \
+            .aggregate([([], "count_all")]) \
+            .drop_columns(["count_all"])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def bucket_count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["event_type", "day", "user_id"])
+        out = d.groupby(["event_type", "day"], as_index=False,
+                        sort=False).agg(n_p=("user_id", "size"))
+        out["n_p"] = out["n_p"].astype(np.int64)
+        return arrow_group(out)
+
+    parts = (ds.map_batches(block_dedup, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(bucket_count,
+                                        batch_format="pandas"))
+    out = _driver_combine(parts, ["event_type", "day"],
+                          [("n_p", "sum", "n_users")]).to_pandas()
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
