@@ -271,7 +271,11 @@ def run_bench() -> dict:
                  # run over the 500-row documents table)
                  ("q3_join_topk", rel.q3_shipping_priority),
                  ("running_window", rel.running_customer_revenue),
-                 ("q5_join", rel.q5_local_supplier_revenue)]
+                 ("q5_join", rel.q5_local_supplier_revenue),
+                 # round 5: two-fact-table join with pre-shuffle
+                 # dimension prune (the other new r5 ops are
+                 # dimension- or 500-row-documents-sized)
+                 ("q7_join", rel.q7_volume_shipping)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
