@@ -2462,6 +2462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": rel.q10_returned_items,
         "brand_revenue": rel.brand_revenue,
         "daily_active_users": rel.daily_active_users,
+        "latest_event_per_user": rel.latest_event_per_user,
+        "user_event_pivot": rel.user_event_pivot,
+        "doc_length_histogram": rel.doc_length_histogram,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2625,6 +2628,23 @@ GROUP BY p_brand ORDER BY p_brand""",
 SELECT event_type, date_trunc('day', ts) AS day,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY event_type, day ORDER BY event_type, day""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1 ORDER BY user_id""",
+        "user_event_pivot": "SELECT user_id,\n" + ",\n".join(
+            f"  (count(*) FILTER (WHERE event_type = '{t}'))::BIGINT"
+            f" AS n_{t}" for t in rel.PIVOT_EVENT_TYPES)
+        + ",\n  count(*)::BIGINT AS n_events\n"
+          "FROM events GROUP BY user_id ORDER BY user_id",
+        "doc_length_histogram": """
+SELECT (floor(log2(n_chars)))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents WHERE n_chars > 0
+GROUP BY bucket ORDER BY bucket""",
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

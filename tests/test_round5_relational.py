@@ -89,9 +89,21 @@ def sf_dir(ray_session, tmp_path_factory):
         "event_type": rng.choice(["view", "click", "buy"], n_ev),
         "value": np.round(rng.uniform(0, 50, n_ev), 3),
         "props": ['{"k": 1}'] * n_ev})
+    # planted ts ties within a user (event_id breaks them) for the
+    # keep-latest operator
+    ev.loc[10, ["user_id", "ts"]] = ev.loc[11, ["user_id", "ts"]]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "text": ["t"] * 120,
+        "lang": ["en"] * 120,
+        "source": ["s"] * 120,
+        # powers of two sit exactly on log2 bucket boundaries
+        "n_chars": np.r_[rng.integers(1, 5000, 116),
+                         [64, 64, 128, 4096]].astype(np.int64)})
     for name, df in [("customer", cust), ("orders", orders),
                      ("nation", nation), ("supplier", sup),
-                     ("lineitem", li), ("part", part), ("events", ev)]:
+                     ("lineitem", li), ("part", part), ("events", ev),
+                     ("documents", docs)]:
         df.to_parquet(d / f"{name}.parquet", index=False)
     return str(d)
 
@@ -99,7 +111,7 @@ def sf_dir(ray_session, tmp_path_factory):
 def _duck(sf_dir, sql):
     con = duckdb.connect()
     for t in ["customer", "orders", "nation", "supplier", "lineitem",
-              "part", "events"]:
+              "part", "events", "documents"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con.execute(sql).df()
@@ -195,3 +207,54 @@ def test_daily_active_users_vs_pandas(sf_dir):
     # distinct actually deduped: raw event counts exceed user counts
     raw = ev.groupby(["event_type", "day"]).size()
     assert (raw.to_numpy() > want["n_users"].to_numpy()).any()
+
+
+def test_latest_event_per_user_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import latest_event_per_user
+    got = latest_event_per_user(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want = (ev.sort_values(["user_id", "ts", "event_id"])
+            .drop_duplicates("user_id", keep="last")
+            .sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["ts"].tolist() == want["ts"].tolist()
+    # the planted within-user ts tie resolved by the larger event_id
+    dup = ev[ev.duplicated(["user_id", "ts"], keep=False)]
+    assert len(dup) >= 2
+
+
+def test_user_event_pivot_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import (PIVOT_EVENT_TYPES,
+                                                 user_event_pivot)
+    # fixture events only use view/click/buy — 'buy' is NOT in the
+    # known-types list, so it must still count toward n_events while
+    # getting no column of its own
+    got = user_event_pivot(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want_tot = ev.groupby("user_id").size()
+    assert got["user_id"].tolist() == sorted(want_tot.index.tolist())
+    assert got["n_events"].tolist() == \
+        want_tot.loc[got["user_id"]].tolist()
+    for ty in PIVOT_EVENT_TYPES:
+        w = (ev[ev["event_type"] == ty].groupby("user_id").size()
+             .reindex(got["user_id"], fill_value=0))
+        assert got[f"n_{ty}"].tolist() == w.tolist(), ty
+    assert (ev["event_type"] == "buy").any()
+    assert got["n_events"].sum() > sum(
+        got[f"n_{t}"].sum() for t in PIVOT_EVENT_TYPES)
+
+
+def test_doc_length_histogram_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import doc_length_histogram
+    got = doc_length_histogram(sf_dir)
+    want = _duck(sf_dir, """
+SELECT (floor(log2(n_chars)))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents WHERE n_chars > 0
+GROUP BY bucket ORDER BY bucket""")
+    pd.testing.assert_frame_equal(got, want)
+    # planted exact powers of two landed in their own buckets (boundary
+    # check: log2(64) == 6.0 exactly)
+    assert 6 in got["bucket"].tolist()

@@ -1847,3 +1847,125 @@ def daily_active_users(sf_dir: str):
     out = _driver_combine(parts, ["event_type", "day"],
                           [("n_p", "sum", "n_users")]).to_pandas()
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str):
+    """Keep-latest dedup (the "current state" operator): each user's
+    most recent event row, ties on ts broken by the larger event_id —
+    SQL's ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts DESC, id
+    DESC) = 1.  Per-block vectorized keep-latest (one lexsort +
+    boundary mask — the block combiner bounds exchange volume at ≤
+    |users| rows per block), then ONE hash(user)-bucketed exchange and
+    the same kernel per bucket.  No sort of the full table anywhere.
+
+    Returns pandas (user_id, event_id, ts, event_type, value) sorted
+    by user_id."""
+    from ..runtime import int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+
+    def _keep_latest(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u_sorted = user[order]
+        is_last = np.r_[u_sorted[1:] != u_sorted[:-1], True]
+        return t.take(pa.array(np.sort(order[is_last])))
+
+    def block_latest(t: pa.Table) -> pa.Table:
+        t = _keep_latest(t)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def bucket_latest(g: pa.Table) -> pa.Table:
+        return _keep_latest(g.drop_columns(["__b"]))
+
+    out = (ds.map_batches(block_latest, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(bucket_latest,
+                                      batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "event_id", "ts", "event_type", "value"]]
+
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str,
+                     types: tuple = PIVOT_EVENT_TYPES):
+    """Per-user event-type count pivot (long → wide): one n_<type>
+    column per known event type plus the total — the feature-vector
+    rollup behind every per-entity ML table.  Per-block Arrow partial
+    counts by (user, type) shrink the exchange to ≤ |users|·|types|
+    rows per block; ONE hash(user)-bucketed exchange, then a vectorized
+    pandas pivot per bucket.  User cardinality is corpus-sized, so
+    there is deliberately NO driver combine.
+
+    Returns pandas (user_id, n_<type>..., n_events) sorted by user."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    out_cols = [f"n_{t}" for t in types]
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "event_type", "n_p"])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def pivot(g: pd.DataFrame) -> pa.Table:
+        w = g.pivot_table(index="user_id", columns="event_type",
+                          values="n_p", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"user_id": w.index.to_numpy(np.int64)})
+        for ty, c in zip(types, out_cols):
+            out[c] = (w[ty].to_numpy(np.int64) if ty in w.columns
+                      else np.zeros(len(w), np.int64))
+        # unknown types (not in ``types``) still count toward the total
+        out["n_events"] = w.to_numpy().sum(axis=1).astype(np.int64)
+        return arrow_group(out)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(pivot, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def doc_length_histogram(sf_dir: str):
+    """Log2-bucketed document-length histogram — the corpus-shape
+    diagnostic run before every training-data cut.  floor(log2(chars))
+    per block (one Arrow kernel; log2 of a positive int is the same
+    libm double on engine and oracle), partial (count, sum) per bucket,
+    driver-combined (bucket cardinality is log-bounded ≤ 64).
+
+    Returns pandas (bucket, n_docs, total_chars) sorted by bucket."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"],
+               filter=(pc.field("n_chars") > pc.scalar(0)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.log2(pc.cast(t["n_chars"],
+                                             pa.float64()))),
+                    pa.int64())
+        g = pa.table({"bucket": b, "n_chars": t["n_chars"]}) \
+            .group_by("bucket").aggregate([([], "count_all"),
+                                           ("n_chars", "sum")])
+        return g.rename_columns(["bucket", "n_p", "chars_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["bucket"],
+                          [("n_p", "sum", "n_docs"),
+                           ("chars_p", "sum", "total_chars")])
+    return out.to_pandas().sort_values("bucket").reset_index(drop=True)
