@@ -2465,6 +2465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": rel.latest_event_per_user,
         "user_event_pivot": rel.user_event_pivot,
         "doc_length_histogram": rel.doc_length_histogram,
+        "revenue_pareto": rel.revenue_pareto,
+        "event_transition_counts": rel.event_transition_counts,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2645,6 +2647,31 @@ SELECT (floor(log2(n_chars)))::BIGINT AS bucket,
        sum(n_chars)::BIGINT AS total_chars
 FROM documents WHERE n_chars > 0
 GROUP BY bucket ORDER BY bucket""",
+        # the cumulative sums stay integer cents on both sides; share
+        # and revenue are one float64 division each
+        "revenue_pareto": """
+WITH c AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY o_custkey),
+ w AS (SELECT o_custkey, cents,
+              sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+       FROM c)
+SELECT o_custkey, cents / 100.0 AS revenue, cum / 100.0 AS cum_revenue,
+       cum::DOUBLE / (SELECT sum(cents) FROM c) AS cum_share
+FROM w ORDER BY cents DESC, o_custkey""",
+        "event_transition_counts": """
+WITH s AS (SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS next_type
+           FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*)::BIGINT AS n
+FROM s WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type""",
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

@@ -258,3 +258,63 @@ GROUP BY bucket ORDER BY bucket""")
     # planted exact powers of two landed in their own buckets (boundary
     # check: log2(64) == 6.0 exactly)
     assert 6 in got["bucket"].tolist()
+
+
+def test_revenue_pareto_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import revenue_pareto
+    got = revenue_pareto(sf_dir)
+    want = _duck(sf_dir, """
+WITH c AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY o_custkey),
+ w AS (SELECT o_custkey, cents,
+              sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+       FROM c)
+SELECT o_custkey, cents / 100.0 AS revenue, cum / 100.0 AS cum_revenue,
+       cum::DOUBLE / (SELECT sum(cents) FROM c) AS cum_share
+FROM w ORDER BY cents DESC, o_custkey""")
+    pd.testing.assert_frame_equal(got, want)
+    # it is a genuine Pareto curve: monotone rank order, share ends at 1
+    assert (np.diff(got["cum_revenue"].to_numpy()) > 0).all()
+    assert abs(got["cum_share"].iloc[-1] - 1.0) < 1e-12
+
+
+def test_global_prefix_scan_many_blocks(ray_session):
+    """The scan primitive itself: offsets carried across MANY blocks
+    (including empty ones) must reproduce a single-process cumsum."""
+    import ray
+    from vframe_ray.stages.scan import global_prefix_scan
+    rng = np.random.default_rng(9)
+    v = rng.integers(-50, 100, 5000).astype(np.int64)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"i": np.arange(5000, dtype=np.int64), "v": v})) \
+        .repartition(37)
+    scanned, totals = global_prefix_scan(ds, ["v"])
+    out = scanned.to_pandas()
+    assert totals[0] == v.sum()
+    # dataset order preserved: rows come back in input order
+    assert out["i"].tolist() == list(range(5000))
+    assert out["cum_v"].to_numpy().tolist() == np.cumsum(v).tolist()
+
+
+def test_event_transition_counts_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import event_transition_counts
+    got = event_transition_counts(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    mask = nxt.notna()
+    want = (pd.DataFrame({"from_type": ev["event_type"][mask],
+                          "to_type": nxt[mask]})
+            .groupby(["from_type", "to_type"]).size().rename("n")
+            .reset_index().sort_values(["from_type", "to_type"])
+            .reset_index(drop=True))
+    assert got["from_type"].tolist() == want["from_type"].tolist()
+    assert got["to_type"].tolist() == want["to_type"].tolist()
+    assert got["n"].to_numpy(np.int64).tolist() == \
+        want["n"].to_numpy(np.int64).tolist()
+    # transitions cover the full 3x3 type matrix in this corpus
+    assert len(got) == 9

@@ -1969,3 +1969,109 @@ def doc_length_histogram(sf_dir: str):
                           [("n_p", "sum", "n_docs"),
                            ("chars_p", "sum", "total_chars")])
     return out.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+def revenue_pareto(sf_dir: str):
+    """Revenue Pareto curve: customers ranked by total revenue with
+    GLOBAL cumulative revenue and cumulative share — SQL's SUM() OVER
+    (ORDER BY revenue DESC) with no partition, i.e. a global scan.
+
+    Physical plan: bucketed exact per-customer cents (per-block
+    partials, one hash(custkey) exchange), a DISTRIBUTED sort on
+    (cents desc, custkey), then :func:`~vframe_ray.stages.scan.
+    global_prefix_scan` — the two-phase parallel scan over block refs
+    (per-block sums → driver exclusive prefix → per-block cumsum +
+    carried offset), so the running total is exact in integer cents
+    and no stage ever sees more than one block of rows.  The share is
+    ONE float64 division per row on both engine and oracle sides.
+
+    Returns pandas (o_custkey, revenue, cum_revenue, cum_share) in
+    rank order."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..stages.scan import global_prefix_scan
+    nb = num_hash_buckets(None)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(cust.astype(np.int64), nb)))
+
+    def exact(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_custkey", as_index=False, sort=False)[
+            "cents"].sum()
+        return arrow_group(agg)
+
+    totals_ds = (orders.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("__b").map_groups(exact,
+                                            batch_format="pandas"))
+    ranked = totals_ds.sort(["cents", "o_custkey"],
+                            descending=[True, False])
+    scanned, grand = global_prefix_scan(ranked, ["cents"])
+    total = int(grand[0])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        cum = t["cum_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "revenue": pa.array(cents / 100.0),
+            "cum_revenue": pa.array(cum / 100.0),
+            "cum_share": pa.array(cum / float(total))})
+
+    return scanned.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas() \
+        .reset_index(drop=True)
+
+
+def event_transition_counts(sf_dir: str):
+    """Event-type transition matrix (the Markov-chain rollup): for each
+    user's (ts, event_id)-ordered event stream, count consecutive
+    (from_type → to_type) pairs corpus-wide.  ONE hash(user) exchange;
+    per bucket one lexsort + shifted compare builds every user's
+    adjacent pairs vectorized (no per-user loop), partial pair counts
+    are ≤ |types|² per bucket, driver-combined.
+
+    Returns pandas (from_type, to_type, n) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        u_s, ty_s = user[order], ty[order]
+        nxt = u_s[1:] == u_s[:-1]          # same user → adjacent pair
+        out = pd.DataFrame({"from_type": ty_s[:-1][nxt],
+                            "to_type": ty_s[1:][nxt]})
+        agg = out.groupby(["from_type", "to_type"], as_index=False,
+                          sort=False).size().rename(columns={"size":
+                                                             "n_p"})
+        agg["n_p"] = agg["n_p"].astype(np.int64)
+        return arrow_group(agg)
+
+    parts = (ds.map_batches(bucketed, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(pairs, batch_format="pandas"))
+    out = _driver_combine(parts, ["from_type", "to_type"],
+                          [("n_p", "sum", "n")])
+    return out.to_pandas().sort_values(["from_type", "to_type"]) \
+        .reset_index(drop=True)
