@@ -2467,6 +2467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": rel.doc_length_histogram,
         "revenue_pareto": rel.revenue_pareto,
         "event_transition_counts": rel.event_transition_counts,
+        "late_shipment_rate": rel.late_shipment_rate,
+        "monthly_revenue_growth": rel.monthly_revenue_growth,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2672,6 +2674,29 @@ SELECT event_type AS from_type, next_type AS to_type,
        count(*)::BIGINT AS n
 FROM s WHERE next_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+        "late_shipment_rate": f"""
+SELECT o_orderpriority,
+       (sum(CASE WHEN l_shipdate > o_orderdate
+                      + INTERVAL {rel.LATE_SHIP_DAYS} DAY
+                 THEN 1 ELSE 0 END))::BIGINT AS n_late,
+       count(*)::BIGINT AS n_items,
+       (sum(CASE WHEN l_shipdate > o_orderdate
+                      + INTERVAL {rel.LATE_SHIP_DAYS} DAY
+                 THEN 1 ELSE 0 END))::DOUBLE / count(*) AS late_rate
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "monthly_revenue_growth": """
+WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY month),
+ w AS (SELECT month, cents,
+              lag(cents) OVER (ORDER BY month) AS prev
+       FROM m)
+SELECT month, cents / 100.0 AS revenue,
+       (cents - prev)::DOUBLE / prev AS growth
+FROM w WHERE prev IS NOT NULL ORDER BY month""",
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

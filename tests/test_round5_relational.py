@@ -318,3 +318,40 @@ def test_event_transition_counts_vs_pandas(sf_dir):
         want["n"].to_numpy(np.int64).tolist()
     # transitions cover the full 3x3 type matrix in this corpus
     assert len(got) == 9
+
+
+def test_late_shipment_rate_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import late_shipment_rate
+    got = late_shipment_rate(sf_dir, late_days=90)
+    want = _duck(sf_dir, """
+SELECT o_orderpriority,
+       (sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                 THEN 1 ELSE 0 END))::BIGINT AS n_late,
+       count(*)::BIGINT AS n_items,
+       (sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                 THEN 1 ELSE 0 END))::DOUBLE / count(*) AS late_rate
+FROM lineitem, orders WHERE l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    pd.testing.assert_frame_equal(got, want)
+    # the fixture's random ship/order dates produce both late and
+    # on-time items in every class
+    assert (got["n_late"] > 0).all() and \
+        (got["n_late"] < got["n_items"]).all()
+
+
+def test_monthly_revenue_growth_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import monthly_revenue_growth
+    got = monthly_revenue_growth(sf_dir)
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["month"] = o["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+    m = o.groupby("month").apply(
+        lambda g: np.round(g["o_totalprice"] * 100).astype(np.int64)
+        .sum()).rename("cents").reset_index().sort_values("month")
+    cents = m["cents"].to_numpy(np.int64)
+    assert got["month"].astype("datetime64[us]").tolist() == \
+        m["month"].astype("datetime64[us]").tolist()[1:]
+    assert got["revenue"].tolist() == (cents[1:] / 100.0).tolist()
+    assert got["growth"].tolist() == \
+        ((cents[1:] - cents[:-1]) / cents[:-1]).tolist()
+    # growth swings both ways on the random fixture
+    assert (got["growth"] > 0).any() and (got["growth"] < 0).any()

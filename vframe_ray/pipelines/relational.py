@@ -2075,3 +2075,98 @@ def event_transition_counts(sf_dir: str):
                           [("n_p", "sum", "n")])
     return out.to_pandas().sort_values(["from_type", "to_type"]) \
         .reset_index(drop=True)
+
+
+LATE_SHIP_DAYS = 90
+
+
+def late_shipment_rate(sf_dir: str, late_days: int = LATE_SHIP_DAYS):
+    """Derived-predicate rate per class: the fraction of lineitems
+    shipped more than ``late_days`` after their order date, per order
+    priority — the fact⋈fact boolean-rate rollup (SLA / freshness
+    dashboards).  ONE shuffle: hash join lineitem⋈orders on orderkey
+    with the (n_late, n_total) integer partials per priority fused into
+    the join bucket; priority cardinality is enum-bounded, so the
+    driver combine applies.  The rate is ONE float64 division per class
+    on both engine and oracle sides.
+
+    Returns pandas (o_orderpriority, n_late, n_items, late_rate)
+    sorted by priority."""
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority":
+                              pd.Series(dtype="object"),
+                              "late_p": pd.Series(dtype="int64"),
+                              "n_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        ship = j["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        od = j["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        out = pd.DataFrame({"o_orderpriority": j["o_orderpriority"],
+                            "late_p": (ship - od
+                                       > late_us).astype(np.int64)})
+        g = out.groupby("o_orderpriority", as_index=False, sort=False) \
+            .agg(late_p=("late_p", "sum"), n_p=("late_p", "size"))
+        g["n_p"] = g["n_p"].astype(np.int64)
+        return g
+
+    parts = hash_join(
+        li, orders, key="l_orderkey",
+        left_cols=["l_orderkey", "l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"], post=fused,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]))
+    out = _driver_combine(parts, ["o_orderpriority"],
+                          [("late_p", "sum", "n_late"),
+                           ("n_p", "sum", "n_items")]).to_pandas()
+    out["late_rate"] = (out["n_late"].to_numpy(np.int64)
+                        / out["n_items"].to_numpy(np.int64))
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth — LAG over an AGGREGATED series
+    (the windowed-aggregate-of-aggregate shape every trend dashboard
+    runs).  The heavy part is the calendar-bounded monthly rollup
+    (per-block integer-cents partials, driver-combined, same bound as
+    monthly_revenue_trend); the LAG + pct-change run on the ≤ |months|
+    result rows.  Growth is ONE float64 division per month on both
+    sides; the first month (no prior) is dropped like the SQL's
+    NULL-filtering WHERE.
+
+    Returns pandas (month, revenue, growth) sorted by month."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"month": month, "cents": cents}) \
+            .group_by("month").aggregate([("cents", "sum")])
+        return g.rename_columns(["month", "cents_p"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["month"],
+                          [("cents_p", "sum", "cents")]).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    cents = out["cents"].to_numpy(np.int64)
+    out["revenue"] = cents / 100.0
+    prev = np.roll(cents, 1)
+    out["growth"] = (cents - prev) / prev
+    out = out.iloc[1:].reset_index(drop=True)   # first month: no prior
+    return out[["month", "revenue", "growth"]]
