@@ -2469,6 +2469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_counts": rel.event_transition_counts,
         "late_shipment_rate": rel.late_shipment_rate,
         "monthly_revenue_growth": rel.monthly_revenue_growth,
+        "customer_rfm": rel.customer_rfm,
+        "hourly_event_profile": rel.hourly_event_profile,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2697,6 +2699,25 @@ WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
 SELECT month, cents / 100.0 AS revenue,
        (cents - prev)::DOUBLE / prev AS growth
 FROM w WHERE prev IS NOT NULL ORDER BY month""",
+        # recency mirrors the engine's integer-µs floor division, not
+        # date_diff's boundary count, so sub-day timestamps can't drift
+        "customer_rfm": """
+WITH mx AS (SELECT max(epoch_us(o_orderdate)) AS m FROM orders),
+ c AS (SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+              count(*)::BIGINT AS frequency,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+       (((SELECT m FROM mx) - last_us) // 86400000000)::BIGINT
+           AS recency_days,
+       frequency, cents / 100.0 AS monetary,
+       cents / 100.0 / frequency AS avg_order
+FROM c ORDER BY o_custkey""",
+        "hourly_event_profile": """
+SELECT event_type, (date_part('hour', ts))::BIGINT AS hour,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type, hour
+ORDER BY event_type, hour""",
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

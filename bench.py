@@ -273,9 +273,11 @@ def run_bench() -> dict:
                  ("running_window", rel.running_customer_revenue),
                  ("q5_join", rel.q5_local_supplier_revenue),
                  # round 5: two-fact-table join with pre-shuffle
-                 # dimension prune (the other new r5 ops are
-                 # dimension- or 500-row-documents-sized)
-                 ("q7_join", rel.q7_volume_shipping)]
+                 # dimension prune, and the distributed-sort + global
+                 # prefix scan (the other new r5 ops are dimension- or
+                 # 500-row-documents-sized)
+                 ("q7_join", rel.q7_volume_shipping),
+                 ("pareto_scan", rel.revenue_pareto)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup

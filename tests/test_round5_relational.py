@@ -355,3 +355,42 @@ def test_monthly_revenue_growth_vs_pandas(sf_dir):
         ((cents[1:] - cents[:-1]) / cents[:-1]).tolist()
     # growth swings both ways on the random fixture
     assert (got["growth"] > 0).any() and (got["growth"] < 0).any()
+
+
+def test_customer_rfm_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import customer_rfm
+    got = customer_rfm(sf_dir)
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    gmax = o["o_orderdate"].max()
+    w = o.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"), frequency=("cents", "size"),
+        cents=("cents", "sum")).reset_index().sort_values("o_custkey")
+    rec = ((gmax - w["last"]).dt.total_seconds() * 1e6
+           // 86_400_000_000).astype(np.int64)
+    assert got["o_custkey"].tolist() == w["o_custkey"].tolist()
+    assert got["recency_days"].tolist() == rec.tolist()
+    assert got["frequency"].tolist() == \
+        w["frequency"].astype(np.int64).tolist()
+    assert got["monetary"].tolist() == \
+        (w["cents"].to_numpy(np.int64) / 100.0).tolist()
+    assert got["avg_order"].tolist() == \
+        (w["cents"].to_numpy(np.int64) / 100.0
+         / w["frequency"].to_numpy(np.int64)).tolist()
+    # the corpus-max customer has recency 0
+    assert (got["recency_days"] == 0).any()
+
+
+def test_hourly_event_profile_vs_pandas(sf_dir):
+    from vframe_ray.pipelines.relational import hourly_event_profile
+    got = hourly_event_profile(sf_dir)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["hour"] = ev["ts"].dt.hour.astype(np.int64)
+    want = (ev.groupby(["event_type", "hour"]).size().rename("n_events")
+            .reset_index().sort_values(["event_type", "hour"])
+            .reset_index(drop=True))
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["hour"].tolist() == want["hour"].tolist()
+    assert got["n_events"].to_numpy(np.int64).tolist() == \
+        want["n_events"].to_numpy(np.int64).tolist()
+    assert got["hour"].between(0, 23).all()

@@ -2170,3 +2170,95 @@ def monthly_revenue_growth(sf_dir: str):
     out["growth"] = (cents - prev) / prev
     out = out.iloc[1:].reset_index(drop=True)   # first month: no prior
     return out[["month", "revenue", "growth"]]
+
+
+def customer_rfm(sf_dir: str):
+    """RFM feature table (recency / frequency / monetary) — the
+    per-entity feature-engineering rollup behind churn/LTV models.
+    Two passes, one exchange: a per-block partial pass driver-combines
+    the GLOBAL max order date (1 row), then per-customer
+    (last date, n_orders, cents) partials co-partition by
+    hash(custkey) for exact sums; recency = whole days between the
+    customer's last order and the corpus max (integer µs arithmetic),
+    monetary stays integer cents, avg_order is ONE float64 division.
+
+    Returns pandas (o_custkey, recency_days, frequency, monetary,
+    avg_order) sorted by custkey."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        # normalize to µs before integer math (parquet may store ns)
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        return pa.table({"mx": pa.array(
+            [pc.max(od).value], pa.int64())})
+
+    mx = _driver_combine(
+        ds.map_batches(max_partial, batch_format="pyarrow",
+                       batch_size=None),
+        [], [("mx", "max", "mx")])
+    global_max_us = int(mx["mx"][0].as_py())
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "od": od,
+                      "cents": cents}) \
+            .group_by("o_custkey").aggregate([("od", "max"),
+                                              ([], "count_all"),
+                                              ("cents", "sum")]) \
+            .rename_columns(["o_custkey", "last_us", "n_p", "cents_p"])
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(cust.astype(np.int64), nb)))
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_custkey", as_index=False, sort=False).agg(
+            last_us=("last_us", "max"), frequency=("n_p", "sum"),
+            cents=("cents_p", "sum"))
+        out = pd.DataFrame({
+            "o_custkey": agg["o_custkey"].to_numpy(np.int64),
+            "recency_days": ((global_max_us
+                              - agg["last_us"].to_numpy(np.int64))
+                             // 86_400_000_000),
+            "frequency": agg["frequency"].to_numpy(np.int64),
+            "monetary": agg["cents"].to_numpy(np.int64) / 100.0,
+            "avg_order": (agg["cents"].to_numpy(np.int64) / 100.0
+                          / agg["frequency"].to_numpy(np.int64))})
+        return arrow_group(out)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(finish, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def hourly_event_profile(sf_dir: str):
+    """Hour-of-day seasonality per event type — the 24-slot traffic
+    profile every ops dashboard draws.  Per-block Arrow hour-extract +
+    partial counts; (type × 24) cardinality is enum-bounded, so the
+    driver combine applies.  Zero shuffles.
+
+    Returns pandas (event_type, hour, n_events) sorted."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(t["ts"]), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "hour": h}) \
+            .group_by(["event_type", "hour"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "hour", "n_p"])
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, ["event_type", "hour"],
+                          [("n_p", "sum", "n_events")])
+    return out.to_pandas().sort_values(["event_type", "hour"]) \
+        .reset_index(drop=True)
