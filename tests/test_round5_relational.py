@@ -394,3 +394,53 @@ def test_hourly_event_profile_vs_pandas(sf_dir):
     assert got["n_events"].to_numpy(np.int64).tolist() == \
         want["n_events"].to_numpy(np.int64).tolist()
     assert got["hour"].between(0, 23).all()
+
+
+def test_degenerate_new_ops(ray_session, tmp_path):
+    """Every user has exactly ONE event → the transition matrix is
+    empty but schema-stable (no null-typed columns from an empty
+    bucket); a window with zero returned lineitems → q10 returns a
+    typed empty frame WITHOUT scanning the customer table."""
+    d = tmp_path / "deg"
+    d.mkdir()
+    ev = pd.DataFrame({
+        "event_id": np.arange(50, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(50), unit="h"),
+        "user_id": np.arange(50, dtype=np.int64),   # all singletons
+        "event_type": ["view"] * 50,
+        "value": np.zeros(50),
+        "props": ["{}"] * 50})
+    ev.to_parquet(d / "events.parquet", index=False)
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1, 2], dtype=np.int64),
+        "o_custkey": np.array([1, 2], dtype=np.int64),
+        "o_orderstatus": ["O", "O"],
+        "o_totalprice": [10.0, 20.0],
+        "o_orderdate": [pd.Timestamp("1996-02-01")] * 2,
+        "o_orderpriority": ["1-URGENT"] * 2})
+    orders.to_parquet(d / "orders.parquet", index=False)
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 2], dtype=np.int64),
+        "l_partkey": np.array([1, 1], dtype=np.int64),
+        "l_suppkey": np.array([1, 1], dtype=np.int64),
+        "l_linenumber": np.array([0, 0], dtype=np.int32),
+        "l_quantity": [1.0, 1.0],
+        "l_extendedprice": [5.0, 5.0],
+        "l_discount": [0.0, 0.0],
+        "l_tax": [0.0, 0.0],
+        "l_returnflag": ["N", "N"],                 # nothing returned
+        "l_linestatus": ["O", "O"],
+        "l_shipdate": [pd.Timestamp("1996-03-01")] * 2})
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    # customer file deliberately ABSENT: q10's empty-finalist path must
+    # return before any customer read
+    from vframe_ray.pipelines.relational import (event_transition_counts,
+                                                 q10_returned_items)
+    t = event_transition_counts(str(d))
+    assert len(t) == 0
+    assert list(t.columns) == ["from_type", "to_type", "n"]
+    q = q10_returned_items(str(d))
+    assert len(q) == 0
+    assert list(q.columns) == ["c_custkey", "c_name", "revenue",
+                               "c_acctbal", "n_name"]

@@ -1341,13 +1341,21 @@ def q18_large_orders(sf_dir: str, qty: float = Q18_QTY, k: int = Q18_K):
         ascending=[False, True, True]).head(k).reset_index(drop=True)
     import pyarrow.parquet as pq
     # pushdown-filtered read: only the ≤ k finalists' names leave
-    # storage, never the whole customer table
+    # storage, never the whole customer table (and an EMPTY finalist
+    # set reads nothing at all — filters=None would scan everything)
     finalists = sorted(set(df["o_custkey"].tolist()))
+    if not finalists:
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="object"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="datetime64[us]"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "sum_qty": pd.Series(dtype="float64")})
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name"],
-        filters=[("c_custkey", "in", finalists)] if finalists else None
-    ).to_pandas()
+        filters=[("c_custkey", "in", finalists)]).to_pandas()
     df = df.merge(cust, left_on="o_custkey", right_on="c_custkey") \
         .drop(columns="c_custkey")
     return df.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
@@ -1662,6 +1670,13 @@ def q10_returned_items(sf_dir: str, date_lo: str = Q10_DATE_LO,
                             zero_copy_batch=True)
           .groupby("__b").map_groups(topk_bucket, batch_format="pandas")
           .to_pandas())
+    if df.empty:            # no returned items: never read customer
+        return pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+            "revenue": pd.Series(dtype="float64"),
+            "c_acctbal": pd.Series(dtype="float64"),
+            "n_name": pd.Series(dtype="object")})
     df = df.sort_values(["rev_p", "o_custkey"],
                         ascending=[False, True]).head(k) \
         .reset_index(drop=True)
@@ -1669,8 +1684,7 @@ def q10_returned_items(sf_dir: str, date_lo: str = Q10_DATE_LO,
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
-        filters=[("c_custkey", "in", finalists)] if finalists else None
-    ).to_pandas()
+        filters=[("c_custkey", "in", finalists)]).to_pandas()
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
         .to_pandas()
     df = df.merge(cust, left_on="o_custkey", right_on="c_custkey") \
@@ -2065,8 +2079,13 @@ def event_transition_counts(sf_dir: str):
         agg = out.groupby(["from_type", "to_type"], as_index=False,
                           sort=False).size().rename(columns={"size":
                                                              "n_p"})
-        agg["n_p"] = agg["n_p"].astype(np.int64)
-        return arrow_group(agg)
+        # explicit types: a bucket whose users all have ONE event emits
+        # an empty frame, and from_pandas would infer null columns that
+        # drift the block schema
+        return pa.table({
+            "from_type": pa.array(agg["from_type"], pa.string()),
+            "to_type": pa.array(agg["to_type"], pa.string()),
+            "n_p": pa.array(agg["n_p"].to_numpy(np.int64))})
 
     parts = (ds.map_batches(bucketed, batch_format="pyarrow",
                             zero_copy_batch=True)
