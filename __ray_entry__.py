@@ -47,13 +47,16 @@ _TOK = "WITH" + sql_tokens_cte("documents", "text", "doc_id")
 _BM25_PARAMS = dict(k1=1.2, b=0.75)
 
 
-def _bm25_scores_prefix() -> str:
+def _bm25_scores_prefix(queries=None) -> str:
     """Shared CTE chain computing (query_id, doc_id, score) for
-    DOC_QUERIES plus the per-query k table ``qk`` — the SQL mirror of the
-    engine's BM25 (identical idf/tf/norm association order)."""
+    ``queries`` (default DOC_QUERIES) plus the per-query k table ``qk``
+    — the SQL mirror of the engine's BM25 (identical idf/tf/norm
+    association order)."""
     tok = Tokenizer()
     qterms, qks = [], []
-    for q in DOC_QUERIES:
+    if queries is None:
+        queries = DOC_QUERIES
+    for q in queries:
         for t in sorted(set(tok.tokenize(q["query_text"]))):
             qterms.append(f"({q['query_id']}, '{t}')")
         qks.append(f"({q['query_id']}, {q['k']})")
@@ -87,6 +90,27 @@ def _bm25_sql() -> str:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, doc_id) AS rank
             FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
+def _fs_sql() -> str:
+    """Function-score oracle: the shared BM25 CTE over FS_QUERIES, each
+    doc's score multiplied by (1 + w·ln(1 + n_chars)) BEFORE ranking —
+    the field_value_factor shape.  The engine computes the identical
+    scalar-libm log per unique attr value, so the product matches."""
+    from vframe_ray.pipelines.flagship import FS_QUERIES, FS_WEIGHT
+    return f"""{_bm25_scores_prefix(FS_QUERIES)},
+ fs AS (SELECT s.query_id, s.doc_id,
+               s.score * (1 + {FS_WEIGHT} * ln(1 + d.n_chars)) AS score
+        FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM fs)
 SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
        r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
 FROM ranked r JOIN qk ON qk.query_id = r.query_id
@@ -974,6 +998,13 @@ SELECT doc_id, source FROM rec WHERE kept ORDER BY doc_id"""
 
 def _q_bm25(sf_dir: str):
     return bm25_documents(sf_dir)
+
+
+def _q_function_score(sf_dir: str):
+    """Attribute-boosted ranking: BM25 × (1 + w·ln(1 + n_chars)) over
+    the n_chars-attributed documents index (field_value_factor)."""
+    from vframe_ray.pipelines.flagship import bm25_function_score
+    return bm25_function_score(sf_dir)
 
 
 def _q_phrase(sf_dir: str):
@@ -2471,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": rel.monthly_revenue_growth,
         "customer_rfm": rel.customer_rfm,
         "hourly_event_profile": rel.hourly_event_profile,
+        "bm25_function_score": _q_function_score,
         # --- changed THIS round (fix/fallback/cache-fingerprint) —
         # --- must re-earn a green driver row before the stale set ---
         "pack_sequences": _q_pack_sequences,
@@ -2718,6 +2750,7 @@ SELECT event_type, (date_part('hour', ts))::BIGINT AS hour,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY event_type, hour
 ORDER BY event_type, hour""",
+        "bm25_function_score": _fs_sql(),
         "bm25_topk": _bm25_sql(),
         # the extend-path index must reproduce the FULL-corpus ranking
         # bit-for-bit: same oracle as bm25_topk

@@ -195,3 +195,49 @@ def test_bench_supervisor_partial_on_crash(tmp_path):
     assert out["pipeline_status"]["index_build"] == "ok"
     assert out["queries"]["index_build"] > 0
     assert out["crash_rc"] == 134
+
+
+def test_function_score_vs_bruteforce(ray_session, tmp_path):
+    """Function-score (field_value_factor) ranking must equal the
+    brute-force BM25 × (1 + w·ln(1+attr)) rescore of ALL matches, and
+    must genuinely reorder vs plain BM25 (a long doc with one 'apple'
+    outranks short docs with more); unknown attr fails fast."""
+    import math
+    import ray
+    import pandas as pd
+    import pytest
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import function_score_index, search_index
+    rows = [
+        {"conv_id": "d0", "turn_idx": 0, "len": 10,
+         "text": "apple apple apple pear"},
+        {"conv_id": "d1", "turn_idx": 0, "len": 5000,
+         "text": "apple " + "filler " * 8},
+        {"conv_id": "d2", "turn_idx": 0, "len": 40,
+         "text": "apple apple plum"},
+        {"conv_id": "d3", "turn_idx": 0, "len": 9000,
+         "text": "pear plum"},
+    ]
+    idx = str(tmp_path / "fsidx")
+    build_index(ray.data.from_items(rows), idx,
+                EngineConfig(index=IndexConfig(num_segments=2)),
+                attribute_cols=["len"])
+    qs = [{"query_id": 0, "query_text": "apple", "k": 4}]
+    w = 0.5
+    got = function_score_index(idx, qs, attr="len", weight=w).to_pandas()
+    plain = search_index(idx, qs).to_pandas() \
+        .set_index("conv_id")["score"]
+    lens = {r["conv_id"]: r["len"] for r in rows}
+    want = sorted(((s * (1 + w * math.log(1 + lens[c])), c)
+                   for c, s in plain.items()),
+                  key=lambda t: (-t[0], t[1]))
+    assert got["conv_id"].tolist() == [c for _s, c in want]
+    for g, (s, _c) in zip(got["score"], want):
+        assert g == pytest.approx(s, abs=0, rel=0)   # bit-exact
+    # the boost genuinely reorders vs plain BM25 (d0's tiny len demotes
+    # it from the top despite the highest raw score)
+    assert plain.index[0] == "d0"
+    assert got["conv_id"].iloc[0] != "d0"
+    with pytest.raises(ValueError, match="function-score attribute"):
+        function_score_index(idx, qs, attr="nope", weight=w)

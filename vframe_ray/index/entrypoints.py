@@ -1263,3 +1263,66 @@ def search_boolean_index(index_dir: str, queries: list[dict],
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)
+
+
+def function_score_index(index_dir: str, queries: list[dict],
+                         attr: str, weight: float = 0.2, *,
+                         predicates: list[str] | None = None) -> pa.Table:
+    """Function-score search (field_value_factor): ranks by
+    BM25 × (1 + weight·ln(1 + docmap ``attr``)) — the
+    attribute-boosted retrieval every freshness/popularity ranker runs.
+    Exact: per-segment every candidate is sparse-scored and rescaled
+    before its local top-k (WAND pruning is invalid under a per-doc
+    multiplier — see SegmentSearcher.search_function_score), then the
+    usual ≤ k·segments driver merge.
+
+    queries: [{"query_id", "query_text", "k"}] →
+    table (query_id, rank, conv_id, turn_idx, score)."""
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict)
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    # fail fast on an unknown attribute column (same pre-flight as
+    # predicate validation)
+    if seg_dirs:
+        cols = set(pq.read_schema(
+            os.path.join(seg_dirs[0], "docs.parquet")).names)
+        if attr not in cols:
+            raise ValueError(
+                f"function-score attribute {attr!r} not in docmap "
+                f"columns {sorted(cols)} (pass attribute_cols=[...] "
+                f"at build_index time)")
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
+        if parsed else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, ray.get(gdf_ref),
+                                block_size=block_size)
+            tables.append(s.search_function_score(
+                qs, attr, weight, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {qid: k for qid, _t, k in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)

@@ -1173,6 +1173,57 @@ class SegmentSearcher:
     # (asserted in tests/test_query_paths.py).
     BMW_MIN_DOCS = 65536
 
+    def search_function_score(self, queries: list[tuple[int, list[str],
+                                                        int]],
+                              attr: str, weight: float,
+                              predicates: list[str] | None = None
+                              ) -> pa.Table:
+        """Function-score retrieval (the field_value_factor shape):
+        final score = BM25 × (1 + weight·ln(1 + attr)) per doc, exact
+        global top-k.
+
+        WAND's block upper bounds don't survive a per-doc multiplier,
+        so every candidate is scored via the exact sparse TAAT vector
+        and rescaled BEFORE the top-k cut (the collapse-mode
+        discipline: k_eff = n_cand).  The factor LUT is computed per
+        UNIQUE attr value with scalar libm ``math.log`` — the same
+        code path as the idf table — so the SQL oracle's ``ln(1+x)``
+        is the identical float; the rescale is then one vectorized
+        multiply.  Assumes attr cardinality ≪ n_docs (true for any
+        bounded feature like length, rating, recency bucket).
+        """
+        import math as _math
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        vals = self.r.docs[attr].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        lut = np.array([_math.log(1.0 + float(v)) for v in uniq])
+        factor = 1.0 + weight * lut[inv]
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, k in queries:
+            cand, scores = self._sparse_scores(terms, postings,
+                                               doc_mask=doc_mask)
+            if cand.size == 0:
+                continue
+            fs = scores * factor[cand]
+            order = np.lexsort((cand, -fs))[:k]
+            for i in order:
+                qid_out.append(qid)
+                doc_out.append(int(cand[i]))
+                score_out.append(float(fs[i]))
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search(self, queries: list[tuple[int, list[str], int]],
                use_bmw: bool = True,
                predicates: list[str] | None = None,

@@ -1026,3 +1026,58 @@ def did_you_mean(sf_dir: str) -> pa.Table:
     from ..index.query import suggest_corrections
     index_dir = documents_index(sf_dir)
     return suggest_corrections(index_dir, DYM_TERMS, max_edits=1)
+
+
+FS_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "k": 10},
+    {"query_id": 1, "query_text": "vector", "k": 8},
+    {"query_id": 2, "query_text": "hash join agg sort scan", "k": 10},
+    {"query_id": 3, "query_text": "big", "k": 15},
+]
+FS_WEIGHT = 0.2
+
+
+def documents_attr_index(sf_dir: str) -> str:
+    """Documents index carrying the ``n_chars`` docmap attribute (the
+    function-score factor column); cache dir fingerprinted like the
+    plain documents index."""
+    import hashlib
+    import json as _json
+    cfg = DOCS_CFG
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    index_dir = os.path.join(_cache_root(), f"docsattr-{tag}-{cfg_fp}")
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+
+        def lift(t: pa.Table) -> pa.Table:
+            pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), 10, "0")
+            return pa.table({
+                "conv_id": pad,
+                "turn_idx": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "text": t["text"],
+                "n_chars": t["n_chars"],
+            })
+
+        build_index(ds.map_batches(lift, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    index_dir, cfg, attribute_cols=["n_chars"])
+    return index_dir
+
+
+def bm25_function_score(sf_dir: str) -> pa.Table:
+    """FS_QUERIES ranked by BM25 × (1 + w·ln(1 + n_chars)) — the
+    attribute-boosted function-score mode (field_value_factor shape)
+    over the n_chars-attributed documents index."""
+    from ..index.query import function_score_index
+    index_dir = documents_attr_index(sf_dir)
+    res = function_score_index(index_dir, FS_QUERIES, attr="n_chars",
+                               weight=FS_WEIGHT)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
