@@ -178,3 +178,25 @@ def test_service_mixed_wildcard_modes(ray_session, tmp_path):
         assert outs[0].num_rows and outs[1].num_rows
     finally:
         svc.shutdown()
+
+
+def test_service_parity_function_score(ray_session, tmp_path):
+    """Served function-score equals the one-shot entrypoint row for row
+    (same attr factor, same merge order)."""
+    import numpy as np
+    from vframe_ray.index.query import function_score_index
+    idx = str(tmp_path / "svc_fs_idx")
+    rows = [dict(r, length=int(37 * (i % 5 + 1))) for i, r in
+            enumerate(ROWS)]
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG,
+                attribute_cols=["length"])
+    svc = QueryService(idx, n_actors=2)
+    try:
+        qs = [{"query_id": 0, "query_text": "apple banana", "k": 10},
+              {"query_id": 1, "query_text": "rare", "k": 5}]
+        got = svc.search_function_score(qs, attr="length", weight=0.3)
+        want = function_score_index(idx, qs, attr="length", weight=0.3)
+        assert got.to_pylist() == want.to_pylist()
+        assert want.num_rows > 0
+    finally:
+        svc.shutdown()

@@ -94,6 +94,23 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
         return out
 
+    def search_function_score(self, parsed: list[tuple[int, list[str],
+                                                       int]],
+                              idf_map: dict[str, float], attr: str,
+                              weight: float,
+                              predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_function_score(parsed, attr, weight,
+                                                predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+        return out
+
     def search_boolean(self, parsed: list[tuple], idf_map: dict[str, float],
                        predicates: list[str] | None = None):
         if not self.searchers:
@@ -299,6 +316,30 @@ class QueryService:
         merged = _merge_topk_driver(
             df, {qid: k - offsets.get(qid, 0) for qid, _, k in parsed},
             offsets if any(offsets.values()) else None)
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_function_score(self, queries: list[dict], attr: str,
+                              weight: float = 0.2,
+                              predicates: list[str] | None = None
+                              ) -> pa.Table:
+        """Served function-score (field_value_factor) — same contract
+        as :func:`function_score_index`, on the resident shards."""
+        if predicates:
+            validate_predicates(self.index_dir, predicates)
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("k", 10))) for q in queries]
+        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df)
+                   for t, df in gdf.items()}
+        futs = [a.search_function_score.remote(parsed, idf_map, attr,
+                                               weight, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
