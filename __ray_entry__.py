@@ -2488,6 +2488,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
+        # --- NEW this round, second wave (Q4/Q22, cohort, co-purchase) ---
+        "q4_order_priority": rel.q4_order_priority,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "cohort_retention": rel.cohort_retention,
+        "copurchase_pairs": rel.copurchase_pairs,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2617,6 +2622,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q4_order_priority": f"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate
+                                 + INTERVAL {rel.Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q22_idle_customers": f"""
+WITH c AS (SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS ct
+           FROM customer),
+ idle AS (SELECT * FROM c
+          WHERE ct > (SELECT sum(ct)::DOUBLE / count(*)
+                      FROM c WHERE ct > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > {rel.Q22_PRICE}))
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       sum(ct)::DOUBLE / 100 AS total_acctbal
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "cohort_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   date_trunc('week', ts)::TIMESTAMP AS wk
+            FROM events),
+ f AS (SELECT user_id, min(wk) AS cohort_week FROM uw
+       GROUP BY user_id)
+SELECT f.cohort_week,
+       (date_diff('day', f.cohort_week, uw.wk) / 7)::BIGINT
+           AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset""",
+        "copurchase_pairs": f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT {rel.COPURCHASE_K}""",
         # revenue in integer 1e-4 dollars on both sides (see
         # q5_local_supplier_revenue note): the sum is association-free,
         # so engine partials and the oracle hash-match bit-for-bit

@@ -444,3 +444,107 @@ def test_degenerate_new_ops(ray_session, tmp_path):
     assert len(q) == 0
     assert list(q.columns) == ["c_custkey", "c_name", "revenue",
                                "c_acctbal", "n_name"]
+
+
+def test_q4_order_priority_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q4_order_priority
+    got = q4_order_priority(sf_dir, late_days=90)
+    want = _duck(sf_dir, """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    assert len(want) == 3
+    pd.testing.assert_frame_equal(got, want)
+    # EXISTS, not a count of lines: orders with MANY late lines count once
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    late_lines = (j["l_shipdate"] - j["o_orderdate"]
+                  > pd.Timedelta(days=90)).sum()
+    assert late_lines > want["n_orders"].sum()
+
+
+def test_q22_idle_customers_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q22_idle_customers
+    # self-calibrating threshold: the cheapest-spending above-average
+    # customer's max order price — their orders all fail the strict
+    # `>`, so the idle set is non-empty by construction
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ct = np.round(cust["c_acctbal"] * 100).astype(np.int64)
+    av = ct[ct > 0].sum() / (ct > 0).sum()
+    above = cust.loc[ct.to_numpy() > av, "c_custkey"]
+    price = float(od[od["o_custkey"].isin(above)]
+                  .groupby("o_custkey")["o_totalprice"].max().min())
+    got = q22_idle_customers(sf_dir, price=price)
+    want = _duck(sf_dir, f"""
+WITH c AS (SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS ct
+           FROM customer),
+ idle AS (SELECT * FROM c
+          WHERE ct > (SELECT sum(ct)::DOUBLE / count(*)
+                      FROM c WHERE ct > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > {price}))
+SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+       sum(ct)::DOUBLE / 100 AS total_acctbal
+FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""")
+    assert want["n_cust"].sum() >= 1     # non-degenerate anti side
+    pd.testing.assert_frame_equal(got, want)
+    # degenerate direction: threshold below every order price → every
+    # above-average customer is excluded (schema-stable empty result)
+    empty = q22_idle_customers(sf_dir, price=0.0)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["c_nationkey", "n_cust",
+                                   "total_acctbal"]
+
+
+def test_cohort_retention_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import cohort_retention
+    got = cohort_retention(sf_dir)
+    want = _duck(sf_dir, """
+WITH uw AS (SELECT DISTINCT user_id,
+                   date_trunc('week', ts)::TIMESTAMP AS wk
+            FROM events),
+ f AS (SELECT user_id, min(wk) AS cohort_week FROM uw
+       GROUP BY user_id)
+SELECT f.cohort_week,
+       (date_diff('day', f.cohort_week, uw.wk) / 7)::BIGINT
+           AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset""")
+    assert (want["week_offset"] > 0).any()   # real retention rows
+    pd.testing.assert_frame_equal(got, want)
+    # offset-0 row of every cohort counts the whole cohort: each user
+    # is active in their own first week by construction
+    zero = got[got["week_offset"] == 0]["n_users"].sum()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert zero == ev["user_id"].nunique()
+
+
+def test_copurchase_pairs_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import copurchase_pairs
+    got = copurchase_pairs(sf_dir, k=25)
+    want = _duck(sf_dir, """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT 25""")
+    assert len(want) == 25
+    # ties at the cut exist in this corpus — the deterministic
+    # (count desc, part_a, part_b) break must agree exactly
+    assert (want["n_orders"] == want["n_orders"].iloc[-1]).sum() > 1
+    pd.testing.assert_frame_equal(got, want)
+    # duplicated (order, part) lines count once per order
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    dup = li.groupby(["l_orderkey", "l_partkey"]).size()
+    assert (dup > 1).any()

@@ -2281,3 +2281,276 @@ def hourly_event_profile(sf_dir: str):
                           [("n_p", "sum", "n_events")])
     return out.to_pandas().sort_values(["event_type", "hour"]) \
         .reset_index(drop=True)
+
+
+Q4_LATE_DAYS = 90
+
+
+def q4_order_priority(sf_dir: str, late_days: int = Q4_LATE_DAYS):
+    """TPC-H Q4 shape: COUNT of orders per priority having AT LEAST ONE
+    late-shipped line (EXISTS semi-join, not a rate — the companion to
+    :func:`late_shipment_rate`).  This corpus has no commit/receipt
+    dates, so "late" is l_shipdate > o_orderdate + ``late_days`` (the
+    reference's late-commit predicate re-expressed on the columns that
+    exist).  ONE shuffle: lineitem⋈orders hash join on orderkey; every
+    line of an order lands in one bucket, so the per-order ANY()
+    collapse inside the bucket is exact, and the per-priority distinct-
+    order partial counts sum without double-counting.  Priority
+    cardinality is enum-bounded → driver combine.
+
+    Returns pandas (o_orderpriority, n_orders) sorted by priority."""
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority":
+                              pd.Series(dtype="object"),
+                              "n_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        ship = j["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        od = j["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        per = pd.DataFrame({"l_orderkey": j["l_orderkey"],
+                            "o_orderpriority": j["o_orderpriority"],
+                            "late": ship - od > late_us})
+        g = per.groupby("l_orderkey", as_index=False, sort=False) \
+            .agg(o_orderpriority=("o_orderpriority", "first"),
+                 late=("late", "any"))
+        g = g[g["late"]]
+        out = g.groupby("o_orderpriority", as_index=False, sort=False) \
+            .agg(n_p=("late", "size"))
+        out["n_p"] = out["n_p"].astype(np.int64)
+        return out
+
+    parts = hash_join(
+        li, orders, key="l_orderkey",
+        left_cols=["l_orderkey", "l_shipdate"],
+        right_cols=["o_orderdate", "o_orderpriority"], post=fused,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]))
+    out = _driver_combine(parts, ["o_orderpriority"],
+                          [("n_p", "sum", "n_orders")]).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q22_PRICE = 400_000.0
+
+
+def q22_idle_customers(sf_dir: str, price: float = Q22_PRICE):
+    """TPC-H Q22 shape: customers with an ABOVE-average account balance
+    and NO high-value order (NOT EXISTS over o_totalprice > ``price``
+    — every synthetic customer has SOME order, so the pure no-order
+    predicate would be degenerate here), rolled up per nation
+    (cntrycode analog) — the global-scalar-then-anti-join composite.
+    Pass 1 driver-combines the global positive-balance average (2
+    int64 partials per block).  Pass 2 is ONE hash(custkey)-bucketed
+    exchange of (filtered customers ∪ block-distinct qualifying order
+    custkeys, predicate pushed to the read); the per-bucket NOT-IN is
+    exact because both sides of a custkey land in the same bucket.
+    Balances stay integer cents end-to-end, so the threshold compare
+    and the final sum are associativity-proof; the average itself and
+    total_acctbal are each ONE float64 division, mirroring the SQL.
+
+    Returns pandas (c_nationkey, n_cust, total_acctbal) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        ct = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                     pa.int64())
+        pos = pc.filter(ct, pc.greater(ct, 0))
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0],
+                                       pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    tot = _driver_combine(
+        cust.map_batches(avg_partial, batch_format="pyarrow",
+                         batch_size=None),
+        [], [("s", "sum", "s"), ("n", "sum", "n")])
+    av = int(tot["s"][0].as_py()) / int(tot["n"][0].as_py())
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        ct = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                     pa.int64())
+        t = pa.table({"c_custkey": t["c_custkey"],
+                      "c_nationkey": pc.cast(t["c_nationkey"],
+                                             pa.int64()),
+                      "ct": ct}).filter(pc.greater(ct, av))
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(k.astype(np.int64), nb)))
+
+    def order_side(t: pa.Table) -> pa.Table:
+        k = pc.unique(t["o_custkey"])
+        out = pa.table({"c_custkey": k,
+                        "c_nationkey": pa.nulls(len(k), pa.int64()),
+                        "ct": pa.nulls(len(k), pa.int64())})
+        return out.add_column(0, "__b", pa.array(int_bucket_of(
+            k.to_numpy(zero_copy_only=False).astype(np.int64), nb)))
+
+    left = cust.map_batches(cust_side, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = _read(sf_dir, "orders", columns=["o_custkey"],
+                  filter=(pc.field("o_totalprice")
+                          > pc.scalar(price))) \
+        .map_batches(order_side, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+
+    def bucket_anti(g: pd.DataFrame) -> pa.Table:
+        have = g.loc[g["c_nationkey"].isna(), "c_custkey"].unique()
+        c = g[g["c_nationkey"].notna()
+              & ~g["c_custkey"].isin(have)]
+        out = c.groupby("c_nationkey", as_index=False, sort=False) \
+            .agg(n_p=("c_custkey", "size"), cents_p=("ct", "sum"))
+        return arrow_group(pd.DataFrame({
+            "c_nationkey": out["c_nationkey"].to_numpy(np.int64),
+            "n_p": out["n_p"].to_numpy(np.int64),
+            "cents_p": out["cents_p"].to_numpy(np.int64)}))
+
+    parts = (left.union(right)
+             .groupby("__b").map_groups(bucket_anti,
+                                        batch_format="pandas"))
+    out = _driver_combine(parts, ["c_nationkey"],
+                          [("n_p", "sum", "n_cust"),
+                           ("cents_p", "sum", "cents")]).to_pandas()
+    out["total_acctbal"] = out["cents"].to_numpy(np.int64) / 100.0
+    return out[["c_nationkey", "n_cust", "total_acctbal"]] \
+        .sort_values("c_nationkey").reset_index(drop=True)
+
+
+WEEK_US = np.int64(7) * 86_400_000_000
+
+
+def cohort_retention(sf_dir: str):
+    """Weekly cohort-retention matrix over the events table — the
+    growth-analytics triangle (cohort week = week of a user's FIRST
+    event; n_users active at each week offset).  Per-block dedup of
+    (user, week) pairs (combiner), ONE hash(user)-bucketed exchange;
+    a user's every week lands in one bucket, so the per-user MIN and
+    the (cohort, offset, user) distinct are globally exact.  Partial
+    counts per (cohort, offset) are calendar-bounded → driver combine.
+    Weeks are Monday-floored in integer µs, matching DuckDB's
+    date_trunc('week').
+
+    Returns pandas (cohort_week, week_offset, n_users) sorted."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.floor_temporal(pc.cast(t["ts"],
+                                               pa.timestamp("us")),
+                                       unit="week"), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "wk": wk}) \
+            .group_by(["user_id", "wk"]) \
+            .aggregate([([], "count_all")]).drop_columns(["count_all"])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def bucket_retention(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["user_id", "wk"])
+        cohort = d.groupby("user_id", sort=False)["wk"].transform("min")
+        off = (d["wk"].to_numpy(np.int64)
+               - cohort.to_numpy(np.int64)) // WEEK_US
+        out = pd.DataFrame({"cohort_us": cohort.to_numpy(np.int64),
+                            "week_offset": off}) \
+            .groupby(["cohort_us", "week_offset"], as_index=False,
+                     sort=False).size().rename(columns={"size": "n_p"})
+        return arrow_group(pd.DataFrame({
+            "cohort_us": out["cohort_us"].to_numpy(np.int64),
+            "week_offset": out["week_offset"].to_numpy(np.int64),
+            "n_p": out["n_p"].to_numpy(np.int64)}))
+
+    parts = (ds.map_batches(block_dedup, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(bucket_retention,
+                                        batch_format="pandas"))
+    out = _driver_combine(parts, ["cohort_us", "week_offset"],
+                          [("n_p", "sum", "n_users")]).to_pandas()
+    out["cohort_week"] = out["cohort_us"].to_numpy(np.int64) \
+        .astype("datetime64[us]")
+    return out[["cohort_week", "week_offset", "n_users"]] \
+        .sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+
+COPURCHASE_K = 100
+
+
+def copurchase_pairs(sf_dir: str, k: int = COPURCHASE_K):
+    """Market-basket co-occurrence: the top-k part pairs appearing in
+    the same order — the self-join-explode every recommender feature
+    pipeline runs.  TWO bounded exchanges: (1) block-distinct
+    (order, part) pairs bucket by hash(orderkey); the per-bucket
+    self-merge (p1 < p2) is exact and per-order-bounded (orders have
+    few lines, so the explode is ~|lines|² per ORDER, never per
+    corpus); (2) pair partials bucket by hash(p1<<32|p2) so each
+    pair's count lands whole in one bucket, which keeps its LOCAL
+    top-k; the driver merges ≤ buckets × k rows.  Ties break
+    deterministically on (count desc, p1, p2), mirroring the SQL
+    ORDER BY ... LIMIT.
+
+    Returns pandas (part_a, part_b, n_orders), the global top-k."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]) \
+            .aggregate([([], "count_all")]).drop_columns(["count_all"])
+        o = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(o.astype(np.int64), nb)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])[
+            ["l_orderkey", "l_partkey"]]
+        j = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        out = j.groupby(["l_partkey_a", "l_partkey_b"],
+                        as_index=False, sort=False) \
+            .size().rename(columns={"size": "n_p"})
+        pa_ = out["l_partkey_a"].to_numpy(np.int64)
+        pb_ = out["l_partkey_b"].to_numpy(np.int64)
+        return arrow_group(pd.DataFrame({
+            "__b2": int_bucket_of((pa_ << np.int64(32)) | pb_, nb),
+            "part_a": pa_, "part_b": pb_,
+            "n_p": out["n_p"].to_numpy(np.int64)}))
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["part_a", "part_b"], as_index=False,
+                      sort=False).agg(n_orders=("n_p", "sum"))
+        c = c.sort_values(["n_orders", "part_a", "part_b"],
+                          ascending=[False, True, True]).head(k)
+        return arrow_group(pd.DataFrame({
+            "part_a": c["part_a"].to_numpy(np.int64),
+            "part_b": c["part_b"].to_numpy(np.int64),
+            "n_orders": c["n_orders"].to_numpy(np.int64)}))
+
+    out = (ds.map_batches(block_dedup, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(bucket_pairs,
+                                      batch_format="pandas")
+           .groupby("__b2").map_groups(bucket_topk,
+                                       batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["n_orders", "part_a", "part_b"],
+                           ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
