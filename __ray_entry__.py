@@ -2488,11 +2488,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
-        # --- NEW this round, second wave (Q4/Q22, cohort, co-purchase) ---
+        # --- NEW this round, second wave (Q4/Q22, cohort, co-purchase,
+        # --- NTILE deciles, LEFT-join profile, FIRST/LAST_VALUE) ---
         "q4_order_priority": rel.q4_order_priority,
         "q22_idle_customers": rel.q22_idle_customers,
         "cohort_retention": rel.cohort_retention,
         "copurchase_pairs": rel.copurchase_pairs,
+        "revenue_deciles": rel.revenue_deciles,
+        "customer_order_profile": rel.customer_order_profile,
+        "first_last_order_price": rel.first_last_order_price,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2622,6 +2626,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "revenue_deciles": f"""
+WITH r AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY o_custkey),
+ d AS (SELECT cents,
+              NTILE({rel.NTILE_K})
+                  OVER (ORDER BY cents DESC, o_custkey) AS decile
+       FROM r)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_cust,
+       sum(cents)::DOUBLE / 100 AS total_revenue
+FROM d GROUP BY decile ORDER BY decile""",
+        "customer_order_profile": f"""
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_big,
+       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)),
+                0)::DOUBLE / 100 AS big_total
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > {rel.BIG_ORDER_PRICE}
+GROUP BY c_custkey ORDER BY c_custkey""",
+        "first_last_order_price": """
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey""",
         "q4_order_priority": f"""
 SELECT o_orderpriority, count(*)::BIGINT AS n_orders
 FROM orders

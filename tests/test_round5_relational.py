@@ -548,3 +548,68 @@ ORDER BY n_orders DESC, part_a, part_b LIMIT 25""")
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     dup = li.groupby(["l_orderkey", "l_partkey"]).size()
     assert (dup > 1).any()
+
+
+def test_revenue_deciles_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import revenue_deciles
+    # 14 customers into 10 tiles exercises the remainder rule: the
+    # first n%k tiles carry the extra row
+    got = revenue_deciles(sf_dir, k=10)
+    want = _duck(sf_dir, """
+WITH r AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY o_custkey),
+ d AS (SELECT cents,
+              NTILE(10) OVER (ORDER BY cents DESC, o_custkey)
+                  AS decile
+       FROM r)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_cust,
+       sum(cents)::DOUBLE / 100 AS total_revenue
+FROM d GROUP BY decile ORDER BY decile""")
+    assert sorted(want["n_cust"].tolist(), reverse=True) \
+        == want["n_cust"].tolist() and set(want["n_cust"]) == {1, 2}
+    pd.testing.assert_frame_equal(got, want)
+    # k > n: every customer its own tile
+    one_each = revenue_deciles(sf_dir, k=50)
+    assert (one_each["n_cust"] == 1).all() and len(one_each) == 14
+
+
+def test_customer_order_profile_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import customer_order_profile
+    # self-calibrating threshold: some customer's max order price, so
+    # at least one zero-filled LEFT row exists
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    price = float(od.groupby("o_custkey")["o_totalprice"].max().min())
+    got = customer_order_profile(sf_dir, price=price)
+    want = _duck(sf_dir, f"""
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_big,
+       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)),
+                0)::DOUBLE / 100 AS big_total
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > {price}
+GROUP BY c_custkey ORDER BY c_custkey""")
+    assert (want["n_big"] == 0).any()        # LEFT semantics exercised
+    assert (want["n_big"] > 0).any()
+    pd.testing.assert_frame_equal(got, want)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    assert len(got) == len(cust)             # every customer kept
+
+
+def test_first_last_order_price_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import first_last_order_price
+    got = first_last_order_price(sf_dir)
+    want = _duck(sf_dir, """
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey""")
+    pd.testing.assert_frame_equal(got, want)
+    # multi-order customers where first != last prove the frame is the
+    # whole partition, not the default up-to-current-row frame
+    assert (want["first_price"] != want["last_price"]).any()

@@ -2554,3 +2554,212 @@ def copurchase_pairs(sf_dir: str, k: int = COPURCHASE_K):
     return out.sort_values(["n_orders", "part_a", "part_b"],
                            ascending=[False, True, True]).head(k) \
         .reset_index(drop=True)
+
+
+NTILE_K = 10
+
+
+def _ntile(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Vectorized SQL NTILE(k) for 1-indexed global ``ranks`` out of
+    ``n`` rows: the first n%k tiles get one extra row, matching the
+    standard (and DuckDB's) remainder-to-leading-tiles rule."""
+    q, rem = divmod(n, k)
+    head = rem * (q + 1)
+    safe_q = max(q, 1)                  # n < k: the else-branch is dead
+    return np.where(ranks <= head,
+                    (ranks - 1) // (q + 1) + 1,
+                    rem + (ranks - head - 1) // safe_q + 1) \
+        .astype(np.int64)
+
+
+def revenue_deciles(sf_dir: str, k: int = NTILE_K):
+    """Global NTILE over per-customer revenue — the decile segmentation
+    every LTV report runs, built WITHOUT a single-process rank: exact
+    per-customer cents (one hash(custkey) exchange), a DISTRIBUTED sort
+    on (cents desc, custkey), then the global rank comes from
+    :func:`~vframe_ray.stages.scan.global_prefix_scan` over a ones
+    column (rank = inclusive running count; the row total rides along
+    free as the scan's grand total).  The NTILE bucketing and the
+    per-decile partials are then block-local; ≤ blocks × k partial
+    rows driver-combine.
+
+    Returns pandas (decile, n_cust, total_revenue) sorted by decile."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..stages.scan import global_prefix_scan
+    nb = num_hash_buckets(None)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")]) \
+            .rename_columns(["o_custkey", "cents"])
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(cust.astype(np.int64), nb)))
+
+    def exact(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("o_custkey", as_index=False, sort=False)[
+            "cents"].sum()
+        out = arrow_group(agg)
+        return out.append_column("one", pa.array(
+            np.ones(len(agg), dtype=np.int64)))
+
+    totals_ds = (orders.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("__b").map_groups(exact,
+                                            batch_format="pandas"))
+    ranked = totals_ds.sort(["cents", "o_custkey"],
+                            descending=[True, False])
+    scanned, grand = global_prefix_scan(ranked, ["one"])
+    n = int(grand[0])
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64()),
+                             "cents_p": pa.array([], pa.int64())})
+        rank = t["cum_one"].to_numpy(zero_copy_only=False)
+        dec = _ntile(rank, n, k)
+        g = pa.table({"decile": pa.array(dec),
+                      "cents": t["cents"]}) \
+            .group_by("decile").aggregate([([], "count_all"),
+                                           ("cents", "sum")])
+        return g.rename_columns(["decile", "n_p", "cents_p"])
+
+    parts = scanned.map_batches(tile_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = _driver_combine(parts, ["decile"],
+                          [("n_p", "sum", "n_cust"),
+                           ("cents_p", "sum", "cents")]).to_pandas()
+    out["total_revenue"] = out["cents"].to_numpy(np.int64) / 100.0
+    return out[["decile", "n_cust", "total_revenue"]] \
+        .sort_values("decile").reset_index(drop=True)
+
+
+BIG_ORDER_PRICE = 300_000.0
+
+
+def customer_order_profile(sf_dir: str, price: float = BIG_ORDER_PRICE):
+    """LEFT OUTER join with zero-fill: every customer's count and total
+    of HIGH-value orders, customers with none kept at (0, 0.0) — the
+    outer-join semantics the engine's inner hash/broadcast joins don't
+    exercise.  ONE hash(custkey)-bucketed exchange of (customer keys ∪
+    per-block order partials, predicate pushed to the read); the
+    per-bucket aggregate-then-fill is exact because both sides of a
+    custkey co-locate.  Cents stay integer until one final division.
+
+    Returns pandas (c_custkey, n_big, big_total) sorted by custkey."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k_ = t["c_custkey"].to_numpy(zero_copy_only=False)
+        out = pa.table({"c_custkey": t["c_custkey"],
+                        "n_p": pa.nulls(len(k_), pa.int64()),
+                        "cents_p": pa.nulls(len(k_), pa.int64())})
+        return out.add_column(0, "__b", pa.array(
+            int_bucket_of(k_.astype(np.int64), nb)))
+
+    def order_side(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"c_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("c_custkey").aggregate([([], "count_all"),
+                                              ("cents", "sum")]) \
+            .rename_columns(["c_custkey", "n_p", "cents_p"])
+        k_ = g["c_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(k_.astype(np.int64), nb)))
+
+    left = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+    right = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"],
+                  filter=(pc.field("o_totalprice")
+                          > pc.scalar(price))) \
+        .map_batches(order_side, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+
+    def bucket_fill(g: pd.DataFrame) -> pa.Table:
+        keys = g.loc[g["n_p"].isna(), "c_custkey"]
+        agg = g[g["n_p"].notna()] \
+            .groupby("c_custkey", as_index=False, sort=False) \
+            .agg(n_big=("n_p", "sum"), cents=("cents_p", "sum"))
+        out = pd.DataFrame({"c_custkey": keys.to_numpy(np.int64)}) \
+            .merge(agg, on="c_custkey", how="left")
+        return arrow_group(pd.DataFrame({
+            "c_custkey": out["c_custkey"].to_numpy(np.int64),
+            "n_big": out["n_big"].fillna(0).to_numpy(np.int64),
+            "big_total": out["cents"].fillna(0).to_numpy(np.int64)
+            / 100.0}))
+
+    out = (left.union(right)
+           .groupby("__b").map_groups(bucket_fill,
+                                      batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def first_last_order_price(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the full partition frame: each
+    customer's first and last order price in (o_orderdate, o_orderkey)
+    order.  Per-block combiner keeps ≤2 rows per customer (the block's
+    own boundary rows — a lexsort + two boundary masks), ONE
+    hash(custkey) exchange, the same kernel per bucket.  Prices pass
+    through untouched (no float arithmetic → bit-exact vs SQL).
+
+    Returns pandas (o_custkey, first_price, last_price) by custkey."""
+    from ..runtime import int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def _boundaries(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, od, cust))
+        cs = cust[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        last = np.r_[cs[1:] != cs[:-1], True]
+        keep = np.sort(order[first | last])
+        return t.take(pa.array(keep))
+
+    def block_bound(t: pa.Table) -> pa.Table:
+        t = _boundaries(t)
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(cust.astype(np.int64), nb)))
+
+    def bucket_final(g: pa.Table) -> pa.Table:
+        t = _boundaries(g.drop_columns(["__b"]))
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, od, cust))
+        cs, ps = cust[order], price[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        last = np.r_[cs[1:] != cs[:-1], True]
+        return pa.table({
+            "o_custkey": pa.array(cs[first].astype(np.int64)),
+            "first_price": pa.array(ps[first]),
+            "last_price": pa.array(ps[last])})
+
+    out = (ds.map_batches(block_bound, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(bucket_final,
+                                      batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("o_custkey").reset_index(drop=True)
