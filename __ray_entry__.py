@@ -1343,6 +1343,61 @@ WHERE rr.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _q_stemmed(sf_dir: str):
+    """BM25 over the S-stemmer analyzer (stem at index+query time):
+    plural/singular surface forms meet in the stemmed term space."""
+    from vframe_ray.pipelines.flagship import bm25_stemmed
+    return bm25_stemmed(sf_dir)
+
+
+def _stemmed_sql() -> str:
+    """S-stemmer-analyzer oracle: the ordinary BM25 chain with every
+    token mapped through analyze.sql_stem_expr — dl is unchanged (the
+    stemmer never drops tokens) but df/tf collapse surface forms, and
+    the query terms stem through the same Python rule."""
+    from vframe_ray.analyze import sql_stem_expr
+    from vframe_ray.config import AnalyzerConfig
+    from vframe_ray.pipelines.flagship import STEM_QUERIES
+    tok = Tokenizer(AnalyzerConfig(stem="s"))
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks = [], []
+    for q in STEM_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ tok2 AS (SELECT _id, {sql_stem_expr('term')} AS term FROM tok),
+ dl AS (SELECT _id, count(*) AS dl FROM tok2 GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _q_stopwords(sf_dir: str):
     """BM25 over a NON-DEFAULT analyzer (stopwords at index+query
     time): exercises the config plumbing end to end."""
@@ -2497,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_deciles": rel.revenue_deciles,
         "customer_order_profile": rel.customer_order_profile,
         "first_last_order_price": rel.first_last_order_price,
+        "bm25_stemmed": _q_stemmed,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2852,6 +2908,7 @@ ORDER BY event_type, hour""",
         "cross_contamination": _contamination_sql(),
         "percolate_docs": _percolate_sql(),
         "bm25_stopwords": _stopwords_sql(),
+        "bm25_stemmed": _stemmed_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

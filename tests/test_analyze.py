@@ -86,3 +86,63 @@ def test_stopword_analyzer_through_index(ray_session, tmp_path):
     import json, os
     stats = json.load(open(os.path.join(idx, "global", "stats.json")))
     assert stats["total_len"] == 3          # apple + apple banana
+
+
+_STEM_EDGES = ["stories", "ies", "aies", "eies", "babies", "classes",
+               "goes", "trees", "aes", "us", "ss", "glass", "cats",
+               "s", "es", "is", "as", "bus", "boxes", "fly", "x",
+               "123s", "abss", "movies", "series", "pass", "axes"]
+
+
+def test_s_stem_three_way_edges():
+    from vframe_ray.analyze import s_stem, s_stem_array, sql_stem_expr
+    py = [s_stem(t) for t in _STEM_EDGES]
+    ar = s_stem_array(pa.array(_STEM_EDGES)).to_pylist()
+    con = duckdb.connect()
+    sql = [con.execute(f"SELECT {sql_stem_expr('t')} FROM (SELECT ? AS t)",
+                       [t]).fetchone()[0] for t in _STEM_EDGES]
+    assert py == ar == sql
+    # the rules actually fire: plural → singular, exceptions survive
+    m = dict(zip(_STEM_EDGES, py))
+    assert m["stories"] == "story" and m["cats"] == "cat"
+    assert m["glass"] == "glass" and m["bus"] == "bus"
+    assert m["s"] == "s" and m["es"] == "es"      # ≤2-char guard
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.from_regex(r"[a-z0-9]{1,8}s?", fullmatch=True),
+                min_size=0, max_size=20))
+def test_s_stem_vectorized_matches_scalar_random(tokens):
+    from vframe_ray.analyze import s_stem, s_stem_array
+    assert s_stem_array(pa.array(tokens, pa.string())).to_pylist() \
+        == [s_stem(t) for t in tokens]
+
+
+def test_stem_analyzer_through_index(ray_session, tmp_path):
+    """Plural query forms meet singular document terms through a
+    stemmed index; df/dl are post-stem."""
+    import ray.data
+
+    from vframe_ray.config import AnalyzerConfig, EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+
+    rows = [{"conv_id": "c0", "turn_idx": 0, "text": "query planner"},
+            {"conv_id": "c1", "turn_idx": 0, "text": "queries planners"},
+            {"conv_id": "c2", "turn_idx": 0, "text": "window merge"}]
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(stem="s"),
+        index=IndexConfig(num_segments=2, block_size=8))
+    idx = str(tmp_path / "stem_idx")
+    build_index(ray.data.from_items(rows), idx, cfg)
+    # the plural query and the singular query are the SAME stemmed term
+    a = search_index(idx, [{"query_id": 0, "query_text": "queries",
+                            "k": 10}])
+    b = search_index(idx, [{"query_id": 0, "query_text": "query",
+                            "k": 10}])
+    assert a.to_pylist() == b.to_pylist()
+    assert set(a["conv_id"].to_pylist()) == {"c0", "c1"}
+    # untouched terms unaffected
+    w = search_index(idx, [{"query_id": 0, "query_text": "window",
+                            "k": 10}])
+    assert set(w["conv_id"].to_pylist()) == {"c2"}

@@ -55,6 +55,8 @@ class Tokenizer:
         toks = self._rx.findall(text)
         if self.cfg.stopwords:
             toks = [t for t in toks if t not in self.cfg.stopwords]
+        if self.cfg.stem == "s":
+            toks = [s_stem(t) for t in toks]
         return toks
 
     # ---------- vectorized path (map_batches hot path) ----------
@@ -89,12 +91,79 @@ class Tokenizer:
         values = flat.filter(pa.array(keep))
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
+        if self.cfg.stem == "s":
+            values = s_stem_array(values)
         return pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), values
         )
 
     def doc_lengths(self, tokens: pa.ListArray) -> pa.Array:
         return pc.cast(pc.list_value_length(tokens), pa.int32())
+
+
+def s_stem(t: str) -> str:
+    """Harman S-stemmer (scalar oracle): ies→y, es→-s, s→'' with the
+    classic exception suffixes; words of ≤2 chars pass through.  Must
+    agree byte-for-byte with :func:`s_stem_array` and
+    :func:`sql_stem_expr` (tested in tests/test_analyze.py)."""
+    if len(t) <= 2:
+        return t
+    if t.endswith("ies") and not (t.endswith("eies")
+                                  or t.endswith("aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not (t.endswith("aes") or t.endswith("ees")
+                                 or t.endswith("oes")):
+        return t[:-1]
+    if t.endswith("s") and not (t.endswith("us") or t.endswith("ss")):
+        return t[:-1]
+    return t
+
+
+def s_stem_array(v: pa.Array) -> pa.Array:
+    """Vectorized S-stemmer: Arrow kernels only (drop-last-k expressed
+    as reverse → fixed slice → reverse, since slice bounds can't vary
+    per row).  Tokens are ASCII ``[a-z0-9]+`` so codepoint ops are
+    byte ops."""
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+
+    def e(s: str):
+        return pc.ends_with(v, pattern=s)
+
+    long_enough = pc.greater(pc.utf8_length(v), 2)
+    m1 = pc.and_(e("ies"),
+                 pc.invert(pc.or_(e("eies"), e("aies"))))
+    m2 = pc.and_(e("es"),
+                 pc.invert(pc.or_(pc.or_(e("aes"), e("ees")),
+                                  e("oes"))))
+    m3 = pc.and_(e("s"), pc.invert(pc.or_(e("us"), e("ss"))))
+    m1 = pc.and_(m1, long_enough)
+    m2 = pc.and_(pc.and_(m2, long_enough), pc.invert(m1))
+    m3 = pc.and_(pc.and_(m3, long_enough),
+                 pc.invert(pc.or_(m1, m2)))
+    rev = pc.utf8_reverse(v)
+    drop1 = pc.utf8_reverse(pc.utf8_slice_codeunits(rev, start=1))
+    drop3y = pc.binary_join_element_wise(
+        pc.utf8_reverse(pc.utf8_slice_codeunits(rev, start=3)), "y", "")
+    return pc.if_else(m1, drop3y,
+                      pc.if_else(pc.or_(m2, m3), drop1, v))
+
+
+def sql_stem_expr(col: str = "term") -> str:
+    """DuckDB expression mirroring :func:`s_stem` exactly (ASCII terms,
+    so ``substr``/``length`` are codepoint-safe)."""
+    return f"""CASE
+  WHEN length({col}) <= 2 THEN {col}
+  WHEN {col} LIKE '%ies' AND {col} NOT LIKE '%eies'
+       AND {col} NOT LIKE '%aies'
+    THEN substr({col}, 1, length({col}) - 3) || 'y'
+  WHEN {col} LIKE '%es' AND {col} NOT LIKE '%aes'
+       AND {col} NOT LIKE '%ees' AND {col} NOT LIKE '%oes'
+    THEN substr({col}, 1, length({col}) - 1)
+  WHEN {col} LIKE '%s' AND {col} NOT LIKE '%us'
+       AND {col} NOT LIKE '%ss'
+    THEN substr({col}, 1, length({col}) - 1)
+  ELSE {col} END"""
 
 
 def sql_tokens_cte(table: str = "documents", text_col: str = "text",

@@ -29,11 +29,19 @@ class AnalyzerConfig:
     # Optional stopword set; default empty so engine and SQL oracle agree
     # without needing the list shipped into SQL.
     stopwords: frozenset[str] = frozenset()
+    # Optional stemmer: None (off) or "s" — the Harman S-stemmer
+    # (ies→y / es→e / s→'' with the classic exception suffixes),
+    # chosen because it is expressible identically in Python, Arrow
+    # kernels and ANSI SQL (analyze.sql_stem_expr).  Applied after
+    # stopword removal, at index AND query time.
+    stem: str | None = None
 
     def validate(self) -> None:
         import re
 
         re.compile(self.token_pattern)
+        if self.stem not in (None, "s"):
+            raise ValueError(f"unknown stemmer {self.stem!r}")
 
 
 @dataclass(frozen=True)

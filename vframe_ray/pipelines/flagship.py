@@ -110,6 +110,42 @@ def bm25_stopwords(sf_dir: str) -> pa.Table:
     })
 
 
+STEM_QUERIES = [
+    # surface forms differing from the indexed text only by plural
+    # suffixes must meet in the stemmed term space
+    {"query_id": 0, "query_text": "queries", "k": 10},
+    {"query_id": 1, "query_text": "partitions merge", "k": 10},
+    {"query_id": 2, "query_text": "windows", "k": 10},
+]
+
+
+def documents_stem_index(sf_dir: str) -> str:
+    """Documents index under the S-stemmer analyzer (Harman ies/es/s
+    suffix rules, applied at index AND query time) — like the stopword
+    index this exercises the analyzer-config plumbing end to end:
+    df/dl/avgdl are all post-stem, the cache fingerprint embeds the
+    stemmer, and the stored index config drives query-side stemming."""
+    from ..config import AnalyzerConfig
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(stem="s"),
+        index=IndexConfig(num_segments=4, block_size=128))
+    return documents_index(sf_dir, cfg)
+
+
+def bm25_stemmed(sf_dir: str) -> pa.Table:
+    """STEM_QUERIES over the stemmed index: plural query forms match
+    singular document terms (and vice versa) because both sides map
+    through the same S-stemmer before scoring."""
+    index_dir = documents_stem_index(sf_dir)
+    res = search_index(index_dir, STEM_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def extended_documents_index(sf_dir: str,
                              cfg: EngineConfig = DOCS_CFG) -> str:
     """Index built in TWO phases through the delta-append path: base
