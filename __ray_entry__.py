@@ -118,22 +118,38 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
-def _bool_sql() -> str:
+def _bool_sql(queries=None, msm: bool = False) -> str:
     """Boolean retrieval oracle: q carries (query_id, term, role) with
     roles m/s/n; a doc qualifies iff it holds every m-term, no n-term,
     and ≥1 m-or-s term; score = the shared BM25 formula summed over the
     present m∪s terms — the SQL mirror of SegmentSearcher.
-    search_boolean."""
+    search_boolean.  With ``msm`` the per-query minimum_should_match
+    bar joins the qualification: ≥ m DISTINCT s-terms present."""
     from vframe_ray.pipelines.flagship import BOOL_QUERIES
+    if queries is None:
+        queries = BOOL_QUERIES
     tok = Tokenizer()
     k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
-    qrows, qks = [], []
-    for q in BOOL_QUERIES:
+    qrows, qks, mrows = [], [], []
+    for q in queries:
         for role, field in (("m", "must"), ("s", "should"),
                             ("n", "must_not")):
             for t in sorted(set(tok.tokenize(q[field]))):
                 qrows.append(f"({q['query_id']}, '{t}', '{role}')")
         qks.append(f"({q['query_id']}, {q['k']})")
+        mrows.append(f"({q['query_id']}, "
+                     f"{int(q.get('minimum_should_match', 0))})")
+    msm_ctes = f""",
+ msmv(query_id, m) AS (VALUES {', '.join(mrows)}),
+ sh AS (SELECT q.query_id, tf._id, count(DISTINCT q.term) AS c
+        FROM q JOIN tf ON tf.term = q.term
+        WHERE q.role = 's' GROUP BY q.query_id, tf._id)""" if msm else ""
+    msm_pred = """
+          AND coalesce(sh.c, 0) >= msmv.m""" if msm else ""
+    msm_joins = """
+        JOIN msmv ON msmv.query_id = c.query_id
+        LEFT JOIN sh ON sh.query_id = c.query_id AND sh._id = c._id""" \
+        if msm else ""
     return f"""{_TOK},
  dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
  dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
@@ -154,11 +170,11 @@ def _bool_sql() -> str:
  ex AS (SELECT DISTINCT q.query_id, tf._id FROM q
         JOIN tf ON tf.term = q.term WHERE q.role = 'n'),
  cand AS (SELECT DISTINCT s.query_id, tf._id FROM st s
-          JOIN tf ON tf.term = s.term),
+          JOIN tf ON tf.term = s.term){msm_ctes},
  ok AS (SELECT c.query_id, c._id FROM cand c
         LEFT JOIN nm ON nm.query_id = c.query_id
-        LEFT JOIN mh ON mh.query_id = c.query_id AND mh._id = c._id
-        WHERE coalesce(nm.n, 0) = coalesce(mh.c, 0)
+        LEFT JOIN mh ON mh.query_id = c.query_id AND mh._id = c._id{msm_joins}
+        WHERE coalesce(nm.n, 0) = coalesce(mh.c, 0){msm_pred}
           AND NOT EXISTS (SELECT 1 FROM ex
                           WHERE ex.query_id = c.query_id
                             AND ex._id = c._id)),
@@ -182,6 +198,13 @@ SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
 FROM ranked r JOIN qk ON qk.query_id = r.query_id
 WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
+
+
+def _msm_sql() -> str:
+    """minimum_should_match oracle: the boolean chain plus the per-doc
+    distinct should-term count bar."""
+    from vframe_ray.pipelines.flagship import MSM_QUERIES
+    return _bool_sql(MSM_QUERIES, msm=True)
 
 
 def _prefix_sql() -> str:
@@ -2145,6 +2168,12 @@ def _q_bm25_extend(sf_dir: str):
     return bm25_documents_extended(sf_dir)
 
 
+def _q_bm25_msm(sf_dir: str):
+    """Boolean retrieval with minimum_should_match (Lucene msm)."""
+    from vframe_ray.pipelines.flagship import bm25_msm
+    return bm25_msm(sf_dir)
+
+
 def _q_bm25_boolean(sf_dir: str):
     """Boolean retrieval (must/should/must_not) with BM25 scoring —
     Lucene bool-query semantics on the distributed segment path."""
@@ -2553,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_profile": rel.customer_order_profile,
         "first_last_order_price": rel.first_last_order_price,
         "bm25_stemmed": _q_stemmed,
+        "bm25_msm": _q_bm25_msm,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2909,6 +2939,7 @@ ORDER BY event_type, hour""",
         "percolate_docs": _percolate_sql(),
         "bm25_stopwords": _stopwords_sql(),
         "bm25_stemmed": _stemmed_sql(),
+        "bm25_msm": _msm_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

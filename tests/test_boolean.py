@@ -86,3 +86,61 @@ def test_boolean_must_scores_match_plain(ray_session, tmp_path):
     assert {r["conv_id"] for r in rows} == {"c0", "c1"}   # alpha docs only
     for r in rows:
         assert r["score"] == plain[r["conv_id"]]
+
+
+def test_minimum_should_match_semantics(ray_session, tmp_path):
+    """msm gates on DISTINCT should-term presence: planted corpus with
+    hand-derived match sets per bar, msm=1 ≡ default, bar above the
+    clause count provably empty, and tf does not double-count."""
+    docs = {
+        "c0": "apple banana cherry",      # 3 distinct should hits
+        "c1": "apple banana",             # 2
+        "c2": "apple apple apple",        # 1 (tf=3 still counts once)
+        "c3": "banana cherry",            # 2
+        "c4": "durian",                   # 0
+    }
+    ds = ray.data.from_items([
+        {"conv_id": c, "turn_idx": 0, "text": t} for c, t in docs.items()])
+    idx = str(tmp_path / "msm_idx")
+    build_index(ds, idx, SMALL_CFG)
+
+    def hits(msm, must="", must_not=""):
+        res = search_boolean_index(idx, [
+            {"query_id": 0, "must": must,
+             "should": "apple banana cherry", "must_not": must_not,
+             "k": 10, "minimum_should_match": msm}])
+        return set(res["conv_id"].to_pylist())
+
+    assert hits(0) == {"c0", "c1", "c2", "c3"}
+    assert hits(1) == hits(0)                 # msm=1 ≡ default ≥1
+    assert hits(2) == {"c0", "c1", "c3"}      # c2's tf=3 counts once
+    assert hits(3) == {"c0"}
+    assert hits(4) == set()                   # bar above clause count
+    # composes with must / must_not
+    assert hits(2, must="cherry") == {"c0", "c3"}
+    assert hits(2, must_not="cherry") == {"c1"}
+
+
+def test_msm_through_query_service(ray_session, tmp_path):
+    """Served msm batch ≡ the one-shot scatter-gather result."""
+    from vframe_ray.index.service import QueryService
+    docs = {f"c{i}": t for i, t in enumerate(
+        ["apple banana", "apple cherry banana", "cherry", "apple",
+         "banana cherry durian", "apple banana cherry durian"])}
+    ds = ray.data.from_items([
+        {"conv_id": c, "turn_idx": 0, "text": t} for c, t in docs.items()])
+    idx = str(tmp_path / "msm_srv_idx")
+    build_index(ds, idx, SMALL_CFG)
+    queries = [
+        {"query_id": 0, "must": "", "should": "apple banana cherry",
+         "must_not": "", "k": 10, "minimum_should_match": 2},
+        {"query_id": 1, "must": "banana", "should": "cherry durian",
+         "must_not": "", "k": 10, "minimum_should_match": 2},
+    ]
+    one_shot = search_boolean_index(idx, queries)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        served = svc.search_boolean(queries)
+        assert served.to_pylist() == one_shot.to_pylist()
+    finally:
+        svc.shutdown()

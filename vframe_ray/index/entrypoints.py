@@ -1233,9 +1233,10 @@ def search_boolean_index(index_dir: str, queries: list[dict],
 
     parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
                _tok(q.get("should", "")), _tok(q.get("must_not", "")),
-               int(q.get("k", 10))) for q in queries]
-    score_terms = set().union(*[set(m) | set(s)
-                                for _, m, s, _n, _k in parsed]) \
+               int(q.get("k", 10)),
+               int(q.get("minimum_should_match", 0))) for q in queries]
+    score_terms = set().union(*[set(q[1]) | set(q[2])
+                                for q in parsed]) \
         if parsed else set()
     gdf = _global_df_for_terms(index_dir, score_terms)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -1259,7 +1260,7 @@ def search_boolean_index(index_dir: str, queries: list[dict],
     hits = seg_ds.map_batches(_task, batch_format="pyarrow",
                               batch_size=seg_batch)
     merged = _merge_topk_driver(hits.to_pandas(),
-                                {qid: k for qid, _m, _s, _n, k in parsed})
+                                {q[0]: q[4] for q in parsed})
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)

@@ -982,11 +982,16 @@ class SegmentSearcher:
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.
 
-        queries: [(query_id, must, should, must_not, k)] with each
+        queries: [(query_id, must, should, must_not, k)] or 6-tuples
+        with a trailing ``minimum_should_match`` int (default 0), each
         clause a list of analyzed terms.  A doc matches iff it contains
-        EVERY ``must`` term, NO ``must_not`` term, and at least one
-        must-or-should term; its score is the ordinary BM25 sum over
-        the present must∪should terms — the same contribution
+        EVERY ``must`` term, NO ``must_not`` term, at least one
+        must-or-should term, and — when minimum_should_match ≥ 1 — at
+        least that many DISTINCT ``should`` terms (the Lucene msm
+        rule; counts are sound per segment because a doc's whole
+        posting state lives in one segment).  Its score is the
+        ordinary BM25 sum over the present must∪should terms — the
+        same contribution
         expression and ascending-term summation order as :meth:`search`,
         so a boolean query with empty must/must_not scores identically
         to the plain query (asserted in tests).  Distribution is sound
@@ -1000,7 +1005,7 @@ class SegmentSearcher:
         with scoring.
         """
         all_terms = sorted(set().union(
-            *[set(m) | set(s) | set(n) for _, m, s, n, _k in queries])
+            *[set(q[1]) | set(q[2]) | set(q[3]) for q in queries])
             ) if queries else []
         postings = self.load_terms_cached(all_terms)
         pred_mask = self._base_mask(predicates)
@@ -1008,7 +1013,9 @@ class SegmentSearcher:
         qid_out: list[int] = []
         doc_out: list[int] = []
         score_out: list[float] = []
-        for qid, must, should, must_not, k in queries:
+        for q in queries:
+            qid, must, should, must_not, k = q[:5]
+            msm = int(q[5]) if len(q) > 5 else 0
             must = sorted(set(must))
             if must and any(t not in postings for t in must):
                 continue                 # a required term has no docs here
@@ -1026,6 +1033,18 @@ class SegmentSearcher:
                     continue
                 mask = np.zeros(n, dtype=bool)
                 mask[inter] = True
+            if msm > 0:
+                cnt = np.zeros(n, dtype=np.int32)
+                for t in sorted(set(should)):
+                    tp = postings.get(t)
+                    if tp is None:
+                        continue
+                    docs, _ = self._decode_cached(t, tp)
+                    cnt[docs] += 1
+                smask = cnt >= msm
+                if not smask.any():
+                    continue             # no doc HERE meets the msm bar
+                mask = smask if mask is None else (mask & smask)
             for t in sorted(set(must_not)):
                 tp = postings.get(t)
                 if tp is None:

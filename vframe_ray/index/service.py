@@ -122,7 +122,7 @@ class _ShardSearcher:
         out = pa.concat_tables(rows)
         if len(rows) > 1:
             out = self._shard_topk(
-                out, {qid: k for qid, _m, _s, _n, k in parsed})
+                out, {q[0]: q[4] for q in parsed})
         return out
 
     def facet_counts(self, parsed: list[tuple[int, list[str]]],
@@ -355,9 +355,11 @@ class QueryService:
 
         parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
                    _tok(q.get("should", "")), _tok(q.get("must_not", "")),
-                   int(q.get("k", 10))) for q in queries]
-        terms = set().union(*[set(m) | set(s)
-                              for _, m, s, _n, _k in parsed]) \
+                   int(q.get("k", 10)),
+                   int(q.get("minimum_should_match", 0)))
+                  for q in queries]
+        terms = set().union(*[set(q[1]) | set(q[2])
+                              for q in parsed]) \
             if parsed else set()
         gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
@@ -365,7 +367,7 @@ class QueryService:
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(
-            df, {qid: k for qid, _m, _s, _n, k in parsed})
+            df, {q[0]: q[4] for q in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
@@ -658,13 +660,15 @@ class QueryService:
                 parsed = [(int(q["query_id"]), _tok(q.get("must", "")),
                            _tok(q.get("should", "")),
                            _tok(q.get("must_not", "")),
-                           int(q.get("k", 10))) for q in qs]
+                           int(q.get("k", 10)),
+                           int(q.get("minimum_should_match", 0)))
+                          for q in qs]
                 ops.append({"mode": mode, "parsed": parsed})
                 merges.append(("topk",
-                               {qid: k for qid, _m, _s, _n, k in parsed},
+                               {q[0]: q[4] for q in parsed},
                                None))
-                all_terms |= {t for _, m, s, _n, _k in parsed
-                              for t in (*m, *s)}
+                all_terms |= {t for q in parsed
+                              for t in (*q[1], *q[2])}
             elif mode == "proximity":
                 parsed = [(int(q["query_id"]),
                            (self.tok.tokenize(q["query_text"])

@@ -997,6 +997,38 @@ def bm25_fuzzy(sf_dir: str) -> pa.Table:
     })
 
 
+MSM_QUERIES = [
+    # pure should with a 2-of-3 bar
+    {"query_id": 0, "must": "", "should": "vector stream window",
+     "must_not": "", "k": 10, "minimum_should_match": 2},
+    # must + should bar together
+    {"query_id": 1, "must": "customer", "should": "big slow merge",
+     "must_not": "", "k": 10, "minimum_should_match": 2},
+    # bar above the clause count: provably 0 rows
+    {"query_id": 2, "must": "", "should": "spark join",
+     "must_not": "", "k": 10, "minimum_should_match": 3},
+    # msm=1 must equal the default ≥1-should semantics
+    {"query_id": 3, "must": "", "should": "vector stream",
+     "must_not": "the", "k": 10, "minimum_should_match": 1},
+]
+
+
+def bm25_msm(sf_dir: str) -> pa.Table:
+    """MSM_QUERIES over the documents index: boolean retrieval with
+    ``minimum_should_match`` — a doc must hold ≥ m DISTINCT should
+    terms (Lucene msm), on top of the must/must_not gates.  Same
+    scatter-gather as bm25_boolean; the count is segment-exact."""
+    from ..index.query import search_boolean_index
+    index_dir = documents_index(sf_dir)
+    res = search_boolean_index(index_dir, MSM_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def bm25_boolean(sf_dir: str) -> pa.Table:
     """BOOL_QUERIES over the documents index: Lucene-style boolean
     retrieval (must/should/must_not) with BM25 scoring over the
