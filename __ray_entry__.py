@@ -2168,6 +2168,13 @@ def _q_bm25_extend(sf_dir: str):
     return bm25_documents_extended(sf_dir)
 
 
+def _q_bm25_federated(sf_dir: str):
+    """Two partition indexes queried as one corpus (combined N/avgdl/
+    df); oracle = plain full-corpus BM25."""
+    from vframe_ray.pipelines.flagship import bm25_federated
+    return bm25_federated(sf_dir)
+
+
 def _q_bm25_msm(sf_dir: str):
     """Boolean retrieval with minimum_should_match (Lucene msm)."""
     from vframe_ray.pipelines.flagship import bm25_msm
@@ -2583,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_order_price": rel.first_last_order_price,
         "bm25_stemmed": _q_stemmed,
         "bm25_msm": _q_bm25_msm,
+        "bm25_federated": _q_bm25_federated,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2940,6 +2948,10 @@ ORDER BY event_type, hour""",
         "bm25_stopwords": _stopwords_sql(),
         "bm25_stemmed": _stemmed_sql(),
         "bm25_msm": _msm_sql(),
+        # federated scoring over partition indexes is value-identical
+        # to the single full-corpus index, so the oracle is the plain
+        # full-corpus BM25 SQL (same statement as bm25_topk)
+        "bm25_federated": _bm25_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

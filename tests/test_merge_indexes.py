@@ -40,3 +40,44 @@ def test_merge_rejects_config_mismatch(ray_session, tmp_path):
                                                block_size=64)))
     with pytest.raises(ValueError, match="config mismatch"):
         merge_indexes([ia, ib], str(tmp_path / "mo"))
+
+
+def test_federated_equals_single_index(ray_session, tmp_path):
+    """search_federated over two partition indexes is bit-identical to
+    the single full-corpus index — combined N/avgdl/df are exact."""
+    from vframe_ray.index.query import search_federated
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": f"alpha beta w{i % 5} gamma w{i % 3}"}
+            for i in range(40)]
+    a = [r for r in rows if int(r["conv_id"][1:]) % 2 == 0]
+    b = [r for r in rows if int(r["conv_id"][1:]) % 2 == 1]
+    ia, ib, iu = (str(tmp_path / n) for n in ("fa", "fb", "fu"))
+    build_index(ray.data.from_items(a), ia, SMALL_CFG)
+    build_index(ray.data.from_items(b), ib, SMALL_CFG)
+    build_index(ray.data.from_items(rows), iu, SMALL_CFG)
+    for qt in ("alpha w1", "gamma", "w2 w4 beta", "zzzabsent"):
+        q = [{"query_id": 0, "query_text": qt, "k": 40}]
+        assert search_federated([ia, ib], q).to_pylist() == \
+            search_index(iu, q).to_pylist(), qt
+    # pagination composes: page 2 of the federation == page 2 of iu
+    q = [{"query_id": 0, "query_text": "alpha", "k": 10, "offset": 10}]
+    assert search_federated([ia, ib], q).to_pylist() == \
+        search_index(iu, q).to_pylist()
+
+
+def test_federated_rejects_config_mismatch(ray_session, tmp_path):
+    from vframe_ray.config import AnalyzerConfig, EngineConfig, IndexConfig
+    from vframe_ray.index.query import search_federated
+    rows = [{"conv_id": "c0", "turn_idx": 0, "text": "alpha"}]
+    ia, ib = str(tmp_path / "fma"), str(tmp_path / "fmb")
+    build_index(ray.data.from_items(rows), ia, SMALL_CFG)
+    build_index(ray.data.from_items(rows), ib,
+                EngineConfig(analyzer=AnalyzerConfig(stem="s"),
+                             index=IndexConfig(num_segments=1,
+                                               block_size=64)))
+    with pytest.raises(ValueError, match="incompatible"):
+        search_federated([ia, ib], [{"query_id": 0,
+                                     "query_text": "alpha", "k": 5}])
+    with pytest.raises(ValueError, match="at least one"):
+        search_federated([], [{"query_id": 0, "query_text": "alpha",
+                               "k": 5}])

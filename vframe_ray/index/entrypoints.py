@@ -1327,3 +1327,85 @@ def function_score_index(index_dir: str, queries: list[dict],
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)
+
+
+def search_federated(index_dirs: list[str], queries: list[dict],
+                     cfg: EngineConfig | None = None, *,
+                     use_bmw: bool = True,
+                     predicates: list[str] | None = None) -> pa.Table:
+    """Federated top-k search over SEVERAL indexes as one logical
+    corpus — the cross-cluster-search analog, and the query-side
+    complement of :func:`~vframe_ray.index.merge.merge_indexes` /
+    ``extend_index`` (those rewrite bytes; this rewrites nothing).
+
+    Corpus statistics are combined exactly — N = Σ n_docs,
+    avgdl = Σ total_len / Σ n_docs, df(t) = Σ per-index df(t) — and
+    every segment of every index scores against the COMBINED stats, so
+    the result is value-identical to a single index built over the
+    union corpus (asserted in tests and by the ``bm25_federated``
+    SQL oracle, which is the plain full-corpus BM25 oracle).  The
+    scatter-gather is the ordinary one: per-segment top-k tasks over
+    the union segment list, ≤ k·ΣS driver-merged rows.
+
+    The indexes must share analyzer/BM25 config (same rule as segment
+    merge, index/compact.py) and hold disjoint doc spaces — federation
+    over partitions of a corpus, not replicas.
+    """
+    from .build import load_index_meta
+    if not index_dirs:
+        raise ValueError("search_federated needs at least one index")
+    metas = [load_index_meta(d) for d in index_dirs]
+    cfg0 = EngineConfig.from_dict(metas[0][0]) if cfg is None \
+        else cfg.validate()
+    for d, (cfg_d, _s, _g) in zip(index_dirs[1:], metas[1:]):
+        other = EngineConfig.from_dict(cfg_d)
+        if (other.analyzer, other.bm25) != (cfg0.analyzer, cfg0.bm25):
+            raise ValueError(
+                f"incompatible index configs: {index_dirs[0]} vs {d} "
+                "(analyzer/BM25 params must be equal)")
+    if predicates:
+        for d in index_dirs:
+            validate_predicates(d, predicates)
+
+    n_docs = sum(m[1]["n_docs"] for m in metas)
+    total_len = sum(m[1]["total_len"] for m in metas)
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+
+    tok = Tokenizer(cfg0.analyzer)
+    offsets = {int(q["query_id"]): int(q.get("offset", 0))
+               for q in queries}
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10)) + int(q.get("offset", 0)))
+              for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
+        if parsed else set()
+    gdf: dict[str, int] = {}
+    for d in index_dirs:                      # df sums across indexes
+        for t, df in _global_df_for_terms(d, all_terms).items():
+            gdf[t] = gdf.get(t, 0) + df
+
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg0.bm25.k1, "b": cfg0.bm25.b}
+    block_size = cfg0.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        stage = _SearcherStage(
+            queries_ref=parsed_ref, bm25_dict=bm25_dict, n_docs=n_docs,
+            avgdl=avgdl, gdf_ref=gdf_ref, use_bmw=use_bmw,
+            block_size=block_size, predicates=predicates)
+        return stage(batch)
+
+    seg_dirs = [s for m in metas for s in m[2]]
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    ks = {qid: k - offsets.get(qid, 0) for qid, _, k in parsed}
+    merged = _merge_topk_driver(hits.to_pandas(), ks,
+                                offsets if any(offsets.values())
+                                else None)
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)

@@ -33,6 +33,7 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           proximity_rank_index, search_after_index,
                           search_boolean_index, search_boosted_index,
                           search_fields_index, search_fuzzy_index,
+                          search_federated,
                           search_index, search_like_index,
                           search_prefix_index, search_synonym_index,
                           expand_like_patterns, suggest_corrections,

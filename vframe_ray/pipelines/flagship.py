@@ -997,6 +997,60 @@ def bm25_fuzzy(sf_dir: str) -> pa.Table:
     })
 
 
+def federated_documents_indexes(sf_dir: str) -> list[str]:
+    """Two cached indexes over the doc_id-parity PARTITIONS of the
+    documents corpus — the federation fixture: disjoint doc spaces,
+    identical config, together exactly the full corpus."""
+    import hashlib
+    import json as _json
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cfg = EngineConfig(index=IndexConfig(num_segments=3, block_size=128))
+    cfg_fp = hashlib.sha1(_json.dumps(cfg.to_dict(), sort_keys=True)
+                          .encode()).hexdigest()[:8]
+    dirs = []
+    for parity in (0, 1):
+        index_dir = os.path.join(_cache_root(),
+                                 f"docs-fed{parity}-{tag}-{cfg_fp}")
+        manifest = os.path.join(index_dir, "manifest.json")
+        if not os.path.exists(manifest):
+            def lift(t: pa.Table, parity=parity) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                t = t.filter(pa.array(ids % 2 == parity))
+                pad = pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()),
+                                   10, "0")
+                return pa.table({
+                    "conv_id": pad,
+                    "turn_idx": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int32)),
+                    "text": t["text"],
+                })
+            ds = _read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"]) \
+                .map_batches(lift, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            build_index(ds, index_dir, cfg)
+        dirs.append(index_dir)
+    return dirs
+
+
+def bm25_federated(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES over TWO partition indexes queried as one corpus via
+    :func:`~vframe_ray.index.entrypoints.search_federated` — combined
+    N/avgdl/df make the scores value-identical to the single
+    full-corpus index, so the oracle is the plain BM25 SQL."""
+    from ..index.query import search_federated
+    res = search_federated(federated_documents_indexes(sf_dir),
+                           DOC_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 MSM_QUERIES = [
     # pure should with a 2-of-3 bar
     {"query_id": 0, "must": "", "should": "vector stream window",
