@@ -97,6 +97,61 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _df_pruned_sql() -> str:
+    """DF-bounded-vocabulary oracle: the global per-term df computed in
+    SQL gates tok into tok2 (min_df ≤ df ≤ max_df_ratio·N), then the
+    ordinary BM25 chain runs over tok2 — dl/avgdl/df/tf all
+    post-prune; pruned QUERY terms contribute nothing on either side
+    (engine: analyzer stopwords; SQL: no tf rows survive the gate)."""
+    from vframe_ray.pipelines.flagship import (DF_PRUNE_MAX_RATIO,
+                                               DF_PRUNE_MIN)
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks = [], []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ df0 AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+         GROUP BY term),
+ keep AS (SELECT term FROM df0
+          WHERE df >= {DF_PRUNE_MIN}
+            AND df <= (SELECT count(*) FROM documents)
+                      * {DF_PRUNE_MAX_RATIO}),
+ tok2 AS (SELECT tok._id, tok.term FROM tok
+          JOIN keep ON keep.term = tok.term),
+ dl AS (SELECT _id, count(*) AS dl FROM tok2 GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ dfq AS (SELECT term, count(DISTINCT _id) AS df FROM tok2
+         WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN dfq ON dfq.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _fs_sql() -> str:
     """Function-score oracle: the shared BM25 CTE over FS_QUERIES, each
     doc's score multiplied by (1 + w·ln(1 + n_chars)) BEFORE ranking —
@@ -2168,6 +2223,13 @@ def _q_bm25_extend(sf_dir: str):
     return bm25_documents_extended(sf_dir)
 
 
+def _q_bm25_df_pruned(sf_dir: str):
+    """BM25 over a DF-bounded vocabulary (min_df/max_df pruning as
+    data-driven stopwords; the stored config prunes query terms)."""
+    from vframe_ray.pipelines.flagship import bm25_df_pruned
+    return bm25_df_pruned(sf_dir)
+
+
 def _q_bm25_federated(sf_dir: str):
     """Two partition indexes queried as one corpus (combined N/avgdl/
     df); oracle = plain full-corpus BM25."""
@@ -2591,6 +2653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_stemmed": _q_stemmed,
         "bm25_msm": _q_bm25_msm,
         "bm25_federated": _q_bm25_federated,
+        "monthly_activity_overview": rel.monthly_activity_overview,
+        "bm25_df_pruned": _q_bm25_df_pruned,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2720,6 +2784,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "monthly_activity_overview": """
+WITH o AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY m),
+ e AS (SELECT date_trunc('month', ts)::TIMESTAMP AS m,
+              count(*)::BIGINT AS n_events
+       FROM events GROUP BY m)
+SELECT coalesce(o.m, e.m) AS month,
+       coalesce(o.cents, 0)::DOUBLE / 100 AS revenue,
+       coalesce(e.n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.m = e.m ORDER BY month""",
         "revenue_deciles": f"""
 WITH r AS (SELECT o_custkey,
                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -2952,6 +3028,7 @@ ORDER BY event_type, hour""",
         # to the single full-corpus index, so the oracle is the plain
         # full-corpus BM25 SQL (same statement as bm25_topk)
         "bm25_federated": _bm25_sql(),
+        "bm25_df_pruned": _df_pruned_sql(),
         "export_matches": _export_matches_sql(),
         "bm25_explain": _explain_sql(),
         "hybrid_search": _hybrid_sql(),

@@ -146,3 +146,45 @@ def test_stem_analyzer_through_index(ray_session, tmp_path):
     w = search_index(idx, [{"query_id": 0, "query_text": "window",
                             "k": 10}])
     assert set(w["conv_id"].to_pylist()) == {"c2"}
+
+
+def test_df_pruned_vocabulary(ray_session, tmp_path):
+    """min_df/max_df pruning: rare and ubiquitous terms leave the
+    vocabulary (data-driven stopwords), surviving terms score over
+    post-prune corpus stats."""
+    import ray.data
+
+    from vframe_ray.config import AnalyzerConfig, EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+    from vframe_ray.stages.stats import term_stats
+    from vframe_ray.stages.tokenize import tokenize
+
+    # 'common' in every doc, 'mid' in half, 'rare' in one
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": "common " + ("mid " if i % 2 == 0 else "")
+             + ("rare" if i == 0 else "filler")}
+            for i in range(10)]
+    ds = ray.data.from_items(rows)
+    stats = term_stats(tokenize(ds)).to_pandas()
+    df = dict(zip(stats["term"], stats["df"]))
+    assert df["common"] == 10 and df["mid"] == 5 and df["rare"] == 1
+    pruned = frozenset(stats.loc[(stats["df"] < 2)
+                                 | (stats["df"] > 0.8 * 10), "term"])
+    assert pruned == {"rare", "common", "filler"}
+    idx = str(tmp_path / "dfp_idx")
+    build_index(ray.data.from_items(rows), idx,
+                EngineConfig(analyzer=AnalyzerConfig(stopwords=pruned),
+                             index=IndexConfig(num_segments=2,
+                                               block_size=8)))
+    # pruned terms match nothing, on the doc AND the query side
+    assert search_index(idx, [{"query_id": 0, "query_text": "common",
+                               "k": 10}]).num_rows == 0
+    assert search_index(idx, [{"query_id": 0, "query_text": "rare",
+                               "k": 10}]).num_rows == 0
+    # surviving vocabulary scores over post-prune stats (dl excludes
+    # pruned tokens): 'mid' docs all tie at dl=1
+    r = search_index(idx, [{"query_id": 0, "query_text": "mid common",
+                            "k": 10}])
+    assert r.num_rows == 5
+    assert len(set(r["score"].to_pylist())) == 1

@@ -613,3 +613,26 @@ ORDER BY o_custkey""")
     # multi-order customers where first != last prove the frame is the
     # whole partition, not the default up-to-current-row frame
     assert (want["first_price"] != want["last_price"]).any()
+
+
+def test_monthly_activity_overview_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import monthly_activity_overview
+    got = monthly_activity_overview(sf_dir)
+    want = _duck(sf_dir, """
+WITH o AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY m),
+ e AS (SELECT date_trunc('month', ts)::TIMESTAMP AS m,
+              count(*)::BIGINT AS n_events
+       FROM events GROUP BY m)
+SELECT coalesce(o.m, e.m) AS month,
+       coalesce(o.cents, 0)::DOUBLE / 100 AS revenue,
+       coalesce(e.n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.m = e.m ORDER BY month""")
+    # order months (1995-99) and event months (2024) are disjoint, so
+    # both NULL sides of the FULL OUTER are exercised
+    assert (want["revenue"] == 0).any() and (want["n_events"] == 0).any()
+    got["month"] = got["month"].astype("datetime64[us]")
+    want["month"] = want["month"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want)

@@ -91,7 +91,9 @@ def test_service_mixed_mode_single_roundtrip_parity(ray_session, tmp_path):
               {"query_id": 1, "query_text": "banana", "k": 3,
                "offset": 1}]
         bq = [{"query_id": 0, "must": "apple", "should": "banana",
-               "must_not": "cherry", "k": 10}]
+               "must_not": "cherry", "k": 10},
+              {"query_id": 1, "must": "", "should": "apple banana cherry",
+               "must_not": "", "k": 10, "minimum_should_match": 2}]
         xq = [{"query_id": 0, "query_text": "banana apple", "window": 3,
                "k": 10},
               {"query_id": 1, "query_text": "apple rare", "window": 2,

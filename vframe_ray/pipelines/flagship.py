@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..config import EngineConfig, IndexConfig
+from ..config import AnalyzerConfig, EngineConfig, IndexConfig
 from ..index.build import build_index
 from ..index.query import search_index
 from ..sources.readers import read_parquet as _read_parquet
@@ -989,6 +989,62 @@ def bm25_fuzzy(sf_dir: str) -> pa.Table:
     from ..index.query import search_fuzzy_index
     index_dir = documents_index(sf_dir)
     res = search_fuzzy_index(index_dir, FUZZY_QUERIES, max_edits=1)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
+#  Tuned to the synthetic corpus's df profile (31-term vocabulary, most
+#  terms in ~80% of the 500 docs): both bounds genuinely fire — the
+#  floor prunes the one rare term ('dup', df≈25), the ceiling prunes
+#  the several most-ubiquitous terms — while a healthy mid-band
+#  vocabulary survives to score.
+DF_PRUNE_MIN = 30          # drop rare terms (df < 30)
+DF_PRUNE_MAX_RATIO = 0.79  # drop terms present in > 79% of docs
+
+
+def df_pruned_documents_index(sf_dir: str,
+                              min_df: int = DF_PRUNE_MIN,
+                              max_df_ratio: float = DF_PRUNE_MAX_RATIO
+                              ) -> str:
+    """Documents index with DF-BOUNDED vocabulary (min_df/max_df — the
+    Lucene/sklearn vocabulary-pruning knob): pass 1 computes global
+    (term, df) with the bucketed term-stats reduce, pass 2 builds under
+    an analyzer whose stopword set is the PRUNED terms — data-driven
+    stopwords, so dl/avgdl/df are all post-prune and the stored config
+    makes query terms prune identically.
+
+    Scale note: the max_df side (common terms) is always tiny and
+    broadcastable; the min_df side is vocabulary-sized, fine for this
+    corpus but at the 100-TB design point rare-term pruning belongs in
+    segment compaction (drop posting lists below the df floor at merge
+    time) rather than an analyzer stopword list."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.stats import term_stats
+    from ..stages.tokenize import tokenize
+
+    n_docs = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    stats = term_stats(tokenize(documents_as_transcripts(sf_dir))) \
+        .to_pandas()
+    df = stats["df"].to_numpy()
+    pruned = stats.loc[(df < min_df)
+                       | (df > max_df_ratio * n_docs), "term"]
+    cfg = EngineConfig(
+        analyzer=AnalyzerConfig(stopwords=frozenset(pruned)),
+        index=IndexConfig(num_segments=4, block_size=128))
+    return documents_index(sf_dir, cfg)
+
+
+def bm25_df_pruned(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES over the df-pruned index: rare and ubiquitous terms
+    contribute nothing on either the doc or the query side."""
+    index_dir = df_pruned_documents_index(sf_dir)
+    res = search_index(index_dir, DOC_QUERIES)
     return pa.table({
         "query_id": res["query_id"],
         "rank": res["rank"],

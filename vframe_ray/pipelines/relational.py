@@ -2763,3 +2763,51 @@ def first_last_order_price(sf_dir: str):
                                       batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def monthly_activity_overview(sf_dir: str):
+    """FULL OUTER calendar join: monthly order revenue ⋈ monthly event
+    counts with zero-fill on BOTH sides — the cross-fact-table overview
+    report (this corpus's order months and event months are disjoint,
+    so every row exercises one NULL side).  Each fact table reduces to
+    calendar-bounded per-block partials (driver-combined); the outer
+    merge itself runs on ≤ |months| rows.  Cents stay integer until
+    the final division.
+
+    Returns pandas (month, revenue, n_events) sorted by month."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+    events = _read(sf_dir, "events", columns=["ts"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(pc.cast(t["o_orderdate"],
+                                              pa.timestamp("us")),
+                                      unit="month"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"m": m, "cents": cents}) \
+            .group_by("m").aggregate([("cents", "sum")])
+        return g.rename_columns(["m", "cents_p"])
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(pc.cast(t["ts"],
+                                              pa.timestamp("us")),
+                                      unit="month"), pa.int64())
+        g = pa.table({"m": m}).group_by("m") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["m", "n_p"])
+
+    o = _driver_combine(
+        orders.map_batches(o_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        ["m"], [("cents_p", "sum", "cents")]).to_pandas()
+    e = _driver_combine(
+        events.map_batches(e_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+        ["m"], [("n_p", "sum", "n_events")]).to_pandas()
+    j = o.merge(e, on="m", how="outer")
+    out = pd.DataFrame({
+        "month": j["m"].to_numpy(np.int64).astype("datetime64[us]"),
+        "revenue": j["cents"].fillna(0).to_numpy(np.int64) / 100.0,
+        "n_events": j["n_events"].fillna(0).to_numpy(np.int64)})
+    return out.sort_values("month").reset_index(drop=True)
