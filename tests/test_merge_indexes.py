@@ -81,3 +81,37 @@ def test_federated_rejects_config_mismatch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="at least one"):
         search_federated([], [{"query_id": 0, "query_text": "alpha",
                                "k": 5}])
+
+
+def test_federated_query_service_parity(ray_session, tmp_path):
+    """A QueryService over two partition indexes serves results
+    bit-identical to the single union-corpus index; dictionary
+    expansion modes raise the documented NotImplementedError."""
+    from vframe_ray.index.service import QueryService
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": f"alpha beta w{i % 5} gamma w{i % 3}"}
+            for i in range(40)]
+    a = [r for r in rows if int(r["conv_id"][1:]) % 2 == 0]
+    b = [r for r in rows if int(r["conv_id"][1:]) % 2 == 1]
+    ia, ib, iu = (str(tmp_path / n) for n in ("sfa", "sfb", "sfu"))
+    build_index(ray.data.from_items(a), ia, SMALL_CFG)
+    build_index(ray.data.from_items(b), ib, SMALL_CFG)
+    build_index(ray.data.from_items(rows), iu, SMALL_CFG)
+    fed = QueryService([ia, ib], n_actors=2)
+    try:
+        for qt in ("alpha w1", "gamma", "w2 w4 beta", "zzzabsent"):
+            q = [{"query_id": 0, "query_text": qt, "k": 40}]
+            assert fed.search(q).to_pylist() == \
+                search_index(iu, q).to_pylist(), qt
+        bq = [{"query_id": 0, "must": "alpha", "should": "w1 w2",
+               "must_not": "w4", "k": 40, "minimum_should_match": 1}]
+        from vframe_ray.index.query import search_boolean_index
+        assert fed.search_boolean(bq).to_pylist() == \
+            search_boolean_index(iu, bq).to_pylist()
+        with pytest.raises(NotImplementedError, match="federated"):
+            fed.search_prefix([{"query_id": 0, "query_text": "w*",
+                                "k": 5}])
+        with pytest.raises(NotImplementedError, match="federated"):
+            fed.suggest(["al"], k=3)
+    finally:
+        fed.shutdown()

@@ -261,13 +261,39 @@ class QueryService:
     one-shot :func:`search_index`.
     """
 
-    def __init__(self, index_dir: str, n_actors: int = 8,
+    def __init__(self, index_dir: "str | list[str]", n_actors: int = 8,
                  cfg: EngineConfig | None = None):
+        """``index_dir`` may be a list of index dirs — FEDERATED
+        serving: combined N/avgdl/df exactly as in
+        :func:`~vframe_ray.index.entrypoints.search_federated`, shard
+        actors over the union segment list.  Term-dictionary expansion
+        modes (wildcard/LIKE/fuzzy/suggest) need a union dictionary
+        and raise NotImplementedError under federation."""
         from .build import load_index_meta
-        cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+        dirs = [index_dir] if isinstance(index_dir, str) \
+            else list(index_dir)
+        if not dirs:
+            raise ValueError("QueryService needs at least one index")
+        metas = [load_index_meta(d) for d in dirs]
+        cfg_dict, stats, seg_dirs = metas[0]
         self.cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
             else cfg.validate()
-        self.index_dir = index_dir
+        for d, (cfg_d, st_d, segs_d) in zip(dirs[1:], metas[1:]):
+            other = EngineConfig.from_dict(cfg_d)
+            if (other.analyzer, other.bm25) != (self.cfg.analyzer,
+                                                self.cfg.bm25):
+                raise ValueError(
+                    f"incompatible index configs: {dirs[0]} vs {d} "
+                    "(analyzer/BM25 params must be equal)")
+            seg_dirs = seg_dirs + segs_d
+        if len(dirs) > 1:
+            n_docs = sum(m[1]["n_docs"] for m in metas)
+            total_len = sum(m[1]["total_len"] for m in metas)
+            stats = {"n_docs": n_docs, "total_len": total_len,
+                     "avgdl": (total_len / n_docs) if n_docs else 0.0}
+        self.index_dirs = dirs
+        self.index_dir = dirs[0]
+        self._federated = len(dirs) > 1
         self.stats = stats
         self.tok = Tokenizer(self.cfg.analyzer)
         n_actors = max(1, min(n_actors, len(seg_dirs)))
@@ -285,12 +311,26 @@ class QueryService:
 
     _DF_CACHE_CAP = 1 << 20   # OOV-flood bound, same spirit as ABSENT_CAP
 
+    def _validate_predicates(self, predicates) -> None:
+        for d in self.index_dirs:     # attrs must exist in EVERY index
+            validate_predicates(d, predicates)
+
+    def _require_single(self, what: str) -> None:
+        if self._federated:
+            raise NotImplementedError(
+                f"{what} expands against the term dictionary and is "
+                "not yet supported on a federated QueryService (needs "
+                "a union dictionary)")
+
     def _gdf_cached(self, terms: set[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             if len(self._df_cache) + len(missing) > self._DF_CACHE_CAP:
                 self._df_cache.clear()
-            fresh = _global_df_for_terms(self.index_dir, set(missing))
+            fresh: dict[str, int] = {}
+            for d in self.index_dirs:     # federated: df sums per index
+                for t, v in _global_df_for_terms(d, set(missing)).items():
+                    fresh[t] = fresh.get(t, 0) + v
             for t in missing:
                 self._df_cache[t] = fresh.get(t)
         return {t: v for t in terms
@@ -326,7 +366,7 @@ class QueryService:
         """Served function-score (field_value_factor) — same contract
         as :func:`function_score_index`, on the resident shards."""
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))),
                    int(q.get("k", 10))) for q in queries]
@@ -348,7 +388,7 @@ class QueryService:
         """Served boolean retrieval — same contract as
         :func:`search_boolean_index`, on the resident shards."""
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
 
         def _tok(s: str) -> list[str]:
             return sorted(set(self.tok.tokenize(s or "")))
@@ -376,6 +416,7 @@ class QueryService:
                       collapse: bool = False) -> pa.Table:
         """Served wildcard/prefix search — expansion against the global
         dictionary (one small range read per call), then :meth:`search`."""
+        self._require_single("wildcard/prefix expansion")
         per_q, all_prefixes = _parse_wildcard_queries(self.tok, queries)
         plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
         return self.search(plain, predicates=predicates, collapse=collapse)
@@ -387,6 +428,7 @@ class QueryService:
         token) — the same driver-side dictionary expansion as
         :func:`search_like_index`, then :meth:`search` on the resident
         shards."""
+        self._require_single("general wildcard expansion")
         from .entrypoints import _like_plain_queries
         plain = _like_plain_queries(self.index_dir, self.tok, queries)
         return self.search(plain, predicates=predicates, collapse=collapse)
@@ -395,6 +437,7 @@ class QueryService:
                             max_edits: int = 1) -> pa.Table:
         """Served did-you-mean — dictionary-only, so it simply reuses
         the one-shot path (no postings, no shard fan-out needed)."""
+        self._require_single("did-you-mean")
         from .entrypoints import suggest_corrections
         return suggest_corrections(self.index_dir, terms, max_edits)
 
@@ -403,7 +446,7 @@ class QueryService:
         """Served faceted search — per-shard partials summed on the
         driver; same contract as :func:`facet_counts_index`."""
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))))
                   for q in queries]
@@ -440,7 +483,7 @@ class QueryService:
         parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]),
                    int(p.get("k", 10))) for p in phrases]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
@@ -467,7 +510,7 @@ class QueryService:
                    bool(q.get("ordered", False)))
                   for q in queries]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
@@ -487,7 +530,7 @@ class QueryService:
         parsed = [(int(p["query_id"]), self.tok.tokenize(p["phrase"]))
                   for p in phrases]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         futs = [a.search_phrases.remote(parsed, predicates)
                 for a in self.actors]
         out = pa.concat_tables(ray.get(futs))
@@ -504,7 +547,7 @@ class QueryService:
                    parse_boosted_query(self.tok, str(q["query_text"])),
                    int(q.get("k", 10))) for q in queries]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         terms = set(t for _, tb, _ in parsed for t, _ in tb)
         gdf = self._gdf_cached(terms)
         base_idf = {t: idf(self.stats["n_docs"], df)
@@ -528,7 +571,7 @@ class QueryService:
                     int(q["after"][2])))
                   for q in queries]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         terms = set().union(*[set(t) for _, t, _, _ in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
@@ -548,7 +591,7 @@ class QueryService:
                    sorted(set(self.tok.tokenize(q["query_text"]))))
                   for q in queries]
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         futs = [a.facet_range_counts.remote(parsed, bin_width, predicates)
                 for a in self.actors]
         parts = pa.concat_tables(ray.get(futs)).to_pandas()
@@ -595,6 +638,7 @@ class QueryService:
                    int(q.get("k", 10))) for q in queries]
         all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
                            ) if parsed else []
+        self._require_single("fuzzy expansion")
         expansion = expand_fuzzy_terms(self.index_dir, all_terms,
                                        max_edits)
         plain = []
@@ -621,7 +665,7 @@ class QueryService:
         (modes-1) × actor round trips and lets every mode share one
         global-df lookup and the shards' pinned hot postings."""
         if predicates:
-            validate_predicates(self.index_dir, predicates)
+            self._validate_predicates(predicates)
         ops: list[dict] = []
         merges: list[tuple] = []          # (kind, per-op merge payload)
         all_terms: set[str] = set()
@@ -629,6 +673,7 @@ class QueryService:
             mode = req["mode"]
             qs = req["queries"]
             if mode in ("like", "prefix"):
+                self._require_single("wildcard expansion (mixed batch)")
                 # wildcard modes expand driver-side (one dictionary
                 # read) and then ride the batch as plain searches
                 if mode == "like":
@@ -759,6 +804,7 @@ class QueryService:
     def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
         """Autocomplete against the index's global term dictionary —
         see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
+        self._require_single("autocomplete")
         return suggest_terms(self.index_dir, prefixes, k)
 
     def refresh_deletes(self) -> int:
