@@ -2655,6 +2655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_federated": _q_bm25_federated,
         "monthly_activity_overview": rel.monthly_activity_overview,
         "bm25_df_pruned": _q_bm25_df_pruned,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2784,6 +2785,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q6_forecast_revenue": f"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))
+       / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{rel.Q6_DATE_LO}'
+  AND l_shipdate < TIMESTAMP '{rel.Q6_DATE_HI}'
+  AND l_quantity < {rel.Q6_QTY}
+  AND CAST(round(l_discount * 100) AS BIGINT)
+      BETWEEN {rel.Q6_DISC_LO} AND {rel.Q6_DISC_HI}""",
         "monthly_activity_overview": """
 WITH o AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
                   sum(CAST(round(o_totalprice * 100) AS BIGINT))

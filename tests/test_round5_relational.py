@@ -636,3 +636,23 @@ FROM o FULL OUTER JOIN e ON o.m = e.m ORDER BY month""")
     got["month"] = got["month"].astype("datetime64[us]")
     want["month"] = want["month"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_q6_forecast_revenue_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q6_forecast_revenue
+    got = q6_forecast_revenue(sf_dir)
+    want = _duck(sf_dir, """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT))
+       / 10000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24.0
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6""")
+    assert int(want["n_items"].iloc[0]) > 0
+    pd.testing.assert_frame_equal(got, want)
+    # the filters genuinely prune: fewer qualifying rows than lineitems
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert int(want["n_items"].iloc[0]) < len(li)

@@ -2811,3 +2811,49 @@ def monthly_activity_overview(sf_dir: str):
         "revenue": j["cents"].fillna(0).to_numpy(np.int64) / 100.0,
         "n_events": j["n_events"].fillna(0).to_numpy(np.int64)})
     return out.sort_values("month").reset_index(drop=True)
+
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO = 4      # discount percent band, inclusive
+Q6_DISC_HI = 6
+Q6_QTY = 24.0
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the SCALAR filtered aggregate — revenue delta
+    from candidate discounts (sum of extprice × discount over a date
+    window, discount band, quantity cap).  Zero shuffles: predicate
+    pushed to the read, one integer partial per block (cents ×
+    discount-percent stays int64), driver-combined to ONE row; the
+    division to dollars happens once.
+
+    Returns pandas (revenue, n_items) — a single row."""
+    lo = pd.Timestamp(Q6_DATE_LO)
+    hi = pd.Timestamp(Q6_DATE_HI)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount", "l_quantity"],
+               filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                       & (pc.field("l_shipdate") < pc.scalar(hi))
+                       & (pc.field("l_quantity") < pc.scalar(Q6_QTY))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        keep = pc.and_(pc.greater_equal(disc, Q6_DISC_LO),
+                       pc.less_equal(disc, Q6_DISC_HI))
+        t2 = pa.table({
+            "cents": pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                  100.0)), pa.int64()),
+            "disc": disc}).filter(keep)
+        rev = pc.sum(pc.multiply(t2["cents"], t2["disc"])).as_py() or 0
+        return pa.table({"rev_p": pa.array([int(rev)], pa.int64()),
+                         "n_p": pa.array([t2.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    out = _driver_combine(parts, [], [("rev_p", "sum", "rev"),
+                                      ("n_p", "sum", "n_items")])
+    return pd.DataFrame({
+        "revenue": [int(out["rev"][0].as_py()) / 10_000.0],
+        "n_items": [int(out["n_items"][0].as_py())]})
