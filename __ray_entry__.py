@@ -2656,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_activity_overview": rel.monthly_activity_overview,
         "bm25_df_pruned": _q_bm25_df_pruned,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q14_promo_revenue": rel.q14_promo_revenue,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2796,6 +2797,21 @@ WHERE l_shipdate >= TIMESTAMP '{rel.Q6_DATE_LO}'
   AND l_quantity < {rel.Q6_QTY}
   AND CAST(round(l_discount * 100) AS BIGINT)
       BETWEEN {rel.Q6_DISC_LO} AND {rel.Q6_DISC_HI}""",
+        "q14_promo_revenue": f"""
+WITH w AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS rev,
+                  p.p_type
+           FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey
+           WHERE l_shipdate >= TIMESTAMP '{rel.Q14_DATE_LO}'
+             AND l_shipdate < TIMESTAMP '{rel.Q14_DATE_HI}')
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / 10000.0
+           AS promo_revenue,
+       sum(rev) / 10000.0 AS total_revenue,
+       100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             / sum(rev) AS promo_share
+FROM w""",
         "monthly_activity_overview": """
 WITH o AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
                   sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -54,7 +54,8 @@ def sf_dir(ray_session, tmp_path_factory):
         "p_partkey": np.arange(1, 41, dtype=np.int64),
         "p_name": [f"part{i}" for i in range(40)],
         "p_brand": [f"Brand#{1 + i % 5}" for i in range(40)],
-        "p_type": ["STANDARD"] * 40,
+        "p_type": ["PROMO" if i % 3 == 0 else "STANDARD"
+                   for i in range(40)],
         "p_size": (1 + np.arange(40) % 40).astype(np.int32),
         "p_retailprice": np.round(rng.uniform(100, 2000, 40), 2)})
     ship = pd.Timestamp("1995-01-01") + pd.to_timedelta(
@@ -656,3 +657,32 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     # the filters genuinely prune: fewer qualifying rows than lineitems
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     assert int(want["n_items"].iloc[0]) < len(li)
+
+
+def test_q14_promo_revenue_vs_duckdb(sf_dir, monkeypatch):
+    from vframe_ray.pipelines.relational import q14_promo_revenue
+    got = q14_promo_revenue(sf_dir, date_lo="1996-01-01",
+                            date_hi="1997-01-01")
+    want = _duck(sf_dir, """
+WITH w AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS rev,
+                  p.p_type
+           FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / 10000.0
+           AS promo_revenue,
+       sum(rev) / 10000.0 AS total_revenue,
+       100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             / sum(rev) AS promo_share
+FROM w""")
+    share = float(want["promo_share"].iloc[0])
+    assert 0 < share < 100           # both classes genuinely present
+    pd.testing.assert_frame_equal(got, want)
+    # forced big-big path: part resolved by the shuffle hash join
+    monkeypatch.setenv("VFRAME_RAY_DIM_BROADCAST_MAX_ROWS", "0")
+    pd.testing.assert_frame_equal(
+        q14_promo_revenue(sf_dir, date_lo="1996-01-01",
+                          date_hi="1997-01-01"), want)

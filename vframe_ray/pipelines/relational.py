@@ -2857,3 +2857,99 @@ def q6_forecast_revenue(sf_dir: str):
     return pd.DataFrame({
         "revenue": [int(out["rev"][0].as_py()) / 10_000.0],
         "n_items": [int(out["n_items"][0].as_py())]})
+
+
+Q14_DATE_LO = "1996-03-01"
+Q14_DATE_HI = "1996-04-01"
+
+
+def q14_promo_revenue(sf_dir: str, date_lo: str = Q14_DATE_LO,
+                      date_hi: str = Q14_DATE_HI):
+    """TPC-H Q14 shape: promo-revenue share — 100 × promo revenue /
+    total revenue over one ship month.  Physical plan mirrors
+    :func:`brand_revenue`'s dual path: under the broadcast threshold
+    the PROMO partkey set ships once via ``ray.put`` (sorted array +
+    searchsorted membership per block; the scan itself is
+    zero-shuffle, two int64 partials per block), above it the partkey
+    hash join carries an is-promo byte with the partials fused into
+    the join buckets.  The percentage is ONE float64 expression on
+    both engine and oracle sides.  Assumes TPC-H referential
+    integrity (every l_partkey exists in part) — under it the
+    broadcast path's total (all window lineitems) and the inner-join
+    path's total coincide; the pytest forces both paths.
+
+    Returns pandas (promo_revenue, total_revenue, promo_share) — a
+    single row."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"],
+               filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                       & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def _rev(pe: np.ndarray, di: np.ndarray) -> np.ndarray:
+        return (np.round(pe * 100.0).astype(np.int64)
+                * (100 - np.round(di * 100.0).astype(np.int64)))
+
+    if _dim_broadcast_ok(sf_dir, "part"):
+        prt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey"],
+            filters=[("p_type", "==", "PROMO")])
+        promo_ref = ray.put(np.sort(prt["p_partkey"].to_numpy()))
+
+        def partial(t: pa.Table) -> pa.Table:
+            promo = ray.get(promo_ref)
+            x = t["l_partkey"].to_numpy(zero_copy_only=False)
+            rev = _rev(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False),
+                t["l_discount"].to_numpy(zero_copy_only=False))
+            if len(promo):
+                pos = np.minimum(np.searchsorted(promo, x),
+                                 len(promo) - 1)
+                is_promo = promo[pos] == x
+            else:
+                is_promo = np.zeros(len(x), dtype=bool)
+            return pa.table({
+                "promo_p": pa.array([int(rev[is_promo].sum())],
+                                    pa.int64()),
+                "total_p": pa.array([int(rev.sum())], pa.int64())})
+
+        parts = li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    else:
+        prt_ds = _read(sf_dir, "part",
+                       columns=["p_partkey", "p_type"]) \
+            .rename_columns({"p_partkey": "l_partkey"})
+
+        def fused(j: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"promo_p": pd.Series(dtype="int64"),
+                                  "total_p": pd.Series(dtype="int64")})
+            if not len(j):
+                return empty
+            rev = _rev(j["l_extendedprice"].to_numpy(),
+                       j["l_discount"].to_numpy())
+            is_promo = j["p_type"].to_numpy() == "PROMO"
+            return pd.DataFrame({
+                "promo_p": [int(rev[is_promo].sum())],
+                "total_p": [int(rev.sum())]})
+
+        parts = hash_join(
+            li, prt_ds, key="l_partkey",
+            left_cols=["l_partkey", "l_extendedprice", "l_discount"],
+            right_cols=["p_type"], post=fused,
+            left_schema=pa.schema([("l_partkey", pa.int64()),
+                                   ("l_extendedprice", pa.float64()),
+                                   ("l_discount", pa.float64())]),
+            right_schema=pa.schema([("l_partkey", pa.int64()),
+                                    ("p_type", pa.string())]))
+    out = _driver_combine(parts, [], [("promo_p", "sum", "promo"),
+                                      ("total_p", "sum", "total")])
+    promo = int(out["promo"][0].as_py())
+    total = int(out["total"][0].as_py())
+    return pd.DataFrame({
+        "promo_revenue": [promo / 10_000.0],
+        "total_revenue": [total / 10_000.0],
+        "promo_share": [100.0 * promo / total]})
