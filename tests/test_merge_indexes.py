@@ -108,10 +108,16 @@ def test_federated_query_service_parity(ray_session, tmp_path):
         from vframe_ray.index.query import search_boolean_index
         assert fed.search_boolean(bq).to_pylist() == \
             search_boolean_index(iu, bq).to_pylist()
-        with pytest.raises(NotImplementedError, match="federated"):
-            fed.search_prefix([{"query_id": 0, "query_text": "w*",
-                                "k": 5}])
+        # wildcard expansion unions the per-index dictionaries, so
+        # federated prefix search equals the single-index result
+        pq_ = [{"query_id": 0, "query_text": "w* alpha", "k": 40}]
+        assert fed.search_prefix(pq_).to_pylist() == \
+            search_index(iu, [{"query_id": 0, "k": 40,
+                               "query_text":
+                               "alpha w0 w1 w2 w3 w4"}]).to_pylist()
         with pytest.raises(NotImplementedError, match="federated"):
             fed.suggest(["al"], k=3)
+        with pytest.raises(NotImplementedError, match="federated"):
+            fed.suggest_corrections(["alphq"], max_edits=1)
     finally:
         fed.shutdown()

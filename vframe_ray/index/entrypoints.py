@@ -361,9 +361,15 @@ def _parse_wildcard_queries(tok: Tokenizer, queries: list[dict]
     return per_q, all_prefixes
 
 
-def _expand_wildcards(index_dir: str, per_q: list[tuple],
+def _expand_wildcards(index_dir: "str | list[str]", per_q: list[tuple],
                       all_prefixes: set[str]) -> list[dict]:
-    expansion = expand_prefix_terms(index_dir, sorted(all_prefixes))
+    # a list of dirs = federated: the expansion is the UNION of each
+    # index's dictionary matches (a term present anywhere must score)
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    expansion: dict[str, set] = {p: set() for p in all_prefixes}
+    for d in dirs:
+        for p, ts in expand_prefix_terms(d, sorted(all_prefixes)).items():
+            expansion[p].update(ts)
     plain = []
     for qid, literals, prefixes, k in per_q:
         terms = set(literals)
@@ -1000,7 +1006,7 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
     return out
 
 
-def _like_plain_queries(index_dir: str, tok: Tokenizer,
+def _like_plain_queries(index_dir: "str | list[str]", tok: Tokenizer,
                         queries: list[dict]) -> list[dict]:
     """Shared parse+expand for the general wildcard path (one-shot
     entry point and QueryService): tokens containing ``*``/``?``
@@ -1024,7 +1030,11 @@ def _like_plain_queries(index_dir: str, tok: Tokenizer,
         per_q.append((int(q["query_id"]), literals, pats,
                       int(q.get("k", 10))))
         all_pats.update(pats)
-    expansion = expand_like_patterns(index_dir, sorted(all_pats))
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    expansion: dict[str, set] = {p: set() for p in all_pats}
+    for d in dirs:                      # federated: union of dictionaries
+        for p, ts in expand_like_patterns(d, sorted(all_pats)).items():
+            expansion[p].update(ts)
     plain = []
     for qid, literals, pats, k in per_q:
         terms = set(literals)

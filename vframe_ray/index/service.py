@@ -266,9 +266,12 @@ class QueryService:
         """``index_dir`` may be a list of index dirs — FEDERATED
         serving: combined N/avgdl/df exactly as in
         :func:`~vframe_ray.index.entrypoints.search_federated`, shard
-        actors over the union segment list.  Term-dictionary expansion
-        modes (wildcard/LIKE/fuzzy/suggest) need a union dictionary
-        and raise NotImplementedError under federation."""
+        actors over the union segment list.  Wildcard/prefix and
+        general-LIKE expansion run against the UNION of the per-index
+        dictionaries; fuzzy expansion, did-you-mean and autocomplete
+        rank candidates by per-index df and raise NotImplementedError
+        under federation (they need a merged dictionary with summed
+        df)."""
         from .build import load_index_meta
         dirs = [index_dir] if isinstance(index_dir, str) \
             else list(index_dir)
@@ -416,9 +419,8 @@ class QueryService:
                       collapse: bool = False) -> pa.Table:
         """Served wildcard/prefix search — expansion against the global
         dictionary (one small range read per call), then :meth:`search`."""
-        self._require_single("wildcard/prefix expansion")
         per_q, all_prefixes = _parse_wildcard_queries(self.tok, queries)
-        plain = _expand_wildcards(self.index_dir, per_q, all_prefixes)
+        plain = _expand_wildcards(self.index_dirs, per_q, all_prefixes)
         return self.search(plain, predicates=predicates, collapse=collapse)
 
     def search_like(self, queries: list[dict],
@@ -428,9 +430,8 @@ class QueryService:
         token) — the same driver-side dictionary expansion as
         :func:`search_like_index`, then :meth:`search` on the resident
         shards."""
-        self._require_single("general wildcard expansion")
         from .entrypoints import _like_plain_queries
-        plain = _like_plain_queries(self.index_dir, self.tok, queries)
+        plain = _like_plain_queries(self.index_dirs, self.tok, queries)
         return self.search(plain, predicates=predicates, collapse=collapse)
 
     def suggest_corrections(self, terms: list[str],
@@ -673,15 +674,14 @@ class QueryService:
             mode = req["mode"]
             qs = req["queries"]
             if mode in ("like", "prefix"):
-                self._require_single("wildcard expansion (mixed batch)")
                 # wildcard modes expand driver-side (one dictionary
                 # read) and then ride the batch as plain searches
                 if mode == "like":
                     from .entrypoints import _like_plain_queries
-                    qs = _like_plain_queries(self.index_dir, self.tok, qs)
+                    qs = _like_plain_queries(self.index_dirs, self.tok, qs)
                 else:
                     per_q, pats = _parse_wildcard_queries(self.tok, qs)
-                    qs = _expand_wildcards(self.index_dir, per_q, pats)
+                    qs = _expand_wildcards(self.index_dirs, per_q, pats)
                 req = {**req, "queries": qs}
                 mode = "search"
             if mode == "search":
