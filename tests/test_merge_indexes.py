@@ -115,9 +115,22 @@ def test_federated_query_service_parity(ray_session, tmp_path):
             search_index(iu, [{"query_id": 0, "k": 40,
                                "query_text":
                                "alpha w0 w1 w2 w3 w4"}]).to_pylist()
+        # fuzzy expansion unions the per-index dictionaries
+        fz = [{"query_id": 0, "query_text": "alphq", "k": 40}]
+        from vframe_ray.index.query import search_fuzzy_index
+        assert fed.search_fuzzy(fz).to_pylist() == \
+            search_fuzzy_index(iu, fz).to_pylist()
+        # did-you-mean ranks union candidates by SUMMED df
+        dym = fed.suggest_corrections(["alphq"], max_edits=1).to_pylist()
+        one = QueryService(iu, n_actors=1)
+        try:
+            assert dym == one.suggest_corrections(
+                ["alphq"], max_edits=1).to_pylist()
+            assert dym and dym[0]["suggestion"] == "alpha"
+        finally:
+            one.shutdown()
+        # autocomplete still needs a merged dictionary
         with pytest.raises(NotImplementedError, match="federated"):
             fed.suggest(["al"], k=3)
-        with pytest.raises(NotImplementedError, match="federated"):
-            fed.suggest_corrections(["alphq"], max_edits=1)
     finally:
         fed.shutdown()

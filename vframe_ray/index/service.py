@@ -438,9 +438,29 @@ class QueryService:
                             max_edits: int = 1) -> pa.Table:
         """Served did-you-mean — dictionary-only, so it simply reuses
         the one-shot path (no postings, no shard fan-out needed)."""
-        self._require_single("did-you-mean")
         from .entrypoints import suggest_corrections
-        return suggest_corrections(self.index_dir, terms, max_edits)
+        if not self._federated:
+            return suggest_corrections(self.index_dir, terms, max_edits)
+        # federated: candidates union per index, ranked by SUMMED df
+        from .fuzzy import expand_fuzzy_terms as _efz
+        uniq = sorted(set(terms))
+        expansion: dict[str, set] = {t: set() for t in uniq}
+        for d in self.index_dirs:
+            for t, cs in _efz(d, uniq, max_edits).items():
+                expansion[t].update(cs)
+        cands = sorted(set().union(*expansion.values())) if uniq else []
+        dfmap = self._gdf_cached(set(cands))
+        rows = []
+        for q in uniq:
+            best = min(expansion[q],
+                       key=lambda c: (-dfmap.get(c, 0), c),
+                       default=None)
+            if best is not None:
+                rows.append((q, best, int(dfmap.get(best, 0))))
+        return pa.table({
+            "query_term": pa.array([r[0] for r in rows], pa.string()),
+            "suggestion": pa.array([r[1] for r in rows], pa.string()),
+            "df": pa.array([r[2] for r in rows], pa.int64())})
 
     def facet_counts(self, queries: list[dict], facet_col: str,
                      predicates: list[str] | None = None) -> pa.Table:
@@ -639,9 +659,11 @@ class QueryService:
                    int(q.get("k", 10))) for q in queries]
         all_terms = sorted(set().union(*[set(t) for _, t, _ in parsed])
                            ) if parsed else []
-        self._require_single("fuzzy expansion")
-        expansion = expand_fuzzy_terms(self.index_dir, all_terms,
-                                       max_edits)
+        expansion: dict[str, set] = {t: set() for t in all_terms}
+        for d in self.index_dirs:     # federated: union of dictionaries
+            for t, cs in expand_fuzzy_terms(d, all_terms,
+                                            max_edits).items():
+                expansion[t].update(cs)
         plain = []
         for qid, terms, k in parsed:
             ex = set()
