@@ -83,6 +83,11 @@ def test_federated_rejects_config_mismatch(ray_session, tmp_path):
                                "k": 5}])
 
 
+def one_svc_suggest(index_dir, prefixes, k):
+    from vframe_ray.index.query import suggest_terms
+    return suggest_terms(index_dir, prefixes, k).to_pylist()
+
+
 def test_federated_query_service_parity(ray_session, tmp_path):
     """A QueryService over two partition indexes serves results
     bit-identical to the single union-corpus index; dictionary
@@ -129,8 +134,10 @@ def test_federated_query_service_parity(ray_session, tmp_path):
             assert dym and dym[0]["suggestion"] == "alpha"
         finally:
             one.shutdown()
-        # autocomplete still needs a merged dictionary
-        with pytest.raises(NotImplementedError, match="federated"):
-            fed.suggest(["al"], k=3)
+        # autocomplete sums df across indexes before the top-k cut:
+        # federated suggestions equal the union index's (same summed
+        # df per term, same tie rule)
+        assert fed.suggest(["al", "w"], k=3).to_pylist() == \
+            one_svc_suggest(iu, ["al", "w"], k=3)
     finally:
         fed.shutdown()

@@ -303,30 +303,40 @@ def expand_prefix_terms(index_dir: str, prefixes: list[str]
     return out
 
 
-def suggest_terms(index_dir: str, prefixes: list[str], k: int = 10
-                  ) -> pa.Table:
+def suggest_terms(index_dir: "str | list[str]", prefixes: list[str],
+                  k: int = 10) -> pa.Table:
     """Autocomplete: for each prefix, the top-k corpus terms by document
     frequency (df desc, term asc) from the GLOBAL term dictionary — the
     same pruned OR-of-ranges read as :func:`expand_prefix_terms`, plus
     the df column.  A dictionary-only operator: no postings are touched,
     so cost is O(matching dictionary rows), independent of corpus size.
+    A list of dirs = federated: per-term df SUMS across the indexes
+    before the top-k cut (per-index top-k would be unsound — a term
+    ranked low everywhere can sum high).
 
     Returns (prefix, term, df) sorted by (prefix, term)."""
-    gdir = _terms_dir(index_dir)
-    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
-             if f.endswith(".parquet")]
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
     out_prefix: list[str] = []
     out_term: list[str] = []
     out_df: list[int] = []
-    if files and prefixes:
+    dfsum: dict[str, int] = {}
+    if prefixes:
         filt = [[("term", ">=", p), ("term", "<", p + "{")]
                 for p in sorted(set(prefixes))]
-        t = pq.ParquetDataset(files, filters=filt).read(
-            columns=["term", "df"])
-        terms = t["term"].to_pylist()
-        dfs = t["df"].to_pylist()
+        for d in dirs:
+            gdir = _terms_dir(d)
+            files = [os.path.join(gdir, f)
+                     for f in sorted(os.listdir(gdir))
+                     if f.endswith(".parquet")]
+            if not files:
+                continue
+            t = pq.ParquetDataset(files, filters=filt).read(
+                columns=["term", "df"])
+            for tm, dv in zip(t["term"].to_pylist(),
+                              t["df"].to_pylist()):
+                dfsum[tm] = dfsum.get(tm, 0) + int(dv)
         for p in sorted(set(prefixes)):
-            cand = [(d, tm) for tm, d in zip(terms, dfs)
+            cand = [(d, tm) for tm, d in dfsum.items()
                     if tm.startswith(p)]
             cand.sort(key=lambda x: (-x[0], x[1]))
             for d, tm in cand[:k]:

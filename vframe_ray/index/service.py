@@ -266,12 +266,10 @@ class QueryService:
         """``index_dir`` may be a list of index dirs — FEDERATED
         serving: combined N/avgdl/df exactly as in
         :func:`~vframe_ray.index.entrypoints.search_federated`, shard
-        actors over the union segment list.  Wildcard/prefix and
-        general-LIKE expansion run against the UNION of the per-index
-        dictionaries; fuzzy expansion, did-you-mean and autocomplete
-        rank candidates by per-index df and raise NotImplementedError
-        under federation (they need a merged dictionary with summed
-        df)."""
+        actors over the union segment list.  Every mode federates:
+        wildcard/prefix, general-LIKE and fuzzy expansion run against
+        the UNION of the per-index dictionaries; did-you-mean and
+        autocomplete rank candidates by df SUMMED across indexes."""
         from .build import load_index_meta
         dirs = [index_dir] if isinstance(index_dir, str) \
             else list(index_dir)
@@ -318,12 +316,6 @@ class QueryService:
         for d in self.index_dirs:     # attrs must exist in EVERY index
             validate_predicates(d, predicates)
 
-    def _require_single(self, what: str) -> None:
-        if self._federated:
-            raise NotImplementedError(
-                f"{what} expands against the term dictionary and is "
-                "not yet supported on a federated QueryService (needs "
-                "a union dictionary)")
 
     def _gdf_cached(self, terms: set[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
@@ -826,8 +818,7 @@ class QueryService:
     def suggest(self, prefixes: list[str], k: int = 10) -> pa.Table:
         """Autocomplete against the index's global term dictionary —
         see :func:`suggest_terms` (dictionary-only; no shard fan-out)."""
-        self._require_single("autocomplete")
-        return suggest_terms(self.index_dir, prefixes, k)
+        return suggest_terms(self.index_dirs, prefixes, k)
 
     def refresh_deletes(self) -> int:
         """Make tombstones written after service start visible: every
