@@ -2657,6 +2657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_df_pruned": _q_bm25_df_pruned,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q14_promo_revenue": rel.q14_promo_revenue,
+        "q15_top_supplier": rel.q15_top_supplier,
         # --- NEW this round (TPC-H Q7/Q10/Q19 shapes, count-distinct) ---
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q10_returned_items": rel.q10_returned_items,
@@ -2797,6 +2798,19 @@ WHERE l_shipdate >= TIMESTAMP '{rel.Q6_DATE_LO}'
   AND l_quantity < {rel.Q6_QTY}
   AND CAST(round(l_discount * 100) AS BIGINT)
       BETWEEN {rel.Q6_DISC_LO} AND {rel.Q6_DISC_HI}""",
+        "q15_top_supplier": f"""
+WITH rev AS (SELECT l_suppkey,
+                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))) AS cents
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '{rel.Q15_DATE_LO}'
+               AND l_shipdate < TIMESTAMP '{rel.Q15_DATE_HI}'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, cents / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+ORDER BY s_suppkey""",
         "q14_promo_revenue": f"""
 WITH w AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
                   * (100 - CAST(round(l_discount * 100) AS BIGINT))

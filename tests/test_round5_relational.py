@@ -686,3 +686,40 @@ FROM w""")
     pd.testing.assert_frame_equal(
         q14_promo_revenue(sf_dir, date_lo="1996-01-01",
                           date_hi="1997-01-01"), want)
+
+
+def test_q15_top_supplier_vs_duckdb(sf_dir, tmp_path):
+    from vframe_ray.pipelines.relational import q15_top_supplier
+    got = q15_top_supplier(sf_dir, date_lo="1995-01-01",
+                           date_hi="1999-01-01")
+    want = _duck(sf_dir, """
+WITH rev AS (SELECT l_suppkey,
+                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100)
+                                      AS BIGINT))) AS cents
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1999-01-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, cents / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE cents = (SELECT max(cents) FROM rev)
+ORDER BY s_suppkey""")
+    assert len(want) >= 1
+    pd.testing.assert_frame_equal(got, want)
+    # planted exact tie: two suppliers, one line each, same price —
+    # BOTH must surface (integer cents keep the tie exact)
+    li = pd.DataFrame({
+        "l_suppkey": np.array([1, 2], dtype=np.int64),
+        "l_extendedprice": [500_000.37, 500_000.37],
+        "l_discount": [0.0, 0.0],
+        "l_shipdate": [pd.Timestamp("1996-02-01")] * 2})
+    sup = pd.DataFrame({"s_suppkey": np.array([1, 2], dtype=np.int64),
+                        "s_name": ["supA", "supB"]})
+    d = tmp_path / "q15tie"
+    d.mkdir()
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    sup.to_parquet(d / "supplier.parquet", index=False)
+    tie = q15_top_supplier(str(d))
+    assert tie["s_suppkey"].tolist() == [1, 2]
+    assert tie["total_revenue"].nunique() == 1

@@ -2953,3 +2953,63 @@ def q14_promo_revenue(sf_dir: str, date_lo: str = Q14_DATE_LO,
         "promo_revenue": [promo / 10_000.0],
         "total_revenue": [total / 10_000.0],
         "promo_share": [100.0 * promo / total]})
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str, date_lo: str = Q15_DATE_LO,
+                     date_hi: str = Q15_DATE_HI):
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in a ship
+    quarter — the argmax-with-ties composite (aggregate → global max →
+    equality filter → dimension join).  Supplier cardinality is
+    catalog-bounded, so per-block (suppkey, cents) partials
+    driver-combine exactly (the q1 bound); the max and the tie filter
+    run on that small frame, and names resolve from the supplier
+    table read once.  Revenue stays integer 1e-4 dollars until one
+    final division — exact ties survive, no float drift can split or
+    merge them.
+
+    Returns pandas (s_suppkey, s_name, total_revenue) sorted by
+    suppkey — more than one row iff the max is tied."""
+    import pyarrow.parquet as pq
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"],
+               filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                       & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pe = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                     pa.int64())
+        di = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                     pa.int64())
+        rev = pc.multiply(pe, pc.subtract(pa.scalar(100, pa.int64()),
+                                          di))
+        g = pa.table({"l_suppkey": t["l_suppkey"], "rev": rev}) \
+            .group_by("l_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev_p"])
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    rev = _driver_combine(parts, ["l_suppkey"],
+                          [("rev_p", "sum", "rev")]).to_pandas()
+    if rev.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_revenue":
+                             pd.Series([], dtype="float64")})
+    top = rev[rev["rev"].to_numpy(np.int64)
+              == int(rev["rev"].max())]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  top["l_suppkey"].tolist())]).to_pandas()
+    out = sup.merge(top.rename(columns={"l_suppkey": "s_suppkey"}),
+                    on="s_suppkey")
+    out["total_revenue"] = out["rev"].to_numpy(np.int64) / 10_000.0
+    return out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
