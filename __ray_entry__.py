@@ -2641,6 +2641,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
+        # --- NEW this round, third wave (Q8/Q13/Q17/Q21 shapes) ---
+        "q8_market_share": rel.q8_market_share,
+        "q13_customer_distribution": rel.q13_customer_distribution,
+        "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
+        "q21_waiting_suppliers": rel.q21_waiting_suppliers,
         # --- NEW this round, second wave (Q4/Q22, cohort, co-purchase,
         # --- NTILE deciles, LEFT-join profile, FIRST/LAST_VALUE) ---
         "q4_order_priority": rel.q4_order_priority,
@@ -2787,6 +2792,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q8_market_share": f"""
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       sum(CASE WHEN n2.n_name = '{rel.Q8_NATION}'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END)::DOUBLE
+       / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS mkt_share
+FROM part, supplier, lineitem, orders, customer,
+     nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = '{rel.Q8_REGION}'
+  AND s_nationkey = n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '{rel.Q8_DATE_LO}'
+  AND o_orderdate < TIMESTAMP '{rel.Q8_DATE_HI}'
+  AND p_type = '{rel.Q8_TYPE}'
+GROUP BY o_year ORDER BY o_year""",
+        "q13_customer_distribution": f"""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_custkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '{rel.Q13_EXCLUDED_PRIORITY}'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        # integer threshold: qty < 0.2*avg(qty) ⟺ 5·n·qty < sum(qty)
+        # for integral quantities — no float threshold on either side
+        "q17_small_quantity_revenue": f"""
+WITH pl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = '{rel.Q17_BRAND}'),
+ st AS (SELECT l_partkey, count(*)::BIGINT AS n,
+               sum(q)::BIGINT AS sq
+        FROM pl GROUP BY l_partkey)
+SELECT (sum(cents)::DOUBLE / 100) / 7 AS avg_yearly
+FROM pl JOIN st USING (l_partkey)
+WHERE 5 * q * n < sq""",
+        "q21_waiting_suppliers": f"""
+WITH lo AS (SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate
+                    + INTERVAL {rel.Q4_LATE_DAYS} DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'),
+ per AS (SELECT l_orderkey,
+                count(DISTINCT l_suppkey) AS n_s,
+                count(DISTINCT l_suppkey) FILTER (WHERE late)
+                    AS n_late,
+                max(l_suppkey) FILTER (WHERE late) AS blame
+         FROM lo GROUP BY l_orderkey)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per JOIN supplier ON s_suppkey = blame
+WHERE n_s >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT {rel.Q21_K}""",
         "q6_forecast_revenue": f"""
 SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * CAST(round(l_discount * 100) AS BIGINT))

@@ -1,0 +1,270 @@
+"""Round-5 third operator wave: TPC-H Q8 (national market share), Q13
+(customer order-count distribution), Q17 (small-quantity revenue with
+an in-group average threshold), Q21 (sole-late-supplier blame) — each
+against duckdb brute force on a hostile synthetic corpus: zero-order
+customers for Q13's zero bucket, Q17 rows planted EXACTLY ON the
+integer threshold boundary (5·n·q == sum is not small; one unit under
+is), Q21 orders planted for every blame rule (sole late supplier,
+two late suppliers, single-supplier order, non-'F' status, a blame
+tie resolved by name), and Q8's forced big-big customer fallback."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+
+@pytest.fixture(scope="module")
+def sf_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("round5_sf3")
+    rng = np.random.default_rng(58)
+    n_cust, n_orders, n_li = 16, 140, 500
+    region = pd.DataFrame({
+        "r_regionkey": np.array([0, 1], dtype=np.int32),
+        "r_name": ["AFRICA", "ASIA"]})
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(4, dtype=np.int32),
+        "n_name": ["NATION_0", "NATION_1", "NATION_2", "NATION_3"],
+        "n_regionkey": np.array([0, 0, 1, 1], dtype=np.int32)})
+    # custkeys 15,16 never get an order -> Q13's zero bucket
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(1, n_cust + 1, dtype=np.int64),
+        "c_name": [f"cust{i}" for i in range(n_cust)],
+        "c_nationkey": (np.arange(n_cust) % 4).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": ["BUILDING"] * n_cust})
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(1, 9, dtype=np.int64),
+        "s_name": [f"sup{i}" for i in range(8)],
+        "s_nationkey": np.array([0, 1, 2, 3, 1, 2, 1, 2],
+                                dtype=np.int32),
+        "s_acctbal": np.round(rng.uniform(0, 5000, 8), 2)})
+    days = rng.integers(0, 4 * 365, n_orders)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(1, n_orders + 1, dtype=np.int64),
+        "o_custkey": rng.integers(1, n_cust - 1,
+                                  n_orders).astype(np.int64),
+        "o_orderstatus": rng.choice(["O", "F", "P"], n_orders),
+        "o_totalprice": np.round(rng.uniform(900, 200_000, n_orders), 2),
+        "o_orderdate": pd.Timestamp("1995-06-01")
+        + pd.to_timedelta(days, unit="D"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"], n_orders)})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(1, 45, dtype=np.int64),
+        "p_name": [f"part{i}" for i in range(44)],
+        "p_brand": [f"Brand#{1 + i % 5}" for i in range(44)],
+        "p_type": ["PROMO" if i % 3 == 0 else "STANDARD"
+                   for i in range(44)],
+        "p_size": (1 + np.arange(44) % 40).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(100, 2000, 44), 2)})
+    # partkeys 41..44 are reserved for the Q17 boundary plants: rng
+    # lineitems draw partkey <= 40 only
+    part.loc[40:43, "p_brand"] = "Brand#2"
+    ship = pd.Timestamp("1995-01-01") + pd.to_timedelta(
+        rng.integers(0, 4 * 365, n_li), unit="D")
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(1, n_orders + 1,
+                                   n_li).astype(np.int64),
+        "l_partkey": rng.integers(1, 41, n_li).astype(np.int64),
+        "l_suppkey": rng.integers(1, 9, n_li).astype(np.int64),
+        "l_linenumber": np.arange(n_li, dtype=np.int32) % 7,
+        "l_quantity": rng.integers(1, 50, n_li).astype(float),
+        "l_extendedprice": np.round(rng.uniform(100, 90_000, n_li), 2),
+        "l_discount": np.round(rng.choice([0.0, 0.02, 0.05, 0.1],
+                                          n_li), 2),
+        "l_tax": np.zeros(n_li),
+        "l_returnflag": rng.choice(["R", "N", "A"], n_li),
+        "l_linestatus": ["O"] * n_li,
+        "l_shipdate": ship})
+
+    # ---- Q17 boundary plants (Brand#2, reserved partkeys) ----
+    # part 41: quantities [1, 9] -> n=2, sum=10, 5*1*2 == 10 (NOT small)
+    # part 42: quantities [1, 10] -> n=2, sum=11, 5*1*2 < 11 (small)
+    # part 43: single row -> 5*q*1 == q*5 > q, never small
+    # part 44: no lineitems at all (parts-without-lines edge)
+    plant17 = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 1, 1],
+        "l_partkey": [41, 41, 42, 42, 43],
+        "l_suppkey": [1, 1, 1, 1, 1],
+        "l_linenumber": [0, 1, 2, 3, 4],
+        "l_quantity": [1.0, 9.0, 1.0, 10.0, 3.0],
+        "l_extendedprice": [111.11, 222.22, 333.33, 444.44, 555.55],
+        "l_discount": [0.0] * 5, "l_tax": [0.0] * 5,
+        "l_returnflag": ["N"] * 5, "l_linestatus": ["O"] * 5,
+        "l_shipdate": [pd.Timestamp("1996-06-01")] * 5})
+
+    # ---- Q21 plants (orderkeys beyond the rng range) ----
+    base = pd.Timestamp("1999-01-01")
+    extra_orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders + 1, n_orders + 7,
+                                dtype=np.int64),
+        "o_custkey": np.int64(1),
+        "o_orderstatus": ["F", "F", "F", "O", "F", "F"],
+        "o_totalprice": 1000.0,
+        "o_orderdate": base,
+        "o_orderpriority": "2-HIGH"})
+    late = base + pd.Timedelta(days=120)   # > 90d after orderdate
+    ok = base + pd.Timedelta(days=10)
+    k0 = n_orders
+
+    def li_row(ok_, sk, sd, ln):
+        return {"l_orderkey": np.int64(ok_), "l_partkey": np.int64(1),
+                "l_suppkey": np.int64(sk), "l_linenumber": ln,
+                "l_quantity": 1.0, "l_extendedprice": 100.0,
+                "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+                "l_linestatus": "O", "l_shipdate": sd}
+
+    plant21 = pd.DataFrame([
+        # k0+1 (F): sup1 late, sup2 on time  -> blame sup1
+        li_row(k0 + 1, 1, late, 0), li_row(k0 + 1, 2, ok, 1),
+        # k0+2 (F): sup1 AND sup2 late       -> no blame (two late)
+        li_row(k0 + 2, 1, late, 0), li_row(k0 + 2, 2, late, 1),
+        # k0+3 (F): only sup3, late          -> excluded (n_s < 2)
+        li_row(k0 + 3, 3, late, 0),
+        # k0+4 (O): sup4 late, sup5 on time  -> excluded (status)
+        li_row(k0 + 4, 4, late, 0), li_row(k0 + 4, 5, ok, 1),
+        # k0+5 (F): sup4 late (2 late lines, ONE late supplier), sup5 ok
+        li_row(k0 + 5, 4, late, 0), li_row(k0 + 5, 4, late, 1),
+        li_row(k0 + 5, 5, ok, 2),
+        # k0+6 (F): sup5 late, sup4 ok -> ties sup4/sup5 at numwait=1,
+        # resolved by name (sup3 < sup4 alphabetically)
+        li_row(k0 + 6, 5, late, 0), li_row(k0 + 6, 4, ok, 1)])
+    plant21["l_linenumber"] = plant21["l_linenumber"].astype(np.int32)
+
+    orders = pd.concat([orders, extra_orders], ignore_index=True)
+    li = pd.concat([li, plant17, plant21], ignore_index=True)
+    for name, df in [("region", region), ("nation", nation),
+                     ("customer", cust), ("orders", orders),
+                     ("supplier", sup), ("lineitem", li),
+                     ("part", part)]:
+        df.to_parquet(d / f"{name}.parquet", index=False)
+    return str(d)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "orders", "supplier",
+              "lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def test_q8_vs_duckdb(sf_dir, monkeypatch):
+    from vframe_ray.pipelines.relational import q8_market_share
+    got = q8_market_share(sf_dir)
+    want = _duck(sf_dir, """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       sum(CASE WHEN n2.n_name = 'NATION_2'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END)::DOUBLE
+       / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS mkt_share
+FROM part, supplier, lineitem, orders, customer,
+     nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = 'PROMO'
+GROUP BY o_year ORDER BY o_year""")
+    assert len(want) == 2                       # both window years
+    assert ((want["mkt_share"] > 0)
+            & (want["mkt_share"] < 1)).any()    # genuinely fractional
+    pd.testing.assert_frame_equal(got, want)
+    # forced big-big path: customer region resolves via a 2nd hash join
+    monkeypatch.setenv("VFRAME_RAY_DIM_BROADCAST_MAX_ROWS", "0")
+    pd.testing.assert_frame_equal(q8_market_share(sf_dir), want)
+
+
+def test_q13_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q13_customer_distribution
+    got = q13_customer_distribution(sf_dir)
+    want = _duck(sf_dir, """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c_custkey, count(o_custkey)::BIGINT AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    pd.testing.assert_frame_equal(got, want)
+    # the two orderless customers populate the zero bucket
+    zero = got.loc[got["c_count"] == 0, "custdist"]
+    assert len(zero) == 1 and int(zero.iloc[0]) >= 2
+    # every customer lands in exactly one bucket
+    assert int(got["custdist"].sum()) == 16
+
+
+def test_q17_boundary_and_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import q17_small_quantity_revenue
+    got = q17_small_quantity_revenue(sf_dir, brand="Brand#2")
+    want = _duck(sf_dir, """
+WITH pl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#2'),
+ st AS (SELECT l_partkey, count(*)::BIGINT AS n,
+               sum(q)::BIGINT AS sq FROM pl GROUP BY l_partkey)
+SELECT (sum(cents)::DOUBLE / 100) / 7 AS avg_yearly
+FROM pl JOIN st USING (l_partkey) WHERE 5 * q * n < sq""")
+    pd.testing.assert_frame_equal(got, want)
+    # the planted boundary rows: part 42's q=1 row IS small (its
+    # 333.33 contributes), part 41's q=1 row sits EXACTLY on the
+    # threshold (5*1*2 == 10) and must NOT contribute
+    pl = _duck(sf_dir, """
+WITH pl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#2'),
+ st AS (SELECT l_partkey, count(*)::BIGINT AS n,
+               sum(q)::BIGINT AS sq FROM pl GROUP BY l_partkey)
+SELECT l_partkey, cents FROM pl JOIN st USING (l_partkey)
+WHERE 5 * q * n < sq""")
+    assert 42 in set(pl["l_partkey"]) and 41 not in set(pl["l_partkey"])
+
+
+def test_q17_absent_brand_is_null(sf_dir):
+    from vframe_ray.pipelines.relational import q17_small_quantity_revenue
+    got = q17_small_quantity_revenue(sf_dir, brand="Brand#99")
+    assert len(got) == 1 and np.isnan(got["avg_yearly"].iloc[0])
+
+
+def test_q21_vs_duckdb_and_plants(sf_dir):
+    from vframe_ray.pipelines.relational import q21_waiting_suppliers
+    got = q21_waiting_suppliers(sf_dir)
+    want = _duck(sf_dir, """
+WITH lo AS (SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'),
+ per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_s,
+                count(DISTINCT l_suppkey) FILTER (WHERE late) AS n_late,
+                max(l_suppkey) FILTER (WHERE late) AS blame
+         FROM lo GROUP BY l_orderkey)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per JOIN supplier ON s_suppkey = blame
+WHERE n_s >= 2 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""")
+    pd.testing.assert_frame_equal(got, want)
+    # planted blame rules, checked directly on the planted orders:
+    # sole-late sup1 in k0+1 and sole-late-supplier-with-2-late-lines
+    # sup4 in k0+5 count; two-late k0+2, single-supplier k0+3 and
+    # status-'O' k0+4 do not
+    per = _duck(sf_dir, """
+WITH lo AS (SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F' AND l_orderkey > 140)
+SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_s,
+       count(DISTINCT l_suppkey) FILTER (WHERE late) AS n_late
+FROM lo GROUP BY l_orderkey ORDER BY l_orderkey""")
+    blamed = per[(per["n_s"] >= 2) & (per["n_late"] == 1)][
+        "l_orderkey"].tolist()
+    assert blamed == [141, 145, 146]
+    assert 144 not in per["l_orderkey"].tolist()   # 'O' status dropped

@@ -3013,3 +3013,439 @@ def q15_top_supplier(sf_dir: str, date_lo: str = Q15_DATE_LO,
     out["total_revenue"] = out["rev"].to_numpy(np.int64) / 10_000.0
     return out[["s_suppkey", "s_name", "total_revenue"]] \
         .sort_values("s_suppkey").reset_index(drop=True)
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(sf_dir: str,
+                              excluded: str = Q13_EXCLUDED_PRIORITY):
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed (excluding one priority class — the analog of
+    Q13's comment NOT-LIKE filter on the columns this corpus has),
+    INCLUDING zero-order customers — the LEFT-join-then-histogram
+    composite.  ONE hash(custkey)-bucketed exchange of (customer keys
+    ∪ per-block order-count partials, predicate pushed to the read);
+    per-bucket count-per-customer is exact because a custkey's rows
+    co-locate, and each bucket collapses to a ≤ max-orders-per-customer
+    histogram partial before the driver combine — the final reduce is
+    O(buckets × distinct counts), never O(customers).
+
+    Returns pandas (c_count, custdist) sorted (custdist desc, c_count
+    desc)."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        k_ = t["c_custkey"].to_numpy(zero_copy_only=False)
+        out = pa.table({"c_custkey": t["c_custkey"],
+                        "n_p": pa.nulls(len(k_), pa.int64())})
+        return out.add_column(0, "__b", pa.array(
+            int_bucket_of(k_.astype(np.int64), nb)))
+
+    def order_side(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_custkey": t["o_custkey"]}) \
+            .group_by("c_custkey").aggregate([([], "count_all")]) \
+            .rename_columns(["c_custkey", "n_p"])
+        k_ = g["c_custkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(k_.astype(np.int64), nb)))
+
+    left = _read(sf_dir, "customer", columns=["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+    right = _read(sf_dir, "orders", columns=["o_custkey"],
+                  filter=(pc.field("o_orderpriority")
+                          != pc.scalar(excluded))) \
+        .map_batches(order_side, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+
+    def bucket_hist(g: pd.DataFrame) -> pa.Table:
+        keys = g.loc[g["n_p"].isna(), "c_custkey"]
+        agg = g[g["n_p"].notna()] \
+            .groupby("c_custkey", as_index=False, sort=False) \
+            .agg(n=("n_p", "sum"))
+        per = pd.DataFrame({"c_custkey": keys.to_numpy(np.int64)}) \
+            .merge(agg, on="c_custkey", how="left")
+        cnt = per["n"].fillna(0).to_numpy(np.int64)
+        vals, freq = np.unique(cnt, return_counts=True)
+        return arrow_group(pd.DataFrame({
+            "c_count": vals, "custdist_p": freq.astype(np.int64)}))
+
+    parts = left.union(right).groupby("__b") \
+        .map_groups(bucket_hist, batch_format="pandas")
+    out = _driver_combine(parts, ["c_count"],
+                          [("custdist_p", "sum", "custdist")]).to_pandas()
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+Q17_BRAND = "Brand#11"
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = Q17_BRAND):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average order quantity) were no
+    longer filled, for one brand's parts — the filter-by-per-group-
+    average composite (the threshold is computed over the SAME rows it
+    filters).  Plan: the brand's partkeys broadcast as one sorted
+    membership array (part is a catalog, the Q15 supplier bound; the
+    DIM_BROADCAST_MAX_ROWS hash-join hatch applies if parts ever grow
+    with the corpus), lineitem prunes + projects to (partkey, qty,
+    cents) at the scan, then ONE hash(partkey)-bucketed exchange —
+    every line of a part co-locates, so the per-part (count, qty-sum)
+    and the threshold filter are exact in-bucket.  The 0.2·avg compare
+    runs in INTEGERS (qty < sum/(5·n) ⟺ 5·n·qty < sum for integral
+    quantities), so no float threshold can drift a boundary row; cents
+    stay integral until the single final division chain.
+
+    Returns a 1-row pandas frame (avg_yearly)."""
+    import pyarrow.parquet as pq
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    keys = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey"],
+                         filters=[("p_brand", "==", brand)])["p_partkey"] \
+        .to_numpy()
+    member_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    def prune(t: pa.Table) -> pa.Table:
+        member = ray.get(member_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(member, pk)
+        pos[pos >= len(member)] = max(len(member) - 1, 0)
+        keep = len(member) > 0 and member[pos] == pk
+        if not len(member):
+            keep = np.zeros(len(pk), dtype=bool)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)[keep] \
+            .astype(np.int64)
+        cents = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        out = pa.table({"l_partkey": pk[keep], "q": q, "cents": cents})
+        return out.add_column(0, "__b", pa.array(
+            int_bucket_of(pk[keep], nb)))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_small(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"cents_p": pa.array([], pa.int64()),
+                             "n_small_p": pa.array([], pa.int64())})
+        st = g.groupby("l_partkey", sort=False).agg(
+            n=("q", "size"), sq=("q", "sum"))
+        n = st["n"].reindex(g["l_partkey"]).to_numpy(np.int64)
+        sq = st["sq"].reindex(g["l_partkey"]).to_numpy(np.int64)
+        small = 5 * g["q"].to_numpy(np.int64) * n < sq
+        return pa.table({
+            "cents_p": pa.array([int(g["cents"].to_numpy(
+                np.int64)[small].sum())], pa.int64()),
+            "n_small_p": pa.array([int(small.sum())], pa.int64())})
+
+    parts = li.groupby("__b").map_groups(bucket_small,
+                                         batch_format="pandas")
+    # safe scalar combine: a brand with no surviving lineitems leaves
+    # ZERO partial blocks (unlike the always-1-row q22 partials), which
+    # _driver_combine can't concat — that case is SQL's NULL sum
+    from ..runtime import block_refs as _block_refs
+    tables = [t for t in ray.get(_block_refs(parts)) if t.num_rows]
+    n = sum(int(pc.sum(t["n_small_p"]).as_py() or 0) for t in tables)
+    cents = sum(int(pc.sum(t["cents_p"]).as_py() or 0) for t in tables)
+    avg = (cents / 100.0) / 7.0 if n else np.nan
+    return pd.DataFrame({"avg_yearly": pd.Series([avg],
+                                                 dtype="float64")})
+
+
+Q21_K = 10
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = Q4_LATE_DAYS,
+                          k: int = Q21_K):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for 'F'
+    orders with ≥ 2 distinct suppliers where EXACTLY ONE supplier
+    shipped late (l_shipdate > o_orderdate + ``late_days`` — this
+    corpus has no commit/receipt dates), count the orders blamed on
+    each supplier — the EXISTS + NOT-EXISTS double-correlated
+    composite.  ONE shuffle: lineitem⋈orders hash join on orderkey
+    with the blame decision fused into the bucket (every line of an
+    order co-locates, so the distinct-supplier and sole-late-supplier
+    sets are exact in-bucket); partials are ≤ |suppliers| rows per
+    bucket — catalog-bounded, the Q15 driver-combine rule — and names
+    resolve via one pushdown read of only the candidate suppliers.
+
+    Returns pandas (s_name, numwait) top-k by (numwait desc, name)."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"],
+                   filter=(pc.field("o_orderstatus")
+                           == pc.scalar("F"))) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                              "n_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        ship = j["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        od = j["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        per = pd.DataFrame({"l_orderkey": j["l_orderkey"],
+                            "l_suppkey": j["l_suppkey"],
+                            "late": ship - od > late_us})
+        ns = per.drop_duplicates(["l_orderkey", "l_suppkey"]) \
+            .groupby("l_orderkey", sort=False)["l_suppkey"].size()
+        lt = per[per["late"]].drop_duplicates(
+            ["l_orderkey", "l_suppkey"])
+        nl = lt.groupby("l_orderkey", sort=False)["l_suppkey"] \
+            .agg(["size", "first"])
+        blame = nl[(nl["size"] == 1)
+                   & (ns.reindex(nl.index).to_numpy() >= 2)]["first"]
+        if not len(blame):
+            return empty
+        out = blame.value_counts().rename_axis("l_suppkey") \
+            .reset_index(name="n_p")
+        out["l_suppkey"] = out["l_suppkey"].astype(np.int64)
+        out["n_p"] = out["n_p"].astype(np.int64)
+        return out
+
+    parts = hash_join(
+        li, orders, key="l_orderkey",
+        left_cols=["l_orderkey", "l_suppkey", "l_shipdate"],
+        right_cols=["o_orderdate"], post=fused,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+    agg = _driver_combine(parts, ["l_suppkey"],
+                          [("n_p", "sum", "numwait")]).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                             "numwait": pd.Series([], dtype="int64")})
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  agg["l_suppkey"].tolist())]).to_pandas()
+    out = sup.merge(agg.rename(columns={"l_suppkey": "s_suppkey"}),
+                    on="s_suppkey")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out.sort_values(["numwait", "s_name"],
+                           ascending=[False, True]).head(k)[
+        ["s_name", "numwait"]].reset_index(drop=True)
+
+
+Q8_TYPE = "PROMO"
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str, p_type: str = Q8_TYPE,
+                    region: str = Q8_REGION, nation: str = Q8_NATION,
+                    date_lo: str = Q8_DATE_LO,
+                    date_hi: str = Q8_DATE_HI):
+    """TPC-H Q8 shape (national market share): of the revenue from one
+    part TYPE sold to customers in one REGION per order year, the
+    share supplied by one NATION — the conditional-share composite
+    (CASE-sum over a multi-dimension join).  Physical plan: part
+    membership and supplier→is-target-nation broadcast as sorted
+    catalog lookups (the Q7/Q15 bound), lineitem prunes + projects to
+    (orderkey, exact-integer revenue, target flag) BEFORE the one
+    big-big exchange (hash join to date-filtered orders on orderkey).
+    Customer nation resolves like Q5/Q7: broadcast custkey→nationkey
+    under ``DIM_BROADCAST_MAX_ROWS``, else a second hash join on
+    custkey with the region filter inside its buckets.  Partials are
+    ≤ |years| rows per bucket; the share is ONE float64 division of
+    two exactly-summed int64 revenues, mirroring the SQL.
+
+    Returns pandas (o_year, mkt_share) sorted by year."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import hash_join
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkey = {n: int(k) for k, n in zip(
+        reg["r_regionkey"].to_numpy(),
+        reg["r_name"].to_numpy(zero_copy_only=False))}[region]
+    region_nations = set(
+        nat.filter(pc.equal(nat["n_regionkey"], rkey))["n_nationkey"]
+        .to_numpy().tolist())
+    target_key = {n: int(k) for k, n in zip(
+        nat["n_nationkey"].to_numpy(),
+        nat["n_name"].to_numpy(zero_copy_only=False))}[nation]
+
+    pk = np.sort(pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"],
+        filters=[("p_type", "==", p_type)])["p_partkey"]
+        .to_numpy().astype(np.int64))
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    s_k = sup["s_suppkey"].to_numpy()
+    s_ord = np.argsort(s_k, kind="stable")
+    broadcast_cust = _dim_broadcast_ok(sf_dir, "customer")
+    if broadcast_cust:
+        cus = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_nationkey"])
+    else:
+        cus = pa.table({"c_custkey": pa.array([], pa.int64()),
+                        "c_nationkey": pa.array([], pa.int64())})
+    c_k = cus["c_custkey"].to_numpy()
+    c_ord = np.argsort(c_k, kind="stable")
+    lookup_ref = ray.put((pk, s_k[s_ord],
+                          sup["s_nationkey"].to_numpy()[s_ord]
+                          .astype(np.int64),
+                          c_k[c_ord],
+                          cus["c_nationkey"].to_numpy()[c_ord]
+                          .astype(np.int64)))
+
+    def _member(sorted_keys, x):
+        if not len(sorted_keys):
+            return np.zeros(len(x), dtype=bool)
+        pos = np.minimum(np.searchsorted(sorted_keys, x),
+                         len(sorted_keys) - 1)
+        return sorted_keys[pos] == x
+
+    def _sorted_lookup(keys_sorted, vals, x):
+        pos = np.minimum(np.searchsorted(keys_sorted, x),
+                         max(len(keys_sorted) - 1, 0))
+        ok = keys_sorted[pos] == x if len(keys_sorted) \
+            else np.zeros(len(x), dtype=bool)
+        return vals[pos] if len(keys_sorted) else \
+            np.zeros(len(x), np.int64), ok
+
+    def prune(t: pa.Table) -> pa.Table:
+        pk_, sk, sn, _, _ = ray.get(lookup_ref)
+        part_keys = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = _member(pk_, part_keys)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        s_nat, ok = _sorted_lookup(sk, sn, supp)
+        pe = np.round(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        di = np.round(t["l_discount"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[keep],
+            "rev_p": pe * (100 - di),
+            "is_target": (ok & (s_nat == target_key))
+            .astype(np.int8)})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"]) \
+        .map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pc.scalar(pd.Timestamp(date_lo)))
+                           & (pc.field("o_orderdate")
+                              < pc.scalar(pd.Timestamp(date_hi))))) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("rev_p", pa.int64()),
+                           ("is_target", pa.int8())])
+    o_schema = pa.schema([("l_orderkey", pa.int64()),
+                          ("o_custkey", pa.int64()),
+                          ("o_orderdate", pa.timestamp("us"))])
+
+    def fused(j: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                              "rev_t_p": pd.Series(dtype="int64"),
+                              "rev_a_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        _, _, _, ck, cn = ray.get(lookup_ref)
+        c_nat, ok = _sorted_lookup(ck, cn, j["o_custkey"].to_numpy())
+        keep = ok & np.isin(c_nat, list(region_nations))
+        if not keep.any():
+            return empty
+        year = j["o_orderdate"].to_numpy().astype(
+            "datetime64[us]")[keep].astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        rev = j["rev_p"].to_numpy(np.int64)[keep]
+        tgt = j["is_target"].to_numpy(np.int8)[keep].astype(bool)
+        return pd.DataFrame({"o_year": year,
+                             "rev_t_p": np.where(tgt, rev, 0),
+                             "rev_a_p": rev}).groupby(
+            "o_year", as_index=False, sort=False).sum()
+
+    def fused_by_cust(j: pd.DataFrame) -> pd.DataFrame:
+        # big-big path: partial revenue keyed by (custkey, year);
+        # region resolves in the second custkey join
+        empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                              "o_year": pd.Series(dtype="int64"),
+                              "rev_t_p": pd.Series(dtype="int64"),
+                              "rev_a_p": pd.Series(dtype="int64")})
+        if not len(j):
+            return empty
+        year = j["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        rev = j["rev_p"].to_numpy(np.int64)
+        tgt = j["is_target"].to_numpy(np.int8).astype(bool)
+        return pd.DataFrame({"o_custkey": j["o_custkey"],
+                             "o_year": year,
+                             "rev_t_p": np.where(tgt, rev, 0),
+                             "rev_a_p": rev}).groupby(
+            ["o_custkey", "o_year"], as_index=False, sort=False).sum()
+
+    if broadcast_cust:
+        parts = hash_join(li, orders, key="l_orderkey",
+                          left_cols=["l_orderkey", "rev_p", "is_target"],
+                          right_cols=["o_custkey", "o_orderdate"],
+                          post=fused, left_schema=li_schema,
+                          right_schema=o_schema)
+    else:
+        per_cust = hash_join(li, orders, key="l_orderkey",
+                             left_cols=["l_orderkey", "rev_p",
+                                        "is_target"],
+                             right_cols=["o_custkey", "o_orderdate"],
+                             post=fused_by_cust, left_schema=li_schema,
+                             right_schema=o_schema)
+        cust = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]) \
+            .rename_columns({"c_custkey": "o_custkey"})
+
+        def region_fuse(j: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                  "rev_t_p": pd.Series(dtype="int64"),
+                                  "rev_a_p": pd.Series(dtype="int64")})
+            if not len(j):
+                return empty
+            keep = j["c_nationkey"].to_numpy(np.int64)
+            keep = np.isin(keep, list(region_nations))
+            if not keep.any():
+                return empty
+            return j.loc[keep, ["o_year", "rev_t_p", "rev_a_p"]] \
+                .groupby("o_year", as_index=False, sort=False).sum()
+
+        parts = hash_join(
+            per_cust, cust, key="o_custkey",
+            left_cols=["o_custkey", "o_year", "rev_t_p", "rev_a_p"],
+            right_cols=["c_nationkey"], post=region_fuse,
+            left_schema=pa.schema([("o_custkey", pa.int64()),
+                                   ("o_year", pa.int64()),
+                                   ("rev_t_p", pa.int64()),
+                                   ("rev_a_p", pa.int64())]),
+            right_schema=pa.schema([("o_custkey", pa.int64()),
+                                    ("c_nationkey", pa.int64())]))
+
+    out = _driver_combine(parts, ["o_year"],
+                          [("rev_t_p", "sum", "rev_t"),
+                           ("rev_a_p", "sum", "rev_a")]).to_pandas()
+    out["mkt_share"] = out["rev_t"].to_numpy(np.int64) \
+        / out["rev_a"].to_numpy(np.int64)
+    return out[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
