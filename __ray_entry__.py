@@ -1358,6 +1358,86 @@ def _q_hybrid(sf_dir: str):
     return hybrid_search(sf_dir)
 
 
+def _q_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of independent BM25 + cosine legs."""
+    from vframe_ray.pipelines.flagship import rrf_fusion
+    return rrf_fusion(sf_dir)
+
+
+def _rrf_sql() -> str:
+    """RRF oracle: the BM25 scores CTE ranked and cut to top-n, an
+    INDEPENDENT full-table cosine leg ranked and cut to top-n, FULL
+    OUTER joined per (query, doc) and fused with the same
+    1/(C+r_lex) + 1/(C+r_vec) two-division chain the engine computes
+    (missing legs coalesce to exactly 0)."""
+    from vframe_ray.pipelines.flagship import RRF_C, RRF_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qns, qks, qsv = [], [], [], []
+    for q in RRF_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qns.append(f"({q['query_id']}, {q['n']})")
+        qks.append(f"({q['query_id']}, {q['k']})")
+        qsv.append(f"({q['query_id']}, {q['seed_vec']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qn(query_id, n) AS (VALUES {', '.join(qns)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ qs(query_id, sv) AS (VALUES {', '.join(qsv)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ lex AS (SELECT l.query_id, l.doc_id, l.r FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS r
+           FROM scores) l
+         JOIN qn ON qn.query_id = l.query_id WHERE l.r <= qn.n),
+ seedv AS (SELECT qs.query_id, e.embedding::DOUBLE[] AS sv
+           FROM qs JOIN embeddings e ON e.vec_id = qs.sv),
+ sims AS (SELECT s.query_id, e.vec_id AS doc_id,
+                 list_cosine_similarity(s.sv, e.embedding::DOUBLE[])
+                   AS sim
+          FROM seedv s, embeddings e),
+ vec AS (SELECT v.query_id, v.doc_id, v.r FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, doc_id) AS r
+           FROM sims) v
+         JOIN qn ON qn.query_id = v.query_id WHERE v.r <= qn.n),
+ fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                  coalesce(l.doc_id, v.doc_id) AS doc_id,
+                  coalesce(1.0 / ({RRF_C} + l.r), 0)
+                  + coalesce(1.0 / ({RRF_C} + v.r), 0) AS rrf
+           FROM lex l FULL OUTER JOIN vec v
+             ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+ rr AS (SELECT query_id, doc_id, rrf,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused)
+SELECT rr.query_id::INT AS query_id, rr.rank::INT AS rank,
+       rr.doc_id::BIGINT AS doc_id, rr.rrf AS rrf
+FROM rr JOIN qk ON qk.query_id = rr.query_id
+WHERE rr.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _hybrid_sql() -> str:
     """Hybrid oracle: the BM25 scores CTE cut to each query's top-n
     candidates, joined to embeddings (doc_id == vec_id alignment of the
@@ -2641,7 +2721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
-        # --- NEW this round, third wave (Q8/Q13/Q17/Q21 shapes) ---
+        # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF) ---
+        "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
         "q17_small_quantity_revenue": rel.q17_small_quantity_revenue,
@@ -2792,6 +2873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,
        sum(CASE WHEN n2.n_name = '{rel.Q8_NATION}'

@@ -416,6 +416,80 @@ HYBRID_QUERIES = [
 ]
 
 
+RRF_C = 60
+RRF_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "seed_vec": 3,
+     "n": 30, "k": 10},
+    {"query_id": 1, "query_text": "vector customer", "seed_vec": 7,
+     "n": 30, "k": 10},
+]
+
+
+def rrf_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion (the Elasticsearch/OpenSearch hybrid
+    default): two INDEPENDENT retrieval legs — BM25 top-n from the
+    inverted index and exact cosine top-n against a seed embedding
+    over the FULL embeddings table (vs :func:`hybrid_search`, whose
+    vector pass only re-ranks the lexical candidates) — fused by
+    rrf = 1/(C + r_lex) + 1/(C + r_vec), a missing leg contributing
+    exactly 0.  Rank fusion needs only the two legs' RANKS, so the
+    fusion itself is driver-side arithmetic over ≤ 2·n rows per query;
+    all data-sized work stays in the legs (scatter-gather top-k and
+    the broadcast-matmul block top-k).  The fused float is the same
+    two-division one-addition chain in the SQL oracle, so scores
+    hash-match bit-for-bit.  doc_id == vec_id alignment of the
+    synthetic tables.  Returns (query_id, rank, doc_id, rrf)."""
+    import pyarrow.parquet as pq
+
+    from ..index.query import search_index
+    from ..sources.readers import read_parquet as _read_parquet
+    from ..stages.similarity import cosine_topk
+
+    index_dir = documents_index(sf_dir)
+    lex = search_index(index_dir, [
+        {"query_id": q["query_id"], "query_text": q["query_text"],
+         "k": q["n"]} for q in RRF_QUERIES]).to_pandas()
+    lex["doc_id"] = lex["conv_id"].astype(np.int64)
+    lex = lex[["query_id", "doc_id", "rank"]] \
+        .rename(columns={"rank": "r_lex"})
+
+    seeds = sorted({q["seed_vec"] for q in RRF_QUERIES})
+    st = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", seeds)])
+    by_seed = {int(i): np.asarray(v, dtype=np.float64)
+               for i, v in zip(st["vec_id"].to_pylist(),
+                               st["embedding"].to_pylist())}
+    emb = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vec = cosine_topk(
+        emb, {q["query_id"]: by_seed[q["seed_vec"]]
+              for q in RRF_QUERIES},
+        k=max(q["n"] for q in RRF_QUERIES)).to_pandas()
+    n_by_q = {q["query_id"]: q["n"] for q in RRF_QUERIES}
+    vec = vec[vec["rank"] <= vec["query_id"].map(n_by_q)]
+    vec = vec.rename(columns={"vec_id": "doc_id", "rank": "r_vec"})[
+        ["query_id", "doc_id", "r_vec"]]
+
+    f = lex.merge(vec, on=["query_id", "doc_id"], how="outer")
+    rl = f["r_lex"].to_numpy(dtype=np.float64)
+    rv = f["r_vec"].to_numpy(dtype=np.float64)
+    f["rrf"] = (np.where(np.isnan(rl), 0.0, 1.0 / (RRF_C + rl))
+                + np.where(np.isnan(rv), 0.0, 1.0 / (RRF_C + rv)))
+    f = f.sort_values(["query_id", "rrf", "doc_id"],
+                      ascending=[True, False, True])
+    f["rank"] = (f.groupby("query_id", sort=False).cumcount() + 1) \
+        .astype(np.int32)
+    k_by_q = {q["query_id"]: q["k"] for q in RRF_QUERIES}
+    f = f[f["rank"] <= f["query_id"].map(k_by_q)]
+    return pa.table({
+        "query_id": pa.array(f["query_id"].astype("int32")),
+        "rank": pa.array(f["rank"].astype("int32")),
+        "doc_id": pa.array(f["doc_id"].astype("int64")),
+        "rrf": pa.array(f["rrf"].astype("float64")),
+    })
+
+
 def hybrid_search(sf_dir: str) -> pa.Table:
     """Hybrid retrieval (RAG-shaped): BM25 top-N candidate recall from
     the inverted index, then embedding-cosine re-rank against a seed
