@@ -2457,6 +2457,59 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _q_bm25_regex(sf_dir: str):
+    """Regex term search over the documents index."""
+    from vframe_ray.pipelines.flagship import bm25_regex
+    return bm25_regex(sf_dir)
+
+
+def _regex_sql() -> str:
+    """Regex oracle: per-query terms = corpus vocabulary FULL-matching
+    each token as a regular expression (DuckDB regexp_full_match —
+    RE2, the same engine behind the Arrow kernel), then the plain BM25
+    chain."""
+    from vframe_ray.pipelines.flagship import REGEX_QUERIES
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qpat, qks = [], []
+    for q in REGEX_QUERIES:
+        for raw in sorted(set(q["query_text"].lower().split())):
+            qpat.append(f"({q['query_id']}, '{raw}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ qpat(query_id, pat) AS (VALUES {', '.join(qpat)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ vocab AS (SELECT DISTINCT term FROM tok),
+ q AS (SELECT DISTINCT r.query_id, v.term
+       FROM qpat r JOIN vocab v ON regexp_full_match(v.term, r.pat)),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _dym_sql() -> str:
     """Did-you-mean oracle: per input term, the vocabulary term within
     Levenshtein distance 1 with max df (ties → lexicographically
@@ -2721,7 +2774,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
-        # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF) ---
+        # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex) ---
+        "bm25_regex": _q_bm25_regex,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -2873,6 +2927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_regex": _regex_sql(),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -1073,6 +1073,100 @@ def search_like_index(index_dir: str, queries: list[dict],
                         collapse=collapse)
 
 
+def expand_regex_patterns(index_dir: str, patterns: list[str]
+                          ) -> dict[str, list[str]]:
+    """Full-match regex expansion against the GLOBAL term dictionary
+    (Lucene RegexpQuery analog; reference analog: the skip-file attr
+    DSL's pattern predicates, src/commands/pipe/skip-file.py:30-75).
+
+    A leading run of literal ``[a-z0-9]`` characters prunes the
+    dictionary read via the same OR-of-ranges pushdown as
+    :func:`expand_like_patterns` — EXCEPT that a quantifier
+    (``* + ? {``) immediately after the literal run binds to the run's
+    LAST character, so that character is dropped from the prune prefix
+    (``ver*`` must still match ``ve``).  Patterns with no usable
+    literal prefix scan the dictionary — per-query cost over the
+    vocabulary, never over postings (Lucene's leading-wildcard trade).
+    Matching is one vectorized Arrow ``match_substring_regex`` kernel
+    per pattern, anchored ``^(?:p)$`` — RE2 on the engine side and in
+    the DuckDB oracle, so semantics agree by construction."""
+    gdir = _terms_dir(index_dir)
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    out: dict[str, list[str]] = {p: [] for p in patterns}
+    pats = sorted(out)
+    if not files or not pats:
+        return out
+    import re as _re
+    lits = {}
+    for p in pats:
+        lit = _re.match(r"[a-z0-9]*", p).group(0)
+        if lit and p[len(lit):len(lit) + 1] in {"*", "+", "?", "{"}:
+            lit = lit[:-1]
+        lits[p] = lit
+    filt = None
+    if all(lits[p] for p in pats):
+        filt = [[("term", ">=", lits[p]), ("term", "<", lits[p] + "{")]
+                for p in pats]
+    terms = pq.ParquetDataset(files, filters=filt) \
+        .read(columns=["term"])["term"].combine_chunks()
+    for p in pats:
+        out[p] = sorted(set(pc.filter(
+            terms,
+            pc.match_substring_regex(terms, f"^(?:{p})$")).to_pylist()))
+    return out
+
+
+_REGEX_TOKEN_CHARS = r"[a-z0-9.*+?|(){}\[\]\-,]+"
+
+
+def _regex_plain_queries(index_dir: "str | list[str]", tok: Tokenizer,
+                         queries: list[dict]) -> list[dict]:
+    """Shared parse+expand for the regex path: every whitespace token
+    of ``query_text`` is a full-match regex over dictionary terms;
+    the query rewrites to the union of all matched terms (per-term-idf
+    scoring, the prefix/wildcard/fuzzy delegation shape)."""
+    import re as _re
+    per_q, all_pats = [], set()
+    for q in queries:
+        pats = set()
+        for raw in str(q.get("query_text", "")).lower().split():
+            if not _re.fullmatch(_REGEX_TOKEN_CHARS, raw):
+                raise ValueError(f"regex token {raw!r} may only "
+                                 f"contain {_REGEX_TOKEN_CHARS}")
+            _re.compile(raw)            # reject malformed patterns early
+            pats.add(raw)
+        per_q.append((int(q["query_id"]), pats, int(q.get("k", 10))))
+        all_pats.update(pats)
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    expansion: dict[str, set] = {p: set() for p in all_pats}
+    for d in dirs:                      # federated: union of dictionaries
+        for p, ts in expand_regex_patterns(d, sorted(all_pats)).items():
+            expansion[p].update(ts)
+    return [{"query_id": qid,
+             "query_text": " ".join(sorted(
+                 set().union(*(expansion[p] for p in pats))
+                 if pats else set())),
+             "k": k} for qid, pats, k in per_q]
+
+
+def search_regex_index(index_dir: str, queries: list[dict],
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None,
+                       collapse: bool = False) -> pa.Table:
+    """Regex term search: each query token is a full-match regular
+    expression expanded against the dictionary, then the term union
+    scores as a plain multi-term query with per-term idf — same
+    delegation shape as prefix/wildcard/fuzzy/synonym search."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    plain = _regex_plain_queries(index_dir, tok, queries)
+    return search_index(index_dir, plain, cfg, predicates=predicates,
+                        collapse=collapse)
+
+
 def suggest_corrections(index_dir: str, terms: list[str],
                         max_edits: int = 1) -> pa.Table:
     """Did-you-mean: for each input term, the corpus term within

@@ -35,8 +35,10 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           search_fields_index, search_fuzzy_index,
                           search_federated,
                           search_index, search_like_index,
-                          search_prefix_index, search_synonym_index,
-                          expand_like_patterns, suggest_corrections,
+                          search_prefix_index, search_regex_index,
+                          search_synonym_index,
+                          expand_like_patterns, expand_regex_patterns,
+                          suggest_corrections,
                           suggest_terms,
                           _expand_wildcards, _mlt_plain_queries,
                           _mlt_seed_tfs, _mlt_trim_excluded,

@@ -426,6 +426,17 @@ class QueryService:
         plain = _like_plain_queries(self.index_dirs, self.tok, queries)
         return self.search(plain, predicates=predicates, collapse=collapse)
 
+    def search_regex(self, queries: list[dict],
+                     predicates: list[str] | None = None,
+                     collapse: bool = False) -> pa.Table:
+        """Served regex term search — the same driver-side full-match
+        dictionary expansion as :func:`search_regex_index` (federated:
+        expansion unions per-index dictionaries), then :meth:`search`
+        on the resident shards."""
+        from .entrypoints import _regex_plain_queries
+        plain = _regex_plain_queries(self.index_dirs, self.tok, queries)
+        return self.search(plain, predicates=predicates, collapse=collapse)
+
     def suggest_corrections(self, terms: list[str],
                             max_edits: int = 1) -> pa.Table:
         """Served did-you-mean — dictionary-only, so it simply reuses

@@ -1267,6 +1267,35 @@ def bm25_wildcard(sf_dir: str) -> pa.Table:
     })
 
 
+REGEX_QUERIES = [
+    # v.*r → vector; 'filter' is its own (literal) regex
+    {"query_id": 0, "query_text": "v.*r filter", "k": 10},
+    # alternation inside a token
+    {"query_id": 1, "query_text": "qu(e|i)ry", "k": 10},
+    # leading metachar: full dictionary scan (row/slow/window)
+    {"query_id": 2, "query_text": ".*ow", "k": 10},
+    # quantifier right after the literal run: the prune prefix must
+    # drop to 'sor' / 'ag' for these to still match
+    {"query_id": 3, "query_text": "sort* agg?", "k": 10},
+]
+
+
+def bm25_regex(sf_dir: str) -> pa.Table:
+    """REGEX_QUERIES with full-match regex expansion against the
+    dictionary (index/entrypoints.search_regex_index): RE2 on both
+    sides, leading-literal pushdown with the quantifier-drop rule,
+    per-term-idf scoring of the expanded union."""
+    from ..index.query import search_regex_index
+    index_dir = documents_index(sf_dir)
+    res = search_regex_index(index_dir, REGEX_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 DYM_TERMS = ["vectr", "haash", "colum", "lin", "zzzzz"]
 
 
