@@ -558,14 +558,17 @@ HAVING sum(CASE WHEN h >= 9223372036854775808 THEN -1 ELSE 1 END) <> 0
 ORDER BY doc_id, bucket"""
 
 
-def _fields_sql() -> str:
+def _fields_sql(dismax: bool = False) -> str:
     """Multi-field oracle: the token array splits into title (first
     TITLE_TOKENS) and body (rest); each field gets its own dl/avgdl/df
     BM25 chain over the SAME n = count(documents) (empty fields are
     real zero-length docs in the field index); weighted sum via FULL
-    OUTER-style coalesce join, then rank."""
-    from vframe_ray.pipelines.flagship import (BODY_WEIGHT, TITLE_TOKENS,
-                                               TITLE_WEIGHT)
+    OUTER-style coalesce join, then rank.  ``dismax`` switches the
+    combine to DisjunctionMax in the ENGINE'S float order:
+    max + DISMAX_TIE × (sum − max)."""
+    from vframe_ray.pipelines.flagship import (BODY_WEIGHT, DISMAX_TIE,
+                                               TITLE_TOKENS, TITLE_WEIGHT)
+    dismax_tb = DISMAX_TIE if dismax else None
     tok = Tokenizer()
     k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
     qterms, qks = [], []
@@ -609,14 +612,19 @@ def _fields_sql() -> str:
      field_chain('b', f'list_slice(arr, {TITLE_TOKENS + 1}, len(arr))')},
  keys AS (SELECT query_id, doc_id FROM sc_t
           UNION SELECT query_id, doc_id FROM sc_b),
- comb AS (SELECT k.query_id, k.doc_id,
-                 {TITLE_WEIGHT} * coalesce(t.score, 0)
-                 + {BODY_WEIGHT} * coalesce(b.score, 0) AS score
-          FROM keys k
-          LEFT JOIN sc_t t ON t.query_id = k.query_id
-                          AND t.doc_id = k.doc_id
-          LEFT JOIN sc_b b ON b.query_id = k.query_id
-                          AND b.doc_id = k.doc_id),
+ per AS (SELECT k.query_id, k.doc_id,
+                {TITLE_WEIGHT} * coalesce(t.score, 0) AS s_t,
+                {BODY_WEIGHT} * coalesce(b.score, 0) AS s_b
+         FROM keys k
+         LEFT JOIN sc_t t ON t.query_id = k.query_id
+                         AND t.doc_id = k.doc_id
+         LEFT JOIN sc_b b ON b.query_id = k.query_id
+                         AND b.doc_id = k.doc_id),
+ comb AS (SELECT query_id, doc_id, {
+     f"greatest(s_t, s_b) + {dismax_tb} * ((s_t + s_b)"
+     " - greatest(s_t, s_b))" if dismax_tb is not None
+     else "s_t + s_b"} AS score
+          FROM per),
  ranked AS (SELECT query_id, doc_id, score,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, doc_id) AS rank
@@ -2463,6 +2471,12 @@ def _q_bm25_regex(sf_dir: str):
     return bm25_regex(sf_dir)
 
 
+def _q_bm25_dismax(sf_dir: str):
+    """DisjunctionMax multi-field combination (tie_breaker form)."""
+    from vframe_ray.pipelines.flagship import bm25_dismax
+    return bm25_dismax(sf_dir)
+
+
 def _regex_sql() -> str:
     """Regex oracle: per-query terms = corpus vocabulary FULL-matching
     each token as a regular expression (DuckDB regexp_full_match —
@@ -2774,7 +2788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
-        # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex) ---
+        # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
+        # --- dismax) ---
+        "bm25_dismax": _q_bm25_dismax,
         "bm25_regex": _q_bm25_regex,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
@@ -2928,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_regex": _regex_sql(),
+        "bm25_dismax": _fields_sql(dismax=True),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -1209,10 +1209,22 @@ def suggest_corrections(index_dir: str, terms: list[str],
 
 def search_fields_index(fields: list[tuple[str, float]],
                         queries: list[dict],
-                        cfg: EngineConfig | None = None) -> pa.Table:
+                        cfg: EngineConfig | None = None, *,
+                        combine: str = "sum",
+                        tie_breaker: float = 0.0) -> pa.Table:
     """Weighted multi-field search (Lucene per-field-boost model):
     score(doc) = Σ_f weight_f × BM25_f(doc), each field scored against
     its OWN index (own df/avgdl/doclen).
+
+    ``combine="dismax"`` switches to Lucene's DisjunctionMaxQuery:
+    score = max_f(s_f) + tie_breaker × (Σ_f s_f − max_f) with
+    s_f = weight_f × BM25_f — the best field dominates and the others
+    contribute only through the tie_breaker (0 = pure max).  The
+    formula is evaluated in exactly this float order on the SQL oracle
+    side too (max + tb×(sum−max), never the algebraic 2-field
+    tb×min form — (a+b)−max(a,b) ≠ min(a,b) in IEEE), so scores
+    hash-match bit-for-bit.  Sound per segment because the aligned
+    indexes co-locate a doc's every field.
 
     ``fields``: [(index_dir, weight)] — the field indexes must be built
     from the same corpus with the same config, which makes them ALIGNED:
@@ -1235,6 +1247,9 @@ def search_fields_index(fields: list[tuple[str, float]],
         raise ValueError("field indexes are not aligned (different "
                          "segment counts) — build them from the same "
                          "corpus with the same config")
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be 'sum' or 'dismax', "
+                         f"got {combine!r}")
     eff = EngineConfig.from_dict(cfg0) if cfg is None else cfg.validate()
     tok = Tokenizer(eff.analyzer)
     parsed = [(int(q["query_id"]),
@@ -1291,6 +1306,10 @@ def search_fields_index(fields: list[tuple[str, float]],
             scores_all = np.concatenate(score_parts)
             uniq, inv = np.unique(docs_all, return_inverse=True)
             comb = np.bincount(inv, weights=scores_all)
+            if combine == "dismax":
+                mx = np.zeros(len(uniq))
+                np.maximum.at(mx, inv, scores_all)  # BM25 scores > 0
+                comb = mx + tie_breaker * (comb - mx)
             order = np.lexsort((uniq, -comb))[:k]
             for i in order:
                 qid_out.append(qid)

@@ -890,6 +890,27 @@ def bm25_fields(sf_dir: str) -> pa.Table:
     })
 
 
+DISMAX_TIE = 0.3
+
+
+def bm25_dismax(sf_dir: str) -> pa.Table:
+    """DOC_QUERIES under DisjunctionMax field combination: score =
+    max(TITLE_WEIGHT × BM25_title, BODY_WEIGHT × BM25_body)
+    + DISMAX_TIE × (sum − max) — the best field dominates
+    (index/query.search_fields_index(combine='dismax'))."""
+    from ..index.query import search_fields_index
+    fields = [(field_documents_index(sf_dir, "title"), TITLE_WEIGHT),
+              (field_documents_index(sf_dir, "body"), BODY_WEIGHT)]
+    res = search_fields_index(fields, DOC_QUERIES, combine="dismax",
+                              tie_breaker=DISMAX_TIE)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 def merged_documents_index(sf_dir: str, cfg: EngineConfig = DOCS_CFG
                            ) -> str:
     """Two disjoint partial indexes (doc_id % 3 == 0 vs != 0) merged
