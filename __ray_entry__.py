@@ -2477,6 +2477,52 @@ def _q_bm25_dismax(sf_dir: str):
     return bm25_dismax(sf_dir)
 
 
+def _q_hll_users(sf_dir: str):
+    """Deterministic HyperLogLog distinct users per event type — an
+    APPROXIMATE sketch with an EXACT SQL oracle (md5-prefix hash,
+    integer register sum, mirrored float estimate chain)."""
+    from vframe_ray.stages.sketch import hll_distinct_by_key
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "user_id"])
+    df = hll_distinct_by_key(ds, "event_type", "user_id").to_pandas()
+    return df.rename(columns={"est": "est_users"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def _hll_sql() -> str:
+    """The identical HLL computation in DuckDB: same hash, register
+    (top 12 bits), rho = 53 − bit_length(low 52 bits) via bin(),
+    INTEGER register sum in HUGEINT, same estimate float chain with
+    the linear-counting small-range branch."""
+    from vframe_ray.stages.sketch import hll_alpha_mm
+    c = repr(hll_alpha_mm())
+    return f"""
+WITH h AS (SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT
+                      AS h
+           FROM events),
+ r AS (SELECT event_type, (h >> 52)::BIGINT AS j,
+              CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                   ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+              END AS rho
+       FROM h),
+ mreg AS (SELECT event_type, j, max(rho) AS mr FROM r GROUP BY 1, 2),
+ s AS (SELECT event_type,
+              sum(1::HUGEINT << (52 - mr)) AS s_nz,
+              count(*) AS n_nz
+       FROM mreg GROUP BY 1),
+ raw AS (SELECT event_type,
+                {c}::DOUBLE * 4503599627370496.0::DOUBLE
+                / (s_nz + (4096 - n_nz)
+                   * (1::HUGEINT << 52))::DOUBLE AS raw,
+                4096 - n_nz AS v
+         FROM s)
+SELECT event_type,
+       CASE WHEN raw <= 10240.0 AND v > 0
+            THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS est_users
+FROM raw ORDER BY event_type"""
+
+
 def _regex_sql() -> str:
     """Regex oracle: per-query terms = corpus vocabulary FULL-matching
     each token as a regular expression (DuckDB regexp_full_match —
@@ -2792,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dismax) ---
         "bm25_dismax": _q_bm25_dismax,
         "bm25_regex": _q_bm25_regex,
+        "hll_distinct_users": _q_hll_users,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -2945,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_regex": _regex_sql(),
         "bm25_dismax": _fields_sql(dismax=True),
+        "hll_distinct_users": _hll_sql(),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

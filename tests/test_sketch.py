@@ -1,0 +1,71 @@
+"""HyperLogLog sketch laws: accuracy within the p=12 error bound on
+both estimator branches, merge = register max = sketch of the union,
+idempotence, and the Dataset-level grouped estimate vs exact distinct
+counts on real data."""
+
+import numpy as np
+
+from vframe_ray.stages.sketch import (HLL_M, hll_distinct_by_key,
+                                      hll_estimate, hll_merge,
+                                      hll_registers)
+
+
+def _strs(lo, hi):
+    return [str(i) for i in range(lo, hi)]
+
+
+def test_accuracy_raw_branch():
+    """100k distinct values: raw estimator branch, relative error well
+    inside 5σ of the theoretical 1.04/√4096 ≈ 1.6%."""
+    n = 100_000
+    est = hll_estimate(hll_registers(_strs(0, n)))
+    assert est > 2.5 * HLL_M             # raw branch taken
+    assert abs(est - n) / n < 0.05
+
+
+def test_accuracy_linear_counting_branch():
+    """500 distinct values: small-range (linear counting) branch."""
+    n = 500
+    est = hll_estimate(hll_registers(_strs(0, n)))
+    assert est <= 2.5 * HLL_M
+    assert abs(est - n) / n < 0.05
+
+
+def test_merge_is_union_and_idempotent():
+    a = hll_registers(_strs(0, 30_000))
+    b = hll_registers(_strs(20_000, 60_000))
+    u = hll_registers(_strs(0, 60_000))
+    assert (hll_merge(a, b) == u).all()
+    assert (hll_merge(a, a) == a).all()
+    # duplicates never move the estimate
+    assert hll_estimate(hll_registers(_strs(0, 1000) * 7)) == \
+        hll_estimate(hll_registers(_strs(0, 1000)))
+
+
+def test_partial_merge_equals_single_pass():
+    """Block-partial max-merge (the distributed shape) == one-shot
+    registers, regardless of how the input splits."""
+    vals = _strs(0, 10_000)
+    whole = hll_registers(vals)
+    parts = [hll_registers(vals[i::4]) for i in range(4)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = hll_merge(merged, p)
+    assert (merged == whole).all()
+
+
+def test_grouped_estimate_vs_exact(ray_session):
+    import pandas as pd
+
+    from vframe_ray.sources.readers import read_parquet
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet(f"{sf}/events.parquet",
+                      columns=["event_type", "user_id"])
+    got = hll_distinct_by_key(ds, "event_type", "user_id").to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    assert list(got["event_type"]) == sorted(exact.index)
+    for _, r in got.iterrows():
+        tru = exact[r["event_type"]]
+        assert abs(r["est"] - tru) / tru < 0.08
