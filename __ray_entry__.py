@@ -2489,6 +2489,46 @@ def _q_hll_users(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+def _q_cms_heavy_terms(sf_dir: str):
+    """CountMin heavy-hitter terms (> 1/denom of all occurrences):
+    fixed-size linear sketch partials, integer minima — approximate
+    operator, exact SQL oracle."""
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.sketch import cms_heavy_hitters
+    from vframe_ray.stages.tokenize import tokenize
+    t = cms_heavy_hitters(tokenize(documents_as_transcripts(sf_dir)))
+    return t.to_pandas()
+
+
+def _cms_sql() -> str:
+    """The identical CountMin computation in DuckDB: same salted
+    md5-prefix bucket per depth row, integer bucket counts, per-term
+    min over rows, same integer threshold n // denom + 1."""
+    from vframe_ray.stages.sketch import CMS_DENOM, CMS_DEPTH, CMS_WIDTH
+    dd = ", ".join(f"({d})" for d in range(CMS_DEPTH))
+    return f"""{_TOK},
+ tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+ dd(d) AS (VALUES {dd}),
+ counts AS (SELECT dd.d,
+                   (('0x' || substr(md5(dd.d::VARCHAR || ':' || tok.term),
+                                    1, 16))::UBIGINT
+                    % {CMS_WIDTH})::BIGINT AS b,
+                   count(*)::BIGINT AS c
+            FROM tok, dd GROUP BY 1, 2),
+ vocab AS (SELECT DISTINCT term FROM tok),
+ vb AS (SELECT dd.d, vocab.term,
+               (('0x' || substr(md5(dd.d::VARCHAR || ':' || vocab.term),
+                                1, 16))::UBIGINT
+                % {CMS_WIDTH})::BIGINT AS b
+        FROM vocab, dd),
+ est AS (SELECT vb.term, min(coalesce(c.c, 0))::BIGINT AS est_count
+         FROM vb LEFT JOIN counts c ON c.d = vb.d AND c.b = vb.b
+         GROUP BY vb.term)
+SELECT term, est_count FROM est, tot
+WHERE est_count >= (n // {CMS_DENOM}) + 1
+ORDER BY term"""
+
+
 def _hll_sql() -> str:
     """The identical HLL computation in DuckDB: same hash, register
     (top 12 bits), rho = 53 − bit_length(low 52 bits) via bin(),
@@ -2839,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dismax": _q_bm25_dismax,
         "bm25_regex": _q_bm25_regex,
         "hll_distinct_users": _q_hll_users,
+        "cms_heavy_terms": _q_cms_heavy_terms,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -2993,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_regex": _regex_sql(),
         "bm25_dismax": _fields_sql(dismax=True),
         "hll_distinct_users": _hll_sql(),
+        "cms_heavy_terms": _cms_sql(),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -69,3 +69,64 @@ def test_grouped_estimate_vs_exact(ray_session):
     for _, r in got.iterrows():
         tru = exact[r["event_type"]]
         assert abs(r["est"] - tru) / tru < 0.08
+
+
+def _tok_ds(texts):
+    import ray.data
+
+    from vframe_ray.stages.tokenize import tokenize
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0, "text": t}
+            for i, t in enumerate(texts)]
+    return tokenize(ray.data.from_items(rows))
+
+
+def test_cms_overestimates_never_miss(ray_session):
+    """Hostile: width=8 forces collisions among 40 distinct terms.
+    Every estimate must still be >= the true count (one-sided error),
+    and every TRUE heavy hitter must be in the output."""
+    import collections
+
+    from vframe_ray.stages.sketch import cms_heavy_hitters
+    texts = (["needle"] * 200 + [f"w{i}" for i in range(40)] * 3)
+    true = collections.Counter(texts)
+    n = len(texts)
+    got = cms_heavy_hitters(_tok_ds([" ".join(texts[i::7])
+                                     for i in range(7)]),
+                            width=8, depth=2, denom=10).to_pandas()
+    thresh = n // 10 + 1
+    est = dict(zip(got["term"], got["est_count"]))
+    for t, e in est.items():
+        assert e >= true[t]
+    for t, c in true.items():
+        if c >= thresh:
+            assert t in est                # no false negatives
+    assert "needle" in est
+
+
+def test_cms_split_invariance(ray_session):
+    """The sketch is linear: any block split yields the same matrix,
+    hence the same output."""
+    from vframe_ray.stages.sketch import cms_heavy_hitters
+    words = ["alpha"] * 50 + ["beta"] * 30 + ["gamma"] * 2
+    one = cms_heavy_hitters(_tok_ds([" ".join(words)]),
+                            denom=20).to_pandas()
+    many = cms_heavy_hitters(_tok_ds([" ".join(words[i::11])
+                                      for i in range(11)]),
+                             denom=20).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(one, many)
+    assert set(one["term"]) == {"alpha", "beta"}   # gamma below 1/20
+
+
+def test_cms_wide_sketch_is_exact(ray_session):
+    """With width >> vocabulary, no collisions: estimates equal true
+    counts exactly."""
+    import collections
+
+    from vframe_ray.stages.sketch import cms_heavy_hitters
+    words = ["a"] * 9 + ["b"] * 6 + ["c"] * 5
+    true = collections.Counter(words)
+    got = cms_heavy_hitters(_tok_ds([" ".join(words)]),
+                            width=4096, depth=4, denom=4).to_pandas()
+    for _, r in got.iterrows():
+        assert r["est_count"] == true[r["term"]]

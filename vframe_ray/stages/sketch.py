@@ -130,3 +130,94 @@ def hll_distinct_by_key(ds, key_col: str, val_col: str) -> "pa.Table":
         out_e.append(hll_estimate(reg))
     return pa.table({key_col: pa.array(out_k),
                      "est": pa.array(out_e, pa.float64())})
+
+
+CMS_WIDTH, CMS_DEPTH, CMS_DENOM = 1024, 4, 50
+
+
+def cms_bucket(d: int, terms: list[str], width: int = CMS_WIDTH
+               ) -> np.ndarray:
+    """Row-``d`` CountMin bucket per term: the SQL-portable md5 prefix
+    of ``"{d}:{term}"`` mod width (DuckDB:
+    ``('0x'||substr(md5(d::VARCHAR||':'||term),1,16))::UBIGINT % w``).
+    Runs per UNIQUE term only — vocabulary-bounded, never per
+    occurrence."""
+    h = md5_u64([f"{d}:{t}" for t in terms])
+    return (h % np.uint64(width)).astype(np.int64)
+
+
+def cms_heavy_hitters(tokenized_ds, *, width: int = CMS_WIDTH,
+                      depth: int = CMS_DEPTH,
+                      denom: int = CMS_DENOM) -> "pa.Table":
+    """CountMin heavy hitters over the corpus token stream: terms whose
+    sketch estimate reaches n_tokens // denom + 1 (> 1/denom of all
+    occurrences), with est_count = min over depth rows of the term's
+    bucket counts — the classic one-sided guarantee est ≥ true, so no
+    true heavy hitter is ever missed (false positives possible under
+    collisions, never false negatives).
+
+    Scale shape: the sketch is LINEAR, so each block contributes a
+    ≤ depth×width partial (d, bucket, count) — a FIXED-size exchange
+    however large the corpus — summed exactly (integers, associative).
+    Candidate enumeration rides the same pass as per-block distinct
+    terms (vocabulary-bounded, the same artifact the index dictionary
+    stores); estimates are integer minima, so the paired SQL oracle is
+    EXACT despite the operator being approximate.
+
+    Returns (term, est_count) sorted by term."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"].combine_chunks()
+        vc = pc.list_flatten(tokens).value_counts()
+        terms = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols_d, cols_b, cols_c, cols_t = [], [], [], []
+        for d in range(depth):
+            agg = np.zeros(width, np.int64)
+            np.add.at(agg, cms_bucket(d, terms, width), cnts)
+            nz = np.nonzero(agg)[0]
+            cols_d.append(np.full(len(nz), d, np.int64))
+            cols_b.append(nz.astype(np.int64))
+            cols_c.append(agg[nz])
+            cols_t.append(np.full(len(nz), None, object))
+        # vocab marker rows (d = -1) carry the candidate terms
+        cols_d.append(np.full(len(terms), -1, np.int64))
+        cols_b.append(np.zeros(len(terms), np.int64))
+        cols_c.append(np.zeros(len(terms), np.int64))
+        cols_t.append(np.array(terms, object))
+        return pa.table({
+            "d": pa.array(np.concatenate(cols_d)),
+            "b": pa.array(np.concatenate(cols_b)),
+            "c": pa.array(np.concatenate(cols_c)),
+            "term": pa.array(np.concatenate(cols_t), pa.string())})
+
+    parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=None,
+                                     zero_copy_batch=True)
+    from ..runtime import block_refs
+    tables = [t for t in ray.get(block_refs(parts)) if t.num_rows]
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "est_count": pa.array([], pa.int64())})
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)
+    mat_rows = t.filter(pc.greater_equal(t["d"], 0)) \
+        .group_by(["d", "b"]).aggregate([("c", "sum")]) \
+        .rename_columns(["d", "b", "c"])
+    mat = np.zeros((depth, width), np.int64)
+    mat[mat_rows["d"].to_numpy(), mat_rows["b"].to_numpy()] = \
+        mat_rows["c"].to_numpy()
+    vocab = sorted(set(pc.filter(
+        t["term"], pc.equal(t["d"], -1)).to_pylist()))
+    if not vocab:
+        return empty
+    n = int(mat[0].sum())
+    thresh = n // denom + 1
+    est = np.full(len(vocab), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        est = np.minimum(est, mat[d, cms_bucket(d, vocab, width)])
+    keep = est >= thresh
+    return pa.table({
+        "term": pa.array(np.array(vocab, object)[keep], pa.string()),
+        "est_count": pa.array(est[keep], pa.int64())})
