@@ -2489,6 +2489,42 @@ def _q_hll_users(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+PHRASE_PREFIX_QUERIES = [
+    {"query_id": 0, "phrase": "stream col"},   # one expansion
+    {"query_id": 1, "phrase": "order s"},      # multi expansion
+    {"query_id": 2, "phrase": "wind"},         # single-token prefix
+    {"query_id": 3, "phrase": "stream zzz"},   # no expansion -> 0 rows
+]
+
+
+def _q_phrase_prefix(sf_dir: str):
+    """match_phrase_prefix analog: exact phrase with the last token
+    prefix-expanded against the dictionary, variant union deduped."""
+    from vframe_ray.index.query import phrase_prefix_search_index
+    from vframe_ray.pipelines.flagship import documents_index
+    res = phrase_prefix_search_index(documents_index(sf_dir),
+                                     PHRASE_PREFIX_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+    })
+
+
+def _phrase_prefix_sql() -> str:
+    """Oracle via the normalized-text LIKE trick (valid because this
+    corpus's text is space-joined [a-z0-9] tokens — the phrase_match
+    oracle's own precondition): '% t1 … tn-1 p%' is precisely
+    'fixed tokens then a token starting with p'."""
+    vals = ", ".join(
+        f"({q['query_id']}, '% {q['phrase'].lower()}%')"
+        for q in PHRASE_PREFIX_QUERIES)
+    return f"""
+WITH q(query_id, pat) AS (VALUES {vals})
+SELECT q.query_id::INT AS query_id, d.doc_id::BIGINT AS doc_id
+FROM q JOIN documents d ON (' ' || lower(d.text) || ' ') LIKE q.pat
+ORDER BY query_id, doc_id"""
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -2880,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_regex": _q_bm25_regex,
         "hll_distinct_users": _q_hll_users,
         "cms_heavy_terms": _q_cms_heavy_terms,
+        "phrase_prefix_match": _q_phrase_prefix,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3035,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": _fields_sql(dismax=True),
         "hll_distinct_users": _hll_sql(),
         "cms_heavy_terms": _cms_sql(),
+        "phrase_prefix_match": _phrase_prefix_sql(),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -1073,6 +1073,60 @@ def search_like_index(index_dir: str, queries: list[dict],
                         collapse=collapse)
 
 
+def phrase_prefix_search_index(index_dir: str, queries: list[dict],
+                               cfg: EngineConfig | None = None, *,
+                               max_expansions: int = 50) -> pa.Table:
+    """Phrase-prefix match (Elasticsearch ``match_phrase_prefix``
+    analog): the LAST token of each phrase is treated as a PREFIX; a
+    doc matches when it contains the fixed tokens immediately followed
+    by ANY dictionary term with that prefix.
+
+    The prefix expands against the global dictionary (one pruned range
+    read, :func:`expand_prefix_terms`), alphabetically capped at
+    ``max_expansions`` (the ES rule); each expansion becomes one exact
+    phrase variant, all variants run through the ordinary per-segment
+    positional machinery in ONE scatter (no extra passes per variant),
+    and the driver dedups the variant union per query — ≤ matches
+    rows, never positions.  Returns (query_id, conv_id, turn_idx)
+    sorted ascending, like :func:`phrase_search_index`.
+
+    Note: variants re-tokenize through the index analyzer; analyzer
+    outputs are fixed points of the default and s-stem analyzers, so
+    the join+retokenize round trip is identity."""
+    from .build import load_index_meta
+    cfg_dict, _stats, _segs = load_index_meta(index_dir)
+    eff = EngineConfig.from_dict(cfg_dict) if cfg is None \
+        else cfg.validate()
+    tok = Tokenizer(eff.analyzer)
+    parsed = [(int(q["query_id"]), tok.tokenize(str(q["phrase"])))
+              for q in queries]
+    prefixes = sorted({t[-1] for _, t in parsed if t})
+    exp = expand_prefix_terms(index_dir, prefixes)
+    variants, owner = [], []
+    for qid, terms in parsed:
+        if not terms:
+            continue
+        for e in exp.get(terms[-1], [])[:max_expansions]:
+            variants.append({"query_id": len(variants),
+                             "phrase": " ".join(terms[:-1] + [e])})
+            owner.append(qid)
+    empty = pa.table({"query_id": pa.array([], pa.int32()),
+                      "conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32())})
+    if not variants:
+        return empty
+    hits = phrase_search_index(index_dir, variants, cfg)
+    if not hits.num_rows:
+        return empty
+    df = hits.to_pandas()
+    df["query_id"] = np.array(owner, dtype=np.int32)[
+        df["query_id"].to_numpy()]
+    df = df.drop_duplicates(["query_id", "conv_id", "turn_idx"]) \
+        .sort_values(["query_id", "conv_id", "turn_idx"])
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        empty.schema)
+
+
 def expand_regex_patterns(index_dir: str, patterns: list[str]
                           ) -> dict[str, list[str]]:
     """Full-match regex expansion against the GLOBAL term dictionary

@@ -29,6 +29,7 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           function_score_index,
                           facet_ranges_index, match_counts_index,
                           more_like_this_index, parse_boosted_query,
+                          phrase_prefix_search_index,
                           phrase_rank_index, phrase_search_index,
                           proximity_rank_index, search_after_index,
                           search_boolean_index, search_boosted_index,
