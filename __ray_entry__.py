@@ -2525,6 +2525,56 @@ FROM q JOIN documents d ON (' ' || lower(d.text) || ' ') LIKE q.pat
 ORDER BY query_id, doc_id"""
 
 
+KMV_TYPE_A, KMV_TYPE_B = "view", "click"
+
+
+def _q_kmv_overlap(sf_dir: str):
+    """KMV user-set overlap between two event types: fixed-size
+    min-hash synopses, integer until one division — exact SQL oracle
+    on BOTH estimator branches (small sets are exact, large ones
+    scale by 2^64/θ)."""
+    from vframe_ray.stages.sketch import kmv_user_overlap
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "user_id"])
+    return kmv_user_overlap(ds, KMV_TYPE_A, KMV_TYPE_B).to_pandas()
+
+
+def _kmv_sql() -> str:
+    """The identical KMV computation in DuckDB: distinct md5-prefix
+    hashes per side, ORDER BY h LIMIT k synopsis, θ = max of the
+    synopsis, overlap = hash matches under the shared θ scaled by
+    2^64/θ; sides that saw < k values are exact."""
+    from vframe_ray.stages.sketch import KMV_K
+    k, t64 = KMV_K, "18446744073709551616.0::DOUBLE"
+    theta = (f"(CASE WHEN sa.n < {k} THEN sb.theta "
+             f"WHEN sb.n < {k} THEN sa.theta "
+             f"ELSE least(sa.theta, sb.theta) END)")
+    return f"""
+WITH ha AS (SELECT DISTINCT
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT
+                       AS h
+            FROM events WHERE event_type = '{KMV_TYPE_A}'),
+ hb AS (SELECT DISTINCT
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT
+                   AS h
+        FROM events WHERE event_type = '{KMV_TYPE_B}'),
+ ska AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+ skb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+ sa AS (SELECT count(*)::BIGINT AS n, max(h) AS theta FROM ska),
+ sb AS (SELECT count(*)::BIGINT AS n, max(h) AS theta FROM skb),
+ inter AS (SELECT ska.h FROM ska JOIN skb USING (h))
+SELECT
+  CASE WHEN sa.n < {k} THEN sa.n::DOUBLE
+       ELSE {k - 1} * {t64} / sa.theta::DOUBLE END AS est_a,
+  CASE WHEN sb.n < {k} THEN sb.n::DOUBLE
+       ELSE {k - 1} * {t64} / sb.theta::DOUBLE END AS est_b,
+  CASE WHEN sa.n < {k} AND sb.n < {k}
+       THEN (SELECT count(*) FROM inter)::DOUBLE
+       ELSE (SELECT count(*) FROM inter WHERE h < {theta})::BIGINT
+            * {t64} / {theta}::DOUBLE END AS est_overlap
+FROM sa, sb"""
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -2917,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_users,
         "cms_heavy_terms": _q_cms_heavy_terms,
         "phrase_prefix_match": _q_phrase_prefix,
+        "kmv_user_overlap": _q_kmv_overlap,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3073,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": _hll_sql(),
         "cms_heavy_terms": _cms_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
+        "kmv_user_overlap": _kmv_sql(),
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -130,3 +130,57 @@ def test_cms_wide_sketch_is_exact(ray_session):
                             width=4096, depth=4, denom=4).to_pandas()
     for _, r in got.iterrows():
         assert r["est_count"] == true[r["term"]]
+
+
+def test_kmv_accuracy_and_overlap():
+    from vframe_ray.stages.sketch import (kmv_distinct, kmv_overlap,
+                                          kmv_partial)
+    a = kmv_partial(_strs(0, 5000))
+    b = kmv_partial(_strs(2500, 7500))
+    assert abs(kmv_distinct(a) - 5000) / 5000 < 0.3   # k=128 -> ~9% sigma
+    assert abs(kmv_overlap(a, b) - 2500) / 2500 < 0.4
+    # disjoint sets -> tiny (usually zero) overlap estimate
+    c = kmv_partial(_strs(100_000, 105_000))
+    assert kmv_overlap(a, c) < 500
+
+
+def test_kmv_exact_below_k():
+    from vframe_ray.stages.sketch import (KMV_K, kmv_distinct,
+                                          kmv_overlap, kmv_partial)
+    a = kmv_partial(_strs(0, 100))
+    b = kmv_partial(_strs(50, 150))
+    assert len(a) == 100 < KMV_K
+    assert kmv_distinct(a) == 100.0           # exact branch
+    assert kmv_overlap(a, b) == 50.0          # exact intersection
+    # empty side
+    e = kmv_partial([])
+    assert kmv_distinct(e) == 0.0 and kmv_overlap(a, e) == 0.0
+
+
+def test_kmv_merge_associative():
+    from vframe_ray.stages.sketch import kmv_merge, kmv_partial
+    vals = _strs(0, 3000)
+    whole = kmv_partial(vals)
+    m = kmv_partial(vals[0::3])
+    m = kmv_merge(m, kmv_partial(vals[1::3]))
+    m = kmv_merge(m, kmv_partial(vals[2::3]))
+    assert (m == whole).all()
+
+
+def test_kmv_dataset_overlap_vs_exact(ray_session):
+    import pandas as pd
+
+    from vframe_ray.sources.readers import read_parquet
+    from vframe_ray.stages.sketch import kmv_user_overlap
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet(f"{sf}/events.parquet",
+                      columns=["event_type", "user_id"])
+    got = kmv_user_overlap(ds, "view", "click").to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    va = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    cb = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    # 15 users a side at sf0.001: the sketch is exact
+    assert got["est_a"].iloc[0] == float(len(va))
+    assert got["est_b"].iloc[0] == float(len(cb))
+    assert got["est_overlap"].iloc[0] == float(len(va & cb))

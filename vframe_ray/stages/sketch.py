@@ -221,3 +221,92 @@ def cms_heavy_hitters(tokenized_ds, *, width: int = CMS_WIDTH,
     return pa.table({
         "term": pa.array(np.array(vocab, object)[keep], pa.string()),
         "est_count": pa.array(est[keep], pa.int64())})
+
+
+KMV_K = 128
+
+
+def kmv_partial(values, k: int = KMV_K) -> np.ndarray:
+    """k smallest DISTINCT md5-prefix hashes of a value batch (sorted
+    uint64) — the KMV synopsis.  Associative: merging two partials is
+    union→sort→cut, so per-block partials combine in any order."""
+    h = np.unique(md5_u64(values))
+    return h[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_distinct(sk: np.ndarray, k: int = KMV_K) -> float:
+    """Distinct-count estimate: (k−1) · 2^64 / θ with θ = the k-th
+    smallest hash (exact until this ONE float division).  Sketches
+    smaller than k saw every distinct value — return the exact count."""
+    if len(sk) < k:
+        return float(len(sk))
+    theta = int(sk[k - 1])
+    return (k - 1) * 18446744073709551616.0 / float(theta)
+
+
+def kmv_overlap(sk_a: np.ndarray, sk_b: np.ndarray,
+                k: int = KMV_K) -> float:
+    """|A ∩ B| estimate from two KMV sketches: cut both to the shared
+    threshold θ = min(θ_A, θ_B) (hashes < θ are a uniform sample of
+    each set), count hash matches, scale by 2^64/θ.  All integer until
+    the final division, so the DuckDB oracle reproduces it exactly.
+    Degenerate sketches (either side saw < k values) are exact on the
+    intersection of what they saw."""
+    exact_a, exact_b = len(sk_a) < k, len(sk_b) < k
+    inter = np.intersect1d(sk_a, sk_b)
+    if exact_a and exact_b:
+        return float(len(inter))
+    theta = min(int(sk_a[-1]) if not exact_a else (1 << 64),
+                int(sk_b[-1]) if not exact_b else (1 << 64))
+    n = int(np.count_nonzero(inter < np.uint64(theta)))
+    return n * 18446744073709551616.0 / float(theta)
+
+
+def kmv_user_overlap(ds, type_a: str, type_b: str, *,
+                     key_col: str = "event_type",
+                     val_col: str = "user_id",
+                     k: int = KMV_K) -> "pa.Table":
+    """Estimated distinct users of two event types and their overlap,
+    from ONE pass of fixed-size KMV partials (≤ 2k hashes per block —
+    corpus-size-independent exchange; the exact alternative co-locates
+    every user's rows).  Returns one row
+    (est_a, est_b, est_overlap)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = pc.cast(t[val_col], pa.string())
+        out_s, out_h = [], []
+        for side, tname in (("a", type_a), ("b", type_b)):
+            sel = keys == tname
+            if sel.any():
+                sk = kmv_partial(pc.filter(vals, pa.array(sel)), k)
+                out_s.append(np.full(len(sk), side, object))
+                out_h.append(sk)
+        if not out_s:
+            return pa.table({"side": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({"side": pa.array(np.concatenate(out_s),
+                                          pa.string()),
+                         "h": pa.array(np.concatenate(out_h),
+                                       pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    from ..runtime import block_refs
+    tables = [t for t in ray.get(block_refs(parts)) if t.num_rows]
+    sk = {"a": np.array([], np.uint64), "b": np.array([], np.uint64)}
+    if tables:
+        t = pa.concat_tables(tables)
+        sides = t["side"].to_numpy(zero_copy_only=False)
+        hs = t["h"].to_numpy(zero_copy_only=False)
+        for side in ("a", "b"):
+            sk[side] = np.unique(hs[sides == side])[:k]
+    return pa.table({
+        "est_a": pa.array([kmv_distinct(sk["a"], k)], pa.float64()),
+        "est_b": pa.array([kmv_distinct(sk["b"], k)], pa.float64()),
+        "est_overlap": pa.array([kmv_overlap(sk["a"], sk["b"], k)],
+                                pa.float64())})
