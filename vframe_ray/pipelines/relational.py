@@ -1652,7 +1652,10 @@ def q10_returned_items(sf_dir: str, date_lo: str = Q10_DATE_LO,
                                ("l_returnflag", pa.string())]),
         right_schema=pa.schema([("l_orderkey", pa.int64()),
                                 ("o_custkey", pa.int64()),
-                                ("o_orderdate", pa.timestamp("us"))]))
+                                ("o_orderdate", pa.timestamp("us"))]),
+        # the 6-month order window keeps ~8% of orderkeys: the Bloom
+        # pass drops ~92% of returned lineitems BEFORE the exchange
+        runtime_filter=True)
 
     def bucketed(t: pa.Table) -> pa.Table:
         key = t["o_custkey"].to_numpy(zero_copy_only=False)
@@ -3224,7 +3227,10 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = Q4_LATE_DAYS,
                                ("l_suppkey", pa.int64()),
                                ("l_shipdate", pa.timestamp("us"))]),
         right_schema=pa.schema([("l_orderkey", pa.int64()),
-                                ("o_orderdate", pa.timestamp("us"))]))
+                                ("o_orderdate", pa.timestamp("us"))]),
+        # 'F' orders are ~1/3 of orderkeys: the Bloom pass drops ~2/3
+        # of lineitem before the exchange
+        runtime_filter=True)
     agg = _driver_combine(parts, ["l_suppkey"],
                           [("n_p", "sum", "numwait")]).to_pandas()
     if agg.empty:

@@ -216,11 +216,60 @@ def range_join(left, right, *, key: str, left_on: str,
                                                   batch_format="pandas")
 
 
+def _key_hash64(keys) -> np.ndarray:
+    """Full avalanched uint64 per key — the hash behind
+    ``runtime.key_bucket_of``, exposed unreduced for the Bloom filter
+    (ints and int-valued floats through the integer mix, strings via
+    ``pd.util.hash_array``)."""
+    a = np.asarray(keys)
+    if a.dtype.kind in "iuf":
+        h = a.astype(np.int64).astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = pd.util.hash_array(a.astype(object)).astype(np.uint64) \
+            * np.uint64(0x9E3779B97F4A7C15)
+    return h ^ (h >> np.uint64(31))
+
+
+def _bloom_positions(h: np.ndarray, bits: int):
+    """Two probe positions per key (double hashing: idx_i = h1 + i·h2
+    mod bits, h2 forced odd so the stride never degenerates)."""
+    h1 = h % np.uint64(bits)
+    h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(bits)
+    return h1, (h1 + h2) % np.uint64(bits)
+
+
+def bloom_build(keys, bits: int) -> np.ndarray:
+    """Packed-bit Bloom filter (uint8[bits/8]) of a key batch."""
+    bm = np.zeros(bits // 8, np.uint8)
+    h = _key_hash64(keys)
+    for idx in _bloom_positions(h, bits):
+        np.bitwise_or.at(bm, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(
+                             np.uint8))
+    return bm
+
+
+def bloom_test(bm: np.ndarray, keys) -> np.ndarray:
+    """Membership mask: True = possibly present (false positives only
+    — a pruned row is NEVER a join match, so pruning preserves the
+    join result exactly)."""
+    bits = len(bm) * 8
+    h = _key_hash64(keys)
+    keep = np.ones(len(h), bool)
+    for idx in _bloom_positions(h, bits):
+        keep &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                 >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return keep
+
+
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], post=None,
               num_buckets: int | None = None,
               left_schema: "pa.Schema | None" = None,
-              right_schema: "pa.Schema | None" = None):
+              right_schema: "pa.Schema | None" = None,
+              runtime_filter: bool = False,
+              filter_bits: int = 1 << 23):
     """Large-large equi-join by co-partitioning (shuffle hash join).
 
     The broadcast joins in pipelines/relational.py are the right tool
@@ -233,7 +282,18 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     on empty input.  Every row of a key lands in exactly ONE bucket, so
     per-key aggregates computed here are exact — the classic
     join+aggregate fusion that saves the second shuffle a
-    groupby-after-join would cost at 100 TB."""
+    groupby-after-join would cost at 100 TB.
+
+    ``runtime_filter=True`` adds a Spark-style Bloom runtime filter:
+    one extra pass over the RIGHT side builds a fixed-size packed
+    bitmap (per-block partials OR-combined — ``filter_bits/8`` bytes
+    however large the input), broadcast once via ``ray.put``, and the
+    LEFT side drops keys the filter rejects BEFORE the exchange.
+    Output-identical by construction (false positives merely ship a
+    row that then joins to nothing); the win is exchange volume when
+    the right side is selective (a date/status-filtered dimension
+    pruning a fact table).  Costs one re-execution of the right
+    dataset's lineage — use when right ≪ left."""
     # Exact Arrow types for every carried column: null-padding the other
     # side and the group-level pandas upcast (int64-with-nulls ->
     # float64) must both round-trip back to the source type, or blocks
@@ -275,6 +335,32 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
                     else pa.nulls(len(t), types[c])
             return pa.table(out)
         return fn
+
+    if runtime_filter:
+        import ray
+
+        def bloom_partial(t: pa.Table) -> pa.Table:
+            bm = bloom_build(t[key].to_numpy(zero_copy_only=False),
+                             filter_bits)
+            return pa.table({"bm": pa.array([bm.tobytes()],
+                                            pa.binary())})
+
+        from ..runtime import block_refs as _block_refs
+        parts = right.map_batches(bloom_partial, batch_format="pyarrow",
+                                  batch_size=None)
+        bm = np.zeros(filter_bits // 8, np.uint8)
+        for t in ray.get(_block_refs(parts)):
+            for chunk in t["bm"].to_pylist():
+                bm |= np.frombuffer(chunk, np.uint8)
+        bm_ref = ray.put(bm)
+
+        def prune(t: pa.Table) -> pa.Table:
+            keep = bloom_test(ray.get(bm_ref),
+                              t[key].to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(keep))
+
+        left = left.map_batches(prune, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     unioned = left.map_batches(tag(1), batch_format="pyarrow").union(
         right.map_batches(tag(0), batch_format="pyarrow"))
