@@ -63,8 +63,16 @@ def test_service_parity(idx):
           {"query_id": 1, "query_text": ".*rry", "k": 10}]
     svc = QueryService(idx)
     try:
-        assert svc.search_regex(qs).to_pylist() == \
-            search_regex_index(idx, qs).to_pylist()
+        want = search_regex_index(idx, qs).to_pylist()
+        assert svc.search_regex(qs).to_pylist() == want
+        # regex mode inside a heterogeneous search_mixed batch
+        mixed = svc.search_mixed([
+            {"mode": "regex", "queries": qs},
+            {"mode": "search",
+             "queries": [{"query_id": 0, "query_text": "cherry",
+                          "k": 5}]},
+        ])
+        assert mixed[0].to_pylist() == want
     finally:
         svc.shutdown()
 

@@ -682,8 +682,9 @@ class QueryService:
         """Heterogeneous query batch in ONE round trip per shard
         (VERDICT r3 next #7).  Each request is {"mode": one of
         search|boolean|proximity|phrase_rank|boosted|after|facets|
-        facet_ranges|prefix|like (the wildcard modes expand driver-side
-        and ride as plain searches), "queries": [...], + mode extras
+        facet_ranges|prefix|like|regex (the expansion modes expand
+        driver-side and ride as plain searches), "queries": [...],
+        + mode extras
         ("facet_col",
         "bin_width", "collapse", "use_bmw")}; returns one result table
         per request, value-identical to calling the per-mode method
@@ -698,12 +699,16 @@ class QueryService:
         for req in requests:
             mode = req["mode"]
             qs = req["queries"]
-            if mode in ("like", "prefix"):
-                # wildcard modes expand driver-side (one dictionary
+            if mode in ("like", "prefix", "regex"):
+                # expansion modes expand driver-side (one dictionary
                 # read) and then ride the batch as plain searches
                 if mode == "like":
                     from .entrypoints import _like_plain_queries
                     qs = _like_plain_queries(self.index_dirs, self.tok, qs)
+                elif mode == "regex":
+                    from .entrypoints import _regex_plain_queries
+                    qs = _regex_plain_queries(self.index_dirs, self.tok,
+                                              qs)
                 else:
                     per_q, pats = _parse_wildcard_queries(self.tok, qs)
                     qs = _expand_wildcards(self.index_dirs, per_q, pats)
