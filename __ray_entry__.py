@@ -2968,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_terms": _q_cms_heavy_terms,
         "phrase_prefix_match": _q_phrase_prefix,
         "kmv_user_overlap": _q_kmv_overlap,
+        "rolling_active_users": rel.rolling_active_users,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3125,6 +3126,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_terms": _cms_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
         "kmv_user_overlap": _kmv_sql(),
+        "rolling_active_users": f"""
+WITH ud AS (SELECT DISTINCT user_id,
+                   date_trunc('day', ts)::TIMESTAMP AS day
+            FROM events),
+ days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS n_users
+FROM days d JOIN ud u
+  ON u.day BETWEEN d.day - INTERVAL {rel.ROLLING_WINDOW_DAYS - 1} DAY
+               AND d.day
+GROUP BY d.day ORDER BY d.day""",
         "rrf_fusion": _rrf_sql(),
         "q8_market_share": f"""
 SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -268,3 +268,62 @@ FROM lo GROUP BY l_orderkey ORDER BY l_orderkey""")
         "l_orderkey"].tolist()
     assert blamed == [141, 145, 146]
     assert 144 not in per["l_orderkey"].tolist()   # 'O' status dropped
+
+
+@pytest.fixture(scope="module")
+def events_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("roll_ev")
+    rng = np.random.default_rng(9)
+    n = 600
+    ts = (pd.Timestamp("2024-03-01")
+          + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"))
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click"], n),
+        "value": rng.uniform(0, 1, n),
+        "props": ["{}"] * n})
+    # hostile: user 99 active on two days INSIDE one window (their
+    # coverage intervals overlap -> the union sweep must not
+    # double-count), and a sparse user with isolated days
+    extra = pd.DataFrame({
+        "event_id": np.arange(n, n + 3, dtype=np.int64),
+        "ts": pd.to_datetime(["2024-03-05", "2024-03-07",
+                              "2024-03-25"]),
+        "user_id": np.int64(99),
+        "event_type": "view", "value": 0.5, "props": "{}"})
+    pd.concat([ev, extra], ignore_index=True).to_parquet(
+        d / "events.parquet", index=False)
+    return str(d)
+
+
+def _brute_rolling(events_dir, w):
+    ev = pd.read_parquet(f"{events_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    days = sorted(ev["day"].unique())
+    rows = []
+    for d in days:
+        lo = d - pd.Timedelta(days=w - 1)
+        rows.append((d, ev.loc[(ev["day"] >= lo) & (ev["day"] <= d),
+                               "user_id"].nunique()))
+    return pd.DataFrame(rows, columns=["day", "n_users"]).astype(
+        {"day": "datetime64[us]", "n_users": "int64"})
+
+
+def test_rolling_active_users_vs_brute(events_dir):
+    from vframe_ray.pipelines.relational import rolling_active_users
+    got = rolling_active_users(events_dir)
+    want = _brute_rolling(events_dir, 7)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_rolling_window_one_is_plain_dau(events_dir):
+    from vframe_ray.pipelines.relational import rolling_active_users
+    got = rolling_active_users(events_dir, window_days=1)
+    want = _brute_rolling(events_dir, 1)
+    pd.testing.assert_frame_equal(got, want)
+    # and a huge window saturates at the full distinct-user count
+    ev = pd.read_parquet(f"{events_dir}/events.parquet")
+    got_all = rolling_active_users(events_dir, window_days=60)
+    assert got_all["n_users"].iloc[-1] == ev["user_id"].nunique()

@@ -3455,3 +3455,91 @@ def q8_market_share(sf_dir: str, p_type: str = Q8_TYPE,
         / out["rev_a"].to_numpy(np.int64)
     return out[["o_year", "mkt_share"]].sort_values("o_year") \
         .reset_index(drop=True)
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(sf_dir: str,
+                         window_days: int = ROLLING_WINDOW_DAYS):
+    """Rolling 7-day active users per event day — the WINDOWED
+    count-distinct (a plain per-day distinct undercounts; a cross join
+    of days × events explodes).  Plan: global distinct event days are
+    calendar-bounded (driver combine); distinct (user, day) pairs make
+    ONE hash(user) exchange, and inside each bucket every user's
+    active days become covered-day INTERVALS over the day index
+    ([a, a+w-1] per active day), unioned per user with a vectorized
+    lexsort sweep (running-max of interval ends, resets at user
+    boundaries via a 2^32 group offset) and accumulated into one
+    difference array — per-bucket work is O(pairs log pairs), output
+    ≤ |days| partial rows per bucket, NO per-user Python loop.
+
+    Returns pandas (day, n_users) sorted by day."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    day_us = np.int64(86_400_000_000)
+    span = np.int64(window_days - 1) * day_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.unique(ts // day_us * day_us)
+        return pa.table({"d": pa.array(d, pa.int64())})
+
+    dtab = _driver_combine(
+        ev.map_batches(day_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["d"], [("d", "count", "n")])
+    days = np.sort(dtab["d"].to_numpy().astype(np.int64))
+    days_ref = ray.put(days)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack(
+            [u, ts // day_us * day_us], axis=1), axis=0)
+        out = pa.table({"u": pa.array(pairs[:, 0]),
+                        "a": pa.array(pairs[:, 1])})
+        return out.add_column(0, "__b", pa.array(
+            int_bucket_of(pairs[:, 0], nb)))
+
+    pairs = ev.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+
+    def bucket_cover(g: pd.DataFrame) -> pa.Table:
+        D = ray.get(days_ref)
+        nd = len(D)
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_p": pa.array([], pa.int64())})
+        if not len(g) or not nd:
+            return empty
+        u = g["u"].to_numpy(np.int64)
+        a = g["a"].to_numpy(np.int64)
+        lo = np.searchsorted(D, a, "left").astype(np.int64)
+        hi = np.searchsorted(D, a + span, "right").astype(np.int64)
+        order = np.lexsort((lo, u))
+        u_s, lo_s, hi_s = u[order], lo[order], hi[order]
+        new_user = np.r_[True, u_s[1:] != u_s[:-1]]
+        g_ord = np.cumsum(new_user) - 1
+        enc = hi_s + g_ord * np.int64(1 << 32)
+        runmax = np.maximum.accumulate(enc) - g_ord * np.int64(1 << 32)
+        prev = np.r_[np.int64(0), runmax[:-1]]
+        prev[new_user] = 0                  # fresh sweep per user
+        eff_lo = np.maximum(lo_s, prev)
+        keep = eff_lo < hi_s
+        diff = np.zeros(nd + 1, np.int64)
+        np.add.at(diff, eff_lo[keep], 1)
+        np.add.at(diff, hi_s[keep], -1)
+        cov = np.cumsum(diff)[:nd]
+        nz = np.nonzero(cov)[0]
+        return pa.table({"day": pa.array(D[nz], pa.int64()),
+                         "n_p": pa.array(cov[nz], pa.int64())})
+
+    parts = pairs.groupby("__b").map_groups(bucket_cover,
+                                            batch_format="pandas")
+    out = _driver_combine(parts, ["day"],
+                          [("n_p", "sum", "n_users")]).to_pandas()
+    out["day"] = out["day"].to_numpy(np.int64) \
+        .astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)
