@@ -2969,6 +2969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_prefix_match": _q_phrase_prefix,
         "kmv_user_overlap": _q_kmv_overlap,
         "rolling_active_users": rel.rolling_active_users,
+        "q16_parts_supplier_relationship":
+            rel.q16_parts_supplier_relationship,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3126,6 +3128,14 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_terms": _cms_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
         "kmv_user_overlap": _kmv_sql(),
+        "q16_parts_supplier_relationship": f"""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> '{rel.Q16_EXCLUDED_BRAND}'
+  AND p_size IN {tuple(rel.Q16_SIZES)}
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
         "rolling_active_users": f"""
 WITH ud AS (SELECT DISTINCT user_id,
                    date_trunc('day', ts)::TIMESTAMP AS day

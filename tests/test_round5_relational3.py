@@ -327,3 +327,22 @@ def test_rolling_window_one_is_plain_dau(events_dir):
     ev = pd.read_parquet(f"{events_dir}/events.parquet")
     got_all = rolling_active_users(events_dir, window_days=60)
     assert got_all["n_users"].iloc[-1] == ev["user_id"].nunique()
+
+
+def test_q16_vs_duckdb(sf_dir):
+    from vframe_ray.pipelines.relational import (
+        q16_parts_supplier_relationship)
+    got = q16_parts_supplier_relationship(sf_dir)
+    want = _duck(sf_dir, """
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (10, 20, 30, 40)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    assert len(want) >= 3
+    # duplicate (supplier, part) lines collapse to one relationship
+    assert (want["supplier_cnt"] <= 8).all()
+    pd.testing.assert_frame_equal(got, want)
+    # the excluded brand never appears
+    assert "Brand#3" not in set(got["p_brand"])

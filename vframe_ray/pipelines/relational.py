@@ -3543,3 +3543,92 @@ def rolling_active_users(sf_dir: str,
     out["day"] = out["day"].to_numpy(np.int64) \
         .astype("datetime64[us]")
     return out.sort_values("day").reset_index(drop=True)
+
+
+Q16_EXCLUDED_BRAND = "Brand#3"
+Q16_SIZES = (10, 20, 30, 40)
+
+
+def q16_parts_supplier_relationship(sf_dir: str,
+                                    excluded_brand: str =
+                                    Q16_EXCLUDED_BRAND,
+                                    sizes: tuple = Q16_SIZES):
+    """TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    suppliers ship parts of each (brand, type, size) triple, for a
+    size whitelist and one excluded brand — re-expressed on lineitem
+    (this corpus has no partsupp; supplier↔part links come from
+    shipped lines).  Plan: the filtered part catalog broadcasts as a
+    sorted (partkey → attr ordinal) lookup; lineitem prunes + maps to
+    (attr ordinal, suppkey) at the scan; ONE hash(suppkey)-bucketed
+    exchange dedups (a supplier's rows co-locate, so the per-bucket
+    distinct (triple, suppkey) is globally exact) and each bucket
+    emits ≤ |triples| count partials — supplier_cnt sums across
+    buckets without double-counting because a suppkey lives in ONE
+    bucket.  Driver combine over a catalog-bounded triple set.
+
+    Returns pandas (p_brand, p_type, p_size, supplier_cnt) sorted by
+    (supplier_cnt desc, brand, type, size)."""
+    import pyarrow.parquet as pq
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filters=[("p_brand", "!=", excluded_brand),
+                 ("p_size", "in", list(sizes))])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order]
+    attrs = pd.DataFrame({
+        "p_brand": part["p_brand"].to_numpy(zero_copy_only=False)[order],
+        "p_type": part["p_type"].to_numpy(zero_copy_only=False)[order],
+        "p_size": part["p_size"].to_numpy(zero_copy_only=False)[order]
+        .astype(np.int64)})
+    triples = attrs.drop_duplicates().reset_index(drop=True)
+    trip_key = {t: i for i, t in enumerate(
+        zip(triples["p_brand"], triples["p_type"], triples["p_size"]))}
+    ordinal = np.array([trip_key[t] for t in zip(
+        attrs["p_brand"], attrs["p_type"], attrs["p_size"])], np.int64)
+    lookup_ref = ray.put((pk, ordinal))
+
+    def prune(t: pa.Table) -> pa.Table:
+        pk_, ord_ = ray.get(lookup_ref)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(pk_):
+            keep = np.zeros(len(keys), bool)
+            pos = keep.astype(np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(pk_, keys), len(pk_) - 1)
+            keep = pk_[pos] == keys
+        sup = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        pairs = np.unique(np.stack([sup, ord_[pos[keep]]], axis=1),
+                          axis=0)
+        out = pa.table({"s": pa.array(pairs[:, 0]),
+                        "o": pa.array(pairs[:, 1])})
+        return out.add_column(0, "__b", pa.array(
+            int_bucket_of(pairs[:, 0], nb)))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_count(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["s", "o"])
+        out = d.groupby("o", as_index=False, sort=False) \
+            .agg(n_p=("s", "size"))
+        return arrow_group(pd.DataFrame({
+            "o": out["o"].to_numpy(np.int64),
+            "n_p": out["n_p"].to_numpy(np.int64)}))
+
+    parts = li.groupby("__b").map_groups(bucket_count,
+                                         batch_format="pandas")
+    agg = _driver_combine(parts, ["o"],
+                          [("n_p", "sum", "supplier_cnt")]).to_pandas()
+    out = triples.iloc[agg["o"].to_numpy(np.int64)].reset_index(
+        drop=True)
+    out["supplier_cnt"] = agg["supplier_cnt"].to_numpy(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
