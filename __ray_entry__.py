@@ -340,6 +340,36 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def _q_facet_stats(sf_dir: str):
+    """Faceted stats: per-query lang-facet count + mean doc length over
+    the full match set, integer per-segment partials."""
+    from vframe_ray.pipelines.flagship import search_facet_stats
+    return search_facet_stats(sf_dir)
+
+
+def _facet_stats_sql() -> str:
+    """Faceted-stats oracle: the facet_counts hit CTE joined to token
+    doc lengths; avg = integer sum / count in one division (the
+    engine's exact order)."""
+    tok = Tokenizer()
+    qterms = []
+    for q in DOC_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ hit AS (SELECT DISTINCT q.query_id, tok._id
+         FROM q JOIN tok ON tok.term = q.term)
+SELECT h.query_id::INT AS query_id, d.lang AS facet,
+       count(*)::BIGINT AS n,
+       sum(dl.dl)::DOUBLE / count(*) AS avg_dl
+FROM hit h JOIN documents d ON d.doc_id = h._id
+           JOIN dl ON dl._id = h._id
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
 def _mlt_sql() -> str:
     """More-like-this oracle: per-seed term selection (tf-in-seed ×
     corpus idf, row_number ≤ MLT_MAX_TERMS with term-asc tie-break)
@@ -2971,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": rel.rolling_active_users,
         "q16_parts_supplier_relationship":
             rel.q16_parts_supplier_relationship,
+        "facet_lang_stats": _q_facet_stats,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3128,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_terms": _cms_sql(),
         "phrase_prefix_match": _phrase_prefix_sql(),
         "kmv_user_overlap": _kmv_sql(),
+        "facet_lang_stats": _facet_stats_sql(),
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,
        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

@@ -66,3 +66,35 @@ def test_facet_ranges_and_service_parity(ray_session, tmp_path):
             got.to_pylist()
     finally:
         svc.shutdown()
+
+
+def test_facet_stats_and_service_parity(ray_session, tmp_path):
+    """count + mean doc length per facet over the full match set; the
+    served path returns the identical table."""
+    from vframe_ray.index.query import QueryService, facet_stats_index
+    rows = [
+        {"conv_id": "c0", "turn_idx": 0, "text": "apple banana",
+         "lang": "en"},                                   # dl 2
+        {"conv_id": "c1", "turn_idx": 0, "text": "apple cherry kiwi",
+         "lang": "de"},                                   # dl 3
+        {"conv_id": "c2", "turn_idx": 0, "text": "banana", "lang": "en"},
+        {"conv_id": "c3", "turn_idx": 0, "text": "apple a b c d e",
+         "lang": "en"},                                   # dl 6
+    ]
+    idx = str(tmp_path / "fstats_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    qs = [{"query_id": 0, "query_text": "apple"},
+          {"query_id": 1, "query_text": "banana"},
+          {"query_id": 2, "query_text": "zzz"}]
+    got = facet_stats_index(idx, qs, "lang")
+    rowso = {(r["query_id"], r["facet"]): (r["n"], r["avg_dl"])
+             for r in got.to_pylist()}
+    # apple: en -> c0(2) + c3(6) = n2 avg4; de -> c1(3)
+    assert rowso == {(0, "en"): (2, 4.0), (0, "de"): (1, 3.0),
+                     (1, "en"): (2, (2 + 1) / 2)}
+    svc = QueryService(idx)
+    try:
+        assert svc.facet_stats(qs, "lang").to_pylist() == got.to_pylist()
+    finally:
+        svc.shutdown()

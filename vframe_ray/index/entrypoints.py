@@ -1073,6 +1073,58 @@ def search_like_index(index_dir: str, queries: list[dict],
                         collapse=collapse)
 
 
+def facet_stats_index(index_dir: str, queries: list[dict],
+                      facet_col: str,
+                      cfg: EngineConfig | None = None, *,
+                      predicates: list[str] | None = None) -> pa.Table:
+    """Faceted stats: per query and facet value, the match-set doc
+    count AND mean document length (the ES terms-aggregation with an
+    avg sub-metric).  Per-segment partials are INTEGER (n, Σdl) and
+    ≤ queries × facet-cardinality rows each — summed in one tiny
+    driver groupby; the mean is ONE float division, mirrored in the
+    SQL oracle.
+
+    queries: [{"query_id", "query_text"}] →
+    table (query_id, facet, n, avg_dl) sorted by (query_id, facet)."""
+    from .build import load_index_meta
+    cfg_dict, _stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))))
+              for q in queries]
+    parsed_ref = ray.put(parsed)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), 1, 1.0,
+                                {}, block_size=block_size)
+            tables.append(s.facet_stats(qs, facet_col,
+                                        predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    parts = seg_ds.map_batches(_task, batch_format="pyarrow",
+                               batch_size=seg_batch).to_pandas()
+    schema = pa.schema([("query_id", pa.int32()), ("facet", pa.string()),
+                        ("n", pa.int64()), ("avg_dl", pa.float64())])
+    if parts.empty:
+        return pa.table({f.name: [] for f in schema}, schema=schema)
+    out = parts.groupby(["query_id", "facet"], as_index=False) \
+        .agg(n=("n", "sum"), dl_sum=("dl_sum", "sum"))
+    out["avg_dl"] = out["dl_sum"].to_numpy(np.int64) \
+        / out["n"].to_numpy(np.int64)
+    out = out[["query_id", "facet", "n", "avg_dl"]] \
+        .sort_values(["query_id", "facet"])
+    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+
 def phrase_prefix_search_index(index_dir: str, queries: list[dict],
                                cfg: EngineConfig | None = None, *,
                                max_expansions: int = 50) -> pa.Table:

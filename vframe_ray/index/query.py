@@ -27,7 +27,8 @@ from .service import QueryService, _ShardSearcher
 from .entrypoints import (expand_prefix_terms, explain_index,
                           export_matches, facet_counts_index,
                           function_score_index,
-                          facet_ranges_index, match_counts_index,
+                          facet_ranges_index, facet_stats_index,
+                          match_counts_index,
                           more_like_this_index, parse_boosted_query,
                           phrase_prefix_search_index,
                           phrase_rank_index, phrase_search_index,

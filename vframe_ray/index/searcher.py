@@ -1156,6 +1156,49 @@ class SegmentSearcher:
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
+    def facet_stats(self, queries: list[tuple[int, list[str]]],
+                    facet_col: str,
+                    predicates: list[str] | None = None) -> pa.Table:
+        """Per-query facet STATS over the full match set: doc count AND
+        doc-length sum per facet value (the ES terms-aggregation with a
+        sub-metric).  Partials stay INTEGER (n, Σdl), so per-segment
+        rows sum exactly; the average is one driver-side division."""
+        all_terms = sorted(set().union(*[set(t) for _, t in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        pred_mask = self._base_mask(predicates)
+        attr = self.r.docs[facet_col]
+        dl = np.asarray(self.r.doclen)
+        tables = []
+        for qid, terms in queries:
+            present = [t for t in terms if t in postings]
+            if not present:
+                continue
+            docs = np.unique(np.concatenate(
+                [self._decode_cached(t, postings[t])[0] for t in present]))
+            if pred_mask is not None:
+                docs = docs[pred_mask[docs]]
+            if docs.size == 0:
+                continue
+            df = pd.DataFrame({
+                "facet": attr.take(pa.array(docs)).to_numpy(
+                    zero_copy_only=False),
+                "dl": dl[docs].astype(np.int64)})
+            g = df.groupby("facet", sort=False, as_index=False) \
+                .agg(n=("dl", "size"), dl_sum=("dl", "sum"))
+            tables.append(pa.table({
+                "query_id": pa.array([qid] * len(g), pa.int32()),
+                "facet": pa.array(g["facet"].astype(str)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "dl_sum": pa.array(g["dl_sum"].to_numpy(np.int64)),
+            }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dl_sum": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
     def match_counts(self, queries: list[tuple[int, list[str]]],
                      predicates: list[str] | None = None) -> pa.Table:
         """(query_id, n): matching docs (≥1 query term present, optional

@@ -136,6 +136,18 @@ class _ShardSearcher:
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
+    def facet_stats(self, parsed: list[tuple[int, list[str]]],
+                    facet_col: str,
+                    predicates: list[str] | None = None):
+        tables = [s.facet_stats(parsed, facet_col, predicates=predicates)
+                  for s in self.searchers]
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "facet": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dl_sum": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
+
     def facet_range_counts(self, parsed: list[tuple[int, list[str]]],
                            bin_width: int,
                            predicates: list[str] | None = None):
@@ -483,6 +495,33 @@ class QueryService:
             return pa.table({f.name: [] for f in schema}, schema=schema)
         out = parts.groupby(["query_id", "facet"], as_index=False)["n"] \
             .sum().sort_values(["query_id", "facet"])
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    def facet_stats(self, queries: list[dict], facet_col: str,
+                    predicates: list[str] | None = None) -> pa.Table:
+        """Served faceted stats (count + mean doc length per facet over
+        the full match set) — integer per-shard partials summed on the
+        driver, ONE division; same contract as
+        :func:`facet_stats_index`."""
+        if predicates:
+            self._validate_predicates(predicates)
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))))
+                  for q in queries]
+        futs = [a.facet_stats.remote(parsed, facet_col, predicates)
+                for a in self.actors]
+        parts = pa.concat_tables(ray.get(futs)).to_pandas()
+        schema = pa.schema([("query_id", pa.int32()),
+                            ("facet", pa.string()), ("n", pa.int64()),
+                            ("avg_dl", pa.float64())])
+        if parts.empty:
+            return pa.table({f.name: [] for f in schema}, schema=schema)
+        out = parts.groupby(["query_id", "facet"], as_index=False) \
+            .agg(n=("n", "sum"), dl_sum=("dl_sum", "sum"))
+        out["avg_dl"] = out["dl_sum"].to_numpy("int64") \
+            / out["n"].to_numpy("int64")
+        out = out[["query_id", "facet", "n", "avg_dl"]] \
+            .sort_values(["query_id", "facet"])
         return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
     def more_like_this(self, seeds: list[dict], *,

@@ -772,6 +772,17 @@ def search_facets(sf_dir: str) -> pa.Table:
     return facet_counts_index(index_dir, DOC_QUERIES, "lang")
 
 
+def search_facet_stats(sf_dir: str) -> pa.Table:
+    """Faceted STATS over the conversation-shaped index: per DOC_QUERY
+    and ``lang`` facet, matching-turn count AND mean doc length over
+    the FULL match set — the ES terms-aggregation with an avg
+    sub-metric (index/query.facet_stats_index).  Result (query_id,
+    facet, n, avg_dl)."""
+    from ..index.query import facet_stats_index
+    index_dir = conversations_index(sf_dir)
+    return facet_stats_index(index_dir, DOC_QUERIES, "lang")
+
+
 # fixed more-like-this seed docs (doc_ids present at every sf)
 MLT_SEED_IDS = [0, 101, 202]
 MLT_MAX_TERMS = 6
