@@ -2605,6 +2605,40 @@ SELECT
 FROM sa, sb"""
 
 
+def _q_bmp_features(sf_dir: str):
+    """REAL image decode end-to-end: each doc_id becomes an 8×8
+    24-bit BMP gradient (r=row, g=col, b=doc_id%240+row+col — no
+    byte wraps, so channel means have closed forms), encoded and
+    decoded with the pure-numpy BMP codec through the actor-pool
+    feature stage.  The oracle recomputes width/height/means from
+    doc_id alone — the decode path must parse the real format
+    correctly for the hashes to match."""
+    from vframe_ray.stages.multimodal import bmp_encode, bmp_image_features
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+
+    r = np.arange(8, dtype=np.uint8)
+    base = (r[:, None, None] * np.array([1, 0, 1], np.uint8)
+            + r[None, :, None] * np.array([0, 1, 1], np.uint8))
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [bmp_encode((base + np.array(
+            [0, 0, int(d) % 240], np.uint8)).astype(np.uint8))
+            for d in ids]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = bmp_image_features(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out[["doc_id", "width", "height",
+               "mean_r", "mean_g", "mean_b"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -3002,6 +3036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_parts_supplier_relationship":
             rel.q16_parts_supplier_relationship,
         "facet_lang_stats": _q_facet_stats,
+        "bmp_image_features": _q_bmp_features,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3160,6 +3195,14 @@ def oracle_sql() -> dict[str, str]:
         "phrase_prefix_match": _phrase_prefix_sql(),
         "kmv_user_overlap": _kmv_sql(),
         "facet_lang_stats": _facet_stats_sql(),
+        # closed forms of the synthesized gradient: r=row, g=col,
+        # b=doc_id%240+row+col over an 8x8 grid (no byte wrap);
+        # integer pixel sums / 64 are exact in float64
+        "bmp_image_features": """
+SELECT doc_id, 8::INT AS width, 8::INT AS height,
+       3.5 AS mean_r, 3.5 AS mean_g,
+       (doc_id % 240 + 7)::DOUBLE AS mean_b
+FROM documents ORDER BY doc_id""",
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,
        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

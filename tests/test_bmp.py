@@ -1,0 +1,80 @@
+"""Pure-numpy BMP codec: exact encode→decode roundtrip at hostile
+widths (row padding), bottom-up vs top-down row order, corrupt-payload
+rejection, and the actor-pool feature stage with poison rows."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vframe_ray.stages.multimodal import (BmpDecoder, bmp_encode,
+                                          bmp_image_features)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 3), (6, 2), (7, 7),
+                                 (8, 8), (13, 4), (64, 1)])
+def test_roundtrip_exact(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = BmpDecoder().decode(bmp_encode(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_row_order_and_channels():
+    """An asymmetric image proves rows aren't upside down and channels
+    aren't swapped after the BGR/bottom-up round trip."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]      # top-left red
+    img[1, 1] = [0, 0, 255]      # bottom-right blue
+    out = BmpDecoder().decode(bmp_encode(img))
+    assert list(out[0, 0]) == [255, 0, 0]
+    assert list(out[1, 1]) == [0, 0, 255]
+
+
+def test_top_down_bmp():
+    """Negative height = top-down row order (valid BMP variant)."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = bytearray(bmp_encode(img))
+    # flip height to negative and reorder rows to top-down
+    h = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    stride = (3 * 3 + 3) // 4 * 4
+    rows = [bytes(payload[offset + i * stride:
+                          offset + (i + 1) * stride])
+            for i in range(h)]
+    payload[offset:] = b"".join(reversed(rows))
+    out = BmpDecoder().decode(bytes(payload))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_corrupt_payloads_rejected():
+    d = BmpDecoder()
+    good = bmp_encode(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="empty"):
+        d.decode(b"")
+    with pytest.raises(ValueError, match="not a BMP"):
+        d.decode(b"PNG" + good[3:])
+    with pytest.raises(ValueError, match="truncated"):
+        d.decode(good[:-5])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 32)
+    with pytest.raises(ValueError, match="bpp=32"):
+        d.decode(bytes(bad_bpp))
+
+
+def test_feature_stage_poison_rows(ray_session):
+    import ray.data
+    imgs = [bmp_encode(np.full((2, 2, 3), v, np.uint8))
+            for v in (10, 200)]
+    t = pa.table({
+        "media_id": pa.array(["a", "b", "bad"], pa.string()),
+        "payload": pa.array(imgs + [b"JUNK"], pa.binary())})
+    out = bmp_image_features(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("media_id")
+    assert out.loc["a", "mean_r"] == 10.0
+    assert out.loc["b", "mean_b"] == 200.0
+    assert out.loc["a", "width"] == 2 and out.loc["a", "height"] == 2
+    assert out.loc["bad", "error"] is not None
+    assert np.isnan(out.loc["bad", "mean_r"])
