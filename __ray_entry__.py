@@ -2639,6 +2639,34 @@ def _q_bmp_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_wav_features(sf_dir: str):
+    """REAL audio decode end-to-end: each doc_id becomes a 64-sample
+    PCM16 WAV ramp (sample_k = doc_id%30000 + k — no int16 wraps),
+    encoded and decoded with the pure-struct WAV codec through the
+    actor-pool feature stage; the oracle recomputes every statistic
+    from doc_id alone."""
+    from vframe_ray.stages.multimodal import wav_audio_features, wav_encode
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    ramp = np.arange(64, dtype=np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [wav_encode((int(d) % 30000 + ramp).astype(np.int16))
+                    for d in ids]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = wav_audio_features(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out[["doc_id", "n_samples", "sample_rate", "channels",
+               "peak", "mean_val"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -3037,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rel.q16_parts_supplier_relationship,
         "facet_lang_stats": _q_facet_stats,
         "bmp_image_features": _q_bmp_features,
+        "wav_audio_features": _q_wav_features,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3202,6 +3231,13 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, 8::INT AS width, 8::INT AS height,
        3.5 AS mean_r, 3.5 AS mean_g,
        (doc_id % 240 + 7)::DOUBLE AS mean_b
+FROM documents ORDER BY doc_id""",
+        # sample_k = doc_id%30000 + k, k<64: peak = base+63,
+        # mean = base + 31.5 (sum/64 exact — power-of-two divisor)
+        "wav_audio_features": """
+SELECT doc_id, 64::BIGINT AS n_samples, 8000::INT AS sample_rate,
+       1::INT AS channels, (doc_id % 30000 + 63)::BIGINT AS peak,
+       (doc_id % 30000 + 31.5)::DOUBLE AS mean_val
 FROM documents ORDER BY doc_id""",
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,

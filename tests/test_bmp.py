@@ -78,3 +78,64 @@ def test_feature_stage_poison_rows(ray_session):
     assert out.loc["a", "width"] == 2 and out.loc["a", "height"] == 2
     assert out.loc["bad", "error"] is not None
     assert np.isnan(out.loc["bad", "mean_r"])
+
+
+# ---- WAV (PCM16) codec ----
+
+from vframe_ray.stages.multimodal import (WavDecoder,  # noqa: E402
+                                          wav_audio_features, wav_encode)
+
+
+@pytest.mark.parametrize("shape", [(16,), (33,), (16, 2), (7, 3)])
+def test_wav_roundtrip_exact(shape):
+    rng = np.random.default_rng(sum(shape))
+    s = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    out, sr = WavDecoder().decode(wav_encode(s, 44100))
+    assert sr == 44100
+    np.testing.assert_array_equal(out, s.reshape(out.shape))
+
+
+def test_wav_extra_chunk_between_fmt_and_data():
+    """LIST/INFO chunks between fmt and data are legal — the chunk
+    walk must skip them (incl. the odd-size word-alignment pad)."""
+    s = np.arange(8, dtype=np.int16)
+    payload = wav_encode(s)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # pad
+    doctored = payload[:fmt_end] + extra + payload[fmt_end:]
+    # fix the RIFF size
+    doctored = (doctored[:4]
+                + struct.pack("<I", len(doctored) - 8) + doctored[8:])
+    out, sr = WavDecoder().decode(doctored)
+    np.testing.assert_array_equal(out[:, 0], s)
+
+
+def test_wav_corrupt_rejected():
+    d = WavDecoder()
+    good = wav_encode(np.zeros(4, np.int16))
+    with pytest.raises(ValueError, match="empty"):
+        d.decode(b"")
+    with pytest.raises(ValueError, match="not a WAV"):
+        d.decode(b"RIFX" + good[4:])
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, 12 + 8 + 14, 8)
+    with pytest.raises(ValueError, match="bits=8"):
+        d.decode(bytes(bad_bits))
+    with pytest.raises(ValueError, match="truncated"):
+        d.decode(good[:-3])
+
+
+def test_wav_feature_stage(ray_session):
+    import ray.data
+    t = pa.table({
+        "media_id": pa.array(["a", "bad"], pa.string()),
+        "payload": pa.array(
+            [wav_encode(np.array([-100, 50, 150, -200], np.int16),
+                        16000), b"nope"], pa.binary())})
+    out = wav_audio_features(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("media_id")
+    assert out.loc["a", "n_samples"] == 4
+    assert out.loc["a", "sample_rate"] == 16000
+    assert out.loc["a", "peak"] == 200
+    assert out.loc["a", "mean_val"] == (-100 + 50 + 150 - 200) / 4
+    assert out.loc["bad", "error"] is not None

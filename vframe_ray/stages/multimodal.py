@@ -109,6 +109,115 @@ class BmpDecoder:
         return img[:, :, ::-1].copy()          # BGR -> RGB
 
 
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, ch)) as a REAL RIFF
+    WAVE file — pure struct/numpy.  Round-trips exactly through
+    :class:`WavDecoder`."""
+    import struct
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate,
+                      sample_rate * block, block, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF",
+                      4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+class WavDecoder:
+    """REAL audio decode, no external libraries: RIFF/WAVE PCM16
+    (the reference's media-attrs pulls audio headers via mediainfo,
+    video_utils.py:207-287; WAV is the struct-parseable format, so the
+    audio seam stops being a fake here — ffmpeg would extend the same
+    class to compressed codecs).  Walks the chunk list properly (extra
+    chunks between fmt and data are legal), validates PCM/16-bit, and
+    raises on anything malformed.
+
+    Returns (samples int16 (n, ch), sample_rate)."""
+
+    def decode(self, payload: bytes):
+        import struct
+        if not payload:
+            raise ValueError("empty payload (corrupt media)")
+        if len(payload) < 12 or payload[:4] != b"RIFF" \
+                or payload[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                raise ValueError("truncated WAV chunk")
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)       # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format, ch, sr, _br, _ba, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(f"unsupported WAV (format={audio_format}, "
+                             f"bits={bits}) — only PCM16 is implemented")
+        if ch < 1:
+            raise ValueError("degenerate channel count")
+        usable = len(data) - (len(data) % (2 * ch))
+        s = np.frombuffer(data, "<i2", count=usable // 2) \
+            .reshape(-1, ch).copy()
+        return s, sr
+
+
+class WavFeatureStage:
+    """Actor-pool stage over REAL WAV payloads: decode with
+    :class:`WavDecoder` (once per actor), emit header facts and exact
+    integer-sum statistics (peak = max |sample|, mean_val = Σ/n — one
+    float division).  Corrupt payloads become poison rows."""
+
+    def __init__(self):
+        self.decoder = WavDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, srs, chs, pk, mv, errs = [], [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            ids.append(mid)
+            try:
+                s, sr = self.decoder.decode(payload)
+                ns.append(s.shape[0])
+                srs.append(sr)
+                chs.append(s.shape[1])
+                pk.append(int(np.abs(s.astype(np.int64)).max()))
+                mv.append(int(s.sum(dtype=np.int64)) / s.size)
+                errs.append(None)
+            except Exception as e:
+                ns.append(0)
+                srs.append(0)
+                chs.append(0)
+                pk.append(0)
+                mv.append(np.nan)
+                errs.append(str(e))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "channels": pa.array(chs, pa.int32()),
+            "peak": pa.array(pk, pa.int64()),
+            "mean_val": pa.array(mv, pa.float64()),
+            "error": pa.array(errs, pa.string()),
+        })
+
+
+def wav_audio_features(ds, *, concurrency=None, batch_size: int = 128):
+    """Real-decode audio features over (media_id, payload) WAV rows."""
+    from ..runtime import actor_pool
+    return ds.map_batches(WavFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency or actor_pool())
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode → feature-extract each image payload.
 
