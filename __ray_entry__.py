@@ -2667,6 +2667,43 @@ def _q_wav_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_avi_frames(sf_dir: str):
+    """REAL video decode + frame iteration + decimation end-to-end:
+    each doc_id becomes a 3-frame 8×8 uncompressed AVI (frame f blue
+    channel = doc_id%200 + 10f + row + col — no byte wraps), decoded
+    by the pure-struct RIFF walker into per-frame rows, then
+    skip-interval decimation keeps frames 0 and 2; the oracle
+    recomputes everything from doc_id alone."""
+    from vframe_ray.stages.multimodal import (avi_encode, frame_sample,
+                                              video_frame_features)
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    r = np.arange(8, dtype=np.int64)
+    base = r[:, None, None] * np.array([1, 0, 1], np.int64) \
+        + r[None, :, None] * np.array([0, 1, 1], np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            frames = [(base + np.array([0, 0, int(d) % 200 + 10 * f],
+                                       np.int64)).astype(np.uint8)
+                      for f in range(3)]
+            payloads.append(avi_encode(frames, fps=10))
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    frames = video_frame_features(
+        ds.map_batches(synth, batch_format="pyarrow"))
+    out = frame_sample(frames, every_n=2).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out[["doc_id", "frame_idx", "n_frames", "fps",
+               "width", "height", "mean_b"]]
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -3066,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang_stats": _q_facet_stats,
         "bmp_image_features": _q_bmp_features,
         "wav_audio_features": _q_wav_features,
+        "avi_frame_features": _q_avi_frames,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3239,6 +3277,14 @@ SELECT doc_id, 64::BIGINT AS n_samples, 8000::INT AS sample_rate,
        1::INT AS channels, (doc_id % 30000 + 63)::BIGINT AS peak,
        (doc_id % 30000 + 31.5)::DOUBLE AS mean_val
 FROM documents ORDER BY doc_id""",
+        # 3 frames per doc, decimation keeps 0 and 2; frame f blue
+        # mean = doc_id%200 + 10f + 7 (8x8 grid, sum/64 exact)
+        "avi_frame_features": """
+SELECT doc_id, f.frame_idx::INT AS frame_idx, 3::INT AS n_frames,
+       10.0 AS fps, 8::INT AS width, 8::INT AS height,
+       (doc_id % 200 + 10 * f.frame_idx + 7)::DOUBLE AS mean_b
+FROM documents, (VALUES (0), (2)) AS f(frame_idx)
+ORDER BY doc_id, frame_idx""",
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,
        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

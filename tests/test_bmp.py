@@ -139,3 +139,61 @@ def test_wav_feature_stage(ray_session):
     assert out.loc["a", "peak"] == 200
     assert out.loc["a", "mean_val"] == (-100 + 50 + 150 - 200) / 4
     assert out.loc["bad", "error"] is not None
+
+
+# ---- AVI (uncompressed DIB) codec ----
+
+from vframe_ray.stages.multimodal import (AviDecoder,  # noqa: E402
+                                          avi_encode, frame_sample,
+                                          video_frame_features)
+
+
+@pytest.mark.parametrize("w,h,n", [(5, 3, 1), (8, 8, 4), (7, 2, 3)])
+def test_avi_roundtrip_exact(w, h, n):
+    rng = np.random.default_rng(w + h + n)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+              for _ in range(n)]
+    out, fps = AviDecoder().decode(avi_encode(frames, fps=24))
+    assert fps == 24.0 and len(out) == n
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_corrupt_rejected():
+    d = AviDecoder()
+    good = avi_encode([np.zeros((4, 4, 3), np.uint8)])
+    with pytest.raises(ValueError, match="not an AVI"):
+        d.decode(b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        d.decode(good[:-7])
+    bad = bytearray(good)
+    # flip the strf compression dword to BI_RLE8 (=1)
+    idx = good.index(b"strf") + 8 + 16
+    struct.pack_into("<I", bad, idx, 1)
+    with pytest.raises(ValueError, match="compression=1"):
+        d.decode(bytes(bad))
+
+
+def test_video_frame_fanout_and_decimation(ray_session):
+    import ray.data
+    f0 = np.full((2, 2, 3), 10, np.uint8)
+    f1 = np.full((2, 2, 3), 20, np.uint8)
+    f2 = np.full((2, 2, 3), 30, np.uint8)
+    t = pa.table({
+        "media_id": pa.array(["v", "bad"], pa.string()),
+        "payload": pa.array([avi_encode([f0, f1, f2], fps=5),
+                             b"garbage"], pa.binary())})
+    rows = video_frame_features(ray.data.from_arrow(t)).to_pandas()
+    v = rows[rows["media_id"] == "v"].sort_values("frame_idx")
+    assert list(v["frame_idx"]) == [0, 1, 2]
+    assert list(v["mean_b"]) == [10.0, 20.0, 30.0]
+    assert (v["fps"] == 5.0).all() and (v["n_frames"] == 3).all()
+    bad = rows[rows["media_id"] == "bad"]
+    assert list(bad["frame_idx"]) == [-1]
+    assert bad["error"].iloc[0] is not None
+    # skip-interval decimation drops the middle frame
+    kept = frame_sample(
+        video_frame_features(ray.data.from_arrow(t)), every_n=2) \
+        .to_pandas()
+    kv = kept[kept["media_id"] == "v"]
+    assert sorted(kv["frame_idx"]) == [0, 2]

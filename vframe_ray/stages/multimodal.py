@@ -218,6 +218,178 @@ def wav_audio_features(ds, *, concurrency=None, batch_size: int = 128):
                           concurrency=concurrency or actor_pool())
 
 
+def avi_encode(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as a REAL uncompressed AVI
+    (RIFF 'AVI ' → hdrl(avih, strl(strh 'vids'/'DIB ', strf
+    BITMAPINFOHEADER)) → movi('00db' raw bottom-up BGR frames)) —
+    pure struct/numpy.  Plays in standard players; round-trips
+    exactly through :class:`AviDecoder`."""
+    import struct
+    if not frames:
+        raise ValueError("avi_encode wants >= 1 frame")
+    h, w, c = frames[0].shape
+    if c != 3 or any(f.shape != (h, w, 3) or f.dtype != np.uint8
+                     for f in frames):
+        raise ValueError("avi_encode wants uniform (H, W, 3) uint8")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+
+    def dib(f):
+        bgr = f[::-1, :, ::-1]
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        return rows.tobytes()
+
+    frame_bytes = [dib(f) for f in frames]
+    movi_items = b"".join(
+        struct.pack("<4sI", b"00db", len(fb)) + fb for fb in frame_bytes)
+    movi = struct.pack("<4sI4s", b"LIST", 4 + len(movi_items), b"movi") \
+        + movi_items
+    strf = struct.pack("<4sI", b"strf", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    strh = struct.pack("<4sI", b"strh", 56) + struct.pack(
+        "<4s4sIHHIIIIIIiI4h", b"vids", b"DIB ",
+        0, 0, 0,                     # flags, priority, language
+        0, 1, fps,                   # initial_frames, scale, rate
+        0, len(frames), stride * h,  # start, length, suggested_buffer
+        -1, 0,                       # quality, sample_size
+        0, 0, w, h)                  # rcFrame
+    strl = struct.pack("<4sI4s", b"LIST",
+                       4 + len(strh) + len(strf), b"strl") + strh + strf
+    avih = struct.pack("<4sI", b"avih", 56) + struct.pack(
+        "<IIIIIIIIII4I", 1_000_000 // fps, 0, 0, 0x10, len(frames),
+        0, 1, stride * h, w, h, 0, 0, 0, 0)
+    hdrl = struct.pack("<4sI4s", b"LIST",
+                       4 + len(avih) + len(strl), b"hdrl") + avih + strl
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+class AviDecoder:
+    """REAL video decode, no external libraries: uncompressed-DIB AVI
+    (the reference iterates video frames via cv2's threaded reader,
+    video_utils.py:42-204; RIFF-AVI with BI_RGB frames is the
+    struct-parseable container, so frame iteration runs on a real
+    format here — ffmpeg would extend the same class to compressed
+    codecs).  Walks the RIFF tree, reads dimensions from strf and fps
+    from strh (rate/scale), yields bottom-up BGR '00db' frames as
+    (H, W, 3) RGB.
+
+    Returns (frames list, fps float)."""
+
+    def decode(self, payload: bytes):
+        import struct
+        if not payload:
+            raise ValueError("empty payload (corrupt media)")
+        if len(payload) < 12 or payload[:4] != b"RIFF" \
+                or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI payload")
+        w = h = None
+        rate = scale = None
+        frames: list[np.ndarray] = []
+
+        def walk(lo: int, hi: int):
+            nonlocal w, h, rate, scale
+            pos = lo
+            while pos + 8 <= hi:
+                cid, size = struct.unpack_from("<4sI", payload, pos)
+                body_lo = pos + 8
+                if body_lo + size > hi:
+                    raise ValueError("truncated AVI chunk")
+                if cid in (b"LIST", b"RIFF"):
+                    walk(body_lo + 4, body_lo + size)
+                elif cid == b"strh":
+                    fcc = payload[body_lo:body_lo + 4]
+                    if fcc == b"vids":
+                        scale, rate = struct.unpack_from(
+                            "<II", payload, body_lo + 20)
+                elif cid == b"strf":
+                    _sz, w_, h_ = struct.unpack_from(
+                        "<Iii", payload, body_lo)
+                    bpp, = struct.unpack_from("<H", payload, body_lo + 14)
+                    comp, = struct.unpack_from("<I", payload, body_lo + 16)
+                    if bpp != 24 or comp != 0:
+                        raise ValueError(
+                            f"unsupported AVI stream (bpp={bpp}, "
+                            f"compression={comp}) — only BI_RGB 24-bit")
+                    w, h = w_, abs(h_)
+                elif cid in (b"00db", b"00dc"):
+                    if w is None:
+                        raise ValueError("AVI frame before strf header")
+                    row_bytes = w * 3
+                    stride = row_bytes + ((-row_bytes) % 4)
+                    if size < stride * h:
+                        raise ValueError("truncated AVI frame")
+                    rows = np.frombuffer(payload, np.uint8,
+                                         count=stride * h,
+                                         offset=body_lo).reshape(h, stride)
+                    bgr = rows[:, :row_bytes].reshape(h, w, 3)
+                    frames.append(bgr[::-1, :, ::-1].copy())
+                pos = body_lo + size + (size & 1)
+
+        walk(12, len(payload))
+        if w is None or not frames:
+            raise ValueError("AVI missing stream header or frames")
+        fps = (rate / scale) if rate and scale else 0.0
+        return frames, fps
+
+
+class VideoFrameStage:
+    """Actor-pool FRAME-ITERATION stage over REAL AVI payloads: one
+    input row fans out to one output row per decoded frame (the
+    reference's file→frame loop, media.py:343-384), each with header
+    facts and the exact blue-channel mean.  Corrupt payloads become a
+    single poison row with frame_idx −1."""
+
+    def __init__(self):
+        self.decoder = AviDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nf, fpss, ws, hs, mb, errs = ([] for _ in range(8))
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            try:
+                frames, fps = self.decoder.decode(payload)
+                for i, f in enumerate(frames):
+                    ids.append(mid)
+                    fidx.append(i)
+                    nf.append(len(frames))
+                    fpss.append(fps)
+                    hs.append(f.shape[0])
+                    ws.append(f.shape[1])
+                    mb.append(int(f[:, :, 2].sum(dtype=np.int64))
+                              / (f.shape[0] * f.shape[1]))
+                    errs.append(None)
+            except Exception as e:
+                ids.append(mid)
+                fidx.append(-1)
+                nf.append(0)
+                fpss.append(0.0)
+                ws.append(0)
+                hs.append(0)
+                mb.append(np.nan)
+                errs.append(str(e))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "n_frames": pa.array(nf, pa.int32()),
+            "fps": pa.array(fpss, pa.float64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "mean_b": pa.array(mb, pa.float64()),
+            "error": pa.array(errs, pa.string()),
+        })
+
+
+def video_frame_features(ds, *, concurrency=None, batch_size: int = 16):
+    """Real-decode frame fan-out over (media_id, payload) AVI rows
+    (small batches: a video row is many frames wide)."""
+    from ..runtime import actor_pool
+    return ds.map_batches(VideoFrameStage, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency or actor_pool())
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode → feature-extract each image payload.
 
