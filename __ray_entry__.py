@@ -2704,6 +2704,37 @@ def _q_avi_frames(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_gif_frames(sf_dir: str):
+    """REAL compressed-format decode: each doc_id becomes a 3-frame
+    animated GIF (LZW-coded; gray index = doc_id%90 + 10f + row + col,
+    palette i → 2i), decoded by the pure-python LZW + block walker
+    into per-frame rows; the oracle recomputes everything from doc_id."""
+    from vframe_ray.stages.gif import gif_encode, gif_frame_features
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    r = np.arange(8, dtype=np.int64)
+    base = r[:, None] + r[None, :]
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            frames = [(base + int(d) % 90 + 10 * f).astype(np.uint8)
+                      for f in range(3)]
+            payloads.append(gif_encode(frames, delay_cs=5))
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = gif_frame_features(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out[["doc_id", "frame_idx", "n_frames", "delay_cs",
+               "width", "height", "mean_g"]]
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_cms_heavy_terms(sf_dir: str):
     """CountMin heavy-hitter terms (> 1/denom of all occurrences):
     fixed-size linear sketch partials, integer minima — approximate
@@ -3104,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_image_features": _q_bmp_features,
         "wav_audio_features": _q_wav_features,
         "avi_frame_features": _q_avi_frames,
+        "gif_frame_features": _q_gif_frames,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3284,6 +3316,14 @@ SELECT doc_id, f.frame_idx::INT AS frame_idx, 3::INT AS n_frames,
        10.0 AS fps, 8::INT AS width, 8::INT AS height,
        (doc_id % 200 + 10 * f.frame_idx + 7)::DOUBLE AS mean_b
 FROM documents, (VALUES (0), (2)) AS f(frame_idx)
+ORDER BY doc_id, frame_idx""",
+        # palette i -> gray 2i; index f-frame mean = doc_id%90+10f+7
+        # (8x8 grid, indices < 128 so no palette clamp; sum/64 exact)
+        "gif_frame_features": """
+SELECT doc_id, f.frame_idx::INT AS frame_idx, 3::INT AS n_frames,
+       5::INT AS delay_cs, 8::INT AS width, 8::INT AS height,
+       (2 * (doc_id % 90 + 10 * f.frame_idx + 7))::DOUBLE AS mean_g
+FROM documents, (VALUES (0), (1), (2)) AS f(frame_idx)
 ORDER BY doc_id, frame_idx""",
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,
