@@ -277,7 +277,15 @@ def run_bench() -> dict:
                  # prefix scan (the other new r5 ops are dimension- or
                  # 500-row-documents-sized)
                  ("q7_join", rel.q7_volume_shipping),
-                 ("pareto_scan", rel.revenue_pareto)]
+                 ("pareto_scan", rel.revenue_pareto),
+                 # end-of-round-5: the data-sized sketch (fixed-size
+                 # partials over 60k events) and the real-media decode
+                 # family (500 synthesized payloads per format through
+                 # the actor-pool codecs)
+                 ("hll_distinct", entry_queries["hll_distinct_users"]),
+                 ("media_decode", lambda d: (
+                     entry_queries["bmp_image_features"](d),
+                     entry_queries["gif_frame_features"](d)))]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
