@@ -2704,6 +2704,68 @@ def _q_avi_frames(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_png_features(sf_dir: str):
+    """REAL PNG decode end-to-end (stdlib zlib DEFLATE + per-row
+    filters): same gradient payloads as the BMP query, so the oracle
+    is the same closed form — but the bytes travel through a
+    compressed mainstream format."""
+    from vframe_ray.stages.png import png_encode, png_image_features
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    r = np.arange(8, dtype=np.uint8)
+    base = (r[:, None, None] * np.array([1, 0, 1], np.uint8)
+            + r[None, :, None] * np.array([0, 1, 1], np.uint8))
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [png_encode((base + np.array(
+            [0, 0, int(d) % 240], np.uint8)).astype(np.uint8))
+            for d in ids]
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = png_image_features(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out[["doc_id", "width", "height",
+               "mean_r", "mean_g", "mean_b"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_image_dup_pairs(sf_dir: str):
+    """The skip-phash near-dup made REAL: per doc a BMP whose pixels
+    depend only on doc_id % 97 (pixel_i = (k·(i+1)) % 251), decoded
+    through the actor-pool hasher; docs sharing k have identical
+    images.  The average hash only CO-LOCATES candidates — the full
+    pixel digest decides equality inside each bucket (several of the
+    97 patterns DO collide in the 64-bit threshold hash; the digest
+    rule keeps the pair set exactly = same-residue pairs, which the
+    oracle derives from doc_id arithmetic alone)."""
+    from vframe_ray.stages.multimodal import bmp_encode, image_dup_pairs
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    idx = np.arange(1, 193, dtype=np.int64)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [bmp_encode(((int(d) % 97 * idx) % 251)
+                               .astype(np.uint8).reshape(8, 8, 3))
+                    for d in ids]
+        # zero-padded ids: lexicographic pair order == numeric order
+        return pa.table({
+            "media_id": pa.array([f"{d:06d}" for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = image_dup_pairs(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_gif_frames(sf_dir: str):
     """REAL compressed-format decode: each doc_id becomes a 3-frame
     animated GIF (LZW-coded; gray index = doc_id%90 + 10f + row + col,
@@ -3136,6 +3198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_audio_features": _q_wav_features,
         "avi_frame_features": _q_avi_frames,
         "gif_frame_features": _q_gif_frames,
+        "png_image_features": _q_png_features,
+        "image_dup_pairs": _q_image_dup_pairs,
         "rrf_fusion": _q_rrf,
         "q8_market_share": rel.q8_market_share,
         "q13_customer_distribution": rel.q13_customer_distribution,
@@ -3325,6 +3389,19 @@ SELECT doc_id, f.frame_idx::INT AS frame_idx, 3::INT AS n_frames,
        (2 * (doc_id % 90 + 10 * f.frame_idx + 7))::DOUBLE AS mean_g
 FROM documents, (VALUES (0), (1), (2)) AS f(frame_idx)
 ORDER BY doc_id, frame_idx""",
+        # same gradient as bmp_image_features, through zlib+filters
+        "png_image_features": """
+SELECT doc_id, 8::INT AS width, 8::INT AS height,
+       3.5 AS mean_r, 3.5 AS mean_g,
+       (doc_id % 240 + 7)::DOUBLE AS mean_b
+FROM documents ORDER BY doc_id""",
+        # identical images iff doc_id % 97 matches (pixel pattern is a
+        # pure function of that residue)
+        "image_dup_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON a.doc_id % 97 = b.doc_id % 97 AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b""",
         "q16_parts_supplier_relationship": f"""
 SELECT p_brand, p_type, p_size::BIGINT AS p_size,
        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt

@@ -197,3 +197,41 @@ def test_video_frame_fanout_and_decimation(ray_session):
         .to_pandas()
     kv = kept[kept["media_id"] == "v"]
     assert sorted(kv["frame_idx"]) == [0, 2]
+
+
+# ---- image near-dup (ahash co-locate, pixel digest decide) ----
+
+from vframe_ray.stages.multimodal import (image_ahash,  # noqa: E402
+                                          image_dup_pairs)
+
+
+def test_ahash_block_average_and_laws():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    assert image_ahash(img) == image_ahash(img)
+    # upscaling each pixel to a 2x2 block leaves cell averages (and
+    # the hash) unchanged
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert image_ahash(up) == image_ahash(img)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        image_ahash(rng.integers(0, 256, (9, 8, 3), dtype=np.uint8))
+
+
+def test_image_dup_pairs_digest_decides(ray_session):
+    """Two identical images pair up; a third with a DIFFERENT pattern
+    forced into the same ahash bucket must not (digest rule); corrupt
+    rows drop out."""
+    import ray.data
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b = a.copy()
+    c = a.copy()
+    c[0, 0, 0] ^= 1          # near-identical: ahash almost surely
+    #                          equal, pixels differ -> NOT a pair
+    t = pa.table({
+        "media_id": pa.array(["a1", "a2", "c", "bad"], pa.string()),
+        "payload": pa.array([bmp_encode(a), bmp_encode(b),
+                             bmp_encode(c), b"x"], pa.binary())})
+    out = image_dup_pairs(ray.data.from_arrow(t)).to_pandas()
+    assert [tuple(r) for r in out[["id_a", "id_b"]].to_numpy()] \
+        == [("a1", "a2")]

@@ -591,3 +591,103 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "media_type": pa.array(["image"] * n, pa.string()),
         "meta": pa.array(metas, pa.string()),
     })
+
+
+def image_ahash(img: np.ndarray) -> int:
+    """64-bit average hash of an (H, W, 3) image (the perceptual-hash
+    family of the reference's skip-phash, im_utils.py:37-47 — aHash
+    instead of DCT-pHash, same near-dup contract).  The image block-
+    averages to an 8×8 grid (exact integer sums; H and W must be
+    multiples of 8) and bit (r, c) = cell_sum·64 > total_sum — an
+    INTEGER compare, so the hash is exactly reproducible anywhere."""
+    h, w, _ = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("image_ahash wants H, W multiples of 8")
+    g = img.sum(axis=2, dtype=np.int64)           # gray proxy: r+g+b
+    cells = g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = int(cells.sum())
+    bits = (cells.reshape(-1) * 64 > total)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageAhashStage:
+    """Actor-pool stage: REAL decode (BMP) → average hash + full pixel
+    digest per payload; corrupt payloads → poison rows (hash 0, error
+    set).  The ahash CO-LOCATES candidates; the md5 of the decoded RGB
+    bytes DECIDES equality (the dup_chunk_fraction rule: a 64-bit
+    threshold-hash collision can only co-locate two innocent groups,
+    never create a false duplicate) — and because the digest is over
+    PIXELS, the same image stored as BMP and PNG would still match."""
+
+    def __init__(self):
+        self.decoder = BmpDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids, hashes, digs, errs = [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            ids.append(mid)
+            try:
+                img = self.decoder.decode(payload)
+                hashes.append(image_ahash(img))
+                digs.append(hashlib.md5(
+                    img.shape[1].to_bytes(4, "big")
+                    + img.tobytes()).hexdigest())
+                errs.append(None)
+            except Exception as e:
+                hashes.append(0)
+                digs.append("")
+                errs.append(str(e))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "ahash": pa.array(np.array(hashes, np.uint64)),
+            "pix_digest": pa.array(digs, pa.string()),
+            "error": pa.array(errs, pa.string()),
+        })
+
+
+def image_dup_pairs(ds, *, concurrency=None, batch_size: int = 64):
+    """Exact-duplicate image pairs by average hash — the skip-phash
+    dedup made REAL: decode each payload (actor pool), hash, ONE
+    hash(ahash)-bucketed exchange co-locates equal hashes, each bucket
+    emits its groups' id pairs (pair count bounded by duplicate-group
+    size, never corpus size; a pathological single hash shared by
+    millions of images would need the star-fallback guard of
+    minhash_candidates — same trade, documented).
+
+    Returns Dataset (id_a, id_b) with id_a < id_b."""
+    from ..runtime import actor_pool, arrow_group, int_bucket_of, \
+        num_hash_buckets
+    import pandas as pd
+    nb = num_hash_buckets(None)
+
+    hashed = ds.map_batches(ImageAhashStage, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=concurrency or actor_pool())
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ok = pa.compute.is_null(t["error"])
+        t = t.filter(ok)
+        h = t["ahash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(int_bucket_of(h, nb)),
+            "media_id": t["media_id"],
+            "pix_digest": t["pix_digest"]})
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        # identical pixels => identical ahash => same bucket; the
+        # digest grouping inside the bucket is therefore globally exact
+        out_a, out_b = [], []
+        for _, grp in g.groupby("pix_digest", sort=False):
+            ids = sorted(grp["media_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return arrow_group(pd.DataFrame({"id_a": out_a, "id_b": out_b}))
+
+    return hashed.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("__b").map_groups(pairs, batch_format="pandas")
