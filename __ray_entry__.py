@@ -3189,6 +3189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
         "pack_sequences": _q_pack_sequences,
+        # --- NEW: graph analytics (integer-exact PageRank, triangles) ---
+        "pagerank_parts": rel.pagerank_parts,
+        "triangle_count_parts": rel.triangle_count_parts,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
         # --- dismax) ---
         "bm25_dismax": _q_bm25_dismax,
@@ -4197,6 +4200,31 @@ SELECT event_type,
            AS sum_k,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY event_type ORDER BY event_type""",
+        "pagerank_parts": """
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+      ON a.ok=b.ok AND a.pk<>b.pk),
+deg AS (SELECT u, count(*)::BIGINT d FROM e GROUP BY u),
+r0 AS (SELECT u, 1000000000::BIGINT r FROM deg),
+r1 AS (SELECT e.v u, 150000000::BIGINT
+       + sum((85::BIGINT*r0.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r0 ON r0.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v),
+r2 AS (SELECT e.v u, 150000000::BIGINT
+       + sum((85::BIGINT*r1.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r1 ON r1.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v),
+r3 AS (SELECT e.v u, 150000000::BIGINT
+       + sum((85::BIGINT*r2.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r2 ON r2.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v)
+SELECT u AS part_id, r::BIGINT AS rank_scaled FROM r3
+ORDER BY r DESC, u LIMIT 25""",
+        "triangle_count_parts": """
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+      ON a.ok=b.ok AND a.pk<b.pk)
+SELECT (SELECT count(*) FROM e ab
+        JOIN e ac ON ac.u=ab.u AND ac.v>ab.v
+        JOIN e bc ON bc.u=ab.v AND bc.v=ac.v)::BIGINT AS n_triangles,
+       (SELECT count(*) FROM e)::BIGINT AS n_edges""",
         "bm25_wildcard": _wildcard_sql(),
         "did_you_mean": _dym_sql(),
         "source_stats_join": """

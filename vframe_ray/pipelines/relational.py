@@ -3632,3 +3632,103 @@ def q16_parts_supplier_relationship(sf_dir: str,
     return out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
         ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the co-purchase graph (PageRank, triangles)
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges(sf_dir: str):
+    """Distinct co-purchase part pairs (id_a < id_b) as a Dataset — the
+    edge list both graph operators below consume.  Same two bounded
+    exchanges as :func:`copurchase_pairs`: per-order pair explode inside
+    hash(orderkey) buckets (per-ORDER quadratic, never per-corpus), then
+    a pair-hash bucketed global distinct so each edge survives once."""
+    from ..runtime import arrow_group, int_bucket_of, pair_bucket_of, \
+        num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def block_dedup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]) \
+            .aggregate([([], "count_all")]).drop_columns(["count_all"])
+        o = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(o.astype(np.int64), nb)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["l_orderkey", "l_partkey"])[
+            ["l_orderkey", "l_partkey"]]
+        j = d.merge(d, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        j = j.drop_duplicates(["l_partkey_a", "l_partkey_b"])
+        a = j["l_partkey_a"].to_numpy(np.int64)
+        b = j["l_partkey_b"].to_numpy(np.int64)
+        return arrow_group(pd.DataFrame({
+            "__b2": pair_bucket_of(a, b, nb), "id_a": a, "id_b": b}))
+
+    def bucket_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["id_a", "id_b"])
+        return arrow_group(pd.DataFrame({
+            "id_a": d["id_a"].to_numpy(np.int64),
+            "id_b": d["id_b"].to_numpy(np.int64)}))
+
+    return (ds.map_batches(block_dedup, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__b").map_groups(bucket_pairs,
+                                       batch_format="pandas")
+            .groupby("__b2").map_groups(bucket_distinct,
+                                        batch_format="pandas"))
+
+
+PAGERANK_K = 25
+PAGERANK_ITERS = 3
+
+
+def pagerank_parts(sf_dir: str, k: int = PAGERANK_K,
+                   iterations: int = PAGERANK_ITERS):
+    """PageRank over the part co-purchase graph — link-analysis ranking
+    of catalog items ("hub" products every basket touches), the
+    training-mix weighting primitive applied to a TPC-H-shaped input.
+    Integer-exact power iteration (stages/graph.pagerank): every rank is
+    an int64 scaled by 1e9, contributions use floor division, so the
+    bucketed engine sums and the SQL GROUP BY agree bit-for-bit with no
+    float association caveat.  Top-k is per-block local top-k + a
+    driver merge of <= blocks x k rows (never node-sized).
+
+    Returns pandas (part_id, rank_scaled), top-k by rank desc, id asc."""
+    from ..stages.graph import pagerank
+
+    ranks = pagerank(_copurchase_edges(sf_dir), iterations=iterations)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rank_scaled", "node"], ascending=[False, True]).head(k)
+        return pa.table({
+            "part_id": pa.array(df["node"].to_numpy(np.int64),
+                                pa.int64()),
+            "rank_scaled": pa.array(df["rank_scaled"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    parts = ranks.map_batches(local_topk, batch_format="pyarrow")
+    out = _driver_combine(parts, ["part_id"],
+                          [("rank_scaled", "max", "rank_scaled")]) \
+        .to_pandas()
+    return out.sort_values(["rank_scaled", "part_id"],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+
+
+def triangle_count_parts(sf_dir: str):
+    """Exact triangle count + edge count of the part co-purchase graph
+    (community density of the catalog).  Degree-ordered wedge join
+    (stages/graph.triangle_count) — every stage edge- or wedge-sized.
+
+    Returns pandas (n_triangles, n_edges) — a single row."""
+    from ..stages.graph import triangle_count
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    n_tri = triangle_count(edges)
+    return pd.DataFrame({"n_triangles": [int(n_tri)],
+                         "n_edges": [int(edges.count())]})

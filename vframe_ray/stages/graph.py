@@ -194,3 +194,366 @@ def minhash_dedup_clusters(ds, **minhash_kwargs) -> pd.DataFrame:
     cc = connected_components(minhash_candidates(ds, **minhash_kwargs))
     cc["keep"] = cc["doc_id"] == cc["cluster_id"]
     return cc
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact power iteration)
+# ---------------------------------------------------------------------------
+
+def _pr_local(edges, *, iterations: int, scale: int,
+              damping_pct: int) -> pd.DataFrame:
+    """Vectorized integer PageRank over an edge list that fits one task
+    (numpy only; ``np.add.at`` folds contributions per node exactly)."""
+    import ray
+    from ..runtime import block_refs
+    t = pa.concat_tables(
+        [b for b in ray.get(block_refs(edges)) if b.num_rows])
+    u = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+    base = (100 - damping_pct) * scale // 100
+    r = np.full(len(nodes), scale, dtype=np.int64)
+    for _ in range(iterations):
+        contrib = damping_pct * r[ui] // (100 * deg[ui])
+        nxt = np.full(len(nodes), base, dtype=np.int64)
+        np.add.at(nxt, vi, contrib)
+        r = nxt
+    return pd.DataFrame({"node": nodes, "rank_scaled": r})
+
+
+def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
+             damping_pct: int = 85, driver_threshold: int = 5_000_000):
+    """PageRank over an (id_a, id_b) undirected DISTINCT-pair Dataset —
+    the link-analysis primitive behind web-corpus quality weighting
+    (which pages/docs to keep or upsample in a training mix).
+
+    EXACT INTEGER arithmetic so the result is order-independent and
+    bit-reproducible in ANSI SQL (DuckDB ``//``): with ``d`` =
+    ``damping_pct``/100 and every rank an int64 scaled by ``scale``,
+
+        r0(v)    = scale
+        r_t+1(v) = ((100-d%)·scale)//100
+                   + Σ_{u∈N(v)} (d%·r_t(u)) // (100·deg(u))
+
+    Floor division makes each contribution exact, so the per-node sum
+    commutes — no float-association drift between the engine's bucketed
+    partial sums and a SQL GROUP BY.  Overflow bound (documented, not
+    silent): d%·r ≤ 85·(0.15+0.85·N)·scale must fit int64, which holds
+    to N ≈ 10^8 nodes at the default scale=1e9; lower ``scale`` for
+    larger graphs.
+
+    Scale shape: same two-keyed-shuffles-per-round BSP as
+    :func:`connected_components` — (labels ∪ edges) co-partitioned by
+    node-hash bucket, one vectorized merge per bucket emits
+    contributions along edges, a second bucketed pass folds them with a
+    groupby-sum.  Per-round traffic is edge-sized; the driver never
+    sees per-node state.  Edge lists under ``driver_threshold`` take
+    the single-task numpy fast path (same rule as CC: BSP orchestration
+    dwarfs useful work on small graphs); a pytest forces threshold=0
+    and asserts both paths agree bit-exactly.
+
+    Returns a Dataset (node int64, rank_scaled int64), one row per node
+    that appears in any pair.
+    """
+    from ..runtime import int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+    base = (100 - damping_pct) * scale // 100
+
+    edges = pairs.map_batches(_edges_both,
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank_scaled": pa.array([], pa.int64())}))
+    if n_edges <= driver_threshold:
+        import ray.data as rd
+        return rd.from_pandas(_pr_local(edges, iterations=iterations,
+                                        scale=scale,
+                                        damping_pct=damping_pct))
+
+    def _bucket(col):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("__b",
+                                   pa.array(int_bucket_of(k, nb)))
+        return fn
+
+    def count_deg(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)
+               .size().rename(columns={"size": "deg"}))
+        out["rank_scaled"] = np.int64(scale)
+        return _arrow(out)
+
+    # labels: (node, deg, rank_scaled) — deg rides inside the label table
+    labels = (edges.map_batches(_bucket("node"), batch_format="pyarrow")
+              .groupby("__b").map_groups(count_deg, batch_format="pandas")
+              .materialize())
+
+    def send(g: pd.DataFrame) -> pa.Table:
+        # one bucket of nodes: label rows (nbr null) + edge rows.  Each
+        # node sends (d%·r)//(100·deg) to every neighbour and re-emits
+        # its own deg so the reducer can rebuild the label table.
+        lab = g.loc[g["nbr"].isna(), ["node", "deg", "rank_scaled"]]
+        edg = g.loc[g["nbr"].notna(), ["node", "nbr"]]
+        m = edg.merge(lab, on="node", how="left")
+        c = (np.int64(damping_pct)
+             * m["rank_scaled"].to_numpy(dtype=np.int64)
+             // (np.int64(100) * m["deg"].to_numpy(dtype=np.int64)))
+        node = np.concatenate([m["nbr"].to_numpy(dtype=np.int64),
+                               lab["node"].to_numpy(dtype=np.int64)])
+        contrib = np.concatenate([c, np.zeros(len(lab), dtype=np.int64)])
+        dg = np.concatenate([np.full(len(m), -1, dtype=np.int64),
+                             lab["deg"].to_numpy(dtype=np.int64)])
+        return pa.table({"node": node, "c": contrib, "d": dg})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)
+               .agg(c=("c", "sum"), deg=("d", "max")))
+        out["rank_scaled"] = np.int64(base) + out["c"].to_numpy(np.int64)
+        return _arrow(out[["node", "deg", "rank_scaled"]])
+
+    for _ in range(iterations):
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "deg": t["deg"],
+                                "rank_scaled": t["rank_scaled"],
+                                "nbr": pa.nulls(len(t), pa.int64())}),
+            batch_format="pyarrow")
+        edge_rows = edges.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "deg": pa.nulls(len(t), pa.int64()),
+                                "rank_scaled": pa.nulls(len(t), pa.int64()),
+                                "nbr": t["nbr"]}),
+            batch_format="pyarrow")
+        labels = (lab_rows.union(edge_rows)
+                  .map_batches(_bucket("node"), batch_format="pyarrow")
+                  .groupby("__b").map_groups(send, batch_format="pandas")
+                  .map_batches(_bucket("node"), batch_format="pyarrow")
+                  .groupby("__b").map_groups(fold, batch_format="pandas")
+                  .materialize())
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank_scaled": t["rank_scaled"]}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge join)
+# ---------------------------------------------------------------------------
+
+def _tri_local(edges) -> int:
+    """Vectorized triangle count over an edge list that fits one task:
+    degree-order the nodes, orient every edge low→high rank, generate
+    each node's out-neighbour pairs, membership-test them against the
+    oriented edge set (packed int64 searchsorted)."""
+    import ray
+    from ..runtime import block_refs
+    t = pa.concat_tables(
+        [b for b in ray.get(block_refs(edges)) if b.num_rows])
+    u = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+    # rank = position in (deg, id) order — a permutation of 0..n-1
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[np.lexsort((np.arange(len(nodes)), deg))] = \
+        np.arange(len(nodes), dtype=np.int64)
+    ru, rv = rank[ui], rank[vi]
+    keep = ru < rv                       # each undirected edge once
+    a, b = ru[keep], rv[keep]
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    packed = a << np.int64(32) | b       # ranks are dense -> < 2^31 each
+    # wedges: for each center a, pairs (b_i, b_j), i<j, within its run —
+    # fully vectorized: element at run-position p pairs with the
+    # (run_end - p - 1) elements after it
+    run_change = np.empty(len(a), dtype=bool)
+    if len(a):
+        run_change[0] = True
+        run_change[1:] = a[1:] != a[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(run_change, np.arange(len(a)), 0))
+    run_len = np.repeat(np.diff(np.append(np.flatnonzero(run_change),
+                                          len(a))),
+                        np.diff(np.append(np.flatnonzero(run_change),
+                                          len(a))))
+    pos = np.arange(len(a)) - run_start
+    c = run_len - pos - 1                # pairs each element opens
+    total_w = int(c.sum())
+    if total_w == 0:
+        return 0
+    left = np.repeat(np.arange(len(a)), c)
+    off = np.cumsum(c) - c               # first output slot per element
+    right = (np.arange(total_w) - np.repeat(off, c)
+             + np.repeat(np.arange(len(a)) + 1, c))
+    x, y = b[left], b[right]             # y follows x in the run: x<y rank
+    wedge_key = x << np.int64(32) | y
+    pos = np.searchsorted(packed, wedge_key)
+    pos = np.minimum(pos, len(packed) - 1)
+    return int((packed[pos] == wedge_key).sum())
+
+
+def triangle_count(pairs, *, driver_threshold: int = 5_000_000) -> int:
+    """Exact triangle count of the undirected graph given as an
+    (id_a, id_b) DISTINCT-pair Dataset — the clustering-coefficient /
+    community-density primitive.
+
+    Scale shape (the standard degree-ordered wedge join): (1) per-node
+    degrees via one bucketed count; (2) degrees attached to both edge
+    endpoints with two co-partitioned merges (labels ∪ edges by
+    node-hash bucket — the CC/PageRank exchange pattern); (3) each edge
+    oriented low→high (deg, id) rank, which bounds every out-adjacency
+    by O(√m) and kills the hot-vertex wedge explosion a plain id
+    orientation suffers; (4) wedges (out-neighbour pairs) generated per
+    center inside hash(center) buckets; (5) wedges ∪ oriented edges
+    co-partitioned by pair-hash, counted with one vectorized merge per
+    bucket; the driver sums ≤ bucket-count partials.  Every stage is
+    edge- or wedge-sized — the corpus never reshuffles.
+
+    Edge lists under ``driver_threshold`` take a single-task numpy fast
+    path (same rule as :func:`connected_components`); a pytest forces
+    threshold=0 and asserts both paths agree exactly.
+
+    Returns the triangle count as a plain int.
+    """
+    from ..runtime import int_bucket_of, pair_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+
+    edges = pairs.map_batches(_edges_both,
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0
+    if n_edges <= driver_threshold:
+        return _tri_local(edges)
+
+    def _bucket(col):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("__b",
+                                   pa.array(int_bucket_of(k, nb)))
+        return fn
+
+    def count_deg(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)
+               .size().rename(columns={"size": "deg"}))
+        return _arrow(out)
+
+    deg = (edges.map_batches(_bucket("node"), batch_format="pyarrow")
+           .groupby("__b").map_groups(count_deg, batch_format="pandas")
+           .materialize())
+
+    # attach deg(node) to each directed edge: (node, nbr, dnode)
+    def attach(key_from, out_cols):
+        def fn(g: pd.DataFrame) -> pa.Table:
+            lab = g.loc[g["__lab"], ["__k", "deg"]]
+            edg = g.loc[~g["__lab"]].drop(columns=["deg"])
+            m = edg.merge(lab, on="__k", how="left")
+            return _arrow(m[out_cols].astype("int64"))
+        return fn
+
+    deg_rows = deg.map_batches(
+        lambda t: pa.table({"__k": t["node"], "deg": t["deg"],
+                            "node": pa.nulls(len(t), pa.int64()),
+                            "nbr": pa.nulls(len(t), pa.int64()),
+                            "dnode": pa.nulls(len(t), pa.int64()),
+                            "__lab": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    e_rows = edges.map_batches(
+        lambda t: pa.table({"__k": t["node"],
+                            "deg": pa.nulls(len(t), pa.int64()),
+                            "node": t["node"], "nbr": t["nbr"],
+                            "dnode": pa.nulls(len(t), pa.int64()),
+                            "__lab": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def attach1(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["__lab"], ["__k", "deg"]]
+        edg = g.loc[~g["__lab"], ["node", "nbr"]]
+        m = edg.merge(lab.rename(columns={"__k": "node",
+                                          "deg": "dnode"}),
+                      on="node", how="left")
+        return _arrow(m[["node", "nbr", "dnode"]].astype("int64"))
+
+    e1 = (deg_rows.union(e_rows)
+          .map_batches(_bucket("__k"), batch_format="pyarrow")
+          .groupby("__b").map_groups(attach1, batch_format="pandas")
+          .materialize())
+
+    deg_rows2 = deg.map_batches(
+        lambda t: pa.table({"__k": t["node"], "deg": t["deg"],
+                            "node": pa.nulls(len(t), pa.int64()),
+                            "nbr": pa.nulls(len(t), pa.int64()),
+                            "dnode": pa.nulls(len(t), pa.int64()),
+                            "__lab": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    e1_rows = e1.map_batches(
+        lambda t: pa.table({"__k": t["nbr"],
+                            "deg": pa.nulls(len(t), pa.int64()),
+                            "node": t["node"], "nbr": t["nbr"],
+                            "dnode": t["dnode"],
+                            "__lab": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def attach2(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["__lab"], ["__k", "deg"]]
+        edg = g.loc[~g["__lab"], ["node", "nbr", "dnode"]]
+        m = edg.merge(lab.rename(columns={"__k": "nbr", "deg": "dnbr"}),
+                      on="nbr", how="left")
+        # orient low->high (deg, id) rank; each undirected edge survives
+        # exactly once
+        keep = ((m["dnode"] < m["dnbr"])
+                | ((m["dnode"] == m["dnbr"]) & (m["node"] < m["nbr"])))
+        m = m.loc[keep, ["node", "nbr", "dnode", "dnbr"]]
+        return _arrow(m.rename(columns={
+            "node": "u", "nbr": "v",
+            "dnode": "du", "dnbr": "dv"}).astype("int64"))
+
+    oriented = (deg_rows2.union(e1_rows)
+                .map_batches(_bucket("__k"), batch_format="pyarrow")
+                .groupby("__b").map_groups(attach2, batch_format="pandas")
+                .materialize())
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        # out-neighbour pairs per center, ordered by (deg, id) rank so
+        # the wedge key matches the oriented edge's (u, v) layout
+        m = g.merge(g, on="u", suffixes=("_1", "_2"))
+        lt = ((m["dv_1"] < m["dv_2"])
+              | ((m["dv_1"] == m["dv_2"]) & (m["v_1"] < m["v_2"])))
+        m = m.loc[lt]
+        return _arrow(pd.DataFrame({
+            "x": m["v_1"].to_numpy(np.int64),
+            "y": m["v_2"].to_numpy(np.int64)}))
+
+    wedge_ds = (oriented.map_batches(_bucket("u"), batch_format="pyarrow")
+                .groupby("__b").map_groups(wedges, batch_format="pandas"))
+
+    def _pbucket(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(pair_bucket_of(x, y, nb)))
+
+    w_rows = wedge_ds.map_batches(
+        lambda t: pa.table({"x": t["x"], "y": t["y"],
+                            "__w": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    oe_rows = oriented.map_batches(
+        lambda t: pa.table({"x": t["u"], "y": t["v"],
+                            "__w": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def close(g: pd.DataFrame) -> pa.Table:
+        w = g.loc[g["__w"], ["x", "y"]]
+        e = g.loc[~g["__w"], ["x", "y"]].drop_duplicates()
+        n = len(w.merge(e, on=["x", "y"]))
+        return pa.table({"n_p": pa.array([n], pa.int64())})
+
+    parts = (w_rows.union(oe_rows)
+             .map_batches(_pbucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(close, batch_format="pandas"))
+    return int(parts.sum("n_p") or 0)
