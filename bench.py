@@ -257,6 +257,13 @@ def run_bench() -> dict:
         fs.facet_dl_ranges(sf_dir)
         fs.suggest_documents(sf_dir)
 
+    def graph_suite(sf_dir):
+        from vframe_ray.pipelines.relational import _copurchase_edges
+        from vframe_ray.stages.graph import pagerank, triangle_count
+        edges = _copurchase_edges(sf_dir).materialize()
+        pagerank(edges).count()
+        triangle_count(edges)
+
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
                  ("top_orders", rel.top_orders),
@@ -285,7 +292,12 @@ def run_bench() -> dict:
                  ("hll_distinct", entry_queries["hll_distinct_users"]),
                  ("media_decode", lambda d: (
                      entry_queries["bmp_image_features"](d),
-                     entry_queries["gif_frame_features"](d)))]
+                     entry_queries["gif_frame_features"](d))),
+                 # graph analytics over the lineitem co-purchase graph
+                 # (~1.2M distinct edges / 1.9M triangles at sf0.1):
+                 # one shared edge build, then integer-exact PageRank
+                 # power iteration + degree-ordered triangle count
+                 ("graph_suite", graph_suite)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
