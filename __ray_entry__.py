@@ -3042,6 +3042,22 @@ def _q_stratified_sample(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional (Poisson) sample of events by
+    `value` with Horvitz-Thompson 1/p weights — membership is a pure
+    function of event_id via the SQL-portable md5 primitive and
+    p = min(1, floor(value*2000)/1e6), so the oracle reproduces both
+    membership and the HT weight bit-exactly (floor of an IEEE multiply
+    and one double division on both sides)."""
+    from vframe_ray.stages.sampling import weighted_hash_sample
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "value"])
+    df = weighted_hash_sample(
+        ds, weight_col="value", id_col="event_id",
+        scale=2000.0, denom=1_000_000).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ round 4
 
 CHUNK_SIZE, CHUNK_STRIDE = 64, 48
@@ -3192,6 +3208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW: graph analytics (integer-exact PageRank, triangles) ---
         "pagerank_parts": rel.pagerank_parts,
         "triangle_count_parts": rel.triangle_count_parts,
+        # --- NEW: weighted Poisson sampling with HT correction weights ---
+        "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
         # --- dismax) ---
         "bm25_dismax": _q_bm25_dismax,
@@ -3814,6 +3832,16 @@ SELECT doc_id, lang FROM documents
 WHERE ({_TH64.format(col='doc_id::VARCHAR')} % 10000)
       < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
 ORDER BY doc_id""",
+        "weighted_sample_events": f"""
+WITH thr AS (
+  SELECT event_id, value,
+         LEAST(GREATEST(floor(value * 2000.0), 0.0), 1000000.0) AS t
+  FROM events)
+SELECT event_id, value, 1000000.0 / t AS ht_weight
+FROM thr
+WHERE t >= 1.0
+  AND ({_TH64.format(col='event_id::VARCHAR')} % 1000000) < t::UBIGINT
+ORDER BY event_id""",
         "asof_prior_view": """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),

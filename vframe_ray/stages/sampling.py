@@ -41,3 +41,45 @@ def stratified_hash_sample(ds, *, strata_col: str, id_col: str,
         return t.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_hash_sample(ds, *, weight_col: str, id_col: str,
+                         scale: float, denom: int = 1_000_000,
+                         weight_out: str = "ht_weight"):
+    """Deterministic weight-proportional (Poisson) sampling with
+    Horvitz-Thompson correction weights — the training-mix primitive
+    behind quality-weighted corpus downsampling (keep high-quality docs
+    with higher probability, attach 1/p so downstream aggregates stay
+    unbiased).
+
+    Inclusion is a pure function of the row, exactly like
+    :func:`stratified_hash_sample`: keep row iff
+
+        md5_u64(str(id)) % denom  <  min(denom, floor(weight * scale))
+
+    so resumed/incremental runs agree with fresh runs and the DuckDB
+    oracle reproduces membership bit-exactly (floor of an IEEE multiply
+    is deterministic across engines; no ``ln`` — numpy and DuckDB libm
+    disagree by 1 ulp, measured, which would flip boundary rows in an
+    A-ES/exponential-keys formulation).  Rows whose scaled weight
+    reaches ``denom`` are kept with certainty (p = 1).  The emitted
+    ``ht_weight`` column is denom/thr = 1/p, one float division on both
+    sides.  Embarrassingly parallel — one vectorized ``map_batches``,
+    no shuffle, no state; weights must be > 0 (thr >= 1) or the row is
+    dropped with p = 0 and no HT weight exists.
+    """
+    def keep(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string()).combine_chunks()
+        h = md5_u64(ids) % np.uint64(denom)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        # clip at 0 too: a negative weight must not wrap in the uint64
+        # cast — it means p = 0, row dropped
+        thr = np.clip(np.floor(w * np.float64(scale)), 0.0,
+                      np.float64(denom))
+        sel = h < thr.astype(np.uint64)   # 0 <= thr <= denom fits uint64
+        kept = t.filter(pa.array(sel))
+        ht = np.float64(denom) / thr[sel]
+        return kept.append_column(weight_out,
+                                  pa.array(ht, pa.float64()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
