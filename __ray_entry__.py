@@ -3205,9 +3205,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
         "pack_sequences": _q_pack_sequences,
-        # --- NEW: graph analytics (integer-exact PageRank, triangles) ---
+        # --- NEW: graph analytics (integer-exact PageRank, triangles,
+        # --- common-neighbor link prediction, clustering coefficient) ---
         "pagerank_parts": rel.pagerank_parts,
         "triangle_count_parts": rel.triangle_count_parts,
+        "common_neighbors_parts": rel.common_neighbors_parts,
+        "clustering_parts": rel.clustering_parts,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -4253,6 +4256,37 @@ SELECT (SELECT count(*) FROM e ab
         JOIN e ac ON ac.u=ab.u AND ac.v>ab.v
         JOIN e bc ON bc.u=ab.v AND bc.v=ac.v)::BIGINT AS n_triangles,
        (SELECT count(*) FROM e)::BIGINT AS n_edges""",
+        "common_neighbors_parts": f"""
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+eo AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+       ON a.ok=b.ok AND a.pk<b.pk),
+e AS (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),
+cn AS (SELECT e1.v x, e2.v y, count(*)::BIGINT n_common
+       FROM e e1 JOIN e e2 ON e1.u=e2.u AND e1.v<e2.v
+       GROUP BY x, y)
+SELECT cn.x AS id_a, cn.y AS id_b, cn.n_common
+FROM cn WHERE NOT EXISTS (SELECT 1 FROM eo
+                          WHERE eo.u=cn.x AND eo.v=cn.y)
+ORDER BY n_common DESC, id_a, id_b LIMIT {rel.CN_TOPK}""",
+        "clustering_parts": """
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+eo AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+       ON a.ok=b.ok AND a.pk<b.pk),
+e AS (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),
+deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM e GROUP BY u),
+tri AS (SELECT ab.u a, ab.v b, ac.v c FROM eo ab
+        JOIN eo ac ON ac.u=ab.u AND ac.v>ab.v
+        JOIN eo bc ON bc.u=ab.v AND bc.v=ac.v),
+pt AS (SELECT node, count(*)::BIGINT AS n_tri FROM
+       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT deg.node AS part_id, deg.deg,
+       coalesce(pt.n_tri, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN (2.0 * coalesce(pt.n_tri, 0)) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pt ON pt.node=deg.node
+ORDER BY part_id""",
         "bm25_wildcard": _wildcard_sql(),
         "did_you_mean": _dym_sql(),
         "source_stats_join": """

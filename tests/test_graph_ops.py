@@ -169,12 +169,125 @@ SELECT (SELECT count(*) FROM e ab
     pd.testing.assert_frame_equal(got_tri, want_tri)
 
 
+def _brute_common_neighbors(edges, k=50):
+    nbrs = {}
+    es = set(edges)
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    for x, y in itertools.combinations(sorted(nbrs), 2):
+        if (x, y) in es:
+            continue
+        c = len(nbrs[x] & nbrs[y])
+        if c:
+            rows.append((x, y, c))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return pd.DataFrame(rows[:k], columns=["id_a", "id_b", "n_common"]) \
+        .astype("int64")
+
+
+def _brute_node_clustering(edges):
+    nbrs = {}
+    es = set(edges)
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    for v in sorted(nbrs):
+        t = sum(1 for x, y in itertools.combinations(sorted(nbrs[v]), 2)
+                if (x, y) in es)
+        rows.append((v, len(nbrs[v]), t))
+    return pd.DataFrame(rows, columns=["node", "deg", "n_tri"]) \
+        .astype("int64")
+
+
+def test_common_neighbors_vs_brute_and_distributed(sf_dir):
+    from vframe_ray.pipelines.relational import _copurchase_edges
+    from vframe_ray.stages.graph import common_neighbors_topk
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    brute = _brute_common_neighbors(_brute_edges(sf_dir))
+    assert len(brute) > 0
+    got = common_neighbors_topk(edges).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), brute)
+    dist = common_neighbors_topk(edges, driver_threshold=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist.astype("int64"), brute)
+
+
+def test_node_clustering_vs_brute_and_distributed(sf_dir):
+    from vframe_ray.pipelines.relational import _copurchase_edges
+    from vframe_ray.stages.graph import node_clustering
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    brute = _brute_node_clustering(_brute_edges(sf_dir))
+    assert brute["n_tri"].sum() > 0
+    got = node_clustering(edges).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), brute)
+    dist = node_clustering(edges, driver_threshold=0) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist.astype("int64"), brute)
+    # triangle-handshake invariant: Σ n_tri == 3 × total triangles
+    assert got["n_tri"].sum() == 3 * _brute_triangles(_brute_edges(sf_dir))
+
+
+def test_graph_pipelines_vs_duckdb_round5(sf_dir):
+    from vframe_ray.pipelines.relational import (common_neighbors_parts,
+                                                 clustering_parts)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    want_cn = con.sql("""
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+eo AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+       ON a.ok=b.ok AND a.pk<b.pk),
+e AS (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),
+cn AS (SELECT e1.v x, e2.v y, count(*)::BIGINT n_common
+       FROM e e1 JOIN e e2 ON e1.u=e2.u AND e1.v<e2.v
+       GROUP BY x, y)
+SELECT cn.x id_a, cn.y id_b, cn.n_common
+FROM cn WHERE NOT EXISTS (SELECT 1 FROM eo
+                          WHERE eo.u=cn.x AND eo.v=cn.y)
+ORDER BY n_common DESC, id_a, id_b LIMIT 50""").df().astype("int64")
+    got_cn = common_neighbors_parts(sf_dir).astype("int64")
+    pd.testing.assert_frame_equal(got_cn, want_cn)
+
+    want_cc = con.sql("""
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+eo AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+       ON a.ok=b.ok AND a.pk<b.pk),
+e AS (SELECT u, v FROM eo UNION ALL SELECT v AS u, u AS v FROM eo),
+deg AS (SELECT u node, count(*)::BIGINT deg FROM e GROUP BY u),
+tri AS (SELECT ab.u a, ab.v b, ac.v c FROM eo ab
+        JOIN eo ac ON ac.u=ab.u AND ac.v>ab.v
+        JOIN eo bc ON bc.u=ab.v AND bc.v=ac.v),
+pt AS (SELECT node, count(*)::BIGINT n_tri FROM
+       (SELECT a node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT deg.node part_id, deg.deg,
+       coalesce(pt.n_tri, 0)::BIGINT n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN (2.0 * coalesce(pt.n_tri, 0)) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pt ON pt.node=deg.node
+ORDER BY part_id""").df()
+    want_cc["part_id"] = want_cc["part_id"].astype("int64")
+    got_cc = clustering_parts(sf_dir)
+    pd.testing.assert_frame_equal(got_cc, want_cc)
+
+
 def test_empty_graph():
     import ray.data as rd
     import pyarrow as pa
-    from vframe_ray.stages.graph import pagerank, triangle_count
+    from vframe_ray.stages.graph import (pagerank, triangle_count,
+                                         common_neighbors_topk,
+                                         node_clustering)
 
     empty = rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
                                     "id_b": pa.array([], pa.int64())}))
     assert triangle_count(empty) == 0
     assert pagerank(empty).count() == 0
+    assert len(common_neighbors_topk(empty)) == 0
+    assert len(node_clustering(empty)) == 0

@@ -3732,3 +3732,44 @@ def triangle_count_parts(sf_dir: str):
     n_tri = triangle_count(edges)
     return pd.DataFrame({"n_triangles": [int(n_tri)],
                          "n_edges": [int(edges.count())]})
+
+
+CN_TOPK = 50
+
+
+def common_neighbors_parts(sf_dir: str, k: int = CN_TOPK):
+    """Link prediction over the part co-purchase graph: the top-k part
+    pairs that share the most co-purchase neighbours WITHOUT ever
+    co-occurring in an order themselves — "frequently bought alongside
+    the same things" recommendation candidates.  Wedge generation is
+    bucketed per center, pair counts combine in pair-hash buckets with a
+    local top-k, the driver merges ≤ buckets × k rows
+    (stages/graph.common_neighbors_topk).
+
+    Returns pandas (id_a, id_b, n_common), ordered by
+    (n_common desc, id_a, id_b) — a total order, so the k-boundary is
+    deterministic."""
+    from ..stages.graph import common_neighbors_topk
+
+    return common_neighbors_topk(_copurchase_edges(sf_dir), k=k)
+
+
+def clustering_parts(sf_dir: str):
+    """Local clustering coefficient of every part in the co-purchase
+    graph: deg, triangle count, and cc = 2·tri / (deg·(deg−1)) — the
+    community-tightness score per catalog item.  Integer deg/n_tri are
+    exact (stages/graph.node_clustering, the degree-ordered wedge join
+    with per-corner counts); the float coefficient is ONE division of
+    exactly-representable ints in both the engine and the SQL oracle,
+    so the bits agree.
+
+    Returns pandas (part_id, deg, n_tri, clustering) sorted by part_id."""
+    from ..stages.graph import node_clustering
+
+    df = node_clustering(_copurchase_edges(sf_dir))
+    deg = df["deg"].to_numpy(np.int64)
+    tri = df["n_tri"].to_numpy(np.int64)
+    denom = np.where(deg >= 2, deg * (deg - 1.0), 1.0)
+    cc = np.where(deg >= 2, (2.0 * tri) / denom, 0.0)
+    return pd.DataFrame({"part_id": df["node"].to_numpy(np.int64),
+                         "deg": deg, "n_tri": tri, "clustering": cc})

@@ -369,13 +369,28 @@ def _tri_local(edges) -> int:
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     packed = a << np.int64(32) | b       # ranks are dense -> < 2^31 each
-    # wedges: for each center a, pairs (b_i, b_j), i<j, within its run —
-    # fully vectorized: element at run-position p pairs with the
-    # (run_end - p - 1) elements after it
+    left, right = _run_pairs(a)
+    if len(left) == 0:
+        return 0
+    x, y = b[left], b[right]             # y follows x in the run: x<y rank
+    wedge_key = x << np.int64(32) | y
+    pos = np.searchsorted(packed, wedge_key)
+    pos = np.minimum(pos, len(packed) - 1)
+    return int((packed[pos] == wedge_key).sum())
+
+
+def _run_pairs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All index pairs (i, j), i < j, within equal-valued runs of a
+    SORTED key array — fully vectorized: the element at run-position p
+    pairs with the (run_end - p - 1) elements after it.  The wedge
+    generator shared by triangle counting, per-node clustering and
+    common-neighbor link prediction."""
     run_change = np.empty(len(a), dtype=bool)
     if len(a):
         run_change[0] = True
         run_change[1:] = a[1:] != a[:-1]
+    else:
+        return (np.empty(0, np.int64),) * 2
     run_start = np.maximum.accumulate(
         np.where(run_change, np.arange(len(a)), 0))
     run_len = np.repeat(np.diff(np.append(np.flatnonzero(run_change),
@@ -386,16 +401,12 @@ def _tri_local(edges) -> int:
     c = run_len - pos - 1                # pairs each element opens
     total_w = int(c.sum())
     if total_w == 0:
-        return 0
+        return (np.empty(0, np.int64),) * 2
     left = np.repeat(np.arange(len(a)), c)
     off = np.cumsum(c) - c               # first output slot per element
     right = (np.arange(total_w) - np.repeat(off, c)
              + np.repeat(np.arange(len(a)) + 1, c))
-    x, y = b[left], b[right]             # y follows x in the run: x<y rank
-    wedge_key = x << np.int64(32) | y
-    pos = np.searchsorted(packed, wedge_key)
-    pos = np.minimum(pos, len(packed) - 1)
-    return int((packed[pos] == wedge_key).sum())
+    return left, right
 
 
 def triangle_count(pairs, *, driver_threshold: int = 5_000_000) -> int:
@@ -557,3 +568,353 @@ def triangle_count(pairs, *, driver_threshold: int = 5_000_000) -> int:
              .map_batches(_pbucket, batch_format="pyarrow")
              .groupby("__b").map_groups(close, batch_format="pandas"))
     return int(parts.sum("n_p") or 0)
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction and per-node clustering coefficient
+# ---------------------------------------------------------------------------
+
+_EMPTY_CN = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "n_common": pd.Series(dtype="int64")})
+
+
+def _gather_edges(edges) -> pa.Table:
+    import ray
+    from ..runtime import block_refs
+    return pa.concat_tables(
+        [b for b in ray.get(block_refs(edges)) if b.num_rows])
+
+
+def _cn_local(edges, k: int) -> pd.DataFrame:
+    """Vectorized common-neighbor top-k over an edge list that fits one
+    task: sort the directed edge list by (center, nbr), generate each
+    center's neighbour pairs with :func:`_run_pairs`, fold with one
+    ``np.unique`` over packed (x, y) keys, anti-join the adjacency."""
+    t = _gather_edges(edges)
+    u = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    order = np.lexsort((vi, ui))
+    c, w = ui[order], vi[order]
+    left, right = _run_pairs(c)
+    if len(left) == 0:
+        return _EMPTY_CN.copy()
+    key = w[left] << np.int64(32) | w[right]   # dense ids -> < 2^31
+    uk, cnt = np.unique(key, return_counts=True)
+    keep = ui < vi                             # each undirected edge once
+    ekey = np.unique(ui[keep] << np.int64(32) | vi[keep])
+    pos = np.minimum(np.searchsorted(ekey, uk), len(ekey) - 1)
+    new = ekey[pos] != uk                      # non-adjacent pairs only
+    uk, cnt = uk[new], cnt[new]
+    # uk ascending == (x, y) ascending, so a stable sort on -cnt is the
+    # (n_common desc, id_a, id_b) total order
+    sel = np.argsort(-cnt, kind="stable")[:k]
+    uk, cnt = uk[sel], cnt[sel]
+    return pd.DataFrame({
+        "id_a": nodes[uk >> np.int64(32)],
+        "id_b": nodes[uk & np.int64(0x7FFFFFFF)],
+        "n_common": cnt.astype(np.int64)})
+
+
+def common_neighbors_topk(pairs, *, k: int = 50,
+                          driver_threshold: int = 5_000_000):
+    """Link prediction over an (id_a, id_b) DISTINCT-pair Dataset: the
+    top-k NON-adjacent node pairs by common-neighbour count — the
+    classic "customers who bought X also bought Y" recommender
+    primitive, deterministically ordered (n_common desc, id_a, id_b).
+
+    Scale shape: wedges (per-center neighbour pairs) are generated
+    inside hash(center) buckets — every center's adjacency is whole in
+    one bucket, so per-bucket counts are exact partials per (x, y).
+    Wedge partials ∪ oriented edges then co-partition by PAIR hash:
+    all partials of a pair land in one bucket, so the per-bucket
+    sum + adjacency anti-join + local top-k is globally correct and the
+    driver merges ≤ buckets × k rows.  Total wedge volume is
+    Σ_c deg(c)² — inherent to exact common-neighbour counting (every
+    candidate pair must be witnessed); hyper-hub centers should be
+    excluded upstream if that sum explodes, which changes the SEMANTICS
+    and is therefore not silently done here.
+
+    Edge lists under ``driver_threshold`` take a single-task numpy fast
+    path (same rule as :func:`connected_components`); a pytest forces
+    threshold=0 and asserts both paths agree exactly.
+    """
+    from ..runtime import int_bucket_of, pair_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+
+    edges = pairs.map_batches(_edges_both,
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _EMPTY_CN.copy()
+    if n_edges <= driver_threshold:
+        return _cn_local(edges, k)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        kk = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(int_bucket_of(kk, nb)))
+
+    def wedge_partials(g: pd.DataFrame) -> pa.Table:
+        c = g["node"].to_numpy(np.int64)
+        w = g["nbr"].to_numpy(np.int64)
+        order = np.lexsort((w, c))
+        c, w = c[order], w[order]
+        left, right = _run_pairs(c)
+        df = pd.DataFrame({"x": w[left], "y": w[right]})
+        out = (df.groupby(["x", "y"], sort=False, as_index=False)
+               .size().rename(columns={"size": "c"}))
+        return _arrow(out.astype("int64"))
+
+    wedge_ds = (edges.map_batches(_bucket, batch_format="pyarrow")
+                .groupby("__b").map_groups(wedge_partials,
+                                           batch_format="pandas"))
+
+    def _pbucket(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(pair_bucket_of(x, y, nb)))
+
+    w_rows = wedge_ds.map_batches(
+        lambda t: pa.table({"x": t["x"], "y": t["y"], "c": t["c"],
+                            "__w": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    e_rows = edges.map_batches(
+        lambda t: pa.table({"x": pa.compute.min_element_wise(
+                                t["node"], t["nbr"]),
+                            "y": pa.compute.max_element_wise(
+                                t["node"], t["nbr"]),
+                            "c": pa.nulls(len(t), pa.int64()),
+                            "__w": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def combine_topk(g: pd.DataFrame) -> pa.Table:
+        w = g.loc[g["__w"], ["x", "y", "c"]]
+        cn = (w.groupby(["x", "y"], sort=False, as_index=False)["c"]
+              .sum())
+        e = g.loc[~g["__w"], ["x", "y"]].drop_duplicates()
+        m = cn.merge(e, on=["x", "y"], how="left", indicator=True)
+        m = m.loc[m["_merge"] == "left_only", ["x", "y", "c"]]
+        m = m.sort_values(["c", "x", "y"],
+                          ascending=[False, True, True]).head(k)
+        return _arrow(m.astype("int64"))
+
+    parts = (w_rows.union(e_rows)
+             .map_batches(_pbucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(combine_topk,
+                                        batch_format="pandas"))
+    df = parts.to_pandas().astype("int64")
+    df = df.sort_values(["c", "x", "y"],
+                        ascending=[False, True, True]).head(k)
+    return df.rename(columns={"x": "id_a", "y": "id_b",
+                              "c": "n_common"}).reset_index(drop=True)
+
+
+def _nodeclust_local(edges) -> pd.DataFrame:
+    """Per-node degree + triangle counts over an edge list that fits
+    one task: the :func:`_tri_local` degree-ordered wedge join, with the
+    matched wedges' three corners folded per node via ``np.bincount``."""
+    t = _gather_edges(edges)
+    u = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[np.lexsort((np.arange(len(nodes)), deg))] = \
+        np.arange(len(nodes), dtype=np.int64)
+    ru, rv = rank[ui], rank[vi]
+    keep = ru < rv
+    a, b = ru[keep], rv[keep]
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    packed = a << np.int64(32) | b
+    left, right = _run_pairs(a)
+    tri_rank = np.zeros(len(nodes), dtype=np.int64)
+    if len(left):
+        x, y = b[left], b[right]
+        wedge_key = x << np.int64(32) | y
+        pos = np.minimum(np.searchsorted(packed, wedge_key),
+                         len(packed) - 1)
+        m = packed[pos] == wedge_key
+        corners = np.concatenate([a[left][m], x[m], y[m]])
+        tri_rank += np.bincount(corners, minlength=len(nodes))
+    return pd.DataFrame({"node": nodes, "deg": deg,
+                         "n_tri": tri_rank[rank]})
+
+
+def node_clustering(pairs, *, driver_threshold: int = 5_000_000):
+    """Per-node degree and triangle count of the undirected graph given
+    as an (id_a, id_b) DISTINCT-pair Dataset — the inputs of the local
+    clustering coefficient cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    integer-exact so the engine and a SQL oracle agree bit-for-bit.
+
+    Scale shape: identical to :func:`triangle_count` (degrees, two
+    co-partitioned degree attaches, low→high (deg, id) orientation,
+    per-center wedge generation, wedges ∪ oriented edges co-partitioned
+    by pair hash) — except the wedge rows CARRY their center, the
+    pair-bucket close emits the three corners of each matched wedge as
+    per-node partial counts, and one final node-hash bucketed sum joins
+    them with the degree table.  Every stage stays edge- or wedge-sized.
+
+    Returns pandas (node, deg, n_tri) sorted by node, one row per node
+    appearing in any pair.  Edge lists under ``driver_threshold`` take
+    a single-task numpy fast path; a pytest forces threshold=0 and
+    asserts both paths agree exactly.
+    """
+    from ..runtime import int_bucket_of, pair_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+
+    edges = pairs.map_batches(_edges_both,
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64"),
+                             "n_tri": pd.Series(dtype="int64")})
+    if n_edges <= driver_threshold:
+        return _nodeclust_local(edges)
+
+    def _bucket(col):
+        def fn(t: pa.Table) -> pa.Table:
+            kk = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("__b",
+                                   pa.array(int_bucket_of(kk, nb)))
+        return fn
+
+    def count_deg(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)
+               .size().rename(columns={"size": "deg"}))
+        return _arrow(out)
+
+    deg = (edges.map_batches(_bucket("node"), batch_format="pyarrow")
+           .groupby("__b").map_groups(count_deg, batch_format="pandas")
+           .materialize())
+
+    # attach deg to both endpoints, orient low->high (deg, id) rank —
+    # the exact triangle_count exchange, inlined with the same kernels
+    deg_rows = deg.map_batches(
+        lambda t: pa.table({"__k": t["node"], "deg": t["deg"],
+                            "node": pa.nulls(len(t), pa.int64()),
+                            "nbr": pa.nulls(len(t), pa.int64()),
+                            "__lab": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    e_rows = edges.map_batches(
+        lambda t: pa.table({"__k": t["node"],
+                            "deg": pa.nulls(len(t), pa.int64()),
+                            "node": t["node"], "nbr": t["nbr"],
+                            "__lab": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def attach1(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["__lab"], ["__k", "deg"]]
+        edg = g.loc[~g["__lab"], ["node", "nbr"]]
+        m = edg.merge(lab.rename(columns={"__k": "node",
+                                          "deg": "dnode"}),
+                      on="node", how="left")
+        return _arrow(m[["node", "nbr", "dnode"]].astype("int64"))
+
+    e1 = (deg_rows.union(e_rows)
+          .map_batches(_bucket("__k"), batch_format="pyarrow")
+          .groupby("__b").map_groups(attach1, batch_format="pandas")
+          .materialize())
+
+    deg_rows2 = deg.map_batches(
+        lambda t: pa.table({"__k": t["node"], "deg": t["deg"],
+                            "node": pa.nulls(len(t), pa.int64()),
+                            "nbr": pa.nulls(len(t), pa.int64()),
+                            "dnode": pa.nulls(len(t), pa.int64()),
+                            "__lab": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    e1_rows = e1.map_batches(
+        lambda t: pa.table({"__k": t["nbr"],
+                            "deg": pa.nulls(len(t), pa.int64()),
+                            "node": t["node"], "nbr": t["nbr"],
+                            "dnode": t["dnode"],
+                            "__lab": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def attach2(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["__lab"], ["__k", "deg"]]
+        edg = g.loc[~g["__lab"], ["node", "nbr", "dnode"]]
+        m = edg.merge(lab.rename(columns={"__k": "nbr", "deg": "dnbr"}),
+                      on="nbr", how="left")
+        keep = ((m["dnode"] < m["dnbr"])
+                | ((m["dnode"] == m["dnbr"]) & (m["node"] < m["nbr"])))
+        m = m.loc[keep, ["node", "nbr", "dnode", "dnbr"]]
+        return _arrow(m.rename(columns={
+            "node": "u", "nbr": "v",
+            "dnode": "du", "dnbr": "dv"}).astype("int64"))
+
+    oriented = (deg_rows2.union(e1_rows)
+                .map_batches(_bucket("__k"), batch_format="pyarrow")
+                .groupby("__b").map_groups(attach2, batch_format="pandas")
+                .materialize())
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        m = g.merge(g, on="u", suffixes=("_1", "_2"))
+        lt = ((m["dv_1"] < m["dv_2"])
+              | ((m["dv_1"] == m["dv_2"]) & (m["v_1"] < m["v_2"])))
+        m = m.loc[lt]
+        return _arrow(pd.DataFrame({
+            "ctr": m["u"].to_numpy(np.int64),
+            "x": m["v_1"].to_numpy(np.int64),
+            "y": m["v_2"].to_numpy(np.int64)}))
+
+    wedge_ds = (oriented.map_batches(_bucket("u"), batch_format="pyarrow")
+                .groupby("__b").map_groups(wedges, batch_format="pandas"))
+
+    def _pbucket(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(pair_bucket_of(x, y, nb)))
+
+    w_rows = wedge_ds.map_batches(
+        lambda t: pa.table({"ctr": t["ctr"], "x": t["x"], "y": t["y"],
+                            "__w": pa.array([True] * len(t))}),
+        batch_format="pyarrow")
+    oe_rows = oriented.map_batches(
+        lambda t: pa.table({"ctr": pa.nulls(len(t), pa.int64()),
+                            "x": t["u"], "y": t["v"],
+                            "__w": pa.array([False] * len(t))}),
+        batch_format="pyarrow")
+
+    def close_corners(g: pd.DataFrame) -> pa.Table:
+        w = g.loc[g["__w"], ["ctr", "x", "y"]]
+        e = g.loc[~g["__w"], ["x", "y"]].drop_duplicates()
+        m = w.merge(e, on=["x", "y"])
+        corners = np.concatenate([m["ctr"].to_numpy(np.int64),
+                                  m["x"].to_numpy(np.int64),
+                                  m["y"].to_numpy(np.int64)])
+        out = (pd.DataFrame({"node": corners})
+               .groupby("node", sort=False, as_index=False)
+               .size().rename(columns={"size": "t"}))
+        return _arrow(out.astype("int64"))
+
+    tri_parts = (w_rows.union(oe_rows)
+                 .map_batches(_pbucket, batch_format="pyarrow")
+                 .groupby("__b").map_groups(close_corners,
+                                            batch_format="pandas"))
+
+    # final node-hash bucketed sum of triangle partials, joined with deg
+    t_rows = tri_parts.map_batches(
+        lambda t: pa.table({"node": t["node"], "t": t["t"],
+                            "deg": pa.nulls(len(t), pa.int64())}),
+        batch_format="pyarrow")
+    d_rows = deg.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "t": pa.nulls(len(t), pa.int64()),
+                            "deg": t["deg"]}),
+        batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)
+               .agg(n_tri=("t", "sum"), deg=("deg", "max")))
+        return _arrow(out[["node", "deg", "n_tri"]].astype("int64"))
+
+    res = (t_rows.union(d_rows)
+           .map_batches(_bucket("node"), batch_format="pyarrow")
+           .groupby("__b").map_groups(fold, batch_format="pandas"))
+    df = res.to_pandas().astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
