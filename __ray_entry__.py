@@ -3211,6 +3211,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_parts": rel.triangle_count_parts,
         "common_neighbors_parts": rel.common_neighbors_parts,
         "clustering_parts": rel.clustering_parts,
+        # --- NEW: TPC-H completion wave — all 22 query shapes now
+        # --- covered (Q2/Q9/Q11/Q12/Q19/Q20 adapted to this corpus's
+        # --- columns: no partsupp / shipmode / commitdate) ---
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q9_product_type_profit": rel.q9_product_type_profit,
+        "q11_important_parts": rel.q11_important_parts,
+        "q12_ship_latency": rel.q12_ship_latency,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_promotion_suppliers": rel.q20_promotion_suppliers,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -4287,6 +4296,86 @@ SELECT deg.node AS part_id, deg.deg,
             ELSE 0.0 END AS clustering
 FROM deg LEFT JOIN pt ON pt.node=deg.node
 ORDER BY part_id""",
+        "q2_min_cost_supplier": f"""
+WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey=n_nationkey
+            JOIN region ON n_regionkey=r_regionkey
+            WHERE r_name='{rel.Q2_REGION}'),
+p AS (SELECT p_partkey, p_name FROM part
+      WHERE p_size={rel.Q2_SIZE} AND p_type='{rel.Q2_TYPE}'),
+l AS (SELECT DISTINCT l_partkey, l_suppkey,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS cost_c
+      FROM lineitem JOIN p ON l_partkey=p_partkey
+      JOIN rs ON l_suppkey=s_suppkey),
+mn AS (SELECT l_partkey, min(cost_c) AS mc FROM l GROUP BY l_partkey)
+SELECT rs.s_acctbal, rs.s_name, rs.n_name, p.p_partkey, p.p_name,
+       mn.mc/100.0 AS min_cost
+FROM l JOIN mn ON l.l_partkey=mn.l_partkey AND l.cost_c=mn.mc
+JOIN rs ON l.l_suppkey=rs.s_suppkey JOIN p ON l.l_partkey=p.p_partkey
+ORDER BY s_acctbal DESC, s_name, p_partkey, min_cost
+LIMIT {rel.Q2_TOPK}""",
+        "q9_product_type_profit": f"""
+SELECT n_name AS supp_nation, year(o_orderdate)::BIGINT AS o_year,
+       (sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            *(100-CAST(round(l_discount*100) AS BIGINT))
+            - CAST(round(p_retailprice*100) AS BIGINT)
+              *CAST(l_quantity AS BIGINT)*100))::BIGINT/10000.0
+           AS sum_profit
+FROM lineitem JOIN part ON l_partkey=p_partkey
+JOIN supplier ON l_suppkey=s_suppkey
+JOIN nation ON s_nationkey=n_nationkey
+JOIN orders ON l_orderkey=o_orderkey
+WHERE p_name LIKE '%{rel.Q9_NAME_SUB}%'
+GROUP BY supp_nation, o_year ORDER BY supp_nation, o_year DESC""",
+        "q11_important_parts": f"""
+WITH ns AS (SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey=n_nationkey
+            WHERE n_name='{rel.Q11_NATION}'),
+v AS (SELECT l_partkey AS p_partkey,
+             (sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  *(100-CAST(round(l_discount*100) AS BIGINT))))::BIGINT
+                 AS val4
+      FROM lineitem JOIN ns ON l_suppkey=s_suppkey GROUP BY l_partkey)
+SELECT p_partkey, val4/10000.0 AS value
+FROM v WHERE val4*{rel.Q11_FRAC_DENOM} > (SELECT sum(val4)::BIGINT FROM v)
+ORDER BY value DESC, p_partkey""",
+        "q12_ship_latency": f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                 > {rel.Q12_LATE_DAYS}
+            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+WHERE l_shipdate >= DATE '{rel.Q12_DATE_LO}'
+  AND l_shipdate < DATE '{rel.Q12_DATE_HI}'
+GROUP BY ship_class ORDER BY ship_class""",
+        "q19_disjunctive_revenue": f"""
+SELECT (sum(CAST(round(l_extendedprice*100) AS BIGINT)
+            *(100-CAST(round(l_discount*100) AS BIGINT))))::BIGINT
+           /10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey=p_partkey
+WHERE {" OR ".join(
+    f"(p_brand='{b}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+    f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+    for b, s_lo, s_hi, q_lo, q_hi in rel.Q19_TERMS)}""",
+        "q20_promotion_suppliers": f"""
+WITH fp AS (SELECT p_partkey FROM part
+            WHERE p_name LIKE '{rel.Q20_PREFIX}%'),
+sq AS (SELECT l_partkey, l_suppkey,
+              sum(CAST(l_quantity AS BIGINT))::BIGINT AS supp_qty
+       FROM lineitem JOIN fp ON l_partkey=p_partkey
+       WHERE l_shipdate >= DATE '{rel.Q20_DATE_LO}'
+         AND l_shipdate < DATE '{rel.Q20_DATE_HI}'
+       GROUP BY l_partkey, l_suppkey),
+tq AS (SELECT l_partkey, sum(supp_qty)::BIGINT AS tot_qty
+       FROM sq GROUP BY l_partkey),
+ok AS (SELECT DISTINCT sq.l_suppkey FROM sq JOIN tq USING (l_partkey)
+       WHERE 2*sq.supp_qty > tq.tot_qty)
+SELECT s_name, s_acctbal FROM supplier JOIN ok ON s_suppkey=l_suppkey
+JOIN nation ON s_nationkey=n_nationkey
+WHERE n_name='{rel.Q20_NATION}' ORDER BY s_name""",
         "bm25_wildcard": _wildcard_sql(),
         "did_you_mean": _dym_sql(),
         "source_stats_join": """
