@@ -2007,6 +2007,21 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+KNN_K = 3
+
+
+def _q_knn_graph(sf_dir: str):
+    """Exact k-NN graph over the embeddings table: per vector the top-3
+    cosine neighbours (self excluded), blocked all-pairs over chunked
+    scratch with a running per-row top-k — task memory never N².  Sims
+    round to 6 dp before ranking, so the rank cut and the SQL window
+    oracle agree bit-for-bit (ties break on nbr_id on both sides)."""
+    from vframe_ray.stages.similarity import knn_graph
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=KNN_K)
+
+
 def _q_srp_dups(sf_dir: str):
     """SRP-bucketed near-dup pairs at τ=0.9 over embeddings ∪ planted
     exact copies (vec_id+20000): identical vectors collide in EVERY
@@ -3220,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_ship_latency": rel.q12_ship_latency,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q20_promotion_suppliers": rel.q20_promotion_suppliers,
+        # --- NEW: exact k-NN graph over embeddings ---
+        "knn_graph_embeddings": _q_knn_graph,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -3933,6 +3950,20 @@ WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
 SELECT qid::BIGINT AS query_id, rank::INT AS rank, vec_id,
        round(sim, 6) AS sim_r
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "knn_graph_embeddings": f"""
+WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]),
+                        6) AS sim_r
+           FROM embeddings a JOIN embeddings b
+           ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, nbr_id, sim_r,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim_r DESC, nbr_id) AS rank
+      FROM s)
+SELECT vec_id::BIGINT AS vec_id, rank::BIGINT AS rank,
+       nbr_id::BIGINT AS nbr_id, sim_r
+FROM r WHERE rank <= {KNN_K} ORDER BY vec_id, rank""",
         "cosine_dup_pairs": """
 SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -216,3 +216,50 @@ def test_srp_dup_pairs_recall(ray_session, planted_ds):
     # verified sims are exact, so any emitted pair matches the oracle
     for k, v in skeys.items():
         assert ekeys[k] == v
+
+
+def _brute_knn(tbl, k=3):
+    """Driver-side brute-force k-NN with the engine's exact ranking
+    rule: sims rounded to 6 dp, order (sim_r desc, nbr_id asc)."""
+    import pandas as pd
+    M = np.stack([np.asarray(r) for r in
+                  tbl["embedding"].to_pylist()]).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy()
+    sims = np.round(M @ M.T, 6)
+    rows = []
+    for i in range(len(ids)):
+        cand = [(-sims[i, j], ids[j]) for j in range(len(ids))
+                if ids[j] != ids[i]]
+        cand.sort()
+        for r, (ns, nid) in enumerate(cand[:k], start=1):
+            rows.append((int(ids[i]), r, int(nid), -ns))
+    return pd.DataFrame(rows, columns=["vec_id", "rank", "nbr_id",
+                                       "sim_r"])
+
+
+def test_knn_graph_vs_brute_multichunk(ray_session):
+    """Forced multi-chunk path (rows_per_chunk << N) must equal brute
+    force, including the planted EXACT duplicate (sim 1.0, rank-1 tie
+    broken by nbr_id on both sides) and self-exclusion."""
+    import pandas as pd
+    from vframe_ray.stages.similarity import knn_graph
+
+    tbl = _planted_embeddings(n_base=120, n_near=12)
+    # plant an exact duplicate of vector 0 with a HIGHER id: the dup
+    # must be 0's rank-1 at sim 1.0, and 0 the dup's rank-1
+    M0 = tbl["embedding"].to_pylist()[0]
+    tbl = pa.concat_tables([tbl, pa.table({
+        "vec_id": pa.array([999], pa.int64()),
+        "embedding": pa.array([M0], pa.list_(pa.float64()))})])
+    ds = ray.data.from_arrow(tbl)
+    want = _brute_knn(tbl, k=3)
+    got = knn_graph(ds, k=3, rows_per_chunk=32).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.astype({"vec_id": "int64", "rank": "int64",
+                    "nbr_id": "int64"}),
+        want.astype({"vec_id": "int64", "rank": "int64",
+                     "nbr_id": "int64"}))
+    g0 = got[got["vec_id"] == 0].iloc[0]
+    assert (g0["rank"], g0["nbr_id"], g0["sim_r"]) == (1, 999, 1.0)
+    assert (got["nbr_id"] != got["vec_id"]).all()
