@@ -3237,6 +3237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_promotion_suppliers": rel.q20_promotion_suppliers,
         # --- NEW: exact k-NN graph over embeddings ---
         "knn_graph_embeddings": _q_knn_graph,
+        # --- NEW: personalized (seeded-teleport) PageRank ---
+        "ppr_parts": rel.ppr_parts,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -4296,6 +4298,27 @@ SELECT (SELECT count(*) FROM e ab
         JOIN e ac ON ac.u=ab.u AND ac.v>ab.v
         JOIN e bc ON bc.u=ab.v AND bc.v=ac.v)::BIGINT AS n_triangles,
        (SELECT count(*) FROM e)::BIGINT AS n_edges""",
+        "ppr_parts": f"""
+WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+e AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+      ON a.ok=b.ok AND a.pk<>b.pk),
+deg AS (SELECT u, count(*)::BIGINT d FROM e GROUP BY u),
+r0 AS (SELECT u, (CASE WHEN u % {rel.PPR_SEED_MOD} = 0
+                       THEN 1000000000 ELSE 0 END)::BIGINT r FROM deg),
+r1 AS (SELECT e.v u, (CASE WHEN e.v % {rel.PPR_SEED_MOD} = 0
+                           THEN 150000000 ELSE 0 END)::BIGINT
+       + sum((85::BIGINT*r0.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r0 ON r0.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v),
+r2 AS (SELECT e.v u, (CASE WHEN e.v % {rel.PPR_SEED_MOD} = 0
+                           THEN 150000000 ELSE 0 END)::BIGINT
+       + sum((85::BIGINT*r1.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r1 ON r1.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v),
+r3 AS (SELECT e.v u, (CASE WHEN e.v % {rel.PPR_SEED_MOD} = 0
+                           THEN 150000000 ELSE 0 END)::BIGINT
+       + sum((85::BIGINT*r2.r)//(100::BIGINT*deg.d)) r
+       FROM e JOIN r2 ON r2.u=e.u JOIN deg ON deg.u=e.u GROUP BY e.v)
+SELECT u AS part_id, r::BIGINT AS rank_scaled FROM r3
+ORDER BY r DESC, u LIMIT {rel.PPR_K}""",
         "common_neighbors_parts": f"""
 WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
 eo AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b

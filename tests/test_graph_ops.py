@@ -60,15 +60,20 @@ def _brute_edges(sf_dir):
     return sorted(e)
 
 
-def _brute_pagerank(edges, iterations=3, scale=10**9, dp=85):
+def _brute_pagerank(edges, iterations=3, scale=10**9, dp=85,
+                    seeds=None):
     nbrs = {}
     for a, b in edges:
         nbrs.setdefault(a, []).append(b)
         nbrs.setdefault(b, []).append(a)
     base = (100 - dp) * scale // 100
-    r = {v: scale for v in nbrs}
+
+    def b0(v, full):
+        return full if seeds is None or v in seeds else 0
+
+    r = {v: b0(v, scale) for v in nbrs}
     for _ in range(iterations):
-        nxt = {v: base for v in nbrs}
+        nxt = {v: b0(v, base) for v in nbrs}
         for u, ns in nbrs.items():
             c = dp * r[u] // (100 * len(ns))
             for v in ns:
@@ -99,6 +104,31 @@ def test_pagerank_vs_brute_and_distributed(sf_dir):
         assert got[v] == r, v
     # forced BSP path, bit-identical
     dist = pagerank(edges, driver_threshold=0).to_pandas() \
+        .astype({"node": "int64", "rank_scaled": "int64"}) \
+        .set_index("node")["rank_scaled"]
+    assert dist.sort_index().equals(got.sort_index())
+
+
+def test_personalized_pagerank_vs_brute_and_distributed(sf_dir):
+    """Seeded teleport: the hub (0) and an ordinary node (7) as seeds —
+    non-seeds must start at 0 and get no base term; the forced BSP path
+    must match the numpy fast path bit-for-bit."""
+    import numpy as np
+    from vframe_ray.pipelines.relational import _copurchase_edges
+    from vframe_ray.stages.graph import pagerank
+
+    seeds = np.array([0, 7], dtype=np.int64)
+    edges = _copurchase_edges(sf_dir).materialize()
+    brute = _brute_pagerank(_brute_edges(sf_dir), seeds={0, 7})
+    got = pagerank(edges, seeds=seeds).to_pandas() \
+        .set_index("node")["rank_scaled"]
+    assert len(got) == len(brute)
+    for v, r in brute.items():
+        assert got[v] == r, v
+    # a node far from both seeds still gets SOME flow through the hub,
+    # but strictly less than a seed
+    assert got[0] > got[got.index.difference([0, 7])].max()
+    dist = pagerank(edges, seeds=seeds, driver_threshold=0).to_pandas() \
         .astype({"node": "int64", "rank_scaled": "int64"}) \
         .set_index("node")["rank_scaled"]
     assert dist.sort_index().equals(got.sort_index())

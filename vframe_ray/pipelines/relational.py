@@ -3734,6 +3734,52 @@ def triangle_count_parts(sf_dir: str):
                          "n_edges": [int(edges.count())]})
 
 
+PPR_SEED_MOD = 97
+PPR_K = 25
+
+
+def ppr_parts(sf_dir: str, k: int = PPR_K,
+              iterations: int = PAGERANK_ITERS,
+              seed_mod: int = PPR_SEED_MOD):
+    """Personalized PageRank over the part co-purchase graph: teleport
+    mass restricted to a SEED set (parts with partkey ≡ 0 mod
+    ``seed_mod`` — a deterministic, SQL-expressible anchor set), so the
+    ranking answers "how relevant is each part to THESE parts" — the
+    seeded-relevance weighting used to upsample corpus neighborhoods
+    around known-good documents.  Same integer-exact power iteration
+    and BSP shape as :func:`pagerank_parts`; the seed set rides as one
+    broadcast sorted array.
+
+    Returns pandas (part_id, rank_scaled), top-k by (rank desc, id)."""
+    import pyarrow.parquet as pq
+    from ..stages.graph import pagerank
+
+    par = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                        columns=["p_partkey"])
+    pk = par["p_partkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    seeds = pk[pk % seed_mod == 0]
+    ranks = pagerank(_copurchase_edges(sf_dir), iterations=iterations,
+                     seeds=seeds)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rank_scaled", "node"], ascending=[False, True]).head(k)
+        return pa.table({
+            "part_id": pa.array(df["node"].to_numpy(np.int64),
+                                pa.int64()),
+            "rank_scaled": pa.array(df["rank_scaled"].to_numpy(np.int64),
+                                    pa.int64())})
+
+    parts = ranks.map_batches(local_topk, batch_format="pyarrow")
+    out = _driver_combine(parts, ["part_id"],
+                          [("rank_scaled", "max", "rank_scaled")]) \
+        .to_pandas()
+    return out.sort_values(["rank_scaled", "part_id"],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+
+
 CN_TOPK = 50
 
 

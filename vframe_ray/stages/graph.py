@@ -201,9 +201,11 @@ def minhash_dedup_clusters(ds, **minhash_kwargs) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def _pr_local(edges, *, iterations: int, scale: int,
-              damping_pct: int) -> pd.DataFrame:
+              damping_pct: int, seeds=None) -> pd.DataFrame:
     """Vectorized integer PageRank over an edge list that fits one task
-    (numpy only; ``np.add.at`` folds contributions per node exactly)."""
+    (numpy only; ``np.add.at`` folds contributions per node exactly).
+    With ``seeds``, teleport mass goes ONLY to seed nodes (personalized
+    PageRank): non-seeds start at 0 and receive no base term."""
     import ray
     from ..runtime import block_refs
     t = pa.concat_tables(
@@ -214,17 +216,23 @@ def _pr_local(edges, *, iterations: int, scale: int,
     ui, vi = inv[:len(u)], inv[len(u):]
     deg = np.bincount(ui, minlength=len(nodes)).astype(np.int64)
     base = (100 - damping_pct) * scale // 100
-    r = np.full(len(nodes), scale, dtype=np.int64)
+    if seeds is None:
+        is_seed = np.ones(len(nodes), dtype=bool)
+    else:
+        is_seed = np.isin(nodes, seeds)
+    r = np.where(is_seed, np.int64(scale), np.int64(0))
+    base_v = np.where(is_seed, np.int64(base), np.int64(0))
     for _ in range(iterations):
         contrib = damping_pct * r[ui] // (100 * deg[ui])
-        nxt = np.full(len(nodes), base, dtype=np.int64)
+        nxt = base_v.copy()
         np.add.at(nxt, vi, contrib)
         r = nxt
     return pd.DataFrame({"node": nodes, "rank_scaled": r})
 
 
 def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
-             damping_pct: int = 85, driver_threshold: int = 5_000_000):
+             damping_pct: int = 85, driver_threshold: int = 5_000_000,
+             seeds=None):
     """PageRank over an (id_a, id_b) undirected DISTINCT-pair Dataset —
     the link-analysis primitive behind web-corpus quality weighting
     (which pages/docs to keep or upsample in a training mix).
@@ -254,12 +262,22 @@ def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
     dwarfs useful work on small graphs); a pytest forces threshold=0
     and asserts both paths agree bit-exactly.
 
+    With ``seeds`` (an int64 array of node ids), the teleport term goes
+    ONLY to seed nodes — personalized PageRank, the "relevance to this
+    anchor set" weighting (non-seeds start at 0 and get no base term;
+    the contribution rule is unchanged, so exactness and the SQL-oracle
+    unrolling carry over verbatim).  The seed set is a broadcast sorted
+    array (``ray.put`` once, searchsorted membership inside kernels).
+
     Returns a Dataset (node int64, rank_scaled int64), one row per node
     that appears in any pair.
     """
+    import ray
     from ..runtime import int_bucket_of, num_hash_buckets
     nb = num_hash_buckets()
     base = (100 - damping_pct) * scale // 100
+    seeds_sorted = None if seeds is None \
+        else np.sort(np.asarray(seeds, dtype=np.int64))
 
     edges = pairs.map_batches(_edges_both,
                               batch_format="pyarrow").materialize()
@@ -273,7 +291,18 @@ def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
         import ray.data as rd
         return rd.from_pandas(_pr_local(edges, iterations=iterations,
                                         scale=scale,
-                                        damping_pct=damping_pct))
+                                        damping_pct=damping_pct,
+                                        seeds=seeds_sorted))
+    seeds_ref = ray.put(seeds_sorted)
+
+    def _seed_mask(node_arr: np.ndarray) -> np.ndarray:
+        ss = ray.get(seeds_ref)
+        if ss is None:
+            return np.ones(len(node_arr), dtype=bool)
+        if len(ss) == 0:
+            return np.zeros(len(node_arr), dtype=bool)
+        pos = np.minimum(np.searchsorted(ss, node_arr), len(ss) - 1)
+        return ss[pos] == node_arr
 
     def _bucket(col):
         def fn(t: pa.Table) -> pa.Table:
@@ -285,7 +314,9 @@ def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
     def count_deg(g: pd.DataFrame) -> pa.Table:
         out = (g.groupby("node", sort=False, as_index=False)
                .size().rename(columns={"size": "deg"}))
-        out["rank_scaled"] = np.int64(scale)
+        out["rank_scaled"] = np.where(
+            _seed_mask(out["node"].to_numpy(np.int64)),
+            np.int64(scale), np.int64(0))
         return _arrow(out)
 
     # labels: (node, deg, rank_scaled) — deg rides inside the label table
@@ -313,7 +344,9 @@ def pagerank(pairs, *, iterations: int = 3, scale: int = 1_000_000_000,
     def fold(g: pd.DataFrame) -> pa.Table:
         out = (g.groupby("node", sort=False, as_index=False)
                .agg(c=("c", "sum"), deg=("d", "max")))
-        out["rank_scaled"] = np.int64(base) + out["c"].to_numpy(np.int64)
+        base_v = np.where(_seed_mask(out["node"].to_numpy(np.int64)),
+                          np.int64(base), np.int64(0))
+        out["rank_scaled"] = base_v + out["c"].to_numpy(np.int64)
         return _arrow(out[["node", "deg", "rank_scaled"]])
 
     for _ in range(iterations):
