@@ -259,10 +259,32 @@ def run_bench() -> dict:
 
     def graph_suite(sf_dir):
         from vframe_ray.pipelines.relational import _copurchase_edges
-        from vframe_ray.stages.graph import pagerank, triangle_count
+        from vframe_ray.stages.graph import (node_clustering, pagerank,
+                                             triangle_count)
+        import numpy as np
         edges = _copurchase_edges(sf_dir).materialize()
         pagerank(edges).count()
         triangle_count(edges)
+        # round-5 additions: seeded-teleport PPR (same BSP/fast path)
+        # and per-node clustering (degree-ordered wedge join with
+        # corner counts).  common_neighbors is deliberately NOT here:
+        # exact CN is Σ deg(c)² wedge work (~148M wedges / ~91 s at
+        # sf0.1, measured) — an inherent-cost operator, not a
+        # regression canary.
+        seeds = np.arange(0, 20_000, 97, dtype=np.int64)
+        pagerank(edges, seeds=seeds).count()
+        node_clustering(edges)
+
+    def tpch_tail(sf_dir):
+        # the completion wave's data-sized shapes: groupwise argmin
+        # with join-back (Q2), the five-table star (Q9), and the
+        # derived-class dual CASE counts (Q12).  Q11/Q19/Q20 are
+        # dimension-broadcast single-pass scans — their cost is the
+        # same pruned lineitem read q19 already represents.
+        rel.q2_min_cost_supplier(sf_dir)
+        rel.q9_product_type_profit(sf_dir)
+        rel.q12_ship_latency(sf_dir)
+        rel.q19_disjunctive_revenue(sf_dir)
 
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
@@ -297,7 +319,12 @@ def run_bench() -> dict:
                  # (~1.2M distinct edges / 1.9M triangles at sf0.1):
                  # one shared edge build, then integer-exact PageRank
                  # power iteration + degree-ordered triangle count
-                 ("graph_suite", graph_suite)]
+                 ("graph_suite", graph_suite),
+                 # round-5 TPC-H completion (all 22 shapes covered)
+                 ("tpch_tail", tpch_tail),
+                 # exact k-NN graph over the embeddings table (blocked
+                 # all-pairs with running per-anchor top-k)
+                 ("knn_graph", entry_queries["knn_graph_embeddings"])]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup

@@ -652,7 +652,8 @@ def _cn_local(edges, k: int) -> pd.DataFrame:
 
 
 def common_neighbors_topk(pairs, *, k: int = 50,
-                          driver_threshold: int = 5_000_000):
+                          driver_threshold: int = 5_000_000,
+                          wedge_threshold: int = 30_000_000):
     """Link prediction over an (id_a, id_b) DISTINCT-pair Dataset: the
     top-k NON-adjacent node pairs by common-neighbour count — the
     classic "customers who bought X also bought Y" recommender
@@ -671,10 +672,17 @@ def common_neighbors_topk(pairs, *, k: int = 50,
     and is therefore not silently done here.
 
     Edge lists under ``driver_threshold`` take a single-task numpy fast
-    path (same rule as :func:`connected_components`); a pytest forces
-    threshold=0 and asserts both paths agree exactly.
+    path (same rule as :func:`connected_components`) — but ONLY if the
+    wedge volume Σ C(deg, 2), computed from one cheap degree pass over
+    the (already small) edge list, also stays under
+    ``wedge_threshold``: unlike triangles, CN wedges are NOT
+    degree-order-bounded, so a modest edge list can hide a multi-GB
+    wedge materialization that the bucketed path spreads instead.  A
+    pytest forces threshold=0 and asserts both paths agree exactly.
     """
-    from ..runtime import int_bucket_of, pair_bucket_of, num_hash_buckets
+    import ray
+    from ..runtime import (block_refs, int_bucket_of, pair_bucket_of,
+                           num_hash_buckets)
     nb = num_hash_buckets()
 
     edges = pairs.map_batches(_edges_both,
@@ -683,7 +691,14 @@ def common_neighbors_topk(pairs, *, k: int = 50,
     if n_edges == 0:
         return _EMPTY_CN.copy()
     if n_edges <= driver_threshold:
-        return _cn_local(edges, k)
+        node = np.concatenate([
+            b["node"].to_numpy(zero_copy_only=False)
+            for b in ray.get(block_refs(edges)) if b.num_rows])
+        _, deg = np.unique(node, return_counts=True)
+        n_wedges = int((deg.astype(np.int64)
+                        * (deg.astype(np.int64) - 1) // 2).sum())
+        if n_wedges <= wedge_threshold:
+            return _cn_local(edges, k)
 
     def _bucket(t: pa.Table) -> pa.Table:
         kk = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -695,9 +710,24 @@ def common_neighbors_topk(pairs, *, k: int = 50,
         order = np.lexsort((w, c))
         c, w = c[order], w[order]
         left, right = _run_pairs(c)
-        df = pd.DataFrame({"x": w[left], "y": w[right]})
-        out = (df.groupby(["x", "y"], sort=False, as_index=False)
-               .size().rename(columns={"size": "c"}))
+        x, y = w[left], w[right]
+        if len(x) == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        if int(w.max()) < 2 ** 31:
+            # packed-key fold: one np.unique replaces the two-column
+            # pandas groupby (the wedge stream is the hot volume here —
+            # Σ deg(c)² rows per bucket)
+            uk, cnt = np.unique(x << np.int64(32) | y,
+                                return_counts=True)
+            out = pd.DataFrame({"x": uk >> np.int64(32),
+                                "y": uk & np.int64(0x7FFFFFFF),
+                                "c": cnt.astype(np.int64)})
+        else:
+            out = (pd.DataFrame({"x": x, "y": y})
+                   .groupby(["x", "y"], sort=False, as_index=False)
+                   .size().rename(columns={"size": "c"}))
         return _arrow(out.astype("int64"))
 
     wedge_ds = (edges.map_batches(_bucket, batch_format="pyarrow")
@@ -723,14 +753,34 @@ def common_neighbors_topk(pairs, *, k: int = 50,
         batch_format="pyarrow")
 
     def combine_topk(g: pd.DataFrame) -> pa.Table:
-        w = g.loc[g["__w"], ["x", "y", "c"]]
-        cn = (w.groupby(["x", "y"], sort=False, as_index=False)["c"]
-              .sum())
-        e = g.loc[~g["__w"], ["x", "y"]].drop_duplicates()
-        m = cn.merge(e, on=["x", "y"], how="left", indicator=True)
-        m = m.loc[m["_merge"] == "left_only", ["x", "y", "c"]]
-        m = m.sort_values(["c", "x", "y"],
-                          ascending=[False, True, True]).head(k)
+        wm = g["__w"].to_numpy()
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        if len(x) and int(x.max()) < 2 ** 31 and int(y.max()) < 2 ** 31:
+            wkey = x[wm] << np.int64(32) | y[wm]
+            cval = g["c"].to_numpy()[wm].astype(np.int64)
+            uk, inv = np.unique(wkey, return_inverse=True)
+            cnt = np.bincount(inv, weights=cval).astype(np.int64)
+            ekey = np.unique(x[~wm] << np.int64(32) | y[~wm])
+            if len(ekey):
+                pos = np.minimum(np.searchsorted(ekey, uk),
+                                 len(ekey) - 1)
+                new = ekey[pos] != uk
+                uk, cnt = uk[new], cnt[new]
+            sel = np.argsort(-cnt, kind="stable")[:k]  # uk asc = (x,y) asc
+            uk, cnt = uk[sel], cnt[sel]
+            m = pd.DataFrame({"x": uk >> np.int64(32),
+                              "y": uk & np.int64(0x7FFFFFFF),
+                              "c": cnt})
+        else:
+            w = g.loc[g["__w"], ["x", "y", "c"]]
+            cn = (w.groupby(["x", "y"], sort=False,
+                            as_index=False)["c"].sum())
+            e = g.loc[~g["__w"], ["x", "y"]].drop_duplicates()
+            m = cn.merge(e, on=["x", "y"], how="left", indicator=True)
+            m = m.loc[m["_merge"] == "left_only", ["x", "y", "c"]]
+            m = m.sort_values(["c", "x", "y"],
+                              ascending=[False, True, True]).head(k)
         return _arrow(m.astype("int64"))
 
     parts = (w_rows.union(e_rows)
