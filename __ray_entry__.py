@@ -3239,6 +3239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_embeddings": _q_knn_graph,
         # --- NEW: personalized (seeded-teleport) PageRank ---
         "ppr_parts": rel.ppr_parts,
+        # --- NEW: multi-source BFS seed distance (label propagation) ---
+        "seed_distance_parts": rel.seed_distance_parts,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -4298,6 +4300,18 @@ SELECT (SELECT count(*) FROM e ab
         JOIN e ac ON ac.u=ab.u AND ac.v>ab.v
         JOIN e bc ON bc.u=ab.v AND bc.v=ac.v)::BIGINT AS n_triangles,
        (SELECT count(*) FROM e)::BIGINT AS n_edges""",
+        "seed_distance_parts": f"""
+WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk
+                      FROM lineitem),
+e AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b
+      ON a.ok=b.ok AND a.pk<>b.pk),
+d(node, dist) AS (
+    SELECT DISTINCT u, 0 FROM e WHERE u % {rel.PPR_SEED_MOD} = 0
+    UNION
+    SELECT e.v, d.dist+1 FROM d JOIN e ON e.u=d.node
+    WHERE d.dist < {rel.SEED_DIST_HOPS})
+SELECT node AS part_id, min(dist)::BIGINT AS dist
+FROM d GROUP BY node ORDER BY part_id""",
         "ppr_parts": f"""
 WITH dp AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
 e AS (SELECT DISTINCT a.pk u, b.pk v FROM dp a JOIN dp b

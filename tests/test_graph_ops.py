@@ -262,6 +262,45 @@ def test_node_clustering_vs_brute_and_distributed(sf_dir):
     assert got["n_tri"].sum() == 3 * _brute_triangles(_brute_edges(sf_dir))
 
 
+def _brute_bfs(edges, seeds, max_hops):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    dist = {v: 0 for v in nbrs if v in seeds}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = {w for v in frontier for w in nbrs[v] if w not in dist}
+        for w in nxt:
+            dist[w] = h
+        frontier = nxt
+    return dist
+
+
+def test_seed_distance_vs_brute_and_distributed(sf_dir):
+    """Multi-source BFS: the disconnected (40, 41) component must be
+    OMITTED (not rows at -1/INF), the hop cap must truncate, and the
+    forced BSP path must equal the frontier-sweep fast path."""
+    import numpy as np
+    from vframe_ray.pipelines.relational import _copurchase_edges
+    from vframe_ray.stages.graph import seed_distance
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    for hops in (1, 2):
+        brute = _brute_bfs(_brute_edges(sf_dir), {0}, hops)
+        got = seed_distance(edges, np.array([0]), max_hops=hops)
+        assert dict(zip(got["node"], got["dist"])) == brute
+        assert not {40, 41, 99} & set(got["node"])
+        dist = seed_distance(edges, np.array([0]), max_hops=hops,
+                             driver_threshold=0)
+        pd.testing.assert_frame_equal(
+            dist.reset_index(drop=True), got.reset_index(drop=True))
+    # a seed with no edges contributes nothing; unknown seed id is a
+    # no-op, not an error
+    got = seed_distance(edges, np.array([99, 123456]), max_hops=2)
+    assert len(got) == 0
+
+
 def test_graph_pipelines_vs_duckdb_round5(sf_dir):
     from vframe_ray.pipelines.relational import (common_neighbors_parts,
                                                  clustering_parts)

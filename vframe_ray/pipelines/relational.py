@@ -3780,6 +3780,33 @@ def ppr_parts(sf_dir: str, k: int = PPR_K,
         .reset_index(drop=True)
 
 
+SEED_DIST_HOPS = 3
+
+
+def seed_distance_parts(sf_dir: str, max_hops: int = SEED_DIST_HOPS,
+                        seed_mod: int = PPR_SEED_MOD):
+    """Hop distance from the PPR anchor set (partkey ≡ 0 mod 97)
+    through the co-purchase graph, capped at ``max_hops`` — the
+    label-propagation companion to :func:`ppr_parts` (how many
+    co-purchase hops separate each part from a known anchor).  Multi-
+    source BFS (stages/graph.seed_distance): fixed BSP rounds mirroring
+    the SQL oracle's capped recursive CTE.
+
+    Returns pandas (part_id, dist) sorted by part_id."""
+    import pyarrow.parquet as pq
+    from ..stages.graph import seed_distance
+
+    par = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                        columns=["p_partkey"])
+    pk = par["p_partkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    seeds = pk[pk % seed_mod == 0]
+    out = seed_distance(_copurchase_edges(sf_dir), seeds,
+                        max_hops=max_hops)
+    return out.rename(columns={"node": "part_id"}) \
+        .reset_index(drop=True)
+
+
 CN_TOPK = 50
 
 

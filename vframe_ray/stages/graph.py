@@ -794,6 +794,127 @@ def common_neighbors_topk(pairs, *, k: int = 50,
                               "c": "n_common"}).reset_index(drop=True)
 
 
+_EMPTY_DIST = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                            "dist": pd.Series(dtype="int64")})
+
+
+def _bfs_local(edges, seeds: np.ndarray, max_hops: int) -> pd.DataFrame:
+    """Vectorized multi-source BFS over an edge list that fits one
+    task: one boolean frontier sweep per hop, no per-node Python."""
+    t = _gather_edges(edges)
+    u = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    dist[np.isin(nodes, seeds)] = 0
+    for h in range(1, max_hops + 1):
+        hit = vi[dist[ui] == h - 1]
+        fresh = hit[dist[hit] < 0]
+        if len(fresh) == 0:
+            break
+        dist[fresh] = h
+    keep = dist >= 0
+    return pd.DataFrame({"node": nodes[keep], "dist": dist[keep]})
+
+
+def seed_distance(pairs, seeds, *, max_hops: int = 4,
+                  driver_threshold: int = 5_000_000) -> pd.DataFrame:
+    """Multi-source BFS over an (id_a, id_b) DISTINCT-pair Dataset:
+    each node's hop distance to the nearest SEED node, capped at
+    ``max_hops`` — the graph-propagation primitive for spreading
+    known-good/known-bad labels through a similarity or co-occurrence
+    graph (nodes not reached within the cap are omitted, so the result
+    is frontier-sized, never corpus-sized when the cap is tight).
+
+    Scale shape: the :func:`connected_components` BSP exchange run for
+    a FIXED ``max_hops`` rounds — (distance labels ∪ edges)
+    co-partitioned by node-hash bucket, each node sends dist+1 to its
+    neighbours, a bucketed min folds the messages; per-round traffic
+    is edge-sized.  Fixed rounds keep the plan deterministic and
+    mirror the SQL oracle's capped recursive CTE exactly.  Edge lists
+    under ``driver_threshold`` take a single-task numpy frontier sweep;
+    a pytest forces threshold=0 and asserts both paths agree.
+
+    Returns pandas (node, dist) sorted by node, dist ∈ [0, max_hops];
+    seeds absent from every pair are NOT rows (they have no edges).
+    """
+    from ..runtime import int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+    seeds = np.asarray(seeds, dtype=np.int64)
+
+    edges = pairs.map_batches(_edges_both,
+                              batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return _EMPTY_DIST.copy()
+    if n_edges <= driver_threshold:
+        return _bfs_local(edges, seeds, max_hops)
+
+    import ray
+    seeds_ref = ray.put(np.sort(seeds))
+    INF = np.int64(1 << 60)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        kk = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b", pa.array(int_bucket_of(kk, nb)))
+
+    def init_dist(g: pd.DataFrame) -> pa.Table:
+        ss = ray.get(seeds_ref)
+        node = g["node"].drop_duplicates().to_numpy(np.int64)
+        if len(ss):
+            pos = np.minimum(np.searchsorted(ss, node), len(ss) - 1)
+            is_seed = ss[pos] == node
+        else:
+            is_seed = np.zeros(len(node), dtype=bool)
+        return pa.table({"node": node,
+                         "dist": np.where(is_seed, np.int64(0), INF)})
+
+    labels = (edges.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("__b").map_groups(init_dist,
+                                         batch_format="pandas")
+              .materialize())
+
+    def send(g: pd.DataFrame) -> pa.Table:
+        lab = g.loc[g["nbr"].isna(), ["node", "dist"]]
+        edg = g.loc[g["nbr"].notna(), ["node", "nbr"]]
+        m = edg.merge(lab, on="node", how="left")
+        node = np.concatenate([m["nbr"].to_numpy(dtype=np.int64),
+                               lab["node"].to_numpy(dtype=np.int64)])
+        d = np.concatenate([
+            np.minimum(m["dist"].to_numpy(dtype=np.int64), INF - 1) + 1,
+            lab["dist"].to_numpy(dtype=np.int64)])
+        return pa.table({"node": node, "dist": d})
+
+    def fold_min(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("node", sort=False, as_index=False)["dist"]
+               .min())
+        return _arrow(out)
+
+    for _ in range(max_hops):
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "dist": t["dist"],
+                                "nbr": pa.nulls(len(t), pa.int64())}),
+            batch_format="pyarrow")
+        edge_rows = edges.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "dist": pa.nulls(len(t), pa.int64()),
+                                "nbr": t["nbr"]}),
+            batch_format="pyarrow")
+        labels = (lab_rows.union(edge_rows)
+                  .map_batches(_bucket, batch_format="pyarrow")
+                  .groupby("__b").map_groups(send,
+                                             batch_format="pandas")
+                  .map_batches(_bucket, batch_format="pyarrow")
+                  .groupby("__b").map_groups(fold_min,
+                                             batch_format="pandas")
+                  .materialize())
+
+    df = labels.to_pandas().astype({"node": "int64", "dist": "int64"})
+    df = df[df["dist"] <= max_hops]
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _nodeclust_local(edges) -> pd.DataFrame:
     """Per-node degree + triangle counts over an edge list that fits
     one task: the :func:`_tri_local` degree-ordered wedge join, with the
