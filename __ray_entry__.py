@@ -1665,6 +1665,18 @@ def _q_token_count(sf_dir: str):
     return out[["doc_id", "n_tokens", "n_distinct"]]
 
 
+def _q_quality_score(sf_dir: str):
+    """Actor-pool model scoring: a linear quality classifier whose
+    weights materialize once per actor (reference pipe-detect's
+    model-once pattern), scored vectorized per batch, per-block local
+    top-k + bounded driver merge.  The logit accumulates in the SQL
+    expression's left-to-right order and rounds to 6 dp — bit-exact."""
+    from vframe_ray.stages.textquality import quality_score_topk
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return quality_score_topk(ds, k=50)
+
+
 def _q_quality(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import quality_features
@@ -3241,6 +3253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_parts": rel.ppr_parts,
         # --- NEW: multi-source BFS seed distance (label propagation) ---
         "seed_distance_parts": rel.seed_distance_parts,
+        # --- NEW: actor-pool model scoring (linear quality classifier) ---
+        "quality_score_topk": _q_quality_score,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -3834,6 +3848,24 @@ FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""",
 SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
        coalesce(c.n_distinct, 0) AS n_distinct
 FROM documents d LEFT JOIN c ON c._id = d.doc_id ORDER BY d.doc_id""",
+        "quality_score_topk": f"""{_TOK},
+ c AS (SELECT _id,
+              count(*) AS n,
+              count(DISTINCT term) AS nd,
+              sum(length(term))::DOUBLE AS tok_chars,
+              sum(CASE WHEN term IN ({_EN}) THEN 1 ELSE 0 END)::DOUBLE
+                  AS n_stop
+       FROM tok GROUP BY _id),
+ f AS (SELECT d.doc_id,
+              coalesce(c.n, 0)::DOUBLE AS n_tokens,
+              coalesce(c.nd, 0)::DOUBLE AS n_distinct,
+              coalesce(c.tok_chars / greatest(c.n, 1), 0.0) AS atl,
+              coalesce(c.n_stop / greatest(c.n, 1), 0.0) AS sr
+       FROM documents d LEFT JOIN c ON c._id = d.doc_id)
+SELECT doc_id,
+       round(-2.0 + 0.01*n_tokens + 0.02*n_distinct + 0.5*atl + 3.0*sr,
+             6) AS score_r
+FROM f ORDER BY score_r DESC, doc_id LIMIT 50""",
         "quality_features": f"""{_TOK},
  c AS (SELECT _id,
               count(*) AS n,

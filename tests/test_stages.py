@@ -188,6 +188,35 @@ def test_quality_features_hand_checked(ray_session):
     assert out.loc[1, "avg_token_len"] == 0.0
 
 
+def test_quality_scorer_actor_pool(ray_session):
+    """Model-scoring stage: actor-pool path (concurrency>1) must equal
+    a hand-computed linear logit; empty docs score exactly the bias;
+    custom weights flow through; top-k cut + tiebreak deterministic."""
+    from vframe_ray.stages.textquality import (QUALITY_WEIGHTS,
+                                               quality_score_topk)
+    texts = ["The cat and the hat!!", "", "word " * 40,
+             "the the the the"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    out = quality_score_topk(ray.data.from_arrow(tbl), k=4,
+                             concurrency=2)
+    w = QUALITY_WEIGHTS
+    # doc 0: n=5 nd=4 atl=15/5 (five 3-char tokens) sr=3/5
+    s0 = w["bias"] + w["n_tokens"] * 5.0
+    s0 = s0 + w["n_distinct"] * 4.0
+    s0 = s0 + w["avg_token_len"] * (15.0 / 5.0)
+    s0 = s0 + w["stopword_ratio"] * (3.0 / 5.0)
+    got = dict(zip(out["doc_id"], out["score_r"]))
+    assert got[0] == round(s0, 6)
+    assert got[1] == w["bias"]                 # empty doc = bias only
+    # custom weights: zero everything but token count -> ranking by n
+    zw = {"bias": 0.0, "n_tokens": 1.0, "n_distinct": 0.0,
+          "avg_token_len": 0.0, "stopword_ratio": 0.0}
+    out2 = quality_score_topk(ray.data.from_arrow(tbl), k=2, weights=zw)
+    assert list(out2["doc_id"]) == [2, 0]      # 40 tokens, then 5
+    assert list(out2["score_r"]) == [40.0, 5.0]
+
+
 def test_media_stub_poison_rows(ray_session):
     from vframe_ray.stages.multimodal import image_features, synth_media_table
     t = synth_media_table(64)

@@ -380,3 +380,83 @@ class RepetitionStage:
 def repetition_features(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(RepetitionStage(id_col, text_col),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Model scoring (actor-pool linear quality classifier)
+# ---------------------------------------------------------------------------
+
+QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "n_tokens": 0.01,
+    "n_distinct": 0.02,
+    "avg_token_len": 0.5,
+    "stopword_ratio": 3.0,
+}
+
+
+class QualityScorerStage:
+    """Batched model scoring as a stateful actor-pool stage — the
+    engine's analog of the reference's model-once-per-process inference
+    (src/vframe/image/processors/base.py:57-83 loads the DNN in the
+    processor constructor, then batches frames through it): the "model"
+    (a linear quality classifier) is materialized ONCE per actor in
+    ``__init__``; ``__call__`` scores whole Arrow batches vectorized.
+    A real checkpoint would arrive as an object-store ref resolved here
+    (ray.put once on the driver, ray.get once per actor) — the weights
+    dict keeps this test-runnable without model files.
+
+    The score is a LINEAR logit (no sigmoid: transcendental libm calls
+    differ in the last ulp across engines), accumulated in the same
+    left-to-right order as the SQL oracle's expression and rounded to
+    6 dp, so engine and oracle agree bit-for-bit.
+    """
+
+    def __init__(self, weights: dict | None = None,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.w = dict(weights or QUALITY_WEIGHTS)
+        self.feat = QualityStage(id_col, text_col)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.feat(batch)
+        w = self.w
+        s = w["bias"] + w["n_tokens"] * f["n_tokens"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = s + w["n_distinct"] * f["n_distinct"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        s = s + w["avg_token_len"] * f["avg_token_len"].to_numpy(
+            zero_copy_only=False)
+        s = s + w["stopword_ratio"] * f["stopword_ratio"].to_numpy(
+            zero_copy_only=False)
+        return pa.table({self.id_col: f[self.id_col],
+                         "score_r": pa.array(np.round(s, 6))})
+
+
+def quality_score_topk(ds, *, k: int = 50, weights: dict | None = None,
+                       concurrency=(1, 4), id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Top-k docs by linear quality score: actor-pool scoring →
+    per-block local top-k → a driver merge of ≤ blocks × k rows (never
+    corpus-sized).  Ties at the 6-dp boundary break on id, matching
+    the SQL ORDER BY."""
+    import pandas as pd
+
+    scored = ds.map_batches(
+        QualityScorerStage,
+        fn_constructor_kwargs={"weights": weights, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["score_r", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out = scored.map_batches(local_topk,
+                             batch_format="pyarrow").to_pandas()
+    return out.sort_values(["score_r", id_col],
+                           ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
