@@ -2019,6 +2019,22 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+GROUP_SAMPLE_K = 20
+
+
+def _q_group_sample(sf_dir: str):
+    """Exact-k deterministic per-group sample: the 20 smallest-md5
+    events per event_type — balanced eval subsets, membership a pure
+    function of the rows (resume/partition invariant).  Zero shuffles:
+    per-block local top-k, driver merge bounded by blocks×groups×k."""
+    from vframe_ray.stages.sampling import group_topk_sample
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "user_id", "event_type"])
+    return group_topk_sample(ds, group_col="event_type",
+                             id_col="event_id", k=GROUP_SAMPLE_K,
+                             extra_cols=("user_id",))
+
+
 KNN_K = 3
 
 
@@ -3255,6 +3271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_distance_parts": rel.seed_distance_parts,
         # --- NEW: actor-pool model scoring (linear quality classifier) ---
         "quality_score_topk": _q_quality_score,
+        # --- NEW: exact-k deterministic per-group sample ---
+        "group_sample_events": _q_group_sample,
         # --- NEW: weighted Poisson sampling with HT correction weights ---
         "weighted_sample_events": _q_weighted_sample,
         # --- NEW this round, third wave (Q8/Q13/Q17/Q21, RRF, regex,
@@ -3897,6 +3915,16 @@ SELECT doc_id, lang FROM documents
 WHERE ({_TH64.format(col='doc_id::VARCHAR')} % 10000)
       < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
 ORDER BY doc_id""",
+        "group_sample_events": f"""
+WITH h AS (SELECT event_id, user_id, event_type,
+                  {_TH64.format(col='event_id::VARCHAR')} AS hh
+           FROM events),
+r AS (SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hh, event_id) AS rn
+      FROM h)
+SELECT event_type, rn::BIGINT AS rnk, event_id, user_id
+FROM r WHERE rn <= {GROUP_SAMPLE_K} ORDER BY event_type, rnk""",
         "weighted_sample_events": f"""
 WITH thr AS (
   SELECT event_id, value,

@@ -65,3 +65,42 @@ def test_weighted_sample_edges(ray_session):
     assert list(got.event_id) == [1, 2]
     assert list(got.ht_weight) == [1.0, 1.0]
     assert np.isfinite(got.ht_weight).all()
+
+
+def _brute_group_sample(df, k):
+    import hashlib
+    rows = []
+    for g, sub in df.groupby("event_type"):
+        hs = sorted(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "big"), i)
+            for i in sub["event_id"])
+        for r, (_, i) in enumerate(hs[:k], start=1):
+            u = int(sub.loc[sub["event_id"] == i, "user_id"].iloc[0])
+            rows.append((g, r, i, u))
+    return pd.DataFrame(rows, columns=["event_type", "rnk", "event_id",
+                                       "user_id"])
+
+
+def test_group_topk_sample_vs_brute_and_repartition(ray_session):
+    """Exact-k per group == a scalar md5 oracle; membership must be
+    invariant to block structure (per-block partial top-k merges to
+    the same global answer); groups smaller than k return all rows."""
+    from vframe_ray.stages.sampling import group_topk_sample
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "event_type": pa.array(
+            ["big"] * 480 + ["tiny"] * 17 + ["mid"] * 3)})
+    df = t.to_pandas()
+    want = _brute_group_sample(df, k=7)
+    kw = dict(group_col="event_type", id_col="event_id", k=7,
+              extra_cols=("user_id",))
+    got = group_topk_sample(ray.data.from_arrow(t), **kw)
+    pd.testing.assert_frame_equal(got, want)
+    # 3-row group returns all 3 at ranks 1..3
+    assert (got[got["event_type"] == "mid"]["rnk"].to_list() == [1, 2, 3])
+    got2 = group_topk_sample(ray.data.from_arrow(t).repartition(11), **kw)
+    pd.testing.assert_frame_equal(got2, want)

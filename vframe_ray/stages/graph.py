@@ -715,7 +715,7 @@ def common_neighbors_topk(pairs, *, k: int = 50,
             return pa.table({"x": pa.array([], pa.int64()),
                              "y": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        if int(w.max()) < 2 ** 31:
+        if 0 <= int(w.min()) and int(w.max()) < 2 ** 31:
             # packed-key fold: one np.unique replaces the two-column
             # pandas groupby (the wedge stream is the hot volume here —
             # Σ deg(c)² rows per bucket)
@@ -756,7 +756,8 @@ def common_neighbors_topk(pairs, *, k: int = 50,
         wm = g["__w"].to_numpy()
         x = g["x"].to_numpy(np.int64)
         y = g["y"].to_numpy(np.int64)
-        if len(x) and int(x.max()) < 2 ** 31 and int(y.max()) < 2 ** 31:
+        if len(x) and 0 <= int(x.min()) and int(x.max()) < 2 ** 31 \
+                and 0 <= int(y.min()) and int(y.max()) < 2 ** 31:
             wkey = x[wm] << np.int64(32) | y[wm]
             cval = g["c"].to_numpy()[wm].astype(np.int64)
             uk, inv = np.unique(wkey, return_inverse=True)

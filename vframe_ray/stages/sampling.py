@@ -83,3 +83,61 @@ def weighted_hash_sample(ds, *, weight_col: str, id_col: str,
                                   pa.array(ht, pa.float64()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_topk_sample(ds, *, group_col: str, id_col: str, k: int,
+                      extra_cols: tuple = ()):
+    """EXACT-k deterministic sample per group: the k rows with the
+    smallest ``md5_u64(str(id))`` per group value — balanced per-class
+    subsets (eval sets, human-review batches) whose membership is a
+    pure function of the rows themselves, so resumed/incremental runs
+    and any repartitioning reproduce the identical sample.  Rate-based
+    gating (:func:`stratified_hash_sample`) cannot hit an exact k;
+    positional slicing (reference `pipe open --slice`) is
+    execution-order-dependent.  This is the missing exact-k member of
+    the family.
+
+    Scale shape: ZERO shuffles — each block keeps its local k smallest
+    (hash, id) per group (one lexsort per block), and the driver merges
+    ≤ blocks × |groups| × k partial rows (groups are enum-bounded by
+    contract; use a hash-bucketed exchange instead if they are not).
+
+    Returns pandas (group_col, rnk, id_col, *extra_cols) sorted by
+    (group_col, rnk), rnk 1..k in (hash, id) order.
+    """
+    def _keep_topk(codes_sorted: np.ndarray) -> np.ndarray:
+        starts = np.flatnonzero(
+            np.r_[True, codes_sorted[1:] != codes_sorted[:-1]])
+        run_id = np.cumsum(
+            np.r_[True, codes_sorted[1:] != codes_sorted[:-1]]) - 1
+        pos = np.arange(len(codes_sorted)) - starts[run_id]
+        return pos < k
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__h", pa.array([], pa.uint64()))
+        ids = t[id_col]
+        h = md5_u64(pc.cast(ids, pa.string()))
+        grp = t[group_col].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(grp, return_inverse=True)
+        idv = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, h, codes))
+        keep = order[_keep_topk(codes[order])]
+        keep.sort()                       # preserve block row order
+        return t.take(keep).append_column("__h", pa.array(h[keep]))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        cols = [group_col, "rnk", id_col, *extra_cols]
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    h = parts["__h"].to_numpy()
+    _, codes = np.unique(parts[group_col].to_numpy(), return_inverse=True)
+    idv = parts[id_col].to_numpy()
+    order = np.lexsort((idv, h, codes))
+    keep = order[_keep_topk(codes[order])]
+    out = parts.iloc[keep].copy()
+    out["rnk"] = out.groupby(group_col, sort=False).cumcount() + 1
+    out = out.sort_values([group_col, "rnk"])
+    return out[[group_col, "rnk", id_col, *extra_cols]] \
+        .reset_index(drop=True)
