@@ -2019,6 +2019,23 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+DUP_SPAN_L = 8
+
+
+def _q_dup_span(sf_dir: str):
+    """Positional exact-substring duplication (the span-coverage metric
+    of suffix-array training-data dedup, Lee et al. 2022): per doc with
+    >= 8 tokens, the fraction of token positions covered by an 8-gram
+    whose exact text also occurs in >= 1 other doc.  One scan, two
+    bounded exchanges (hash(gram_text) then hash(doc)); token counts
+    recovered from gram-count partials, no second corpus pass."""
+    from vframe_ray.stages.chunking import dup_span_coverage
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return dup_span_coverage(ds, size=DUP_SPAN_L).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 GROUP_SAMPLE_K = 20
 
 
@@ -3244,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed THIS round; the judge's r4 next-steps #1/#3/#4 name a
         # --- green r5 driver row as the done criterion, so these four go
         # --- FIRST (json_field_rollup is the one red r4 row — BIGINT cast) —
+        "dup_span_coverage": _q_dup_span,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4570,6 +4588,39 @@ SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY step""",
+        "dup_span_coverage": f"""
+WITH arr AS (SELECT doc_id AS _id,
+                    list_filter(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                t -> t <> '') AS arr
+             FROM documents),
+ nn AS (SELECT _id, arr, len(arr)::BIGINT AS n FROM arr
+        WHERE len(arr) >= {DUP_SPAN_L}),
+ g AS (SELECT _id, n, arr,
+              unnest(generate_series(0, n - {DUP_SPAN_L})) AS i
+       FROM nn),
+ gr AS (SELECT _id, i AS pos,
+               array_to_string(list_slice(arr, i + 1,
+                                          i + {DUP_SPAN_L}), ' ') AS gram
+        FROM g),
+ dup AS (SELECT gram FROM gr GROUP BY gram
+         HAVING count(DISTINCT _id) >= 2),
+ d AS (SELECT _id, pos FROM gr
+       WHERE gram IN (SELECT gram FROM dup)),
+ u AS (SELECT _id, pos,
+              lead(pos) OVER (PARTITION BY _id ORDER BY pos) AS nxt
+       FROM d),
+ c AS (SELECT _id, count(*)::BIGINT AS n_dup_grams,
+              sum(CASE WHEN nxt IS NULL THEN {DUP_SPAN_L}
+                       ELSE least(nxt - pos, {DUP_SPAN_L})
+                  END)::BIGINT AS covered
+       FROM u GROUP BY _id)
+SELECT nn._id AS doc_id, nn.n AS n_tokens,
+       coalesce(c.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(c.covered, 0)::BIGINT AS covered_tokens,
+       coalesce(c.covered, 0) / nn.n::DOUBLE AS dup_span_frac
+FROM nn LEFT JOIN c ON c._id = nn._id
+ORDER BY doc_id""",
         "dup_chunk_fraction": f"""
 WITH arr AS (SELECT doc_id AS _id,
                     list_filter(regexp_split_to_array(lower(text),

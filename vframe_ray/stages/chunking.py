@@ -258,3 +258,150 @@ def duplicate_chunk_fraction(ds, *, size: int = 16,
     return (parts.map_batches(bucket_by_doc, batch_format="pyarrow",
                               zero_copy_batch=True)
             .groupby("__b2").map_groups(combine, batch_format="pandas"))
+
+
+def dup_span_coverage(ds, *, size: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      cfg: AnalyzerConfig | None = None):
+    """POSITIONAL exact-substring duplication: for every doc, the
+    fraction of its token positions covered by at least one
+    ``size``-token n-gram whose exact text also occurs in >= 1 OTHER
+    doc — the span-coverage metric of suffix-array training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), realized with rolling n-grams instead of a global
+    suffix array.  Distinct from :func:`duplicate_chunk_fraction`:
+    chunks are non-overlapping (a copied passage that straddles a
+    chunk boundary is invisible), while overlapping grams catch every
+    aligned-or-not repeated span and the interval union converts hits
+    back into "how much of THIS doc is duplicated text".
+
+    Scale shape — ONE scan, TWO bounded exchanges:
+    1. gram stream (one row per token position, built with ``size``
+       shifted slices of the flattened token array + a single
+       ``binary_join_element_wise`` — no per-row Python) co-partitions
+       by hash(gram_text); inside a bucket duplicates are decided on
+       the TEXT (a 64-bit collision only co-locates innocents).  Each
+       bucket emits the dup (doc, pos) rows plus ONE gram-count
+       partial row per doc it saw — so the doc's token count is
+       recovered downstream (sum(partials) + size - 1) without a
+       second pass over the corpus.
+    2. partials co-partition by hash(doc); per doc the covered-token
+       total is the interval union of the dup spans — same-length
+       intervals sorted by start, so it is one vectorized
+       ``min(diff, size)`` sum, no per-doc loop.
+    The gram exchange ships ~``size``× the text bytes; a rolling-hash
+    prefilter could cut that but would decide dups on hashes — the
+    text-in-bucket discipline is kept deliberately.
+
+    Docs with fewer than ``size`` tokens have no grams and emit no row
+    (callers needing them left-join the doc table, as with
+    :func:`duplicate_chunk_fraction`).
+
+    Returns a Dataset of (id_col, n_tokens, n_dup_grams,
+    covered_tokens, dup_span_frac).
+    """
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from .hashing import dict_hash_u64
+    nb = num_hash_buckets(None)
+    L = int(size)
+    tok = Tokenizer(cfg)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "gram_text": pa.array([], pa.string())})
+
+    def gramify(batch: pa.Table) -> pa.Table:
+        tokens = tok.tokenize_array(batch[text_col])
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        n = pc.list_value_length(tokens).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = n >= L
+        flat = tokens.flatten()
+        if not keep.any() or len(flat) < L:
+            return empty
+        total = len(flat)
+        # gram_all[j] = flat[j] .. flat[j+L-1] joined — L slices, one
+        # Arrow join kernel over the whole block
+        gram_all = pc.binary_join_element_wise(
+            *[flat.slice(k, total - L + 1) for k in range(L)], " ")
+        starts = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=starts[1:])
+        nd = n[keep] - L + 1                      # grams per kept doc
+        doc_rep = np.repeat(ids[keep], nd)
+        pos = np.arange(int(nd.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(nd) - nd, nd)
+        j = np.repeat(starts[:-1][keep], nd) + pos
+        grams = pc.take(gram_all, pa.array(j))
+        return pa.table({id_col: pa.array(doc_rep),
+                         "pos": pa.array(pos),
+                         "gram_text": grams})
+
+    def bucket_by_gram(t: pa.Table) -> pa.Table:
+        gt = t["gram_text"]
+        if isinstance(gt, pa.ChunkedArray):
+            gt = gt.combine_chunks()
+        h = dict_hash_u64(gt)
+        return t.append_column("__b", pa.array(int_bucket_of(h, nb)))
+
+    def mark(g: pd.DataFrame) -> pa.Table:
+        dup = g.groupby("gram_text", sort=False)[id_col] \
+            .transform("nunique").to_numpy() >= 2
+        ids = g[id_col].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        cnt = g.groupby(id_col, as_index=False, sort=False) \
+            .agg(cnt=("pos", "size"))
+        out = pd.DataFrame({
+            id_col: np.concatenate([ids[dup],
+                                    cnt[id_col].to_numpy(np.int64)]),
+            "pos": np.concatenate([pos[dup],
+                                   np.full(len(cnt), -1, np.int64)]),
+            "cnt": np.concatenate([np.zeros(int(dup.sum()), np.int64),
+                                   cnt["cnt"].to_numpy(np.int64)])})
+        return arrow_group(out)
+
+    parts = (ds.map_batches(gramify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(bucket_by_gram, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("__b").map_groups(mark, batch_format="pandas"))
+
+    def bucket_by_doc(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__b2", pa.array(int_bucket_of(k, nb)))
+
+    def coverage(g: pd.DataFrame) -> pa.Table:
+        cnts = g[g["pos"] < 0].groupby(id_col, as_index=False,
+                                       sort=False)["cnt"].sum()
+        cnts["n_tokens"] = cnts["cnt"].to_numpy(np.int64) + L - 1
+        d = g[g["pos"] >= 0].sort_values([id_col, "pos"])
+        ids = d[id_col].to_numpy(np.int64)
+        pos = d["pos"].to_numpy(np.int64)
+        if len(ids):
+            # same-length intervals sorted by start: union length is
+            # min(next_start - start, L) summed, L for each doc's last
+            seg = np.full(len(ids), L, dtype=np.int64)
+            same = ids[:-1] == ids[1:]
+            seg[:-1][same] = np.minimum(pos[1:] - pos[:-1], L)[same]
+            doc_starts = np.flatnonzero(np.r_[True, ~same])
+            cov = pd.DataFrame({
+                id_col: ids[doc_starts],
+                "covered_tokens": np.add.reduceat(seg, doc_starts),
+                "n_dup_grams": np.diff(np.r_[doc_starts, len(ids)])})
+        else:
+            cov = pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                "covered_tokens":
+                                    pd.Series(dtype=np.int64),
+                                "n_dup_grams": pd.Series(dtype=np.int64)})
+        out = cnts[[id_col, "n_tokens"]].merge(cov, on=id_col, how="left")
+        for c in ("covered_tokens", "n_dup_grams"):
+            out[c] = out[c].fillna(0).astype(np.int64)
+        out["dup_span_frac"] = (out["covered_tokens"].to_numpy(np.float64)
+                                / out["n_tokens"].to_numpy(np.float64))
+        return arrow_group(out[[id_col, "n_tokens", "n_dup_grams",
+                                "covered_tokens", "dup_span_frac"]])
+
+    return (parts.map_batches(bucket_by_doc, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("__b2").map_groups(coverage, batch_format="pandas"))
