@@ -2019,6 +2019,38 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+def _q_weighted_median(sf_dir: str):
+    """Quantity-weighted LOW median of extended price (integer cents)
+    per (returnflag, linestatus): the smallest price whose cumulative
+    quantity reaches half the group total — integer-exact, so it hash-
+    matches the SQL window-cumsum oracle.  One combiner pass collapses
+    to (group, price) rows, then one hash(group) exchange."""
+    from vframe_ray.stages.stats import grouped_weighted_median
+    ds = _read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_extendedprice", "l_quantity"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        cents = _np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(_np.int64)
+        qty = _np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(_np.int64)
+        return _pa.table({"l_returnflag": t["l_returnflag"],
+                          "l_linestatus": t["l_linestatus"],
+                          "cents": _pa.array(cents),
+                          "qty": _pa.array(qty)})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_weighted_median(
+        ds, group_cols=("l_returnflag", "l_linestatus"),
+        value_col="cents", weight_col="qty", out_col="wmedian_cents")
+
+
 DUP_SPAN_L = 8
 
 
@@ -3262,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- green r5 driver row as the done criterion, so these four go
         # --- FIRST (json_field_rollup is the one red r4 row — BIGINT cast) —
         "dup_span_coverage": _q_dup_span,
+        "weighted_median_price": _q_weighted_median,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4588,6 +4621,22 @@ SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY step""",
+        "weighted_median_price": """
+WITH w AS (SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(round(l_quantity) AS BIGINT) AS wt
+           FROM lineitem),
+ s AS (SELECT l_returnflag, l_linestatus, v, sum(wt) AS wt
+       FROM w GROUP BY 1, 2, 3),
+ c AS (SELECT *,
+              sum(wt) OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY v) AS cw,
+              sum(wt) OVER (PARTITION BY l_returnflag,
+                            l_linestatus) AS tot
+       FROM s)
+SELECT l_returnflag, l_linestatus, min(v)::BIGINT AS wmedian_cents
+FROM c WHERE 2 * cw >= tot
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "dup_span_coverage": f"""
 WITH arr AS (SELECT doc_id AS _id,
                     list_filter(regexp_split_to_array(lower(text),

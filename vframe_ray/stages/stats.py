@@ -550,3 +550,71 @@ def tfidf_top_terms(tokenized_ds, n_docs: int, *, top: int = 3,
                                              batch_format="pandas") \
         .to_pandas()
     return out.sort_values([id_col, "rnk"]).reset_index(drop=True)
+
+
+def grouped_weighted_median(ds, *, group_cols: tuple, value_col: str,
+                            weight_col: str, out_col: str = "wmedian"):
+    """LOW weighted median per group: the smallest value ``v`` whose
+    cumulative weight (values ascending) reaches half the group's
+    total, i.e. ``2 * cumw(v) >= tot`` — the discrete estimator that
+    stays integer-exact (no interpolation), so it carries a value-hash
+    SQL oracle (one window cumsum + ``min(v)``), unlike
+    percentile_cont-style interpolated medians whose float arithmetic
+    is implementation-defined.
+
+    Scale shape: a per-block partial groupby collapses the stream to
+    one row per (group, value) — the combiner — then ONE hash(group)
+    exchange; the per-bucket reduce is a single lexsort + segmented
+    cumsum + first-hit scan, no per-group Python.  Rows per reducer =
+    distinct values per group, bounded for currency/count domains (the
+    intended use); for unbounded real domains use the
+    ``binned_quantiles`` sketch instead.
+
+    Returns pandas (``*group_cols``, ``out_col``) sorted by group.
+    """
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    gcols = list(group_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gcols + [value_col, weight_col]).to_pandas()
+        agg = df.groupby(gcols + [value_col], as_index=False,
+                         sort=False)[weight_col].sum()
+        key = agg[gcols[0]].astype(str)
+        for c in gcols[1:]:
+            key = key + "\x1f" + agg[c].astype(str)
+        agg["__b"] = key_bucket_of(key.to_numpy(), nb)
+        return arrow_group(agg)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(gcols + [value_col], as_index=False,
+                        sort=False)[weight_col].sum()
+        agg = agg.sort_values(gcols + [value_col]).reset_index(drop=True)
+        if not len(agg):
+            return arrow_group(agg[gcols + [value_col]].rename(
+                columns={value_col: out_col}))
+        codes = agg.groupby(gcols, sort=False).ngroup().to_numpy()
+        w = agg[weight_col].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cum = np.cumsum(w)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(w)]))
+        cumw = cum - base
+        tot = np.repeat(np.add.reduceat(w, starts),
+                        np.diff(np.r_[starts, len(w)]))
+        hit = 2 * cumw >= tot
+        # cumw is monotone and tot constant per group, so hit is a
+        # suffix within each group: the minimal qualifying v sits at
+        # starts + (#False in the group)
+        n_false = np.add.reduceat((~hit).astype(np.int64), starts)
+        first_hit = starts + n_false
+        out = agg.iloc[first_hit][gcols + [value_col]].rename(
+            columns={value_col: out_col})
+        return arrow_group(out)
+
+    out = parts.groupby("__b").map_groups(
+        reduce, batch_format="pandas").to_pandas()
+    return out.sort_values(gcols).reset_index(drop=True)
