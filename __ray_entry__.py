@@ -2019,6 +2019,40 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+MAD_K = 2
+
+
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-group outliers: orders whose totalprice (cents) sits
+    more than 2 MADs from their priority group's low median — the
+    data-cleaning filter that isn't dragged by the outliers it hunts.
+    One scan builds (group, value, count) partials, one hash(group)
+    exchange reduces median AND MAD together, a broadcast + second
+    scan emits flags.  Integer-exact end-to-end."""
+    from vframe_ray.stages.stats import grouped_mad_outliers
+    ds = _read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_orderkey", "o_orderpriority",
+                                "o_totalprice"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        cents = _np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(_np.int64)
+        return _pa.table({"o_orderkey": t["o_orderkey"],
+                          "o_orderpriority": t["o_orderpriority"],
+                          "cents": _pa.array(cents)})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = grouped_mad_outliers(
+        ds, group_cols=("o_orderpriority",), value_col="cents",
+        id_col="o_orderkey", k=MAD_K, med_col="med_cents",
+        mad_col="mad_cents").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _q_weighted_median(sf_dir: str):
     """Quantity-weighted LOW median of extended price (integer cents)
     per (returnflag, linestatus): the smallest price whose cumulative
@@ -3295,6 +3329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- FIRST (json_field_rollup is the one red r4 row — BIGINT cast) —
         "dup_span_coverage": _q_dup_span,
         "weighted_median_price": _q_weighted_median,
+        "mad_outlier_orders": _q_mad_outliers,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4621,6 +4656,31 @@ SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY step""",
+        "mad_outlier_orders": f"""
+WITH v AS (SELECT o_orderkey, o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+ cnt AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2),
+ cw AS (SELECT g, v,
+               sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               sum(c) OVER (PARTITION BY g) AS tot
+        FROM cnt),
+ med AS (SELECT g, min(v) AS med FROM cw
+         WHERE 2 * cum >= tot GROUP BY g),
+ dev AS (SELECT v.g, abs(v.v - m.med) AS d
+         FROM v JOIN med m ON m.g = v.g),
+ dcnt AS (SELECT g, d, count(*) AS c FROM dev GROUP BY 1, 2),
+ dcw AS (SELECT g, d,
+                sum(c) OVER (PARTITION BY g ORDER BY d) AS cum,
+                sum(c) OVER (PARTITION BY g) AS tot
+         FROM dcnt),
+ mad AS (SELECT g, min(d) AS mad FROM dcw
+         WHERE 2 * cum >= tot GROUP BY g)
+SELECT v.o_orderkey, v.g AS o_orderpriority, v.v AS cents,
+       m.med::BIGINT AS med_cents, a.mad::BIGINT AS mad_cents
+FROM v JOIN med m ON m.g = v.g JOIN mad a ON a.g = v.g
+WHERE abs(v.v - m.med) > {MAD_K} * a.mad
+ORDER BY v.o_orderkey""",
         "weighted_median_price": """
 WITH w AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_extendedprice * 100) AS BIGINT) AS v,

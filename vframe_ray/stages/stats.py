@@ -618,3 +618,92 @@ def grouped_weighted_median(ds, *, group_cols: tuple, value_col: str,
     out = parts.groupby("__b").map_groups(
         reduce, batch_format="pandas").to_pandas()
     return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_mad_outliers(ds, *, group_cols: tuple, value_col: str,
+                         id_col: str, k: int = 2,
+                         med_col: str = "med", mad_col: str = "mad"):
+    """Robust per-group outlier flags: rows where
+    ``|v - median(group)| > k * MAD(group)`` with MAD the LOW median of
+    absolute deviations — the data-cleaning filter that, unlike
+    mean/stddev z-scores, is not dragged by the outliers it is hunting,
+    and stays integer-exact end-to-end (low-median rule, integer k), so
+    the flags hash-match a nested window-cumsum SQL oracle.
+
+    Scale shape: ONE corpus scan builds (group, value, count) combiner
+    partials (rows bounded by distinct values per group — the same
+    bounded-domain contract as :func:`grouped_weighted_median`); ONE
+    hash(group) exchange reduces median AND MAD together — the
+    deviation histogram is a re-key of the already co-located value
+    histogram, not a second exchange; the tiny (group, med, mad) table
+    broadcasts via ``ray.put`` and a second corpus scan emits the
+    flagged rows.  No stage ever holds more than a group's histogram.
+
+    Returns a Dataset of (id_col, *group_cols, value_col, med_col,
+    mad_col) — the flagged rows only.
+    """
+    import ray
+
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    gcols = list(group_cols)
+
+    def _low_median(agg: pd.DataFrame, vcol: str) -> pd.DataFrame:
+        agg = agg.sort_values(gcols + [vcol]).reset_index(drop=True)
+        codes = agg.groupby(gcols, sort=False).ngroup().to_numpy()
+        w = agg["__c"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cum = np.cumsum(w)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]],
+                         np.diff(np.r_[starts, len(w)]))
+        tot = np.repeat(np.add.reduceat(w, starts),
+                        np.diff(np.r_[starts, len(w)]))
+        hit = 2 * (cum - base) >= tot
+        first_hit = starts + np.add.reduceat((~hit).astype(np.int64),
+                                             starts)
+        return agg.iloc[first_hit][gcols + [vcol]]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gcols + [value_col]).to_pandas()
+        agg = df.groupby(gcols + [value_col], as_index=False,
+                         sort=False).size().rename(columns={"size": "__c"})
+        key = agg[gcols[0]].astype(str)
+        for c in gcols[1:]:
+            key = key + "\x1f" + agg[c].astype(str)
+        agg["__b"] = key_bucket_of(key.to_numpy(), nb)
+        return arrow_group(agg)
+
+    def med_mad(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(gcols + [value_col], as_index=False,
+                        sort=False)["__c"].sum()
+        if not len(agg):
+            return arrow_group(pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in
+                 gcols + [med_col, mad_col]}))
+        med = _low_median(agg, value_col).rename(
+            columns={value_col: med_col})
+        agg = agg.merge(med, on=gcols)
+        agg["__d"] = np.abs(agg[value_col].to_numpy(np.int64)
+                            - agg[med_col].to_numpy(np.int64))
+        dev = agg.groupby(gcols + ["__d"], as_index=False,
+                          sort=False)["__c"].sum()
+        mad = _low_median(dev, "__d").rename(columns={"__d": mad_col})
+        return arrow_group(med.merge(mad, on=gcols))
+
+    stats_df = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("__b").map_groups(med_mad,
+                                           batch_format="pandas")
+                .to_pandas())
+    stats_ref = ray.put(stats_df)
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = t.select([id_col] + gcols + [value_col]).to_pandas()
+        df = df.merge(ray.get(stats_ref), on=gcols)
+        keep = (np.abs(df[value_col].to_numpy(np.int64)
+                       - df[med_col].to_numpy(np.int64))
+                > k * df[mad_col].to_numpy(np.int64))
+        return arrow_group(df.loc[keep].reset_index(drop=True))
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
