@@ -2019,6 +2019,22 @@ def _q_cosine_dups(sf_dir: str):
     return cosine_dup_pairs(ds, threshold=0.42)
 
 
+OOV_TOP_V = 20
+
+
+def _q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage audit: top-20 terms by collection frequency
+    (ties by term asc, the oracle's row_number rule) as the vocab; per
+    non-empty doc the out-of-vocabulary token count and rate.  One
+    term-bucket exchange, per-block local top-V after the reduce
+    (exact: each term appears once), one broadcast + second scan."""
+    from vframe_ray.stages.textquality import oov_rate
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    return oov_rate(ds, top_v=OOV_TOP_V).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 MAD_K = 2
 
 
@@ -3330,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_coverage": _q_dup_span,
         "weighted_median_price": _q_weighted_median,
         "mad_outlier_orders": _q_mad_outliers,
+        "oov_rate_documents": _q_oov_rate,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4656,6 +4673,19 @@ SELECT 2::INT, 'click', (SELECT count(*) FROM s2)::BIGINT
 UNION ALL
 SELECT 3::INT, 'purchase', (SELECT count(*) FROM s3)::BIGINT
 ORDER BY step""",
+        "oov_rate_documents": f"""{_TOK},
+ cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+ r AS (SELECT term,
+              row_number() OVER (ORDER BY c DESC, term) AS rn
+       FROM cf),
+ v AS (SELECT term FROM r WHERE rn <= {OOV_TOP_V}),
+ n AS (SELECT _id, count(*)::BIGINT AS n_tokens,
+              sum(CASE WHEN term IN (SELECT term FROM v)
+                       THEN 0 ELSE 1 END)::BIGINT AS n_oov
+       FROM tok GROUP BY _id)
+SELECT _id AS doc_id, n_tokens, n_oov,
+       n_oov / n_tokens::DOUBLE AS oov_rate
+FROM n ORDER BY doc_id""",
         "mad_outlier_orders": f"""
 WITH v AS (SELECT o_orderkey, o_orderpriority AS g,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS v

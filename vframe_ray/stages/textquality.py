@@ -460,3 +460,107 @@ def quality_score_topk(ds, *, k: int = 50, weights: dict | None = None,
     return out.sort_values(["score_r", id_col],
                            ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def oov_rate(ds, *, top_v: int, id_col: str = "doc_id",
+             text_col: str = "text", cfg=None):
+    """Vocabulary-coverage audit: build the top-``top_v`` vocabulary by
+    collection frequency (ties broken by term ascending — the same
+    row_number rule as the SQL oracle) and report, per non-empty doc,
+    its out-of-vocabulary token count and rate — the tokenizer/vocab
+    coverage diagnostic run before committing a vocab size for a
+    training corpus.
+
+    Scale shape: per-block term-count combiner (one np.unique per
+    block) → ONE term-hash-bucket exchange where each term reduces to
+    a single (term, cf) row → per-block local top-V (cf desc, term
+    asc) so the driver merge is ≤ blocks × V rows, never vocab-sized —
+    exact BECAUSE it runs after the reduce (every term appears exactly
+    once, so the global top-V is contained in the union of local
+    top-Vs).  The V-term vocabulary broadcasts once via ``ray.put``
+    (sorted; membership is one searchsorted per block) and a second
+    scan emits per-doc counts.
+
+    Returns a Dataset of (id_col, n_tokens, n_oov, oov_rate); docs
+    with zero tokens emit no row.
+    """
+    import pandas as pd
+    import ray
+
+    from ..analyze import Tokenizer
+    from ..runtime import num_hash_buckets
+    nb = num_hash_buckets(None)
+    tok = Tokenizer(cfg)
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        tokens = tok.tokenize_array(t[text_col])
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(terms.astype(object),
+                                          pa.string()),
+                         "cf": pa.array(counts.astype(np.int64))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["term"].to_pandas()
+                               .to_numpy(dtype=object))
+        return t.append_column("__b",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("term", as_index=False, sort=False)["cf"].sum()
+        return pa.table({"term": pa.array(agg["term"].to_numpy(object),
+                                          pa.string()),
+                         "cf": pa.array(agg["cf"].to_numpy(np.int64))})
+
+    def local_topv(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        cf = t["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((terms, -cf))[:top_v]
+        return pa.table({"term": pa.array(terms[order].astype(object),
+                                          pa.string()),
+                         "cf": pa.array(cf[order])})
+
+    stats = (ds.map_batches(cf_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(bucket_sum,
+                                        batch_format="pandas")
+             .map_batches(local_topv, batch_format="pyarrow")
+             .to_pandas())
+    order = np.lexsort((stats["term"].to_numpy(object),
+                        -stats["cf"].to_numpy(np.int64)))[:top_v]
+    vocab = np.sort(stats["term"].to_numpy(object)[order])
+    vocab_ref = ray.put(vocab)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        vs = ray.get(vocab_ref)
+        tokens = tok.tokenize_array(t[text_col])
+        n = pc.list_value_length(tokens).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        keep = n > 0
+        if len(flat):
+            if len(vs):
+                idx = np.clip(np.searchsorted(vs, flat), 0, len(vs) - 1)
+                inv = vs[idx] != flat
+            else:
+                inv = np.ones(len(flat), bool)
+            oov = np.bincount(parents, weights=inv.astype(np.float64),
+                              minlength=t.num_rows).astype(np.int64)
+        else:
+            oov = np.zeros(t.num_rows, np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+        nk, ok = n[keep], oov[keep]
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": pa.array(nk),
+                         "n_oov": pa.array(ok),
+                         "oov_rate": pa.array(ok.astype(np.float64)
+                                              / nk.astype(np.float64))})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)
