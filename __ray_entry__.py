@@ -3325,6 +3325,71 @@ def _q_csv_events_agg(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+TRIM_FRAC = 0.1
+TOPN_ORDERS = 3
+RANGE_WIN_DAYS = 30
+
+
+def _q_trimmed_mean(sf_dir: str):
+    """10%-trimmed mean of order total price (integer cents) per
+    priority: drop the floor(0.1*n) cheapest and dearest orders, then
+    average the rest — robust-location sibling of the MAD flags.
+    Histogram combiner + one hash(group) exchange; the mean is the
+    single float division on both sides."""
+    from vframe_ray.stages.stats import grouped_trimmed_mean
+    ds = _read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        cents = _np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                          * 100.0).astype(_np.int64)
+        return _pa.table({"o_orderpriority": t["o_orderpriority"],
+                          "cents": _pa.array(cents)})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_trimmed_mean(ds, group_cols=("o_orderpriority",),
+                                value_col="cents", trim_frac=TRIM_FRAC)
+
+
+def _q_mode_event(sf_dir: str):
+    """Dominant (most frequent) event type per user, ties to the
+    lexicographically smallest type — categorical MODE via a count
+    combiner + one hash(user) exchange."""
+    from vframe_ray.stages.stats import grouped_mode
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "event_type"])
+    return grouped_mode(ds, group_cols=("user_id",),
+                        value_col="event_type", out_col="mode_event",
+                        cnt_col="mode_n")
+
+
+def _q_top3_revenue(sf_dir: str):
+    """Revenue concentration: the summed cents of each customer's 3
+    most expensive orders.  Per-block local top-3 partials (global
+    top-3 is a subset of the union), one bounded hash(custkey)
+    exchange — the full table never shuffles."""
+    from vframe_ray.stages.stats import grouped_topn_sum
+    ds = _read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        cents = _np.round(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                          * 100.0).astype(_np.int64)
+        return _pa.table({"o_custkey": t["o_custkey"],
+                          "cents": _pa.array(cents)})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_topn_sum(ds, group_col="o_custkey",
+                            value_col="cents", n=TOPN_ORDERS,
+                            sum_col="top3_cents", n_col="n_top")
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -3340,6 +3405,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
+        # --- NEW this session: grouped robust stats + window/rank family ---
+        "trimmed_mean_price": _q_trimmed_mean,
+        "mode_event_by_user": _q_mode_event,
+        "top3_order_revenue": _q_top3_revenue,
+        "acctbal_percent_rank": rel.acctbal_percent_rank,
+        "range_window_revenue": rel.range_window_revenue,
         # --- changed THIS round; the judge's r4 next-steps #1/#3/#4 name a
         # --- green r5 driver row as the done criterion, so these four go
         # --- FIRST (json_field_rollup is the one red r4 row — BIGINT cast) —
@@ -3543,6 +3614,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "trimmed_mean_price": f"""
+WITH v AS (SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+ r AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY g) AS n
+       FROM v),
+ t AS (SELECT g, v, rn, n,
+              CAST(floor(n * {TRIM_FRAC}) AS BIGINT) AS d FROM r)
+SELECT g AS o_orderpriority,
+       count(*)::BIGINT AS n_kept,
+       sum(v)::BIGINT AS trimmed_sum,
+       sum(v)::BIGINT / count(*)::BIGINT AS tmean
+FROM t WHERE rn > d AND rn <= n - d
+GROUP BY g ORDER BY g""",
+        "mode_event_by_user": """
+WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+ r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY n DESC, event_type) AS rn FROM c)
+SELECT user_id, event_type AS mode_event, n AS mode_n
+FROM r WHERE rn = 1 ORDER BY user_id""",
+        "top3_order_revenue": f"""
+WITH v AS (SELECT o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+ r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY v DESC) AS rn FROM v)
+SELECT o_custkey,
+       sum(CASE WHEN rn <= {TOPN_ORDERS} THEN v ELSE 0 END)::BIGINT
+           AS top3_cents,
+       least(count(*), {TOPN_ORDERS})::BIGINT AS n_top
+FROM r GROUP BY o_custkey ORDER BY o_custkey""",
+        "acctbal_percent_rank": """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+       percent_rank() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)) AS pct_rank
+FROM customer ORDER BY c_custkey""",
+        "range_window_revenue": f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL {RANGE_WIN_DAYS} DAY PRECEDING
+                     AND CURRENT ROW))::BIGINT AS win_cents
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
         "bm25_regex": _regex_sql(),
         "bm25_dismax": _fields_sql(dismax=True),
         "hll_distinct_users": _hll_sql(),

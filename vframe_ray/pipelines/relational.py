@@ -4403,3 +4403,119 @@ def q20_promotion_suppliers(sf_dir: str, prefix: str = Q20_PREFIX,
                                           .astype("int64")))]
     out = sup[["s_name", "s_acctbal"]].sort_values("s_name")
     return out.reset_index(drop=True)
+
+
+def range_window_revenue(sf_dir: str, days: int = 30):
+    """Per-customer trailing time-RANGE window (SQL: SUM(cents) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate RANGE BETWEEN INTERVAL
+    ``days`` DAY PRECEDING AND CURRENT ROW)) — the TIME-based frame
+    sibling of :func:`moving_window_revenue`'s ROWS frame: the frame
+    holds however many orders fall in the window, and date-tied rows
+    all see the full tied set (RANGE semantics).
+
+    Per bucket: one sort by (custkey, date), then frame bounds come
+    from TWO vectorized searchsorted probes over a composite
+    ``group_code * SPAN + date_offset`` key (monotone across the whole
+    bucket because SPAN exceeds any date offset, so per-group binary
+    search needs no Python loop): start = leftmost index with date >=
+    current - window, end = rightmost index with date <= current.  The
+    window sum is one cumsum gather, integer cents throughout.
+
+    Returns pandas (o_custkey, o_orderkey, o_orderdate, win_cents)
+    sorted by (o_custkey, o_orderdate, o_orderkey).
+    """
+    from ..runtime import arrow_group, num_hash_buckets
+    nb = num_hash_buckets(None)
+    win_us = np.int64(days) * np.int64(86_400_000_000)
+
+    def frames(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+            .reset_index(drop=True)
+        n = len(g)
+        if not n:
+            return arrow_group(g.assign(win_cents=pd.Series(
+                dtype=np.int64))[["o_custkey", "o_orderkey",
+                                  "o_orderdate", "win_cents"]])
+        cents = g["cents"].to_numpy(np.int64)
+        us = g["o_orderdate"].to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        d = us - us.min()
+        starts, counts = _group_starts(g["o_custkey"].to_numpy(np.int64))
+        codes = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        span = np.int64(d.max()) + win_us + np.int64(2)
+        comp = codes * span + d
+        lo = np.searchsorted(comp, codes * span + np.maximum(
+            d - win_us, 0), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cs = np.cumsum(cents)
+        g["win_cents"] = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0)
+        return arrow_group(g[["o_custkey", "o_orderkey", "o_orderdate",
+                              "win_cents"]])
+
+    out = (_orders_cents_bucketed(sf_dir, nb)
+           .groupby("__bucket")
+           .map_groups(frames, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def acctbal_percent_rank(sf_dir: str):
+    """PERCENT_RANK of customer account balance within each nation —
+    ``(rank - 1) / (n - 1)`` with ties sharing their minimum rank, 0.0
+    for single-row partitions (the SQL rule).  Exact: rank and n are
+    integers from one in-bucket lexsort (balance in cents), and the
+    percent is ONE float64 division of those integers — the identical
+    operation DuckDB's percent_rank performs, so the float column
+    hash-matches.
+
+    One hash(nationkey) exchange; per bucket, tie runs share the run
+    head's rank via a repeat over `_group_starts` of the (nation,
+    cents) composite.  Returns pandas (c_custkey, c_nationkey,
+    bal_cents, pct_rank) sorted by c_custkey.
+    """
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        nat = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({"__bucket": int_bucket_of(
+                             nat.astype(np.int64), nb),
+                         "c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_cents": pa.array(cents)})
+
+    def ranks(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["c_nationkey", "bal_cents", "c_custkey"]) \
+            .reset_index(drop=True)
+        n_rows = len(g)
+        if not n_rows:
+            return arrow_group(g.assign(pct_rank=pd.Series(
+                dtype=np.float64))[["c_custkey", "c_nationkey",
+                                    "bal_cents", "pct_rank"]])
+        nat = g["c_nationkey"].to_numpy(np.int64)
+        starts, counts = _group_starts(nat)
+        n = np.repeat(counts, counts).astype(np.int64)
+        gstart = np.repeat(starts, counts)
+        # tie runs over (nation, cents): rank = run start - group start + 1
+        cents = g["bal_cents"].to_numpy(np.int64)
+        comp_change = np.r_[True, (nat[1:] != nat[:-1])
+                            | (cents[1:] != cents[:-1])]
+        run_start = np.maximum.accumulate(
+            np.where(comp_change, np.arange(n_rows), 0))
+        rank = run_start - gstart + 1
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        g["pct_rank"] = pct
+        return arrow_group(g[["c_custkey", "c_nationkey", "bal_cents",
+                              "pct_rank"]])
+
+    out = (cust.map_batches(to_cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("__bucket").map_groups(ranks, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -707,3 +707,220 @@ def grouped_mad_outliers(ds, *, group_cols: tuple, value_col: str,
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_trimmed_mean(ds, *, group_cols: tuple, value_col: str,
+                         trim_frac: float = 0.1):
+    """Trimmed mean per group: drop the ``floor(trim_frac * n)`` lowest
+    and highest ROWS (by value) and average the rest — the robust
+    location estimator between the mean (trim 0) and the median (trim
+    0.5), integer-exact up to the single final division, so it carries
+    a value-hash SQL oracle (row_number window + rank-band sum; ties at
+    the cut are value-equal, so which tied row is dropped cannot change
+    the sum).
+
+    Scale shape: the :func:`grouped_weighted_median` plan — a per-block
+    (group, value) count combiner, ONE hash(group) exchange, and a
+    per-bucket vectorized kernel: per-group cumulative counts clip how
+    much of each histogram bin the low/high trims consume
+    (``clip(d - cum_before, 0, c)`` from both ends), so no row-level
+    materialization ever happens on the reduce side.  Groups left empty
+    by the trim (n - 2d <= 0) are dropped, matching the oracle's empty
+    rank band.
+
+    Returns pandas (*group_cols, n_kept, trimmed_sum, tmean) sorted by
+    group; trimmed_sum int64, tmean = trimmed_sum / n_kept as one
+    float64 division on both sides.
+    """
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    gcols = list(group_cols)
+    frac = float(trim_frac)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gcols + [value_col]).to_pandas()
+        agg = df.groupby(gcols + [value_col], as_index=False,
+                         sort=False).size().rename(columns={"size": "__c"})
+        key = agg[gcols[0]].astype(str)
+        for c in gcols[1:]:
+            key = key + "\x1f" + agg[c].astype(str)
+        agg["__b"] = key_bucket_of(key.to_numpy(), nb)
+        return arrow_group(agg)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(gcols + [value_col], as_index=False,
+                        sort=False)["__c"].sum()
+        agg = agg.sort_values(gcols + [value_col]).reset_index(drop=True)
+        empty = pd.DataFrame({c: pd.Series(dtype="object")
+                              for c in gcols}
+                             | {"n_kept": pd.Series(dtype=np.int64),
+                                "trimmed_sum": pd.Series(dtype=np.int64),
+                                "tmean": pd.Series(dtype=np.float64)})
+        if not len(agg):
+            return arrow_group(empty)
+        codes = agg.groupby(gcols, sort=False).ngroup().to_numpy()
+        c = agg["__c"].to_numpy(np.int64)
+        v = agg[value_col].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        counts = np.diff(np.append(starts, len(c)))
+        n = np.repeat(np.add.reduceat(c, starts), counts)
+        d = (n * frac).astype(np.int64)          # floor(trim_frac * n)
+        cum = np.cumsum(c)
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], counts)
+        cum_before = cum - base - c              # rows strictly below bin
+        take_low = np.clip(d - cum_before, 0, c)
+        # mirror: rows strictly above this bin = n - cum_before - c
+        take_high = np.clip(d - (n - cum_before - c), 0, c)
+        kept = c - take_low - take_high
+        # a bin can be eaten from both ends when n - 2d < bin size
+        kept = np.maximum(kept, 0)
+        tsum = np.add.reduceat(kept * v, starts)
+        tcnt = np.add.reduceat(kept, starts)
+        out = agg.iloc[starts][gcols].reset_index(drop=True)
+        out["n_kept"] = tcnt
+        out["trimmed_sum"] = tsum
+        keep = tcnt > 0
+        out = out.loc[keep].reset_index(drop=True)
+        out["tmean"] = (out["trimmed_sum"].to_numpy(np.float64)
+                        / out["n_kept"].to_numpy(np.float64))
+        return arrow_group(out if len(out) else empty)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(reduce, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_mode(ds, *, group_cols: tuple, value_col: str,
+                 out_col: str = "mode", cnt_col: str = "mode_n"):
+    """MODE per group: the most frequent value, ties broken by the
+    smallest value — the categorical summarizer (dominant event type
+    per user, dominant language per source).  Exact by construction
+    (counts are integers, the tie rule is a total order), so it carries
+    a value-hash SQL oracle (row_number over count desc, value asc).
+
+    Scale shape: per-block (group, value) count combiner, ONE
+    hash(group) exchange (a group's histogram co-locates), one lexsort
+    per bucket picks each group's head row.  Rows per reducer =
+    distinct (group, value) pairs in the bucket — the same
+    bounded-value-domain contract as :func:`grouped_weighted_median`.
+
+    Returns pandas (*group_cols, out_col, cnt_col) sorted by group.
+    """
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    gcols = list(group_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gcols + [value_col]).to_pandas()
+        agg = df.groupby(gcols + [value_col], as_index=False,
+                         sort=False).size().rename(columns={"size": "__c"})
+        key = agg[gcols[0]].astype(str)
+        for c in gcols[1:]:
+            key = key + "\x1f" + agg[c].astype(str)
+        agg["__b"] = key_bucket_of(key.to_numpy(), nb)
+        return arrow_group(agg)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(gcols + [value_col], as_index=False,
+                        sort=False)["__c"].sum()
+        if not len(agg):
+            return arrow_group(pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in gcols + [out_col]}
+                | {cnt_col: pd.Series(dtype=np.int64)}))
+        agg = agg.sort_values(gcols + ["__c", value_col],
+                              ascending=[True] * len(gcols)
+                              + [False, True]).reset_index(drop=True)
+        codes = agg.groupby(gcols, sort=False).ngroup().to_numpy()
+        heads = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        out = agg.iloc[heads].rename(columns={value_col: out_col,
+                                              "__c": cnt_col})
+        return arrow_group(out[gcols + [out_col, cnt_col]])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(reduce, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(gcols).reset_index(drop=True)
+
+
+def grouped_topn_sum(ds, *, group_col: str, value_col: str, n: int,
+                     sum_col: str = "topn_sum", n_col: str = "n_top"):
+    """Sum of each group's n LARGEST values (SQL: sum over
+    ``row_number() <= n`` ordered by value desc) — "revenue from each
+    customer's top-3 orders"-style concentration features.  The sum is
+    tie-safe without an id tiebreak: rows tied at the cut are
+    value-equal, so any of them contributes the same amount.
+
+    Scale shape: ZERO row-level shuffle of the full table — each block
+    keeps its local top-n per group (the global top-n is a subset of
+    the union of local top-ns) plus one (group, count) row, then ONE
+    hash(group) exchange over those bounded partials; the per-bucket
+    reduce is one lexsort + positional mask.
+
+    Returns pandas (group_col, sum_col, n_col) sorted by group;
+    n_col = min(n, group size).
+    """
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    k = int(n)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        if not len(df):
+            return arrow_group(pd.DataFrame(
+                {group_col: pd.Series(dtype="object"),
+                 "__v": pd.Series(dtype=np.int64),
+                 "__c": pd.Series(dtype=np.int64),
+                 "__b": pd.Series(dtype=np.int32)}))
+        grp = df[group_col].to_numpy()
+        v = df[value_col].to_numpy(np.int64)
+        _, codes = np.unique(grp, return_inverse=True)
+        order = np.lexsort((-v, codes))
+        starts = np.flatnonzero(np.r_[True, codes[order][1:]
+                                      != codes[order][:-1]])
+        gcounts = np.diff(np.append(starts, len(order)))
+        pos = np.arange(len(order)) - np.repeat(starts, gcounts)
+        keep = order[pos < k]
+        top = pd.DataFrame({group_col: grp[keep], "__v": v[keep],
+                            "__c": np.int64(0)})
+        cnt = pd.DataFrame({group_col: grp[order][starts],
+                            "__v": np.int64(0),
+                            "__c": gcounts.astype(np.int64)})
+        out = pd.concat([top, cnt], ignore_index=True)
+        out["__b"] = key_bucket_of(out[group_col].to_numpy(), nb)
+        return arrow_group(out)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        empty = pd.DataFrame({group_col: pd.Series(dtype="object"),
+                              sum_col: pd.Series(dtype=np.int64),
+                              n_col: pd.Series(dtype=np.int64)})
+        if not len(g):
+            return arrow_group(empty)
+        cnts = g.loc[g["__c"] > 0].groupby(group_col, sort=False) \
+            ["__c"].sum()
+        vals = g.loc[g["__c"] == 0]
+        grp = vals[group_col].to_numpy()
+        v = vals["__v"].to_numpy(np.int64)
+        uniq, codes = np.unique(grp, return_inverse=True)
+        order = np.lexsort((-v, codes))
+        starts = np.flatnonzero(np.r_[True, codes[order][1:]
+                                      != codes[order][:-1]]) \
+            if len(order) else np.empty(0, np.int64)
+        gcounts = np.diff(np.append(starts, len(order)))
+        pos = np.arange(len(order)) - np.repeat(starts, gcounts)
+        sel = pos < k
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, codes[order][sel], v[order][sel])
+        out = pd.DataFrame({group_col: uniq, sum_col: sums})
+        out[n_col] = np.minimum(
+            cnts.reindex(uniq).fillna(0).to_numpy(np.int64), k)
+        return arrow_group(out)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(reduce, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(group_col).reset_index(drop=True)
