@@ -3390,6 +3390,70 @@ def _q_top3_revenue(sf_dir: str):
                             sum_col="top3_cents", n_col="n_top")
 
 
+PCT_TARGETS = (0.5, 0.9, 0.99)
+
+
+def _q_linregress(sf_dir: str):
+    """OLS slope/intercept and Pearson correlation of extended price
+    (cents) vs quantity per (returnflag, linestatus) — every moment an
+    exact integer partial (y² carried hi/lo), driver-combined in
+    Python ints, final float chain written in the oracle's exact IEEE
+    op order (sqrt is correctly rounded in both numpy and DuckDB)."""
+    from vframe_ray.stages.stats import grouped_linregress
+    ds = _read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_returnflag", "l_linestatus",
+                                "l_quantity", "l_extendedprice"])
+
+    def to_int(t):
+        import numpy as _np
+        import pyarrow as _pa
+        x = _np.round(t["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(_np.int64)
+        y = _np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(_np.int64)
+        return _pa.table({"l_returnflag": t["l_returnflag"],
+                          "l_linestatus": t["l_linestatus"],
+                          "x": _pa.array(x), "y": _pa.array(y)})
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_linregress(ds, group_cols=("l_returnflag",
+                                              "l_linestatus"),
+                              x_col="x", y_col="y")
+
+
+def _q_source_drift(sf_dir: str):
+    """Per-source total-variation distance between the source's token
+    distribution and the rest of the corpus — the corpus-mixing drift
+    audit.  Integer numerator (no logarithms by design), one tokenize
+    pass, one term-bucket exchange against broadcast totals."""
+    from vframe_ray.stages.textquality import source_token_drift
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["source", "text"])
+    return source_token_drift(ds)
+
+
+def _q_exact_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of extended price (cents) by two-round
+    distributed selection (histogram refinement) — rank
+    floor(p*(n-1))+1 without ever sorting or moving the corpus; only
+    histogram partials travel."""
+    from vframe_ray.stages.selection import exact_percentiles
+    ds = _read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                       columns=["l_extendedprice"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        return _pa.table({"v": _pa.array(_np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0).astype(_np.int64))})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return exact_percentiles(ds, value_col="v", pcts=PCT_TARGETS)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -3406,6 +3470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
         # --- NEW this session: grouped robust stats + window/rank family ---
+        "price_linregress": _q_linregress,
+        "source_token_drift": _q_source_drift,
+        "exact_price_percentiles": _q_exact_percentiles,
         "trimmed_mean_price": _q_trimmed_mean,
         "mode_event_by_user": _q_mode_event,
         "top3_order_revenue": _q_top3_revenue,
@@ -3614,6 +3681,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "price_linregress": """
+WITH v AS (SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+ s AS (SELECT l_returnflag, l_linestatus,
+              count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+              sum((y * y) // 4294967296)::BIGINT AS shi,
+              sum((y * y) % 4294967296)::BIGINT AS slo
+       FROM v GROUP BY 1, 2),
+ f AS (SELECT l_returnflag, l_linestatus, n,
+              n::DOUBLE AS nf, sx::DOUBLE AS sxf, sy::DOUBLE AS syf,
+              sxy::DOUBLE AS sxyf, sxx::DOUBLE AS sxxf,
+              shi::DOUBLE * 4294967296.0 + slo::DOUBLE AS syyf
+       FROM s)
+SELECT l_returnflag, l_linestatus, n,
+       (nf * sxyf - sxf * syf) / (nf * sxxf - sxf * sxf) AS slope,
+       (syf - ((nf * sxyf - sxf * syf)
+               / (nf * sxxf - sxf * sxf)) * sxf) / nf AS icept,
+       (nf * sxyf - sxf * syf)
+         / (sqrt(nf * sxxf - sxf * sxf)
+            * sqrt(nf * syyf - syf * syf)) AS corr
+FROM f ORDER BY 1, 2""",
+        "source_token_drift": """
+WITH tok AS (SELECT source,
+                    unnest(list_filter(regexp_split_to_array(
+                        lower(text), '[^a-z0-9]+'), t -> t <> ''))
+                        AS term
+             FROM documents),
+ c AS (SELECT source, term, count(*)::BIGINT AS c
+       FROM tok GROUP BY 1, 2),
+ ns AS (SELECT source, sum(c)::BIGINT AS n_s FROM c GROUP BY 1),
+ nn AS (SELECT sum(c)::BIGINT AS n FROM c),
+ ct AS (SELECT term, sum(c)::BIGINT AS ct FROM c GROUP BY 1),
+ grid AS (SELECT s.source, t.term, coalesce(cc.c, 0)::BIGINT AS cs,
+                 t.ct
+          FROM (SELECT DISTINCT source FROM documents) s
+          CROSS JOIN ct t
+          LEFT JOIN c cc ON cc.source = s.source
+                        AND cc.term = t.term),
+ num AS (SELECT g.source,
+                sum(abs(g.cs * (nn.n - x.n_s)
+                        - (g.ct - g.cs) * x.n_s))::BIGINT AS num
+         FROM grid g JOIN ns x ON x.source = g.source, nn
+         GROUP BY g.source)
+SELECT x.source, x.n_s AS n_tokens,
+       m.num::DOUBLE / (2 * x.n_s * (nn.n - x.n_s))::DOUBLE AS tv
+FROM num m JOIN ns x ON x.source = m.source, nn
+ORDER BY x.source""",
+        "exact_price_percentiles": """
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+              count(*) OVER () AS n FROM v),
+ p AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+                             (0.99::DOUBLE)) AS t(pct))
+SELECT p.pct, r.v AS val,
+       (CAST(floor(p.pct * (r.n - 1)) AS BIGINT) + 1)::BIGINT AS rank
+FROM p JOIN r ON r.rn = CAST(floor(p.pct * (r.n - 1)) AS BIGINT) + 1
+ORDER BY p.pct""",
         "trimmed_mean_price": f"""
 WITH v AS (SELECT o_orderpriority AS g,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS v

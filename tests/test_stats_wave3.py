@@ -1,0 +1,170 @@
+"""Round-5 third stats wave: grouped OLS/correlation, source token TV
+drift, and exact distributed percentiles — brute-force oracles,
+repartition invariance, and the degenerate edges (zero x-variance,
+single-value corpora, boundary ranks p=0/p=1, duplicate-heavy bins)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+# ------------------------------------------------------------- linregress
+
+def test_linregress_vs_numpy_polyfit(ray_session):
+    from vframe_ray.stages.stats import grouped_linregress
+    rng = np.random.default_rng(17)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.integers(1, 50, n).astype(np.int64)
+    noise = rng.integers(-500, 500, n)
+    y = (x * 137 + 1000 + noise).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+    for parts in (1, 8):
+        got = grouped_linregress(
+            ray.data.from_arrow(t).repartition(parts),
+            group_cols=("g",), x_col="x", y_col="y")
+        for _, row in got.iterrows():
+            m = g == row["g"]
+            slope, icept = np.polyfit(x[m].astype(float),
+                                      y[m].astype(float), 1)
+            corr = np.corrcoef(x[m].astype(float),
+                               y[m].astype(float))[0, 1]
+            assert abs(row["slope"] - slope) < 1e-6 * abs(slope)
+            assert abs(row["icept"] - icept) < 1e-5 * max(abs(icept), 1)
+            assert abs(row["corr"] - corr) < 1e-9
+            assert row["n"] == int(m.sum())
+
+
+def test_linregress_zero_variance_group(ray_session):
+    """All-equal x -> den == 0 -> NaN slope/icept/corr, n still right."""
+    from vframe_ray.stages.stats import grouped_linregress
+    t = pa.table({"g": pa.array(["z"] * 4),
+                  "x": pa.array([7, 7, 7, 7], pa.int64()),
+                  "y": pa.array([1, 2, 3, 4], pa.int64())})
+    got = grouped_linregress(ray.data.from_arrow(t), group_cols=("g",),
+                             x_col="x", y_col="y")
+    assert got["n"].iloc[0] == 4
+    assert np.isnan(got["slope"].iloc[0])
+    assert np.isnan(got["corr"].iloc[0])
+
+
+def test_linregress_hi_lo_split_exact(ray_session):
+    """y large enough that a naive int64 sum of y^2 would overflow a
+    block: the hi/lo carry must reassemble Σy² exactly (checked against
+    Python-int arithmetic)."""
+    from vframe_ray.stages.stats import grouped_linregress
+    rng = np.random.default_rng(23)
+    n = 500
+    x = rng.integers(1, 100, n).astype(np.int64)
+    y = rng.integers(10**6, 10**7, n).astype(np.int64)   # y² ~ 1e14
+    t = pa.table({"g": pa.array(["g"] * n), "x": pa.array(x),
+                  "y": pa.array(y)})
+    got = grouped_linregress(ray.data.from_arrow(t).repartition(4),
+                             group_cols=("g",), x_col="x", y_col="y")
+    # exact-int reference chain, identical float order
+    N, sx, sy = n, int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    syy = sum(int(v) * int(v) for v in y)
+    shi, slo = syy >> 32, syy & 0xFFFFFFFF
+    nf, sxf, syf = float(N), float(sx), float(sy)
+    num = nf * float(sxy) - sxf * syf
+    den = nf * float(sxx) - sxf * sxf
+    syyf = float(shi) * 4294967296.0 + float(slo)
+    want_slope = num / den
+    want_corr = num / (np.sqrt(den) * np.sqrt(nf * syyf - syf * syf))
+    assert got["slope"].iloc[0] == want_slope
+    assert got["corr"].iloc[0] == want_corr
+
+
+# ----------------------------------------------------------------- drift
+
+def _brute_tv(df):
+    from collections import Counter
+    toks = {}
+    for s, sub in df.groupby("source"):
+        c = Counter()
+        for txt in sub["text"]:
+            c.update([w for w in
+                      "".join(ch if ch.isalnum() else " "
+                              for ch in txt.lower()).split() if w])
+        toks[s] = c
+    total = Counter()
+    for c in toks.values():
+        total.update(c)
+    N = sum(total.values())
+    rows = []
+    for s in sorted(toks):
+        cs, ns = toks[s], sum(toks[s].values())
+        num = 0
+        for t in total:
+            num += abs(cs.get(t, 0) * (N - ns)
+                       - (total[t] - cs.get(t, 0)) * ns)
+        rows.append((s, ns, num / float(2 * ns * (N - ns))))
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "tv"])
+
+
+def test_source_drift_vs_brute_and_invariance(ray_session):
+    from vframe_ray.stages.textquality import source_token_drift
+    rng = np.random.default_rng(31)
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "psi", "beta"]
+    texts, srcs = [], []
+    for i in range(120):
+        s = "skewed" if i % 3 == 0 else f"plain{i % 2}"
+        v = vocab_b if s == "skewed" else vocab_a
+        texts.append(" ".join(rng.choice(v, 12)))
+        srcs.append(s)
+    t = pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    want = _brute_tv(t.to_pandas())
+    for parts in (1, 6):
+        got = source_token_drift(
+            ray.data.from_arrow(t).repartition(parts))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted divergent source must have the largest drift
+    assert got.loc[got["tv"].idxmax(), "source"] == "skewed"
+
+
+def test_source_drift_identical_sources_near_zero(ray_session):
+    """Sources with identical token multisets have TV exactly 0."""
+    from vframe_ray.stages.textquality import source_token_drift
+    t = pa.table({"source": pa.array(["a", "b", "a", "b"]),
+                  "text": pa.array(["x y z", "x y z",
+                                    "w w q", "w w q"])})
+    got = source_token_drift(ray.data.from_arrow(t))
+    assert (got["tv"] == 0.0).all()
+
+
+# ------------------------------------------------------------ percentiles
+
+def test_exact_percentiles_vs_sort(ray_session):
+    from vframe_ray.stages.selection import exact_percentiles
+    rng = np.random.default_rng(41)
+    v = rng.integers(-10000, 10**7, 20000).astype(np.int64)
+    # heavy duplicate spike: one value holds 30% of the mass
+    v[:6000] = 424242
+    t = pa.table({"v": pa.array(v)})
+    pcts = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    sv = np.sort(v)
+    for parts in (1, 8):
+        got = exact_percentiles(
+            ray.data.from_arrow(t).repartition(parts),
+            value_col="v", pcts=pcts, bins=64)
+        for _, r in got.iterrows():
+            k = int(np.floor(r["pct"] * (len(v) - 1))) + 1
+            assert r["rank"] == k
+            assert r["val"] == sv[k - 1], r["pct"]
+
+
+def test_exact_percentiles_single_value_and_tiny(ray_session):
+    from vframe_ray.stages.selection import exact_percentiles
+    t = pa.table({"v": pa.array([5, 5, 5], type=pa.int64())})
+    got = exact_percentiles(ray.data.from_arrow(t), value_col="v",
+                            pcts=(0.5,))
+    assert list(got["val"]) == [5]
+    t1 = pa.table({"v": pa.array([9], type=pa.int64())})
+    got1 = exact_percentiles(ray.data.from_arrow(t1), value_col="v",
+                             pcts=(0.0, 1.0))
+    assert list(got1["val"]) == [9, 9]

@@ -924,3 +924,81 @@ def grouped_topn_sum(ds, *, group_col: str, value_col: str, n: int,
            .groupby("__b").map_groups(reduce, batch_format="pandas")
            .to_pandas())
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_linregress(ds, *, group_cols: tuple, x_col: str,
+                       y_col: str):
+    """Per-group ordinary-least-squares slope/intercept and Pearson
+    correlation over two INTEGER columns — the trend/association
+    summary (price-vs-quantity slope per segment, value drift per
+    cohort).  Exact where it matters: every moment (n, Σx, Σy, Σxy,
+    Σx², Σy²) is an integer partial combined on the driver in
+    arbitrary-precision Python ints (group cardinality is bounded by
+    contract — the `_driver_combine` rule), and the final float64 chain
+    is written in EXACTLY the operation order the SQL oracle uses, so
+    each step is the same correctly-rounded IEEE op on both sides:
+
+        num   = n·Σxy − Σx·Σy            (floats of exact ints)
+        den   = n·Σx² − Σx·Σx
+        slope = num / den
+        icept = (Σy − slope·Σx) / n
+        deny  = n·syy − Σy·Σy,  syy = float(hi)·2^32 + float(lo)
+        corr  = num / (sqrt(den) · sqrt(deny))
+
+    Σy² is carried as hi/lo int64 partials (y² can reach 1e14 per row;
+    a block's Σy² would overflow int64 long before Σxy does) and
+    reassembled via the identical two-float expression in SQL, so even
+    the one conversion that exceeds 2^53 rounds identically.  sqrt is
+    IEEE-correctly-rounded in both numpy and DuckDB (unlike ln/exp —
+    measured 1-ulp libm drift, the reason this operator sticks to
+    algebraic ops).  Groups with zero x-variance emit NULL slope/corr.
+
+    Returns pandas (*group_cols, n, slope, icept, corr) sorted by
+    group.
+    """
+    from ..runtime import arrow_group, block_refs
+    import ray as _ray
+    gcols = list(group_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gcols + [x_col, y_col]).to_pandas()
+        x = df[x_col].to_numpy(np.int64)
+        y = df[y_col].to_numpy(np.int64)
+        y2 = y * y
+        df = df.assign(__n=np.int64(1), __sx=x, __sy=y, __sxy=x * y,
+                       __sxx=x * x, __shi=y2 >> 32,
+                       __slo=y2 & np.int64(0xFFFFFFFF))
+        agg = df.groupby(gcols, as_index=False, sort=False)[
+            ["__n", "__sx", "__sy", "__sxy", "__sxx", "__shi",
+             "__slo"]].sum()
+        return arrow_group(agg)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = _ray.get(block_refs(parts))
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    df = pa.concat_tables(tables).to_pandas()
+    rows = []
+    for key, sub in df.groupby(gcols, sort=True):
+        key = key if isinstance(key, tuple) else (key,)
+        # exact arbitrary-precision combine, then one float chain
+        n = int(sub["__n"].sum())
+        sx, sy = int(sub["__sx"].sum()), int(sub["__sy"].sum())
+        sxy, sxx = int(sub["__sxy"].sum()), int(sub["__sxx"].sum())
+        shi, slo = int(sub["__shi"].sum()), int(sub["__slo"].sum())
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        num = nf * float(sxy) - sxf * syf
+        den = nf * float(sxx) - sxf * sxf
+        syyf = float(shi) * 4294967296.0 + float(slo)
+        deny = nf * syyf - syf * syf
+        if den == 0.0:
+            rows.append((*key, n, np.nan, np.nan, np.nan))
+            continue
+        slope = num / den
+        icept = (syf - slope * sxf) / nf
+        corr = (num / (np.sqrt(den) * np.sqrt(deny))
+                if deny > 0.0 else np.nan)
+        rows.append((*key, n, slope, icept, corr))
+    return pd.DataFrame(rows, columns=gcols + ["n", "slope", "icept",
+                                               "corr"]) \
+        .sort_values(gcols).reset_index(drop=True)

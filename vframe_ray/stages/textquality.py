@@ -564,3 +564,100 @@ def oov_rate(ds, *, top_v: int, id_col: str = "doc_id",
 
     return ds.map_batches(per_doc, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def source_token_drift(ds, *, source_col: str = "source",
+                       text_col: str = "text", cfg=None):
+    """Distribution-drift audit: per source, the TOTAL-VARIATION
+    distance between that source's token distribution and the REST of
+    the corpus — the "which slice looks least like everything else"
+    diagnostic run before mixing corpora into a training set.  TV is
+    chosen over KL/JS precisely because it needs no logarithms: with
+    integer counts ``c_s(t)`` (source s) and ``c(t)`` (corpus),
+
+        TV(s) = sum_t |c_s(t)·(N − N_s) − (c(t) − c_s(t))·N_s|
+                / (2·N_s·(N − N_s))
+
+    so the numerator is EXACT integer arithmetic and the single final
+    division is the same float64 op on both sides — a value-hash SQL
+    oracle for a statistical-divergence operator.  (Integer bound: the
+    per-term products stay under int64 for corpora up to ~3e9 tokens;
+    beyond that, carry hi/lo partials like ``grouped_linregress``.)
+
+    Scale shape: ONE tokenize pass emits (source, term, cnt) combiner
+    partials, materialized once (bounded by blocks × vocab × sources);
+    per-source token totals driver-combine from the same partials
+    (sources are enum-bounded by contract); ONE term-hash-bucket
+    exchange reduces each term's per-source row group against the
+    broadcast totals — including the zero-count (source, term) cells a
+    pivot reindex makes explicit, because "s never says t" contributes
+    ``c(t)·N_s`` to the numerator.
+
+    Returns pandas (source, n_tokens, tv) sorted by source.
+    """
+    import pandas as pd
+    import ray
+
+    from ..runtime import arrow_group, num_hash_buckets
+    nb = num_hash_buckets(None)
+    tok = Tokenizer(cfg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens = tok.tokenize_array(t[text_col])
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        if not len(flat):
+            return pa.table({source_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        src = t[source_col].to_numpy(zero_copy_only=False)[parents]
+        df = pd.DataFrame({source_col: src, "term": flat})
+        agg = df.groupby([source_col, "term"], as_index=False,
+                         sort=False).size().rename(
+            columns={"size": "cnt"})
+        h = pd.util.hash_array(agg["term"].to_numpy(object))
+        agg["__b"] = (h % nb).astype(np.int32)
+        return arrow_group(agg)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    totals = parts.to_pandas().groupby(source_col)["cnt"].sum()
+    sources = np.array(sorted(totals.index), dtype=object)
+    n_s = totals.reindex(sources).to_numpy(np.int64)
+    n_total = int(n_s.sum())
+    tot_ref = ray.put((sources, n_s, n_total))
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        srcs, ns, n = ray.get(tot_ref)
+        empty = pd.DataFrame({source_col: pd.Series(dtype="object"),
+                              "num": pd.Series(dtype=np.int64)})
+        if not len(g):
+            return arrow_group(empty)
+        agg = g.groupby(["term", source_col], as_index=False,
+                        sort=False)["cnt"].sum()
+        # term × source grid with explicit zeros
+        piv = agg.pivot_table(index="term", columns=source_col,
+                              values="cnt", fill_value=0,
+                              aggfunc="sum") \
+            .reindex(columns=srcs, fill_value=0)
+        cs = piv.to_numpy(np.int64)               # (terms, sources)
+        ct = cs.sum(axis=1, keepdims=True)
+        num = np.abs(cs * (n - ns)[None, :]
+                     - (ct - cs) * ns[None, :]).sum(axis=0)
+        return arrow_group(pd.DataFrame({source_col: srcs,
+                                         "num": num.astype(np.int64)}))
+
+    nums = (parts.groupby("__b").map_groups(reduce,
+                                            batch_format="pandas")
+            .to_pandas().groupby(source_col)["num"].sum())
+    num = nums.reindex(sources).fillna(0).to_numpy(np.int64)
+    tv = np.empty(len(sources), np.float64)
+    for i in range(len(sources)):
+        den = 2 * int(n_s[i]) * (n_total - int(n_s[i]))
+        tv[i] = (float(int(num[i])) / float(den)) if den else np.nan
+    return pd.DataFrame({source_col: sources, "n_tokens": n_s,
+                         "tv": tv}).sort_values(source_col) \
+        .reset_index(drop=True)
