@@ -822,6 +822,62 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _span_first_sql() -> str:
+    """Span-first oracle: a doc hits iff EVERY query term occurs at a
+    token position < limit (min-position rule over the shared tok CTE);
+    scores = the BM25 chain over the query's terms restricted to hit
+    docs (identical to _proximity_sql, only the hit predicate
+    differs)."""
+    from vframe_ray.pipelines.flagship import SPAN_FIRST_QUERIES
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    qterms, qks, hit_selects = [], [], []
+    for q in SPAN_FIRST_QUERIES:
+        terms = sorted(set(tok.tokenize(q["query_text"])))
+        for t in terms:
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        hit_selects.append(
+            f"SELECT {q['query_id']} AS query_id, _id FROM tok"
+            f" WHERE term IN ({tlist}) AND pos < {q['limit']}"
+            f" GROUP BY _id HAVING count(DISTINCT term) = {len(terms)}")
+    hits_sql = " UNION ALL ".join(hit_selects)
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ hits AS ({hits_sql}),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id)
+                     AS rank
+            FROM scores s JOIN hits h ON h.query_id = s.query_id
+                                     AND h._id = s.doc_id)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _suggest_sql() -> str:
     """Autocomplete oracle: per-prefix top-k dictionary terms by
     (df desc, term asc) over the shared tok CTE's df table."""
@@ -3390,6 +3446,15 @@ def _q_top3_revenue(sf_dir: str):
                             sum_col="top3_cents", n_col="n_top")
 
 
+def _q_span_first(sf_dir: str):
+    """Span-first retrieval: docs where every query term occurs within
+    the first ``limit`` token positions (Lucene SpanFirstQuery applied
+    conjunctively), BM25-ranked — min-position reads off the pinned
+    doc<<32|pos key arrays, no per-doc Python."""
+    from vframe_ray.pipelines.flagship import bm25_span_first
+    return bm25_span_first(sf_dir)
+
+
 PCT_TARGETS = (0.5, 0.9, 0.99)
 
 
@@ -3470,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
         # --- NEW this session: grouped robust stats + window/rank family ---
+        "bm25_span_first": _q_span_first,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3681,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_span_first": _span_first_sql(),
         "price_linregress": """
 WITH v AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_quantity) AS BIGINT) AS x,

@@ -881,6 +881,76 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def span_first_hits(self, terms: list[str], limit: int,
+                        postings: dict[str, TermPostings] | None = None,
+                        doc_mask: np.ndarray | None = None) -> np.ndarray:
+        """doc_local ids where EVERY distinct query term occurs at a
+        position < ``limit`` (Lucene SpanFirstQuery semantics applied
+        conjunctively): "matches in the title/opening" retrieval.  Each
+        term's first-occurrence-per-doc positions read straight off the
+        pinned sorted ``doc<<32|pos`` key arrays — run heads are one
+        shifted compare, no per-doc Python — then the per-term
+        qualifying doc sets intersect (already sorted unique)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        if postings is None:
+            postings = self.load_terms_cached(terms)
+        if any(t not in postings for t in terms):
+            return np.empty(0, dtype=np.int64)
+        lim64 = np.int64(limit)
+        cand: np.ndarray | None = None
+        for t in terms:
+            keys = self._pos_keys_cached(t, postings[t])
+            d = keys >> 32
+            heads = np.r_[True, d[1:] != d[:-1]]
+            first_pos = keys[heads] & np.int64(0xFFFFFFFF)
+            ok = d[heads][first_pos < lim64]
+            cand = ok if cand is None else \
+                np.intersect1d(cand, ok, assume_unique=True)
+            if cand.size == 0:
+                return cand.astype(np.int64)
+        cand = cand.astype(np.int64)
+        return cand[doc_mask[cand]] if doc_mask is not None else cand
+
+    def search_span_first(self, queries: list[tuple[int, list[str],
+                                                    int, int]],
+                          predicates: list[str] | None = None
+                          ) -> pa.Table:
+        """queries: [(query_id, terms, limit, k)] -> scored result rows.
+
+        Span-first-as-filter + BM25 score — the same filter-then-
+        exact-TAAT shape as :meth:`search_proximity`: the hit set masks
+        the full scorer, so limit >= max doc length reduces to the
+        boolean AND of the terms (asserted in tests)."""
+        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, limit, k in queries:
+            hits = self.span_first_hits(terms, limit, postings=postings,
+                                        doc_mask=doc_mask)
+            if hits.size == 0:
+                continue
+            mask = np.zeros(self.r.n_docs, dtype=bool)
+            mask[hits] = True
+            scored = self.score_full(sorted(set(terms)), k,
+                                     postings=postings, doc_mask=mask)
+            for sc, dd in scored:
+                qid_out.append(qid)
+                doc_out.append(dd)
+                score_out.append(sc)
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search_after(self, queries: list[tuple],
                      predicates: list[str] | None = None) -> pa.Table:
         """Cursor (search_after) pagination: queries [(query_id, terms,

@@ -197,6 +197,22 @@ class _ShardSearcher:
             out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
         return out
 
+    def search_span_first(self, parsed: list[tuple[int, list[str],
+                                                   int, int]],
+                          idf_map: dict[str, float],
+                          predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_span_first(parsed,
+                                            predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
+        return out
+
     def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
                        base_idf: dict[str, float],
                        predicates: list[str] | None = None):
@@ -244,6 +260,9 @@ class _ShardSearcher:
             elif mode == "proximity":
                 out.append(self.search_proximity(parsed, idf_map,
                                                  predicates))
+            elif mode == "span_first":
+                out.append(self.search_span_first(parsed, idf_map,
+                                                  predicates))
             elif mode == "phrase_rank":
                 out.append(self.search_ranked_phrases(parsed, idf_map,
                                                       predicates))
@@ -585,6 +604,32 @@ class QueryService:
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
+    def search_span_first(self, queries: list[dict],
+                          predicates: list[str] | None = None
+                          ) -> pa.Table:
+        """queries: [{"query_id", "query_text", "limit", "k"}] ->
+        ranked scored table: docs where EVERY query term occurs within
+        the first ``limit`` token positions (Lucene SpanFirstQuery
+        semantics, conjunctive), scored by BM25 over the query terms,
+        served by the resident shards in ONE round-trip per shard."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("limit", 16)), int(q.get("k", 10)))
+                  for q in queries]
+        if predicates:
+            self._validate_predicates(predicates)
+        terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
+            else set()
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df)
+                   for t, df in gdf.items()}
+        futs = [a.search_span_first.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
     def search_phrases(self, phrases: list[dict],
                        predicates: list[str] | None = None) -> pa.Table:
         """phrases: [{"query_id", "phrase"}] -> (query_id, conv_id,
@@ -720,8 +765,8 @@ class QueryService:
                      ) -> list[pa.Table]:
         """Heterogeneous query batch in ONE round trip per shard
         (VERDICT r3 next #7).  Each request is {"mode": one of
-        search|boolean|proximity|phrase_rank|boosted|after|facets|
-        facet_ranges|prefix|like|regex (the expansion modes expand
+        search|boolean|proximity|span_first|phrase_rank|boosted|after|
+        facets|facet_ranges|prefix|like|regex (the expansion modes expand
         driver-side and ride as plain searches), "queries": [...],
         + mode extras
         ("facet_col",
@@ -793,6 +838,16 @@ class QueryService:
                            bool(q.get("ordered", False))) for q in qs]
                 ops.append({"mode": mode, "parsed": parsed})
                 merges.append(("topk", {q[0]: q[3] for q in parsed}, None))
+                all_terms |= {t for q in parsed for t in q[1]}
+            elif mode == "span_first":
+                parsed = [(int(q["query_id"]),
+                           sorted(set(self.tok.tokenize(
+                               q["query_text"]))),
+                           int(q.get("limit", 16)), int(q.get("k", 10)))
+                          for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {q[0]: q[3] for q in parsed},
+                               None))
                 all_terms |= {t for q in parsed for t in q[1]}
             elif mode == "phrase_rank":
                 parsed = [(int(p["query_id"]),

@@ -383,6 +383,31 @@ def bm25_proximity(sf_dir: str) -> pa.Table:
     })
 
 
+SPAN_FIRST_QUERIES = [
+    {"query_id": 0, "query_text": "hash join", "limit": 12, "k": 10},
+    {"query_id": 1, "query_text": "customer", "limit": 4, "k": 10},
+    {"query_id": 2, "query_text": "spark window", "limit": 20, "k": 8},
+    {"query_id": 3, "query_text": "zzzmissing join", "limit": 30, "k": 10},
+    {"query_id": 4, "query_text": "vector merge", "limit": 9, "k": 10},
+]
+
+
+def bm25_span_first(sf_dir: str) -> pa.Table:
+    """SPAN_FIRST_QUERIES as ranked scored results (query_id, rank,
+    doc_id, score_r): docs where every query term occurs within the
+    first ``limit`` token positions, BM25-scored
+    (index/entrypoints.span_first_search_index)."""
+    from ..index.query import span_first_search_index
+    index_dir = documents_index(sf_dir)
+    res = span_first_search_index(index_dir, SPAN_FIRST_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 BOOST_QUERIES = [
     {"query_id": 0, "query_text": "spark^2.5 window merge^0.5", "k": 10},
     {"query_id": 1, "query_text": "hash^3 join", "k": 10},
