@@ -822,6 +822,26 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, rank"""
 
 
+def _term_vectors_sql() -> str:
+    """Term-vectors oracle: the BM25 top-k CTE (shared prefix, exact
+    rank rule) joined to the UNRESTRICTED per-doc tf table — each hit
+    doc's full (term, tf) vector."""
+    from vframe_ray.pipelines.flagship import TV_QUERIES
+    return f"""{_bm25_scores_prefix(TV_QUERIES)},
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scores),
+ hits AS (SELECT r.query_id, r.rank, r.doc_id
+          FROM ranked r JOIN qk ON qk.query_id = r.query_id
+          WHERE r.rank <= qk.k),
+ tfall AS (SELECT _id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT h.query_id::INT AS query_id, h.rank::INT AS rank,
+       h.doc_id::BIGINT AS doc_id, t.term, t.tf::BIGINT AS tf
+FROM hits h JOIN tfall t ON t._id = h.doc_id
+ORDER BY query_id, rank, term"""
+
+
 def _span_first_sql() -> str:
     """Span-first oracle: a doc hits iff EVERY query term occurs at a
     token position < limit (min-position rule over the shared tok CTE);
@@ -3446,6 +3466,15 @@ def _q_top3_revenue(sf_dir: str):
                             sum_col="top3_cents", n_col="n_top")
 
 
+def _q_term_vectors(sf_dir: str):
+    """Term vectors for matched docs: each TV_QUERIES top-k doc's full
+    (term, tf) vector — ranked scatter-gather for the hits, then ONE
+    pushdown-filtered read re-tokenizes just the <= queries x k
+    finalists (postings are term-major; no forward index by design)."""
+    from vframe_ray.pipelines.flagship import term_vectors_hits
+    return term_vectors_hits(sf_dir)
+
+
 def _q_span_first(sf_dir: str):
     """Span-first retrieval: docs where every query term occurs within
     the first ``limit`` token positions (Lucene SpanFirstQuery applied
@@ -3536,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
+        "term_vectors": _q_term_vectors,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3748,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
+        "term_vectors": _term_vectors_sql(),
         "price_linregress": """
 WITH v AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_quantity) AS BIGINT) AS x,

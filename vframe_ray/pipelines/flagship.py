@@ -383,6 +383,74 @@ def bm25_proximity(sf_dir: str) -> pa.Table:
     })
 
 
+TV_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "k": 3},
+    {"query_id": 1, "query_text": "vector", "k": 3},
+    {"query_id": 2, "query_text": "hash join", "k": 4},
+]
+
+
+def term_vectors_hits(sf_dir: str):
+    """Term vectors for matched docs (Lucene/Elasticsearch
+    ``termvectors`` on search hits): for each TV_QUERIES top-k doc, its
+    FULL (term, tf) vector — the "why did this doc rank / what else is
+    in it" inspection surface, and the feature export for downstream
+    rerankers.
+
+    Postings are term-major, so a doc's vector is not in the index (no
+    forward index by design); instead the ≤ queries×k hit docs come
+    back from the ranked scatter-gather and ONE pushdown-filtered
+    parquet read re-tokenizes JUST those docs (the Q18 ≤-k-finalists
+    discipline — the corpus is never rescanned).
+
+    Returns pandas (query_id, rank, doc_id, term, tf) sorted by
+    (query_id, rank, term).
+    """
+    import pandas as pd
+
+    from ..analyze import Tokenizer
+    from ..index.query import search_index
+    index_dir = documents_index(sf_dir)
+    res = search_index(index_dir, TV_QUERIES).to_pandas()
+    if not len(res):
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in
+                             [("query_id", "int32"), ("rank", "int32"),
+                              ("doc_id", "int64"), ("term", "object"),
+                              ("tf", "int64")]})
+    res["doc_id"] = res["conv_id"].astype("int64")
+    doc_ids = sorted(set(res["doc_id"]))
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"],
+                       filter=pc.field("doc_id").isin(doc_ids))
+    tok = Tokenizer()
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        tokens = tok.tokenize_array(t["text"])
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        terms_u, codes = np.unique(flat, return_inverse=True)
+        key = parents.astype(np.int64) * len(terms_u) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[(uk // len(terms_u))
+                                   .astype(np.int64)], pa.int64()),
+            "term": pa.array(terms_u[uk % len(terms_u)], pa.string()),
+            "tf": pa.array(counts.astype(np.int64))})
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    out = res[["query_id", "rank", "doc_id"]].merge(tf, on="doc_id")
+    return out.sort_values(["query_id", "rank", "term"]) \
+        .reset_index(drop=True)
+
+
 SPAN_FIRST_QUERIES = [
     {"query_id": 0, "query_text": "hash join", "limit": 12, "k": 10},
     {"query_id": 1, "query_text": "customer", "limit": 4, "k": 10},
