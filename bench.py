@@ -256,6 +256,8 @@ def run_bench() -> dict:
         fs.bm25_search_after(sf_dir)
         fs.facet_dl_ranges(sf_dir)
         fs.suggest_documents(sf_dir)
+        # final wave: span-first (positional min-pos filter + TAAT)
+        fs.bm25_span_first(sf_dir)
 
     def graph_suite(sf_dir):
         from vframe_ray.pipelines.relational import _copurchase_edges
@@ -274,6 +276,22 @@ def run_bench() -> dict:
         seeds = np.arange(0, 20_000, 97, dtype=np.int64)
         pagerank(edges, seeds=seeds).count()
         node_clustering(edges)
+
+    def stats_suite(sf_dir):
+        # the final-wave grouped analytics over the DATA-SIZED tables
+        # (orders 150k / lineitem 600k at sf0.1): histogram-combiner
+        # robust stats, bounded top-n partials, rank windows, the
+        # RANGE time frame, integer-moment regression, and two-round
+        # exact selection.  (source drift / term vectors / span-first
+        # run over the 500-row documents table — retrieval_suite and
+        # the driver board cover those.)
+        entry_queries["trimmed_mean_price"](sf_dir)
+        entry_queries["mode_event_by_user"](sf_dir)
+        entry_queries["top3_order_revenue"](sf_dir)
+        rel.acctbal_percent_rank(sf_dir)
+        rel.range_window_revenue(sf_dir)
+        entry_queries["price_linregress"](sf_dir)
+        entry_queries["exact_price_percentiles"](sf_dir)
 
     def tpch_tail(sf_dir):
         # the completion wave's data-sized shapes: groupwise argmin
@@ -324,7 +342,10 @@ def run_bench() -> dict:
                  ("tpch_tail", tpch_tail),
                  # exact k-NN graph over the embeddings table (blocked
                  # all-pairs with running per-anchor top-k)
-                 ("knn_graph", entry_queries["knn_graph_embeddings"])]
+                 ("knn_graph", entry_queries["knn_graph_embeddings"]),
+                 # final wave: grouped robust stats / windows /
+                 # regression / exact selection over orders+lineitem
+                 ("stats_suite", stats_suite)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
