@@ -3475,6 +3475,19 @@ def _q_term_vectors(sf_dir: str):
     return term_vectors_hits(sf_dir)
 
 
+def _q_balance_events(sf_dir: str):
+    """Class-balancing downsample: every event_type reduced to the
+    smallest type's count via the deterministic smallest-md5 rule —
+    one count pass (driver-combined), then the zero-shuffle exact-k
+    per-group sample."""
+    from vframe_ray.stages.sampling import balance_downsample
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "user_id", "event_type"])
+    return balance_downsample(ds, group_col="event_type",
+                              id_col="event_id",
+                              extra_cols=("user_id",))
+
+
 def _q_span_first(sf_dir: str):
     """Span-first retrieval: docs where every query term occurs within
     the first ``limit`` token positions (Lucene SpanFirstQuery applied
@@ -3566,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
+        "balance_events": _q_balance_events,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3779,6 +3793,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
         "term_vectors": _term_vectors_sql(),
+        "balance_events": f"""
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+ kk AS (SELECT min(n) AS k FROM c),
+ h AS (SELECT event_id, user_id, event_type,
+              {_TH64.format(col='event_id::VARCHAR')} AS hh
+       FROM events),
+ r AS (SELECT event_id, user_id, event_type,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hh, event_id) AS rn
+       FROM h)
+SELECT event_type, rn::BIGINT AS rnk, event_id, user_id
+FROM r, kk WHERE rn <= kk.k ORDER BY event_type, rnk""",
         "price_linregress": """
 WITH v AS (SELECT l_returnflag, l_linestatus,
                   CAST(round(l_quantity) AS BIGINT) AS x,

@@ -149,3 +149,16 @@ def test_cli_wildcard_routing_edges(ray_session, tmp_path, capsys):
     assert _clean_wildcards(["n?edle"]) is True
     assert _clean_wildcards(["needle??"]) is True     # doubled = explicit
     assert _clean_wildcards(["needl*?"]) is True      # '*' marks intent
+
+
+def test_cli_span_first_mode(ray_session, tmp_path, capsys):
+    """--first N routes to span_first_search_index: 'beta' is at
+    position 2 in every doc, so --first 2 misses and --first 3 hits."""
+    idx = _mk_index(tmp_path, name="cli_sf")
+    assert main(["query", "--index", idx, "--query", "beta",
+                 "--first", "2", "-k", "5"]) == 0
+    assert _lines(capsys) == []
+    assert main(["query", "--index", idx, "--query", "beta",
+                 "--first", "3", "-k", "5"]) == 0
+    rows = _lines(capsys)
+    assert rows and rows[0]["rank"] == 1

@@ -210,3 +210,27 @@ def test_range_window_vs_brute_with_date_ties(ray_session, tmp_path):
     # the three tied-date orders of customer 0 share one frame sum
     tied = got[(got["o_custkey"] == 0) & (got["o_orderkey"] < 3)]
     assert tied["win_cents"].nunique() == 1
+
+
+# -------------------------------------------------------- balance sample
+
+def test_balance_downsample_equalizes_groups(ray_session):
+    """Every group lands at exactly min-group-size rows; membership is
+    repartition-invariant and a pure function of the rows."""
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.sampling import balance_downsample
+    rng = np.random.default_rng(19)
+    g = np.r_[np.repeat("big", 300), np.repeat("mid", 90),
+              np.repeat("small", 17)]
+    ids = rng.permutation(len(g)).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "id": pa.array(ids)})
+    outs = []
+    for parts in (1, 5):
+        out = balance_downsample(
+            ray.data.from_arrow(t).repartition(parts),
+            group_col="g", id_col="id")
+        assert out.attrs["k"] == 17
+        assert (out.groupby("g").size() == 17).all()
+        outs.append(out.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

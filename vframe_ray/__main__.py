@@ -81,11 +81,11 @@ def cmd_query(args) -> int:
     preds = args.filter or None
     boosted = (not args.no_boost
                and any("^" in q for q in (args.query or [])))
-    if args.offset and (args.window or args.explain or args.phrase
-                        or boosted):
+    if args.offset and (args.window or args.first or args.explain
+                        or args.phrase or boosted):
         print("warning: --offset applies only to plain search; "
-              "ignored in --window/--explain/--phrase/boosted modes",
-              file=sys.stderr)
+              "ignored in --window/--first/--explain/--phrase/boosted "
+              "modes", file=sys.stderr)
     if args.correct:
         res = q_.suggest_corrections(args.index, list(args.correct),
                                      max_edits=args.fuzzy or 1)
@@ -106,6 +106,11 @@ def cmd_query(args) -> int:
             {"query_id": i, "query_text": q, "window": args.window,
              "k": args.k, "ordered": args.ordered}
             for i, q in enumerate(args.query or [])],
+            predicates=preds)
+    elif args.first:
+        res = q_.span_first_search_index(args.index, [
+            {"query_id": i, "query_text": q, "limit": args.first,
+             "k": args.k} for i, q in enumerate(args.query or [])],
             predicates=preds)
     elif args.explain:
         res = q_.explain_index(args.index, [
@@ -295,6 +300,9 @@ def main(argv=None) -> int:
                    help="exact consecutive phrase (ranked); repeatable")
     q.add_argument("--window", type=int, default=0, metavar="W",
                    help="proximity: all terms within a W-token span")
+    q.add_argument("--first", type=int, default=0, metavar="N",
+                   help="span-first: every term must occur within the "
+                        "first N token positions")
     q.add_argument("--ordered", action="store_true",
                    help="with --window: terms must appear in the given "
                         "order (span-near)")

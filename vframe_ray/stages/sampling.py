@@ -141,3 +141,46 @@ def group_topk_sample(ds, *, group_col: str, id_col: str, k: int,
     out = out.sort_values([group_col, "rnk"])
     return out[[group_col, "rnk", id_col, *extra_cols]] \
         .reset_index(drop=True)
+
+
+def balance_downsample(ds, *, group_col: str, id_col: str,
+                       extra_cols: tuple = ()):
+    """Class-balancing downsample: every group reduced to the size of
+    the SMALLEST group — the standard rebalance before training on a
+    skewed label column — with the same deterministic membership rule
+    as :func:`group_topk_sample` (k smallest md5 per group), so the
+    balanced subset is a pure function of the rows, and resume /
+    repartition reproduce it exactly.
+
+    Two passes: per-block group-count partials driver-combine to the
+    min (groups are enum-bounded by the same contract as
+    group_topk_sample), then the exact-k sample runs with that k.
+    Returns pandas (group_col, rnk, id_col, *extra_cols) plus the
+    computed k as ``.attrs['k']``.
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..runtime import block_refs
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col]).to_pandas().groupby(
+            group_col, as_index=False).size()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    tables = [t for t in ray.get(block_refs(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows]
+    if not tables:
+        out = group_topk_sample(ds, group_col=group_col, id_col=id_col,
+                                k=0, extra_cols=extra_cols)
+        out.attrs["k"] = 0
+        return out
+    counts = pa.concat_tables(tables).to_pandas() \
+        .groupby(group_col)["size"].sum()
+    k = int(counts.min())
+    out = group_topk_sample(ds, group_col=group_col, id_col=id_col,
+                            k=k, extra_cols=extra_cols)
+    out.attrs["k"] = k
+    return out
