@@ -3475,6 +3475,43 @@ def _q_term_vectors(sf_dir: str):
     return term_vectors_hits(sf_dir)
 
 
+def _q_profile_events(sf_dir: str):
+    """Table profiling: exact per-column row / null / distinct counts
+    over events — one scan of (col, n, n_null) count rows + per-block
+    distinct (col, value) combiner pairs, one hash(col, value)
+    exchange, driver sees only per-bucket counts."""
+    from vframe_ray.stages.stats import profile_table
+    cols = ["event_id", "ts", "user_id", "event_type", "value",
+            "props"]
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=cols)
+    return profile_table(ds, columns=cols)
+
+
+def _q_nearest_error(sf_dir: str):
+    """Nearest-timestamp join (bidirectional as-of): each purchase
+    matched to the SAME USER's closest error event in either direction
+    — incident correlation.  One hash(user) co-partition, two
+    searchsorted probes per left row over a composite key; ties prefer
+    the earlier timestamp then the smaller id (the oracle's row_number
+    order).  Purchases whose user never errored drop (inner)."""
+    from vframe_ray.stages.joins import nearest_join
+
+    def _typed(tp):
+        return _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id", "ts",
+                                      "event_type"],
+                             filter=(_pc.field("event_type")
+                                     == _pc.scalar(tp)))
+
+    import pyarrow.compute as _pc
+    out = nearest_join(_typed("purchase"), _typed("error"),
+                       key="user_id", left_on="ts", right_on="ts",
+                       left_cols=["event_id", "user_id"],
+                       right_id="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_balance_events(sf_dir: str):
     """Class-balancing downsample: every event_type reduced to the
     smallest type's count via the deterministic smallest-md5 rule —
@@ -3580,6 +3617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
         "balance_events": _q_balance_events,
+        "nearest_error_to_purchase": _q_nearest_error,
+        "profile_events": _q_profile_events,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3793,6 +3832,41 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
         "term_vectors": _term_vectors_sql(),
+        "profile_events": """
+SELECT 'event_id' AS col, count(*)::BIGINT AS n,
+       (count(*) - count(event_id))::BIGINT AS n_null,
+       count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', count(*)::BIGINT, (count(*) - count(ts))::BIGINT,
+       count(DISTINCT ts)::BIGINT FROM events
+UNION ALL
+SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+       count(DISTINCT user_id)::BIGINT FROM events
+UNION ALL
+SELECT 'event_type', count(*)::BIGINT,
+       (count(*) - count(event_type))::BIGINT,
+       count(DISTINCT event_type)::BIGINT FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
+       count(DISTINCT value)::BIGINT FROM events
+UNION ALL
+SELECT 'props', count(*)::BIGINT, (count(*) - count(props))::BIGINT,
+       count(DISTINCT props)::BIGINT FROM events
+ORDER BY col""",
+        "nearest_error_to_purchase": """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+ r AS (SELECT event_id AS r_id, user_id, ts AS r_ts FROM events
+       WHERE event_type = 'error'),
+ j AS (SELECT l.event_id, l.user_id, l.ts, r.r_id, r.r_ts,
+              abs(epoch_us(l.ts) - epoch_us(r.r_ts)) AS adiff,
+              row_number() OVER (PARTITION BY l.event_id
+                  ORDER BY abs(epoch_us(l.ts) - epoch_us(r.r_ts)),
+                           r.r_ts, r.r_id) AS rn
+       FROM l JOIN r ON r.user_id = l.user_id)
+SELECT event_id, user_id, ts, r_id AS nearest_id, r_ts AS nearest_ts,
+       adiff::BIGINT AS gap_us
+FROM j WHERE rn = 1 ORDER BY event_id""",
         "balance_events": f"""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
  kk AS (SELECT min(n) AS k FROM c),

@@ -168,3 +168,25 @@ def test_exact_percentiles_single_value_and_tiny(ray_session):
     got1 = exact_percentiles(ray.data.from_arrow(t1), value_col="v",
                              pcts=(0.0, 1.0))
     assert list(got1["val"]) == [9, 9]
+
+
+# ---------------------------------------------------------------- profile
+
+def test_profile_table_with_nulls_and_doubles(ray_session):
+    """Exact n / n_null / n_distinct per column, nulls excluded from
+    distinct, near-identical doubles kept distinct (injective string
+    cast), repartition invariance."""
+    from vframe_ray.stages.stats import profile_table
+    v = pa.array([1.0, 1.0000000000000002, 2.5, None, 2.5],
+                 pa.float64())
+    s = pa.array(["a", None, "a", "b", None], pa.string())
+    i = pa.array([7, 7, 7, 7, 7], pa.int64())
+    t = pa.table({"v": v, "s": s, "i": i})
+    want = pd.DataFrame({"col": ["i", "s", "v"],
+                         "n": [5, 5, 5],
+                         "n_null": [0, 2, 1],
+                         "n_distinct": [1, 2, 3]})
+    for parts in (1, 3):
+        got = profile_table(ray.data.from_arrow(t).repartition(parts),
+                            columns=["v", "s", "i"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -381,3 +381,114 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
 
     return unioned.groupby("__bucket").map_groups(join_bucket,
                                                   batch_format="pandas")
+
+
+def nearest_join(left, right, *, key: str, left_on: str, right_on: str,
+                 left_cols: list[str], right_id: str,
+                 prefix: str = "nearest_", gap_col: str = "gap_us",
+                 num_buckets: int | None = None):
+    """NEAREST-timestamp join: each left row matched to the right row
+    of the same ``key`` whose timestamp is CLOSEST in either direction
+    — incident correlation, sensor alignment, "which error is nearest
+    this purchase".  :func:`asof_join` looks only backward; this is the
+    bidirectional member of the family.
+
+    Tie rule (total order, mirrored by the SQL oracle's row_number over
+    ``(abs_diff, r_ts, r_id)``): equal distance before/after prefers
+    the EARLIER right timestamp; equal timestamps prefer the smallest
+    right id.  Left rows whose key has no right rows are dropped
+    (inner-nearest).  ``left_cols`` and ``right_id`` must be
+    int64-typed (the asof_join null-ride discipline).
+
+    Scale shape: ONE hash(key) co-partitioning exchange of both sides;
+    per bucket the right side sorts once by (key, ts, id) and every
+    left row resolves with two searchsorted probes over a composite
+    ``key_code*SPAN + ts_offset`` key (monotone across the bucket — no
+    per-key Python): the insertion point's neighbours are the only
+    nearest candidates, and the chosen neighbour is remapped to its
+    (key, ts) run head so duplicate-timestamp ties pick the smallest
+    id.  Returns a Dataset of ``left_cols`` + ``left_on`` +
+    ``prefix+id`` + ``prefix+ts`` + ``gap_col`` (int64 microseconds,
+    non-negative).
+    """
+    nb = _num_buckets(num_buckets)
+
+    def tag(side: int, ts_col: str):
+        # left columns ride as __l_<c>, the right id as __r_id —
+        # DISTINCT namespaces, so a right_id that shares a left
+        # column's name (both 'event_id', say) cannot collide
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {"__bucket": _bucket_of(k, nb), "__key": t[key],
+                   "__ts": t[ts_col].cast(pa.timestamp("us")),
+                   "__side": pa.array(
+                       np.full(len(t), side, dtype=np.int8))}
+            for c in left_cols:
+                out["__l_" + c] = (t[c].cast(pa.int64()) if side == 1
+                                   else pa.nulls(len(t), pa.int64()))
+            out["__r_id"] = (t[right_id].cast(pa.int64()) if side == 0
+                             else pa.nulls(len(t), pa.int64()))
+            return pa.table(out)
+        return fn
+
+    lcols = [c for c in left_cols]
+    unioned = left.map_batches(tag(1, left_on),
+                               batch_format="pyarrow").union(
+        right.map_batches(tag(0, right_on), batch_format="pyarrow"))
+    out_names = lcols + [left_on, prefix + "id", prefix + "ts", gap_col]
+
+    def match(g: pd.DataFrame) -> pa.Table:
+        lm = (g["__side"] == 1).to_numpy()
+        lidx = np.flatnonzero(lm)
+        ridx = np.flatnonzero(~lm)
+        ts = g["__ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        rid_raw = g["__r_id"].to_numpy()
+        if not len(lidx) or not len(ridx):
+            data = {c: np.empty(0, np.int64) for c in lcols}
+            data[left_on] = np.empty(0, "datetime64[us]")
+            data[prefix + "id"] = np.empty(0, np.int64)
+            data[prefix + "ts"] = np.empty(0, "datetime64[us]")
+            data[gap_col] = np.empty(0, np.int64)
+            return _arrow(pd.DataFrame(data))
+        _, inv = np.unique(g["__key"].to_numpy(np.int64),
+                           return_inverse=True)
+        code = inv.astype(np.int64)
+        off = ts - ts.min()
+        span = np.int64(off.max()) + np.int64(2)
+        rorder = ridx[np.lexsort((rid_raw[ridx].astype(np.int64),
+                                  off[ridx], code[ridx]))]
+        comp_r = code[rorder] * span + off[rorder]
+        r_ts = ts[rorder]
+        comp_l = code[lidx] * span + off[lidx]
+        pos = np.searchsorted(comp_r, comp_l, side="left")
+        n_r = len(rorder)
+        prev_i = np.maximum(pos - 1, 0)
+        next_i = np.minimum(pos, n_r - 1)
+        prev_ok = (pos > 0) & (code[rorder[prev_i]] == code[lidx])
+        next_ok = (pos < n_r) & (code[rorder[next_i]] == code[lidx])
+        big = np.int64(2 ** 62)
+        dt_prev = np.where(prev_ok, ts[lidx] - r_ts[prev_i], big)
+        dt_next = np.where(next_ok, r_ts[next_i] - ts[lidx], big)
+        use_prev = prev_ok & (~next_ok | (dt_prev <= dt_next))
+        chosen = np.where(use_prev, prev_i, next_i)
+        valid = prev_ok | next_ok
+        # remap to the (code, ts) run head so duplicate-ts ties pick
+        # the smallest id (runs are id-sorted)
+        run_key = code[rorder[chosen]] * span + (r_ts[chosen] - ts.min())
+        head = np.searchsorted(comp_r, run_key, side="left")
+        gap = np.where(use_prev, dt_prev, dt_next)
+        sel = np.flatnonzero(valid)
+        data = {}
+        for c in lcols:
+            data[c] = g["__l_" + c].to_numpy()[lidx][sel] \
+                .astype(np.int64)
+        data[left_on] = g["__ts"].to_numpy()[lidx][sel]
+        data[prefix + "id"] = rid_raw[rorder[head[sel]]] \
+            .astype(np.int64)
+        data[prefix + "ts"] = g["__ts"].to_numpy()[rorder[head[sel]]]
+        data[gap_col] = gap[sel].astype(np.int64)
+        return _arrow(pd.DataFrame(data)[out_names])
+
+    return unioned.groupby("__bucket").map_groups(match,
+                                                  batch_format="pandas")
