@@ -3475,6 +3475,33 @@ def _q_term_vectors(sf_dir: str):
     return term_vectors_hits(sf_dir)
 
 
+GROUP_Q_P = 0.9
+
+
+def _q_group_p90(sf_dir: str):
+    """Exact per-group p90 of event value (cents) by grouped
+    histogram-refinement selection — the unbounded-domain complement
+    of the weighted-median combiner: three partial-only scans, no
+    sort, no row-level shuffle."""
+    from vframe_ray.stages.selection import grouped_exact_quantile
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "value"])
+
+    def to_cents(t):
+        import numpy as _np
+        import pyarrow as _pa
+        return _pa.table({"event_type": t["event_type"],
+                          "cents": _pa.array(_np.round(
+                              t["value"].to_numpy(zero_copy_only=False)
+                              * 100.0).astype(_np.int64))})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return grouped_exact_quantile(ds, group_col="event_type",
+                                  value_col="cents", p=GROUP_Q_P,
+                                  out_col="p90_cents")
+
+
 def _q_profile_events(sf_dir: str):
     """Table profiling: exact per-column row / null / distinct counts
     over events — one scan of (col, n, n_null) count rows + per-block
@@ -3619,6 +3646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_events": _q_balance_events,
         "nearest_error_to_purchase": _q_nearest_error,
         "profile_events": _q_profile_events,
+        "group_p90_value": _q_group_p90,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3832,6 +3860,20 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
         "term_vectors": _term_vectors_sql(),
+        "group_p90_value": f"""
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+ r AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM v)
+SELECT event_type, n::BIGINT AS n,
+       (CAST(floor({GROUP_Q_P} * (n - 1)) AS BIGINT) + 1)::BIGINT
+           AS rank,
+       v::BIGINT AS p90_cents
+FROM r WHERE rn = CAST(floor({GROUP_Q_P} * (n - 1)) AS BIGINT) + 1
+ORDER BY event_type""",
         "profile_events": """
 SELECT 'event_id' AS col, count(*)::BIGINT AS n,
        (count(*) - count(event_id))::BIGINT AS n_null,

@@ -190,3 +190,28 @@ def test_profile_table_with_nulls_and_doubles(ray_session):
         got = profile_table(ray.data.from_arrow(t).repartition(parts),
                             columns=["v", "s", "i"])
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------------- grouped quantile
+
+def test_grouped_exact_quantile_vs_sort(ray_session):
+    from vframe_ray.stages.selection import grouped_exact_quantile
+    rng = np.random.default_rng(53)
+    n = 8000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(-5000, 10**6, n).astype(np.int64)
+    # group 'd': constant values (span 1, single bin)
+    g = np.r_[g, np.repeat("d", 7)]
+    v = np.r_[v, np.full(7, 123, np.int64)]
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    for parts in (1, 6):
+        got = grouped_exact_quantile(
+            ray.data.from_arrow(t).repartition(parts),
+            group_col="g", value_col="v", p=0.9, bins=32)
+        for _, r in got.iterrows():
+            sv = np.sort(v[g == r["g"]])
+            k = int(np.floor(0.9 * (len(sv) - 1))) + 1
+            assert r["rank"] == k
+            assert r["n"] == len(sv)
+            assert r["qval"] == sv[k - 1], r["g"]
+    assert got.loc[got["g"] == "d", "qval"].iloc[0] == 123

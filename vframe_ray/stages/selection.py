@@ -134,3 +134,110 @@ def exact_percentiles(ds, *, value_col: str, pcts: tuple,
             rows.append((p, int(vv[idx]), k))
     out = pd.DataFrame(rows, columns=["pct", "val", "rank"])
     return out.sort_values("pct").reset_index(drop=True)
+
+
+def grouped_exact_quantile(ds, *, group_col: str, value_col: str,
+                           p: float, bins: int = 1024,
+                           out_col: str = "qval"):
+    """Exact per-GROUP order statistic (rank ``floor(p*(n_g-1)) + 1``
+    within each group) by the same histogram-refinement selection as
+    :func:`exact_percentiles`, run for every group at once — the
+    unbounded-domain complement of ``grouped_weighted_median`` (whose
+    histogram combiner requires a bounded value domain).
+
+    Three scans, all emitting per-group partials: (1) per-block
+    (group, n, lo, hi) -> driver combine (groups are enum-bounded by
+    the `_driver_combine` contract); (2) per-block (group, bin, cnt)
+    over each group's own equal-width grid -> driver sum locates each
+    group's target bin; (3) per-block (group, value, cnt) restricted
+    to that one bin per group -> driver selection.  No sort, no
+    row-level shuffle; a duplicate-heavy bin costs its distinct-value
+    count.
+
+    Returns pandas (group_col, n, rank, out_col) sorted by group.
+    """
+    import ray
+
+    from ..runtime import block_refs
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        agg = df.groupby(group_col)[value_col].agg(
+            ["size", "min", "max"]).reset_index()
+        agg.columns = [group_col, "n", "lo", "hi"]
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    mm_tabs = [t for t in ray.get(block_refs(
+        ds.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows]
+    empty = pd.DataFrame({group_col: pd.Series(dtype="object"),
+                          "n": pd.Series(dtype=np.int64),
+                          "rank": pd.Series(dtype=np.int64),
+                          out_col: pd.Series(dtype=np.int64)})
+    if not mm_tabs:
+        return empty
+    mm = pa.concat_tables(mm_tabs).to_pandas().groupby(group_col).agg(
+        n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    groups = np.array(sorted(mm.index), dtype=object)
+    n_g = mm.loc[groups, "n"].to_numpy(np.int64)
+    lo_g = mm.loc[groups, "lo"].to_numpy(np.int64)
+    hi_g = mm.loc[groups, "hi"].to_numpy(np.int64)
+    span_g = hi_g - lo_g + 1
+    nb_g = np.minimum(int(bins), span_g)
+    k_g = np.floor(float(p) * (n_g - 1)).astype(np.int64) + 1
+    gmap = {g: i for i, g in enumerate(groups)}
+    meta_ref = ray.put((gmap, lo_g, span_g, nb_g))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        gm, lo, span, nb = ray.get(meta_ref)
+        df = t.select([group_col, value_col]).to_pandas()
+        gi = df[group_col].map(gm).to_numpy(np.int64)
+        v = df[value_col].to_numpy(np.int64)
+        b = (v - lo[gi]) * nb[gi] // span[gi]
+        agg = pd.DataFrame({"gi": gi, "bin": b}).groupby(
+            ["gi", "bin"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    hp = pa.concat_tables([t for t in ray.get(block_refs(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows]) \
+        .to_pandas().groupby(["gi", "bin"])["size"].sum()
+    target_bin = np.empty(len(groups), np.int64)
+    below_g = np.empty(len(groups), np.int64)
+    for i in range(len(groups)):
+        h = hp.loc[i].sort_index()
+        cum = h.cumsum()
+        j = int(np.searchsorted(cum.to_numpy(), k_g[i], side="left"))
+        target_bin[i] = h.index[j]
+        below_g[i] = int(cum.iloc[j - 1]) if j > 0 else 0
+    tb_ref = ray.put(target_bin)
+
+    def inbin_partial(t: pa.Table) -> pa.Table:
+        gm, lo, span, nb = ray.get(meta_ref)
+        tb = ray.get(tb_ref)
+        df = t.select([group_col, value_col]).to_pandas()
+        gi = df[group_col].map(gm).to_numpy(np.int64)
+        v = df[value_col].to_numpy(np.int64)
+        b = (v - lo[gi]) * nb[gi] // span[gi]
+        keep = b == tb[gi]
+        agg = pd.DataFrame({"gi": gi[keep], "v": v[keep]}).groupby(
+            ["gi", "v"], as_index=False).size()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    ib = pa.concat_tables([t for t in ray.get(block_refs(
+        ds.map_batches(inbin_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows]) \
+        .to_pandas().groupby(["gi", "v"])["size"].sum()
+    vals = np.empty(len(groups), np.int64)
+    for i in range(len(groups)):
+        h = ib.loc[i].sort_index()
+        cum = np.cumsum(h.to_numpy())
+        idx = int(np.searchsorted(cum, k_g[i] - below_g[i],
+                                  side="left"))
+        vals[i] = h.index[idx]
+    return pd.DataFrame({group_col: groups, "n": n_g, "rank": k_g,
+                         out_col: vals}) \
+        .sort_values(group_col).reset_index(drop=True)
