@@ -842,6 +842,67 @@ FROM hits h JOIN tfall t ON t._id = h.doc_id
 ORDER BY query_id, rank, term"""
 
 
+def _common_terms_sql() -> str:
+    """Common-terms oracle: hit docs hold >= 1 PRESENT query term whose
+    df·den < n·num (exact integer rule); queries whose present terms
+    are all high-df fall back to any-term recall; scores = the plain
+    BM25 chain restricted to hits."""
+    from vframe_ray.pipelines.flagship import (COMMON_DF_DEN,
+                                               COMMON_DF_NUM,
+                                               COMMON_QUERIES)
+    tok = Tokenizer()
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    num, den = COMMON_DF_NUM, COMMON_DF_DEN
+    qterms, qks = [], []
+    for q in COMMON_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS dl FROM tok GROUP BY _id),
+ dl_all AS (SELECT d.doc_id AS _id, coalesce(dl.dl, 0) AS dl
+            FROM documents d LEFT JOIN dl ON d.doc_id = dl._id),
+ stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_all),
+ n_int AS (SELECT count(*)::BIGINT AS n FROM documents),
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY _id, term),
+ df AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+ scores AS (
+   SELECT q.query_id, tf._id AS doc_id,
+          sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl_all ON dl_all._id = tf._id, stats
+   GROUP BY q.query_id, tf._id),
+ qlow AS (SELECT q.query_id,
+                 sum(CASE WHEN df.df * {den} < n_int.n * {num}
+                          THEN 1 ELSE 0 END) AS n_low
+          FROM q JOIN df ON df.term = q.term, n_int
+          GROUP BY q.query_id),
+ hits AS (SELECT DISTINCT q.query_id, tf._id
+          FROM q JOIN tf ON tf.term = q.term
+               JOIN df ON df.term = q.term
+               JOIN qlow ON qlow.query_id = q.query_id, n_int
+          WHERE df.df * {den} < n_int.n * {num} OR qlow.n_low = 0),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id)
+                     AS rank
+            FROM scores s JOIN hits h ON h.query_id = s.query_id
+                                     AND h._id = s.doc_id)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _span_first_sql() -> str:
     """Span-first oracle: a doc hits iff EVERY query term occurs at a
     token position < limit (min-position rule over the shared tok CTE);
@@ -3466,6 +3527,15 @@ def _q_top3_revenue(sf_dir: str):
                             sum_col="top3_cents", n_col="n_top")
 
 
+def _q_common_terms(sf_dir: str):
+    """Common-terms retrieval (Lucene CommonTermsQuery): recall driven
+    by low-df terms only (exact integer df cutoff), BM25 scoring over
+    every present query term; all-high-df queries fall back to plain
+    any-term recall."""
+    from vframe_ray.pipelines.flagship import bm25_common_terms
+    return bm25_common_terms(sf_dir)
+
+
 def _q_term_vectors(sf_dir: str):
     """Term vectors for matched docs: each TV_QUERIES top-k doc's full
     (term, tf) vector — ranked scatter-gather for the hits, then ONE
@@ -3647,6 +3717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_error_to_purchase": _q_nearest_error,
         "profile_events": _q_profile_events,
         "group_p90_value": _q_group_p90,
+        "bm25_common_terms": _q_common_terms,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3859,6 +3930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
+        "bm25_common_terms": _common_terms_sql(),
         "term_vectors": _term_vectors_sql(),
         "group_p90_value": f"""
 WITH v AS (SELECT event_type,

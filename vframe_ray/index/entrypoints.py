@@ -285,6 +285,65 @@ def span_first_search_index(index_dir: str, queries: list[dict],
     return out.cast(_RESULT_SCHEMA)
 
 
+def search_common_index(index_dir: str, queries: list[dict],
+                        cfg: EngineConfig | None = None, *,
+                        max_df_num: int = 2, max_df_den: int = 5,
+                        predicates: list[str] | None = None
+                        ) -> pa.Table:
+    """Distributed common-terms search (Lucene CommonTermsQuery):
+    recall driven by LOW-df terms only (a doc qualifies iff it holds
+    >= 1 query term with global df·den < n_docs·num — an exact integer
+    rule, no float cutoff), scoring = plain BM25 over every query term
+    present.  Queries whose terms are all high-df fall back to plain
+    any-term recall (the Lucene rule).  The low/high split runs ONCE on
+    the driver against global df; segments receive the decided split.
+
+    queries: [{"query_id", "query_text", "k"}] → (query_id, rank,
+    conv_id, turn_idx, score) like :func:`search_index`.
+    """
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    pre = [(int(q["query_id"]),
+            sorted(set(tok.tokenize(q["query_text"]))),
+            int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in pre]) if pre \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed = [(qid, terms,
+               [t for t in terms if t in gdf
+                and gdf[t] * max_df_den < n_docs * max_df_num], k)
+              for qid, terms, k in pre]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.search_common(qs, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {q[0]: q[3] for q in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
+
+
 def phrase_search_index(index_dir: str, phrases: list[dict],
                         cfg: EngineConfig | None = None, *,
                         predicates: list[str] | None = None) -> pa.Table:

@@ -951,6 +951,58 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def search_common(self, queries: list[tuple[int, list[str],
+                                               list[str], int]],
+                      predicates: list[str] | None = None) -> pa.Table:
+        """Common-terms retrieval (Lucene CommonTermsQuery): recall is
+        driven by the LOW-df terms only — a doc qualifies iff it holds
+        at least one low-df query term — while scoring still sums the
+        plain BM25 contributions of EVERY query term present.  Stopword
+        behaviour without a stopword list: high-df terms can't flood
+        the candidate set, but still differentiate the ranking.
+
+        queries: [(query_id, all_terms, low_terms, k)] — the low/high
+        split is decided by the caller against GLOBAL df (the segment
+        can't know it); an empty low list means every term was high-df
+        and the query falls back to plain any-term recall."""
+        from .codec import decode_all
+        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, low, k in queries:
+            drivers = [t for t in (low if low else terms)
+                       if t in postings]
+            if not drivers:
+                continue
+            hit_sets = []
+            for t in drivers:
+                docs, _ = decode_all(postings[t], self.block_size)
+                hit_sets.append(docs.astype(np.int64))
+            hits = np.unique(np.concatenate(hit_sets))
+            if doc_mask is not None:
+                hits = hits[doc_mask[hits]]
+            if hits.size == 0:
+                continue
+            mask = np.zeros(self.r.n_docs, dtype=bool)
+            mask[hits] = True
+            scored = self.score_full(sorted(set(terms)), k,
+                                     postings=postings, doc_mask=mask)
+            for sc, dd in scored:
+                qid_out.append(qid)
+                doc_out.append(dd)
+                score_out.append(sc)
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search_after(self, queries: list[tuple],
                      predicates: list[str] | None = None) -> pa.Table:
         """Cursor (search_after) pagination: queries [(query_id, terms,

@@ -213,6 +213,21 @@ class _ShardSearcher:
             out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
         return out
 
+    def search_common(self, parsed: list[tuple[int, list[str],
+                                               list[str], int]],
+                      idf_map: dict[str, float],
+                      predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_common(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out, {q[0]: q[3] for q in parsed})
+        return out
+
     def search_boosted(self, parsed: list[tuple[int, list[tuple], int]],
                        base_idf: dict[str, float],
                        predicates: list[str] | None = None):
@@ -624,6 +639,35 @@ class QueryService:
         idf_map = {t: idf(self.stats["n_docs"], df)
                    for t, df in gdf.items()}
         futs = [a.search_span_first.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
+    def search_common(self, queries: list[dict],
+                      max_df_num: int = 2, max_df_den: int = 5,
+                      predicates: list[str] | None = None) -> pa.Table:
+        """queries: [{"query_id", "query_text", "k"}] -> ranked scored
+        table with common-terms semantics (recall from low-df terms
+        only, scoring over all terms; all-high-df queries fall back to
+        plain recall).  The low/high split runs once on the driver
+        against the service's cached global df."""
+        parsed0 = [(int(q["query_id"]),
+                    sorted(set(self.tok.tokenize(q["query_text"]))),
+                    int(q.get("k", 10))) for q in queries]
+        if predicates:
+            self._validate_predicates(predicates)
+        terms = set().union(*[set(t) for _, t, _ in parsed0]) \
+            if parsed0 else set()
+        gdf = self._gdf_cached(terms)
+        n = self.stats["n_docs"]
+        parsed = [(qid, ts,
+                   [t for t in ts if t in gdf
+                    and gdf[t] * max_df_den < n * max_df_num], k)
+                  for qid, ts, k in parsed0]
+        idf_map = {t: idf(n, df) for t, df in gdf.items()}
+        futs = [a.search_common.remote(parsed, idf_map, predicates)
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(df, {q[0]: q[3] for q in parsed})

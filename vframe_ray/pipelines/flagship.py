@@ -476,6 +476,33 @@ def bm25_span_first(sf_dir: str) -> pa.Table:
     })
 
 
+COMMON_QUERIES = [
+    {"query_id": 0, "query_text": "dup merge sort", "k": 10},
+    {"query_id": 1, "query_text": "the window", "k": 10},
+    {"query_id": 2, "query_text": "dup zzzmissing", "k": 10},
+    {"query_id": 3, "query_text": "zzzmissing customer", "k": 8},
+]
+COMMON_DF_NUM, COMMON_DF_DEN = 2, 5     # low-df iff df·5 < n_docs·2
+
+
+def bm25_common_terms(sf_dir: str) -> pa.Table:
+    """COMMON_QUERIES with Lucene CommonTermsQuery semantics: recall
+    from low-df terms only (integer df·den < n·num rule), BM25 scoring
+    over every query term; all-high-df queries fall back to plain
+    recall (index/entrypoints.search_common_index)."""
+    from ..index.query import search_common_index
+    index_dir = documents_index(sf_dir)
+    res = search_common_index(index_dir, COMMON_QUERIES,
+                              max_df_num=COMMON_DF_NUM,
+                              max_df_den=COMMON_DF_DEN)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 BOOST_QUERIES = [
     {"query_id": 0, "query_text": "spark^2.5 window merge^0.5", "k": 10},
     {"query_id": 1, "query_text": "hash^3 join", "k": 10},
