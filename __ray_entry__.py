@@ -3527,6 +3527,38 @@ def _q_top3_revenue(sf_dir: str):
                             sum_col="top3_cents", n_col="n_top")
 
 
+QW_SHIFT, QW_SCALE, QW_DENOM = 2.0, 300000.0, 1_000_000
+
+
+def _q_quality_weighted_sample(sf_dir: str):
+    """The composed training-mix pipeline: actor-pool linear quality
+    scoring -> shifted-positive weights -> deterministic
+    weight-proportional (Poisson) sampling with Horvitz-Thompson
+    correction weights.  Three map_batches stages, zero shuffles;
+    membership is a pure function of the row on both sides."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from vframe_ray.stages.sampling import weighted_hash_sample
+    from vframe_ray.stages.textquality import QualityScorerStage
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    scored = ds.map_batches(QualityScorerStage, concurrency=(1, 4),
+                            batch_format="pyarrow")
+
+    def add_w(t):
+        w = _np.maximum(t["score_r"].to_numpy(zero_copy_only=False)
+                        + QW_SHIFT, 0.0)
+        return t.append_column("w", _pa.array(w))
+
+    sampled = weighted_hash_sample(
+        scored.map_batches(add_w, batch_format="pyarrow"),
+        weight_col="w", id_col="doc_id", scale=QW_SCALE,
+        denom=QW_DENOM)
+    return sampled.to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q_common_terms(sf_dir: str):
     """Common-terms retrieval (Lucene CommonTermsQuery): recall driven
     by low-df terms only (exact integer df cutoff), BM25 scoring over
@@ -3718,6 +3750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "group_p90_value": _q_group_p90,
         "bm25_common_terms": _q_common_terms,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4547,6 +4580,35 @@ SELECT doc_id,
        round(-2.0 + 0.01*n_tokens + 0.02*n_distinct + 0.5*atl + 3.0*sr,
              6) AS score_r
 FROM f ORDER BY score_r DESC, doc_id LIMIT 50""",
+        "quality_weighted_sample": f"""{_TOK},
+ c AS (SELECT _id,
+              count(*) AS n,
+              count(DISTINCT term) AS nd,
+              sum(length(term))::DOUBLE AS tok_chars,
+              sum(CASE WHEN term IN ({_EN}) THEN 1 ELSE 0 END)::DOUBLE
+                  AS n_stop
+       FROM tok GROUP BY _id),
+ f AS (SELECT d.doc_id,
+              coalesce(c.n, 0)::DOUBLE AS n_tokens,
+              coalesce(c.nd, 0)::DOUBLE AS n_distinct,
+              coalesce(c.tok_chars / greatest(c.n, 1), 0.0) AS atl,
+              coalesce(c.n_stop / greatest(c.n, 1), 0.0) AS sr
+       FROM documents d LEFT JOIN c ON c._id = d.doc_id),
+ s AS (SELECT doc_id,
+              round(-2.0 + 0.01*n_tokens + 0.02*n_distinct + 0.5*atl
+                    + 3.0*sr, 6) AS score_r
+       FROM f),
+ wts AS (SELECT doc_id, score_r,
+                greatest(score_r + {QW_SHIFT}, 0.0) AS w FROM s),
+ thr AS (SELECT *,
+                LEAST(GREATEST(floor(w * {QW_SCALE}), 0.0),
+                      {QW_DENOM}.0) AS t
+         FROM wts)
+SELECT doc_id, score_r, w, {QW_DENOM}.0 / t AS ht_weight
+FROM thr
+WHERE t >= 1.0
+  AND ({_TH64.format(col='doc_id::VARCHAR')} % {QW_DENOM}) < t::UBIGINT
+ORDER BY doc_id""",
         "quality_features": f"""{_TOK},
  c AS (SELECT _id,
               count(*) AS n,

@@ -234,3 +234,21 @@ def test_balance_downsample_equalizes_groups(ray_session):
         assert (out.groupby("g").size() == 17).all()
         outs.append(out.reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_quality_weighted_sample_composition(ray_session):
+    """The composed scoring->sampling pipeline is repartition-invariant
+    and its HT weights equal denom/floor(w*scale) exactly."""
+    import __ray_entry__ as e
+    outs = []
+    for _ in range(2):
+        out = e.queries()["quality_weighted_sample"](
+            "/root/testdata/sf0.001")
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    thr = np.minimum(np.floor(out["w"].to_numpy() * e.QW_SCALE),
+                     float(e.QW_DENOM))
+    assert np.array_equal(out["ht_weight"].to_numpy(),
+                          float(e.QW_DENOM) / thr)
+    assert (out["w"] > 0).all()
