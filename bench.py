@@ -257,7 +257,9 @@ def run_bench() -> dict:
         fs.facet_dl_ranges(sf_dir)
         fs.suggest_documents(sf_dir)
         # final wave: span-first (positional min-pos filter + TAAT)
+        # and common-terms (low-df-driven recall)
         fs.bm25_span_first(sf_dir)
+        fs.bm25_common_terms(sf_dir)
 
     def graph_suite(sf_dir):
         from vframe_ray.pipelines.relational import _copurchase_edges
