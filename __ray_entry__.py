@@ -842,6 +842,39 @@ FROM hits h JOIN tfall t ON t._id = h.doc_id
 ORDER BY query_id, rank, term"""
 
 
+def _pqf_sql() -> str:
+    """Per-query-filter oracle: the conversation-shaped BM25 chain with
+    a (query_id, lang) filter table — NULL lang = unfiltered — applied
+    to each query's hit set BEFORE ranking."""
+    from vframe_ray.pipelines.flagship import PQF_QUERIES
+    qf = []
+    for q in PQF_QUERIES:
+        lang = None
+        if q.get("filter"):
+            lang = q["filter"][0].split("==")[1].strip()
+        qf.append(f"({q['query_id']}, "
+                  + (f"'{lang}'" if lang else "NULL") + ")")
+    return f"""{_bm25_scores_prefix(PQF_QUERIES)},
+ cm AS (SELECT doc_id, source, lang,
+               (row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id) - 1)::INT AS turn_idx
+        FROM documents),
+ qf(query_id, flang) AS (VALUES {', '.join(qf)}),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, cm.source,
+                                               cm.turn_idx) AS rank
+            FROM scores s JOIN cm ON cm.doc_id = s.doc_id
+                 JOIN qf ON qf.query_id = s.query_id
+            WHERE qf.flang IS NULL OR cm.lang = qf.flang)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       cm.source AS conv_id, cm.turn_idx, round(r.score, 6) AS score_r
+FROM ranked r JOIN cm ON cm.doc_id = r.doc_id
+              JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _common_terms_sql() -> str:
     """Common-terms oracle: hit docs hold >= 1 PRESENT query term whose
     df·den < n·num (exact integer rule); queries whose present terms
@@ -3559,6 +3592,15 @@ def _q_quality_weighted_sample(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q_per_query_filter(sf_dir: str):
+    """Per-query attribute filters in one batched search call
+    (filter-context-per-request): the same query text ranks differently
+    under different lang filters; each distinct filter compiles once
+    per segment call and masks only its own query's scoring."""
+    from vframe_ray.pipelines.flagship import bm25_per_query_filter
+    return bm25_per_query_filter(sf_dir)
+
+
 def _q_common_terms(sf_dir: str):
     """Common-terms retrieval (Lucene CommonTermsQuery): recall driven
     by low-df terms only (exact integer df cutoff), BM25 scoring over
@@ -3751,6 +3793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_p90_value": _q_group_p90,
         "bm25_common_terms": _q_common_terms,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "bm25_per_query_filter": _q_per_query_filter,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -3964,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_span_first": _span_first_sql(),
         "bm25_common_terms": _common_terms_sql(),
+        "bm25_per_query_filter": _pqf_sql(),
         "term_vectors": _term_vectors_sql(),
         "group_p90_value": f"""
 WITH v AS (SELECT event_type,

@@ -1,0 +1,81 @@
+"""Per-query attribute filters (filter-context-per-request): each
+query's "filter" list must behave exactly like running that query alone
+with a global predicate, without disturbing unfiltered batch-mates;
+service and mixed-batch parity; composition with a global predicate."""
+
+import ray.data
+
+from tests.util import SMALL_CFG
+from vframe_ray.index.build import build_index
+from vframe_ray.index.query import QueryService, search_index
+
+ROWS = [
+    {"conv_id": "c0", "turn_idx": 0, "text": "alpha beta", "lang": "en"},
+    {"conv_id": "c1", "turn_idx": 0, "text": "alpha beta beta",
+     "lang": "de"},
+    {"conv_id": "c2", "turn_idx": 0, "text": "alpha gamma", "lang": "en"},
+    {"conv_id": "c3", "turn_idx": 0, "text": "alpha", "lang": "fr"},
+    {"conv_id": "c4", "turn_idx": 0, "text": "beta beta", "lang": "de"},
+]
+
+
+def _mk(tmp_path, name):
+    idx = str(tmp_path / name)
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    return idx
+
+
+def test_per_query_filter_equals_global_predicate(ray_session,
+                                                  tmp_path):
+    idx = _mk(tmp_path, "pqf_idx")
+    batch = search_index(idx, [
+        {"query_id": 0, "query_text": "alpha beta", "k": 10,
+         "filter": ["lang == en"]},
+        {"query_id": 1, "query_text": "alpha beta", "k": 10,
+         "filter": ["lang == de"]},
+        {"query_id": 2, "query_text": "alpha beta", "k": 10},
+    ]).to_pandas()
+    for qid, preds in ((0, ["lang == en"]), (1, ["lang == de"]),
+                       (2, None)):
+        alone = search_index(
+            idx, [{"query_id": qid, "query_text": "alpha beta",
+                   "k": 10}], predicates=preds).to_pandas()
+        got = batch[batch["query_id"] == qid].reset_index(drop=True)
+        assert got.to_dict("records") == alone.to_dict("records"), qid
+    # the filters actually bit: en hits exclude de conversations
+    assert set(batch.loc[batch["query_id"] == 0, "conv_id"]) \
+        <= {"c0", "c2"}
+    assert set(batch.loc[batch["query_id"] == 1, "conv_id"]) \
+        <= {"c1", "c4"}
+
+
+def test_per_query_filter_ands_with_global(ray_session, tmp_path):
+    """A per-query filter composes (AND) with a call-level predicate."""
+    idx = _mk(tmp_path, "pqf_and")
+    got = search_index(idx, [
+        {"query_id": 0, "query_text": "alpha beta", "k": 10,
+         "filter": ["lang == de"]}],
+        predicates=["lang == de or lang == en"]).to_pandas()
+    assert set(got["conv_id"]) <= {"c1", "c4"}
+    contradictory = search_index(idx, [
+        {"query_id": 0, "query_text": "alpha beta", "k": 10,
+         "filter": ["lang == fr"]}],
+        predicates=["lang == de"]).to_pandas()
+    assert len(contradictory) == 0
+
+
+def test_per_query_filter_service_and_mixed_parity(ray_session,
+                                                   tmp_path):
+    idx = _mk(tmp_path, "pqf_svc")
+    qs = [{"query_id": 0, "query_text": "alpha beta", "k": 10,
+           "filter": ["lang == en"]},
+          {"query_id": 1, "query_text": "beta", "k": 5}]
+    one_shot = search_index(idx, qs).to_pylist()
+    svc = QueryService(idx, n_actors=2)
+    try:
+        assert svc.search(qs).to_pylist() == one_shot
+        mixed = svc.search_mixed([{"mode": "search", "queries": qs}])
+        assert mixed[0].to_pylist() == one_shot
+    finally:
+        svc.shutdown()

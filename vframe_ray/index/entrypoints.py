@@ -52,6 +52,10 @@ def search_index(index_dir: str, queries: list[dict],
     (offset, offset+k] with GLOBAL rank numbers — exact because each
     segment fetches its local top-(offset+k), a superset of every
     possible page member.
+
+    Per-query filters: a query may carry ``"filter": ["attr op value",
+    …]`` (the filter-context-per-request shape) — validated like the
+    global ``predicates`` and ANDed with them for that query only.
     """
     from .build import load_index_meta
     cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
@@ -59,14 +63,18 @@ def search_index(index_dir: str, queries: list[dict],
     cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
     if predicates:
         validate_predicates(index_dir, predicates)
+    for q in queries:
+        if q.get("filter"):
+            validate_predicates(index_dir, list(q["filter"]))
 
     tok = Tokenizer(cfg.analyzer)
     offsets = {int(q["query_id"]): int(q.get("offset", 0)) for q in queries}
     # segments must surface their full local top-(offset+k)
     parsed = [(int(q["query_id"]), sorted(set(tok.tokenize(q["query_text"]))),
-               int(q.get("k", 10)) + int(q.get("offset", 0)))
+               int(q.get("k", 10)) + int(q.get("offset", 0)),
+               tuple(q["filter"]) if q.get("filter") else None)
               for q in queries]
-    all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed else set()
+    all_terms = set().union(*[set(q[1]) for q in parsed]) if parsed else set()
     gdf = _global_df_for_terms(index_dir, all_terms)
 
     q_ref = ray.put(parsed)
@@ -78,8 +86,8 @@ def search_index(index_dir: str, queries: list[dict],
         predicates=predicates, collapse=collapse)
 
     seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
-    ks = {qid: k - offsets.get(qid, 0) for qid, _, k in parsed}
-    max_hits = sum(k for _, _, k in parsed) * len(seg_dirs)
+    ks = {q[0]: q[2] - offsets.get(q[0], 0) for q in parsed}
+    max_hits = sum(q[2] for q in parsed) * len(seg_dirs)
     any_offset = any(offsets.values())
 
     if max_hits <= driver_merge_max_rows:

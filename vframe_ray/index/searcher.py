@@ -1437,14 +1437,30 @@ class SegmentSearcher:
         is the global one.  All candidates are scored (k_eff = n_cand)
         before the vectorized collapse.
         """
-        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
         doc_mask = self._base_mask(predicates)
+        # per-QUERY predicates (optional 4th tuple element — the
+        # filter-context-per-request shape): each distinct filter list
+        # compiles once per call and ANDs with the global mask
+        qmask_cache: dict[tuple, np.ndarray | None] = {}
         qid_out: list[int] = []
         doc_out: list[int] = []
         score_out: list[float] = []
-        for qid, terms, k in queries:
+        for q in queries:
+            qid, terms, k = q[0], q[1], q[2]
+            qpreds = q[3] if len(q) > 3 else None
+            if qpreds:
+                key = tuple(qpreds)
+                if key not in qmask_cache:
+                    m = self._base_mask(list(qpreds))
+                    if doc_mask is not None:
+                        m = doc_mask if m is None else (m & doc_mask)
+                    qmask_cache[key] = m
+                q_doc_mask = qmask_cache[key]
+            else:
+                q_doc_mask = doc_mask
             terms_in = [t for t in terms if t in postings]
             n_cand = sum(postings[t].n_docs for t in terms_in)
             if n_cand == 0:
@@ -1457,15 +1473,15 @@ class SegmentSearcher:
                     collapse or prefer_taat or not use_bmw
                     or self.r.n_docs < self.BMW_MIN_DOCS):
                 hits = self.score_sparse(terms, k_eff, postings=postings,
-                                         doc_mask=doc_mask)
+                                         doc_mask=q_doc_mask)
             elif not collapse and use_bmw \
                     and n_cand <= self.BMW_MAX_CANDIDATES \
                     and self.r.n_docs >= self.BMW_MIN_DOCS:
                 hits = self.score_bmw(terms, k_eff, postings=postings,
-                                      doc_mask=doc_mask)
+                                      doc_mask=q_doc_mask)
             else:
                 hits = self.score_full(terms, k_eff, postings=postings,
-                                       doc_mask=doc_mask)
+                                       doc_mask=q_doc_mask)
             if collapse and hits:
                 hits = _collapse_hits_impl(self, hits, k)
             for s, d in hits:

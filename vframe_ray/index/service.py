@@ -91,7 +91,7 @@ class _ShardSearcher:
             # valid under collapse too: conversations are disjoint across
             # segments (hash(conv_id) build partitioning), so per-segment
             # collapsed rows never share a conv_id
-            out = self._shard_topk(out, {qid: k for qid, _, k in parsed})
+            out = self._shard_topk(out, {q[0]: q[2] for q in parsed})
         return out
 
     def search_function_score(self, parsed: list[tuple[int, list[str],
@@ -382,11 +382,15 @@ class QueryService:
                collapse: bool = False) -> pa.Table:
         offsets = {int(q["query_id"]): int(q.get("offset", 0))
                    for q in queries}
+        for q in queries:
+            if q.get("filter"):
+                self._validate_predicates(list(q["filter"]))
         parsed = [(int(q["query_id"]),
                    sorted(set(self.tok.tokenize(q["query_text"]))),
-                   int(q.get("k", 10)) + int(q.get("offset", 0)))
+                   int(q.get("k", 10)) + int(q.get("offset", 0)),
+                   tuple(q["filter"]) if q.get("filter") else None)
                   for q in queries]
-        terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+        terms = set().union(*[set(q[1]) for q in parsed]) if parsed \
             else set()
         gdf = self._gdf_cached(terms)
         idf_map = {t: idf(self.stats["n_docs"], df) for t, df in gdf.items()}
@@ -395,7 +399,7 @@ class QueryService:
                 for a in self.actors]
         df = pa.concat_tables(ray.get(futs)).to_pandas()
         merged = _merge_topk_driver(
-            df, {qid: k - offsets.get(qid, 0) for qid, _, k in parsed},
+            df, {q[0]: q[2] - offsets.get(q[0], 0) for q in parsed},
             offsets if any(offsets.values()) else None)
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
@@ -845,18 +849,23 @@ class QueryService:
             if mode == "search":
                 offsets = {int(q["query_id"]): int(q.get("offset", 0))
                            for q in qs}
+                for q in qs:
+                    if q.get("filter"):
+                        self._validate_predicates(list(q["filter"]))
                 parsed = [(int(q["query_id"]),
                            sorted(set(self.tok.tokenize(q["query_text"]))),
-                           int(q.get("k", 10)) + int(q.get("offset", 0)))
+                           int(q.get("k", 10)) + int(q.get("offset", 0)),
+                           tuple(q["filter"]) if q.get("filter")
+                           else None)
                           for q in qs]
                 ops.append({"mode": mode, "parsed": parsed,
                             "use_bmw": bool(req.get("use_bmw", True)),
                             "collapse": bool(req.get("collapse", False))})
                 merges.append(("topk",
-                               {qid: k - offsets.get(qid, 0)
-                                for qid, _, k in parsed},
+                               {q[0]: q[2] - offsets.get(q[0], 0)
+                                for q in parsed},
                                offsets if any(offsets.values()) else None))
-                all_terms |= {t for _, ts, _ in parsed for t in ts}
+                all_terms |= {t for q in parsed for t in q[1]}
             elif mode == "boolean":
                 def _tok(s):
                     return sorted(set(self.tok.tokenize(s or "")))

@@ -476,6 +476,36 @@ def bm25_span_first(sf_dir: str) -> pa.Table:
     })
 
 
+PQF_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "k": 10,
+     "filter": ["lang == en"]},
+    {"query_id": 1, "query_text": "spark window merge", "k": 10,
+     "filter": ["lang == de"]},
+    {"query_id": 2, "query_text": "spark window merge", "k": 10},
+    {"query_id": 3, "query_text": "vector", "k": 8,
+     "filter": ["lang == fr"]},
+]
+
+
+def bm25_per_query_filter(sf_dir: str) -> pa.Table:
+    """PQF_QUERIES over the conversation-shaped index with PER-QUERY
+    attribute filters (Elasticsearch filter-context-per-request): the
+    same query text returns different rankings under different lang
+    filters in ONE batched call; an unfiltered sibling rides along.
+    Each distinct filter compiles once per segment call and masks that
+    query's scoring only — global stats stay unfiltered (the
+    skip-labels contract)."""
+    index_dir = conversations_index(sf_dir)
+    res = search_index(index_dir, PQF_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "conv_id": res["conv_id"],
+        "turn_idx": res["turn_idx"],
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
+
+
 COMMON_QUERIES = [
     {"query_id": 0, "query_text": "dup merge sort", "k": 10},
     {"query_id": 1, "query_text": "the window", "k": 10},
