@@ -3592,6 +3592,40 @@ def _q_quality_weighted_sample(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _sort_attr_sql() -> str:
+    """Sort-by-field oracle: docs holding >= 1 query term ordered by
+    the n_chars attribute desc (ties by doc id), k-cut per query."""
+    from vframe_ray.pipelines.flagship import SORT_ATTR_QUERIES
+    tok = Tokenizer()
+    qterms, qks = [], []
+    for q in SORT_ATTR_QUERIES:
+        for t in sorted(set(tok.tokenize(q["query_text"]))):
+            qterms.append(f"({q['query_id']}, '{t}')")
+        qks.append(f"({q['query_id']}, {q['k']})")
+    return f"""{_TOK},
+ q(query_id, term) AS (VALUES {', '.join(qterms)}),
+ qk(query_id, k) AS (VALUES {', '.join(qks)}),
+ hits AS (SELECT DISTINCT q.query_id, tok._id
+          FROM q JOIN tok ON tok.term = q.term),
+ ranked AS (SELECT h.query_id, h._id, d.n_chars,
+                   row_number() OVER (PARTITION BY h.query_id
+                                      ORDER BY d.n_chars DESC, h._id)
+                     AS rank
+            FROM hits h JOIN documents d ON d.doc_id = h._id)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r._id::BIGINT AS doc_id, r.n_chars::BIGINT AS n_chars
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k ORDER BY query_id, rank"""
+
+
+def _q_sort_by_length(sf_dir: str):
+    """Sort-by-field search: matching docs ordered by the n_chars
+    docmap attribute instead of relevance — per-segment top-k by
+    (attr desc, id) rides the standard score-column merge."""
+    from vframe_ray.pipelines.flagship import search_sorted_by_length
+    return search_sorted_by_length(sf_dir)
+
+
 def _q_per_query_filter(sf_dir: str):
     """Per-query attribute filters in one batched search call
     (filter-context-per-request): the same query text ranks differently
@@ -3794,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_common_terms": _q_common_terms,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "bm25_per_query_filter": _q_per_query_filter,
+        "event_trigram_paths": rel.event_trigram_paths,
+        "search_sorted_by_length": _q_sort_by_length,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4008,6 +4044,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_span_first": _span_first_sql(),
         "bm25_common_terms": _common_terms_sql(),
         "bm25_per_query_filter": _pqf_sql(),
+        "search_sorted_by_length": _sort_attr_sql(),
+        "event_trigram_paths": """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ c AS (SELECT event_type AS t1, t2, t3, count(*)::BIGINT AS n
+       FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+ r AS (SELECT *, row_number() OVER (ORDER BY n DESC, t1, t2, t3)
+              AS rn FROM c)
+SELECT t1, t2, t3, n FROM r WHERE rn <= 15
+ORDER BY n DESC, t1, t2, t3""",
         "term_vectors": _term_vectors_sql(),
         "group_p90_value": f"""
 WITH v AS (SELECT event_type,

@@ -79,3 +79,24 @@ def test_per_query_filter_service_and_mixed_parity(ray_session,
         assert mixed[0].to_pylist() == one_shot
     finally:
         svc.shutdown()
+
+
+def test_sort_by_attr_matches_brute(ray_session, tmp_path):
+    """Sort-by-field: matching docs ordered by attr desc (ties by conv
+    id), score column carries the attribute value."""
+    from vframe_ray.index.query import sort_by_attr_index
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": "needle common" if i % 2 == 0 else "common",
+             "size": (i * 7) % 5}                 # planted attr ties
+            for i in range(10)]
+    idx = str(tmp_path / "sba_idx")
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG,
+                attribute_cols=["size"])
+    got = sort_by_attr_index(idx, [{"query_id": 0,
+                                    "query_text": "needle", "k": 10}],
+                             attr="size").to_pandas()
+    want = sorted([(r["size"], r["conv_id"]) for r in rows
+                   if "needle" in r["text"]],
+                  key=lambda x: (-x[0], x[1]))
+    assert list(zip(got["score"].astype(int), got["conv_id"])) == want
+    assert list(got["rank"]) == list(range(1, len(want) + 1))

@@ -352,6 +352,57 @@ def search_common_index(index_dir: str, queries: list[dict],
     return out.cast(_RESULT_SCHEMA)
 
 
+def sort_by_attr_index(index_dir: str, queries: list[dict], attr: str,
+                       cfg: EngineConfig | None = None, *,
+                       predicates: list[str] | None = None) -> pa.Table:
+    """Distributed sort-by-field search: docs matching >= 1 query term,
+    globally ordered by (attr desc, conv_id, turn_idx) — relevance
+    ignored (SegmentSearcher.match_sorted_by_attr); the score column
+    carries the attribute value, so the standard driver merge yields
+    the field ordering.
+
+    queries: [{"query_id", "query_text", "k"}] → (query_id, rank,
+    conv_id, turn_idx, score=attr value).
+    """
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None else cfg.validate()
+    validate_predicates(index_dir, (predicates or []) + [f"{attr} > 0"])
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) if parsed \
+        else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.match_sorted_by_attr(
+                qs, attr, predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    merged = _merge_topk_driver(hits.to_pandas(),
+                                {q[0]: q[2] for q in parsed})
+    out = pa.Table.from_pandas(
+        merged.sort_values(["query_id", "rank"]), preserve_index=False)
+    return out.cast(_RESULT_SCHEMA)
+
+
 def phrase_search_index(index_dir: str, phrases: list[dict],
                         cfg: EngineConfig | None = None, *,
                         predicates: list[str] | None = None) -> pa.Table:

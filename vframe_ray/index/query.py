@@ -34,6 +34,7 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           phrase_rank_index, phrase_search_index,
                           proximity_rank_index, search_after_index,
                           search_common_index,
+                          sort_by_attr_index,
                           span_first_search_index,
                           search_boolean_index, search_boosted_index,
                           search_fields_index, search_fuzzy_index,

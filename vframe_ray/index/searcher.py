@@ -1003,6 +1003,54 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def match_sorted_by_attr(self, queries: list[tuple[int, list[str],
+                                                       int]],
+                             attr: str,
+                             predicates: list[str] | None = None
+                             ) -> pa.Table:
+        """Sort-by-field search (Elasticsearch ``sort: [{attr: desc}]``
+        with relevance ignored): hits = docs holding >= 1 query term,
+        ranked by (attr desc, conv_id, turn_idx).  The emitted ``score``
+        column IS the attribute value, so the ordinary
+        (score desc, conv_id, turn_idx) shard/driver top-k merges
+        produce the field ordering with zero new merge machinery."""
+        from .codec import decode_all
+        all_terms = sorted(set().union(*[set(q[1]) for q in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        vals = self.r.docs[attr].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        conv = self.r.conv_id.to_pandas().to_numpy(dtype=object)
+        turn = self.r.turn_idx.to_numpy(zero_copy_only=False)
+        qid_out: list[int] = []
+        doc_out: list[int] = []
+        score_out: list[float] = []
+        for qid, terms, k in queries:
+            terms_in = [t for t in terms if t in postings]
+            if not terms_in:
+                continue
+            docs = np.unique(np.concatenate(
+                [decode_all(postings[t], self.block_size)[0]
+                 .astype(np.int64) for t in terms_in]))
+            if doc_mask is not None:
+                docs = docs[doc_mask[docs]]
+            if docs.size == 0:
+                continue
+            order = np.lexsort((turn[docs], conv[docs],
+                                -vals[docs]))[:k]
+            for i in order:
+                qid_out.append(qid)
+                doc_out.append(int(docs[i]))
+                score_out.append(float(vals[docs[i]]))
+        idx = pa.array(doc_out, pa.int64())
+        return pa.table({
+            "query_id": pa.array(qid_out, pa.int32()),
+            "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+            "turn_idx": pc.cast(self.r.turn_idx.take(idx), pa.int32()),
+            "score": pa.array(score_out, pa.float64()),
+        })
+
     def search_after(self, queries: list[tuple],
                      predicates: list[str] | None = None) -> pa.Table:
         """Cursor (search_after) pagination: queries [(query_id, terms,

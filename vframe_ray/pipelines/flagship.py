@@ -1530,6 +1530,30 @@ def documents_attr_index(sf_dir: str) -> str:
     return index_dir
 
 
+SORT_ATTR_QUERIES = [
+    {"query_id": 0, "query_text": "spark window", "k": 10},
+    {"query_id": 1, "query_text": "vector", "k": 5},
+    {"query_id": 2, "query_text": "zzzmissing dup", "k": 10},
+]
+
+
+def search_sorted_by_length(sf_dir: str) -> pa.Table:
+    """SORT_ATTR_QUERIES with relevance ignored: matching docs ordered
+    by the n_chars docmap attribute descending (ties by doc id) — the
+    Elasticsearch sort-by-field mode
+    (index/entrypoints.sort_by_attr_index)."""
+    from ..index.query import sort_by_attr_index
+    index_dir = documents_attr_index(sf_dir)
+    res = sort_by_attr_index(index_dir, SORT_ATTR_QUERIES,
+                             attr="n_chars")
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "n_chars": pc.cast(res["score"], pa.int64()),
+    })
+
+
 def bm25_function_score(sf_dir: str) -> pa.Table:
     """FS_QUERIES ranked by BM25 × (1 + w·ln(1 + n_chars)) — the
     attribute-boosted function-score mode (field_value_factor shape)

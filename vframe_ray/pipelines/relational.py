@@ -4519,3 +4519,61 @@ def acctbal_percent_rank(sf_dir: str):
            .groupby("__bucket").map_groups(ranks, batch_format="pandas")
            .to_pandas())
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+TRIGRAM_K = 15
+
+
+def event_trigram_paths(sf_dir: str, k: int = TRIGRAM_K):
+    """Top-k event-type TRIGRAM paths (the 3-step generalization of
+    :func:`event_transition_counts`'s Markov pairs — "what do users do
+    next-next?"): for each user's (ts, event_id)-ordered stream, count
+    consecutive (t1 → t2 → t3) triples corpus-wide and keep the k most
+    frequent, ties by (t1, t2, t3) asc.
+
+    Same ONE hash(user) exchange; per bucket one lexsort + two shifted
+    same-user compares build every triple vectorized, partial counts
+    are ≤ |types|³ per bucket, driver-combined, then one driver top-k
+    over the ≤ |types|³ combined rows.
+
+    Returns pandas (t1, t2, t3, n) sorted by (n desc, t1, t2, t3).
+    """
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def triples(g: pd.DataFrame) -> pa.Table:
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        u_s, ty_s = user[order], ty[order]
+        ok = (u_s[2:] == u_s[:-2]) & (u_s[1:-1] == u_s[:-2]) \
+            if len(u_s) > 2 else np.zeros(0, bool)
+        out = pd.DataFrame({"t1": ty_s[:-2][ok], "t2": ty_s[1:-1][ok],
+                            "t3": ty_s[2:][ok]})
+        agg = out.groupby(["t1", "t2", "t3"], as_index=False,
+                          sort=False).size().rename(
+            columns={"size": "n_p"})
+        return pa.table({
+            "t1": pa.array(agg["t1"], pa.string()),
+            "t2": pa.array(agg["t2"], pa.string()),
+            "t3": pa.array(agg["t3"], pa.string()),
+            "n_p": pa.array(agg["n_p"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(bucketed, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(triples, batch_format="pandas"))
+    out = _driver_combine(parts, ["t1", "t2", "t3"],
+                          [("n_p", "sum", "n")]).to_pandas()
+    out = out.sort_values(["n", "t1", "t2", "t3"],
+                          ascending=[False, True, True, True]).head(k)
+    return out.reset_index(drop=True)
