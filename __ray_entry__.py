@@ -3618,6 +3618,64 @@ FROM ranked r JOIN qk ON qk.query_id = r.query_id
 WHERE r.rank <= qk.k ORDER BY query_id, rank"""
 
 
+def _dedup_keep_best_sql() -> str:
+    """Quality-aware dedup representative: the cluster CTEs of
+    _dedup_clusters_sql + the linear quality score; keep = the
+    cluster's highest-scoring member (ties by smallest id)."""
+    return f"""{_minhash_ctes(recursive=True)},
+ edges AS (SELECT id_a AS a, id_b AS b FROM cand
+           UNION SELECT id_b, id_a FROM cand),
+ reach(a, b) AS (SELECT a, b FROM edges
+                 UNION SELECT r.a, e.b
+                 FROM reach r JOIN edges e ON e.a = r.b),
+ lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+ qc AS (SELECT _id, count(*) AS n, count(DISTINCT term) AS nd,
+               sum(length(term))::DOUBLE AS tok_chars,
+               sum(CASE WHEN term IN ({_EN}) THEN 1 ELSE 0 END)::DOUBLE
+                   AS n_stop
+        FROM tok GROUP BY _id),
+ qf AS (SELECT d.doc_id,
+               coalesce(qc.n, 0)::DOUBLE AS n_tokens,
+               coalesce(qc.nd, 0)::DOUBLE AS n_distinct,
+               coalesce(qc.tok_chars / greatest(qc.n, 1), 0.0) AS atl,
+               coalesce(qc.n_stop / greatest(qc.n, 1), 0.0) AS sr
+        FROM documents d LEFT JOIN qc ON qc._id = d.doc_id),
+ qs AS (SELECT doc_id,
+               round(-2.0 + 0.01*n_tokens + 0.02*n_distinct + 0.5*atl
+                     + 3.0*sr, 6) AS score_r
+        FROM qf),
+ r AS (SELECT l.doc_id, l.cluster_id, q.score_r,
+              row_number() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY q.score_r DESC, l.doc_id)
+                AS rn
+       FROM lbl l JOIN qs q ON q.doc_id = l.doc_id)
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       score_r, (rn = 1)::BIGINT AS keep
+FROM r ORDER BY doc_id"""
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware duplicate-cluster representative selection: the
+    near-dup clusters keep their HIGHEST-quality member (linear scorer,
+    ties by smallest id) instead of the smallest id — "keep the best
+    duplicate" curation; composes the CC clustering with the actor-pool
+    scorer, argmax resolved over the bounded cluster table."""
+    from vframe_ray.stages.graph import minhash_dedup_clusters
+    from vframe_ray.stages.textquality import QualityScorerStage
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    cc = minhash_dedup_clusters(ds, n=3)[["doc_id", "cluster_id"]]
+    scores = ds.map_batches(QualityScorerStage, concurrency=(1, 4),
+                            batch_format="pyarrow").to_pandas()
+    m = cc.merge(scores, on="doc_id")
+    m = m.sort_values(["cluster_id", "score_r", "doc_id"],
+                      ascending=[True, False, True])
+    m["keep"] = (m.groupby("cluster_id").cumcount() == 0).astype("int64")
+    return m.sort_values("doc_id")[["doc_id", "cluster_id", "score_r",
+                                    "keep"]].reset_index(drop=True)
+
+
 def _q_sort_by_length(sf_dir: str):
     """Sort-by-field search: matching docs ordered by the n_chars
     docmap attribute instead of relevance — per-segment top-k by
@@ -3830,6 +3888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_per_query_filter": _q_per_query_filter,
         "event_trigram_paths": rel.event_trigram_paths,
         "search_sorted_by_length": _q_sort_by_length,
+        "dedup_keep_best": _q_dedup_keep_best,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4045,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_common_terms": _common_terms_sql(),
         "bm25_per_query_filter": _pqf_sql(),
         "search_sorted_by_length": _sort_attr_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "event_trigram_paths": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type, 1) OVER w AS t2,

@@ -252,3 +252,17 @@ def test_quality_weighted_sample_composition(ray_session):
     assert np.array_equal(out["ht_weight"].to_numpy(),
                           float(e.QW_DENOM) / thr)
     assert (out["w"] > 0).all()
+
+
+def test_dedup_keep_best_picks_highest_quality(ray_session):
+    """Every cluster keeps exactly one member, and it is the member
+    with the maximal score (ties -> smallest id)."""
+    import __ray_entry__ as e
+    out = e.queries()["dedup_keep_best"]("/root/testdata/sf0.001")
+    assert len(out)                      # clusters exist in the corpus
+    for cid, sub in out.groupby("cluster_id"):
+        kept = sub[sub["keep"] == 1]
+        assert len(kept) == 1
+        best = sub.sort_values(["score_r", "doc_id"],
+                               ascending=[False, True]).iloc[0]
+        assert kept["doc_id"].iloc[0] == best["doc_id"]
