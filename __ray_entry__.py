@@ -3676,6 +3676,19 @@ def _q_dedup_keep_best(sf_dir: str):
                                     "keep"]].reset_index(drop=True)
 
 
+def _q_quantize_audit(sf_dir: str):
+    """Symmetric int8 quantization audit over the embeddings table:
+    per-vector code range / zero-code count / scale under
+    code = floor(x*127/max|x| + 0.5) — round-half-up via floor, the
+    rounding primitive numpy and DuckDB share (their round() rules
+    differ).  One vectorized map_batches, zero shuffle."""
+    from vframe_ray.stages.similarity import quantize_embeddings_audit
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    return quantize_embeddings_audit(ds).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_sort_by_length(sf_dir: str):
     """Sort-by-field search: matching docs ordered by the n_chars
     docmap attribute instead of relevance — per-segment top-k by
@@ -3889,6 +3902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigram_paths": rel.event_trigram_paths,
         "search_sorted_by_length": _q_sort_by_length,
         "dedup_keep_best": _q_dedup_keep_best,
+        "quantize_embeddings_audit": _q_quantize_audit,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4105,6 +4119,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_per_query_filter": _pqf_sql(),
         "search_sorted_by_length": _sort_attr_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "quantize_embeddings_audit": """
+WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                                          v -> abs(v::DOUBLE)))
+                      AS maxabs
+           FROM embeddings),
+ c AS (SELECT vec_id, maxabs,
+              CASE WHEN maxabs > 0 THEN
+                list_transform(embedding,
+                               v -> floor(v::DOUBLE * 127.0 / maxabs
+                                          + 0.5))
+              ELSE list_transform(embedding, v -> 0.0) END AS codes
+       FROM m)
+SELECT vec_id,
+       list_max(codes)::BIGINT AS max_code,
+       list_min(codes)::BIGINT AS min_code,
+       len(list_filter(codes, v -> v = 0.0))::BIGINT AS n_zero,
+       round(maxabs / 127.0, 6) AS scale_r
+FROM c ORDER BY vec_id""",
         "event_trigram_paths": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type, 1) OVER w AS t2,

@@ -215,3 +215,31 @@ def test_grouped_exact_quantile_vs_sort(ray_session):
             assert r["n"] == len(sv)
             assert r["qval"] == sv[k - 1], r["g"]
     assert got.loc[got["g"] == "d", "qval"].iloc[0] == 123
+
+
+# --------------------------------------------------------- quantize audit
+
+def test_quantize_audit_brute_and_zero_vector(ray_session):
+    from vframe_ray.stages.similarity import quantize_embeddings_audit
+    rng = np.random.default_rng(61)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[7] = 0.0                                  # all-zero vector
+    t = pa.table({"vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    got = quantize_embeddings_audit(
+        ray.data.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    x = vecs.astype(np.float64)
+    maxabs = np.abs(x).max(axis=1)
+    safe = np.where(maxabs > 0, maxabs, 1.0)
+    codes = np.floor(x * 127.0 / safe[:, None] + 0.5)
+    codes[maxabs == 0] = 0.0
+    assert np.array_equal(got["max_code"], codes.max(axis=1))
+    assert np.array_equal(got["min_code"], codes.min(axis=1))
+    assert np.array_equal(got["n_zero"], (codes == 0).sum(axis=1))
+    row7 = got[got["vec_id"] == 7].iloc[0]
+    assert row7["n_zero"] == 8 and row7["scale_r"] == 0.0
+    # symmetric scheme: extreme codes stay inside [-127, 127]
+    assert got["max_code"].max() <= 127
+    assert got["min_code"].min() >= -127

@@ -690,3 +690,54 @@ def knn_graph(ds, *, k: int = 3, id_col: str = "vec_id",
             storage.remove_tree(scratch)
     out = out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def quantize_embeddings_audit(ds, *, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              bits_max: int = 127):
+    """Symmetric int8 quantization audit: per vector, the code range,
+    zero-code count and scale the standard ``code = round(x / scale)``,
+    ``scale = max|x| / 127`` scheme would produce — the "how much does
+    int8 clip/flatten my embeddings" check run before shipping a
+    quantized ANN index.
+
+    Determinism discipline: the rounding is ``floor(x·127/max|x| + 0.5)``
+    (round-half-up via floor — numpy and DuckDB floor are identical,
+    where numpy's round() half-to-even differs from SQL round()), every
+    float op in the same order on both sides, inputs widened
+    float32→float64 (exact).  All-zero vectors quantize to all-zero
+    codes with scale 0 (the CASE both sides share).
+
+    One vectorized ``map_batches`` — zero shuffle, fixed-dim reshape,
+    per-row reductions.  Returns a Dataset of (id_col, max_code,
+    min_code, n_zero, scale_r) with scale_r = round(max|x|/127, 6).
+    """
+    def audit(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        emb = t[vec_col].combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = t.num_rows
+        if not n:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "max_code": pa.array([], pa.int64()),
+                             "min_code": pa.array([], pa.int64()),
+                             "n_zero": pa.array([], pa.int64()),
+                             "scale_r": pa.array([], pa.float64())})
+        dim = len(flat) // n
+        x = flat.reshape(n, dim)
+        maxabs = np.abs(x).max(axis=1)
+        safe = np.where(maxabs > 0.0, maxabs, 1.0)
+        codes = np.floor(x * float(bits_max) / safe[:, None] + 0.5)
+        codes[maxabs == 0.0] = 0.0
+        return pa.table({
+            id_col: ids,
+            "max_code": pa.array(codes.max(axis=1).astype(np.int64)),
+            "min_code": pa.array(codes.min(axis=1).astype(np.int64)),
+            "n_zero": pa.array((codes == 0.0).sum(axis=1)
+                               .astype(np.int64)),
+            "scale_r": pa.array(np.round(maxabs / float(bits_max), 6)),
+        })
+
+    return ds.map_batches(audit, batch_format="pyarrow",
+                          zero_copy_batch=True)
