@@ -3676,6 +3676,21 @@ def _q_dedup_keep_best(sf_dir: str):
                                     "keep"]].reset_index(drop=True)
 
 
+FPS_K = 4
+
+
+def _q_farthest_points(sf_dir: str):
+    """Greedy farthest-point diversity sample over the embeddings —
+    k-center selection with exact INT64 squared distances (int8-
+    quantized codes), so the iterative argmax hash-matches an oracle
+    that unrolls the greedy steps as chained CTEs.  k-1 broadcast
+    passes, one local-argmax row per block per pass."""
+    from vframe_ray.stages.similarity import farthest_point_sample
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    return farthest_point_sample(ds, k=FPS_K)
+
+
 def _q_quantize_audit(sf_dir: str):
     """Symmetric int8 quantization audit over the embeddings table:
     per-vector code range / zero-code count / scale under
@@ -3903,6 +3918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_by_length": _q_sort_by_length,
         "dedup_keep_best": _q_dedup_keep_best,
         "quantize_embeddings_audit": _q_quantize_audit,
+        "farthest_point_sample": _q_farthest_points,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4119,6 +4135,56 @@ def oracle_sql() -> dict[str, str]:
         "bm25_per_query_filter": _pqf_sql(),
         "search_sorted_by_length": _sort_attr_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "farthest_point_sample": """
+WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                                          v -> abs(v::DOUBLE)))
+                      AS maxabs
+           FROM embeddings),
+ c AS (SELECT vec_id,
+              CASE WHEN maxabs > 0 THEN
+                list_transform(embedding,
+                               v -> floor(v::DOUBLE * 127.0 / maxabs
+                                          + 0.5))
+              ELSE list_transform(embedding, v -> 0.0) END AS cd
+       FROM m),
+ e AS (SELECT vec_id, i, cd[i]::BIGINT AS v
+       FROM c, generate_series(1, 64) g(i)),
+ s1 AS (SELECT min(vec_id) AS id FROM c),
+ d1 AS (SELECT e.vec_id, sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+        FROM e JOIN e s ON s.i = e.i
+                       AND s.vec_id = (SELECT id FROM s1)
+        GROUP BY e.vec_id),
+ p2 AS (SELECT vec_id, dd FROM d1
+        WHERE vec_id <> (SELECT id FROM s1)
+        ORDER BY dd DESC, vec_id LIMIT 1),
+ dp2 AS (SELECT e.vec_id, sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+         FROM e JOIN e s ON s.i = e.i
+                        AND s.vec_id = (SELECT vec_id FROM p2)
+         GROUP BY e.vec_id),
+ d2 AS (SELECT d1.vec_id, least(d1.dd, dp2.dd) AS dd
+        FROM d1 JOIN dp2 ON dp2.vec_id = d1.vec_id),
+ p3 AS (SELECT vec_id, dd FROM d2
+        WHERE vec_id NOT IN (SELECT id FROM s1
+                             UNION ALL SELECT vec_id FROM p2)
+        ORDER BY dd DESC, vec_id LIMIT 1),
+ dp3 AS (SELECT e.vec_id, sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+         FROM e JOIN e s ON s.i = e.i
+                        AND s.vec_id = (SELECT vec_id FROM p3)
+         GROUP BY e.vec_id),
+ d3 AS (SELECT d2.vec_id, least(d2.dd, dp3.dd) AS dd
+        FROM d2 JOIN dp3 ON dp3.vec_id = d2.vec_id),
+ p4 AS (SELECT vec_id, dd FROM d3
+        WHERE vec_id NOT IN (SELECT id FROM s1
+                             UNION ALL SELECT vec_id FROM p2
+                             UNION ALL SELECT vec_id FROM p3)
+        ORDER BY dd DESC, vec_id LIMIT 1)
+SELECT 1::BIGINT AS rnk, (SELECT id FROM s1)::BIGINT AS id,
+       0::BIGINT AS mindist
+UNION ALL SELECT 2::BIGINT, vec_id::BIGINT, dd FROM p2
+UNION ALL SELECT 3::BIGINT, vec_id::BIGINT, dd FROM p3
+UNION ALL SELECT 4::BIGINT, vec_id::BIGINT, dd FROM p4
+ORDER BY rnk""",
         "quantize_embeddings_audit": """
 WITH m AS (SELECT vec_id, embedding,
                   list_max(list_transform(embedding,

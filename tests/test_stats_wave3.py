@@ -243,3 +243,37 @@ def test_quantize_audit_brute_and_zero_vector(ray_session):
     # symmetric scheme: extreme codes stay inside [-127, 127]
     assert got["max_code"].max() <= 127
     assert got["min_code"].min() >= -127
+
+
+def test_farthest_point_sample_brute_and_invariance(ray_session):
+    """Greedy k-center vs a scalar oracle on quantized codes; the seed
+    is the min id; selections never repeat; repartition-invariant."""
+    from vframe_ray.stages.similarity import farthest_point_sample
+    rng = np.random.default_rng(67)
+    vecs = rng.normal(size=(60, 6)).astype(np.float32)
+    ids = (rng.permutation(60) + 10).astype(np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    # scalar oracle
+    x = vecs.astype(np.float64)
+    maxabs = np.abs(x).max(axis=1)
+    codes = np.floor(x * 127.0 / maxabs[:, None] + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    sid, sc = ids[order], codes[order]
+    sel = [int(sid[0])]
+    want = [(1, sel[0], 0)]
+    for step in range(2, 6):
+        dmin = np.full(len(sid), 2**62, np.int64)
+        for s in sel:
+            d = ((sc - sc[sid == s][0]) ** 2).sum(axis=1)
+            dmin = np.minimum(dmin, d)
+        dmin[np.isin(sid, sel)] = -1
+        j = np.lexsort((sid, -dmin))[0]
+        sel.append(int(sid[j]))
+        want.append((step, int(sid[j]), int(dmin[j])))
+    for parts in (1, 5):
+        got = farthest_point_sample(
+            ray.data.from_arrow(t).repartition(parts), k=5)
+        assert [tuple(r) for r in got.to_numpy()] == want
+    assert len(set(got["id"])) == 5

@@ -741,3 +741,122 @@ def quantize_embeddings_audit(ds, *, id_col: str = "vec_id",
 
     return ds.map_batches(audit, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def farthest_point_sample(ds, *, k: int, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bits_max: int = 127):
+    """Greedy farthest-point (k-center) diversity sampling — the
+    "spread the eval set across embedding space" selector: start from
+    the smallest id, then repeatedly add the vector with the MAXIMUM
+    distance to its nearest already-selected point (ties by smallest
+    id).
+
+    Exactness: distances are squared euclidean over the INT8-quantized
+    codes of :func:`quantize_embeddings_audit` (floor-half-up rule), so
+    every distance is an exact int64 and the argmax can't be flipped by
+    float association — which is what makes a value-hash SQL oracle
+    possible for an iterative geometric algorithm (the oracle unrolls
+    the k-1 greedy steps as chained CTEs, the PageRank-oracle trick).
+
+    Scale shape: k-1 passes, each ONE vectorized map_batches with the
+    ≤k selected code vectors broadcast (``ray.put``); a block emits its
+    local argmax row only, the driver reduces ≤ blocks rows per pass.
+    The running min-distance is recomputed against the ≤k selected set
+    each pass (k is small by contract), so no per-vector state is
+    carried between passes.
+
+    Returns pandas (rnk, id, mindist) — rnk 1..k in selection order;
+    mindist = the vector's distance to the previously-selected set at
+    selection time (0 for the seed).
+    """
+    import ray
+
+    from ..runtime import block_refs
+
+    def codes_of(t: pa.Table) -> np.ndarray:
+        flat = pc.list_flatten(t[vec_col].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.num_rows
+        dim = len(flat) // n if n else 0
+        x = flat.reshape(n, dim) if n else flat.reshape(0, 0)
+        maxabs = np.abs(x).max(axis=1) if n else np.empty(0)
+        safe = np.where(maxabs > 0.0, maxabs, 1.0)
+        c = np.floor(x * float(bits_max) / safe[:, None] + 0.5)
+        if n:
+            c[maxabs == 0.0] = 0.0
+        return c.astype(np.int64)
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64())})
+        return pa.table({id_col: pa.array([int(ids.min())], pa.int64())})
+
+    seeds = pa.concat_tables([t for t in ray.get(block_refs(
+        ds.map_batches(seed_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows])
+    if seeds.num_rows == 0:
+        import pandas as pd
+        return pd.DataFrame({"rnk": pd.Series(dtype=np.int64),
+                             "id": pd.Series(dtype=np.int64),
+                             "mindist": pd.Series(dtype=np.int64)})
+    seed = int(pa.compute.min(seeds[id_col]).as_py())
+    selected = [(seed, None)]               # (id, code) — code filled lazily
+    picks = [(1, seed, 0)]
+
+    for step in range(2, int(k) + 1):
+        sel_ids = np.array([s[0] for s in selected], np.int64)
+        # fetch missing codes for the selected set (pushdown-filtered)
+        need = [s[0] for s in selected if s[1] is None]
+        if need:
+            def grab(t: pa.Table, want=tuple(need)) -> pa.Table:
+                ids = t[id_col].to_numpy(zero_copy_only=False)
+                m = np.isin(ids, np.array(want, np.int64))
+                if not m.any():
+                    return pa.table({id_col: pa.array([], pa.int64()),
+                                     "code": pa.array(
+                                         [], pa.list_(pa.int64()))})
+                c = codes_of(t)[m]
+                return pa.table({id_col: pa.array(ids[m].astype(
+                    np.int64)), "code": pa.array(list(c),
+                                                 pa.list_(pa.int64()))})
+            got = pa.concat_tables([t for t in ray.get(block_refs(
+                ds.map_batches(grab, batch_format="pyarrow",
+                               zero_copy_batch=True))) if t.num_rows]) \
+                .to_pandas().set_index(id_col)["code"]
+            selected = [(i, (np.array(got.loc[i], np.int64)
+                             if c is None else c))
+                        for i, c in selected]
+        sel_codes = np.stack([c for _, c in selected])
+        sel_ref = ray.put((sel_ids, sel_codes))
+
+        def argmax_partial(t: pa.Table) -> pa.Table:
+            s_ids, s_codes = ray.get(sel_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if not len(ids):
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "dd": pa.array([], pa.int64())})
+            c = codes_of(t)
+            # (n, sel) exact int64 squared distances
+            diff = c[:, None, :] - s_codes[None, :, :]
+            dd = (diff * diff).sum(axis=2).min(axis=1)
+            dd[np.isin(ids, s_ids)] = -1       # never re-pick
+            j = np.lexsort((ids, -dd))[0]
+            return pa.table({id_col: pa.array([int(ids[j])], pa.int64()),
+                             "dd": pa.array([int(dd[j])], pa.int64())})
+
+        parts = pa.concat_tables([t for t in ray.get(block_refs(
+            ds.map_batches(argmax_partial, batch_format="pyarrow",
+                           zero_copy_batch=True))) if t.num_rows]) \
+            .to_pandas()
+        parts = parts.sort_values(["dd", id_col],
+                                  ascending=[False, True])
+        win_id, win_dd = int(parts[id_col].iloc[0]), \
+            int(parts["dd"].iloc[0])
+        picks.append((step, win_id, win_dd))
+        selected.append((win_id, None))
+
+    import pandas as pd
+    return pd.DataFrame(picks, columns=["rnk", "id", "mindist"])
