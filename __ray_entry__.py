@@ -3592,9 +3592,10 @@ def _q_quality_weighted_sample(sf_dir: str):
         .reset_index(drop=True)
 
 
-def _sort_attr_sql() -> str:
+def _sort_attr_sql(nc_expr: str = "d.n_chars") -> str:
     """Sort-by-field oracle: docs holding >= 1 query term ordered by
-    the n_chars attribute desc (ties by doc id), k-cut per query."""
+    the n_chars attribute desc (ties by doc id), k-cut per query;
+    ``nc_expr`` lets the attr-update variant remap the values."""
     from vframe_ray.pipelines.flagship import SORT_ATTR_QUERIES
     tok = Tokenizer()
     qterms, qks = [], []
@@ -3607,9 +3608,9 @@ def _sort_attr_sql() -> str:
  qk(query_id, k) AS (VALUES {', '.join(qks)}),
  hits AS (SELECT DISTINCT q.query_id, tok._id
           FROM q JOIN tok ON tok.term = q.term),
- ranked AS (SELECT h.query_id, h._id, d.n_chars,
+ ranked AS (SELECT h.query_id, h._id, {nc_expr} AS n_chars,
                    row_number() OVER (PARTITION BY h.query_id
-                                      ORDER BY d.n_chars DESC, h._id)
+                                      ORDER BY {nc_expr} DESC, h._id)
                      AS rank
             FROM hits h JOIN documents d ON d.doc_id = h._id)
 SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
@@ -3689,6 +3690,46 @@ def _q_farthest_points(sf_dir: str):
     ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["vec_id", "embedding"])
     return farthest_point_sample(ds, k=FPS_K)
+
+
+def _q_attr_update_sort(sf_dir: str):
+    """Doc-values update end-to-end: hardlink-snapshot the attributed
+    index, update_attributes bumps n_chars by 1000 for doc_id % 7 == 0
+    (postings untouched; atomic per-segment docmap swap), then the
+    sort-by-field mode must order by the NEW values.  The oracle
+    applies the same CASE to the documents table."""
+    import pyarrow.parquet as _pq
+
+    from vframe_ray.index.build import update_attributes
+    from vframe_ray.index.merge import snapshot_index
+    from vframe_ray.index.query import sort_by_attr_index
+    from vframe_ray.pipelines.flagship import (SORT_ATTR_QUERIES,
+                                               documents_attr_index)
+    src = documents_attr_index(sf_dir)
+    dst = src + "-upd"
+    marker = os.path.join(dst, "upd.done")
+    if not os.path.exists(marker):
+        import shutil as _sh
+        _sh.rmtree(dst, ignore_errors=True)
+        snapshot_index(src, dst, link=True)
+        docs = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "n_chars"]).to_pandas()
+        upd = docs[docs["doc_id"] % 7 == 0].copy()
+        upd["conv_id"] = upd["doc_id"].astype(str).str.zfill(10)
+        upd["turn_idx"] = 0
+        upd["n_chars"] = upd["n_chars"] + 1000
+        update_attributes(dst, upd[["conv_id", "turn_idx", "n_chars"]])
+        with open(marker, "w") as f:
+            f.write("ok")
+    res = sort_by_attr_index(dst, SORT_ATTR_QUERIES, attr="n_chars")
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    return _pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": _pc.cast(res["conv_id"], _pa.int64()),
+        "n_chars": _pc.cast(res["score"], _pa.int64()),
+    })
 
 
 def _q_quantize_audit(sf_dir: str):
@@ -3919,6 +3960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "quantize_embeddings_audit": _q_quantize_audit,
         "farthest_point_sample": _q_farthest_points,
+        "sorted_after_attr_update": _q_attr_update_sort,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4134,6 +4176,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_common_terms": _common_terms_sql(),
         "bm25_per_query_filter": _pqf_sql(),
         "search_sorted_by_length": _sort_attr_sql(),
+        "sorted_after_attr_update": _sort_attr_sql(
+            "CASE WHEN d.doc_id % 7 = 0 THEN d.n_chars + 1000 "
+            "ELSE d.n_chars END"),
         "dedup_keep_best": _dedup_keep_best_sql(),
         "farthest_point_sample": """
 WITH m AS (SELECT vec_id, embedding,

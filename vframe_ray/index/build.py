@@ -460,6 +460,82 @@ def delete_docs(index_dir: str, conv_ids: list[str]) -> dict:
     return {"n_deleted_docs": int(res["n_new"].sum())}
 
 
+def update_attributes(index_dir: str, updates, *,
+                      keys: tuple = ("conv_id", "turn_idx")) -> dict:
+    """Doc-values update (Elasticsearch update-by-query on attributes,
+    Lucene DocValues update analog): rewrite attribute columns in the
+    per-segment docmaps WITHOUT touching postings, dictionaries, or
+    corpus stats — scores are text-derived, so only predicate masks,
+    facets, function-score factors and sort-by-field orderings see the
+    new values.
+
+    ``updates``: a pandas DataFrame of key columns plus the attribute
+    columns to overwrite (attributes must already exist in the docmap
+    — adding columns mid-life would fork segment schemas).  The table
+    broadcasts via ``ray.put`` (bounded by contract — ship a parquet
+    path and a hash join for corpus-sized updates); ONE distributed
+    pass left-merges each docmap against it and atomically replaces
+    ``docs.parquet`` (write-tmp + os.replace, so a crash mid-update
+    leaves every segment on exactly the old or the new version, and
+    hardlinked snapshots keep their old inode).  In-flight
+    SegmentSearchers hold their already-read docmap; persistent
+    services pick the update up on their next (re)start — the same
+    visibility contract as compaction.
+
+    Returns {"n_updated_docs": rows whose key matched}.
+    """
+    import pandas as pd
+
+    _, _, seg_dirs = load_index_meta(index_dir)
+    kcols = list(keys)
+    upd = pd.DataFrame(updates)
+    attr_cols = [c for c in upd.columns if c not in kcols]
+    if not attr_cols:
+        raise ValueError("updates carries no attribute columns")
+    schema = pq.read_schema(os.path.join(seg_dirs[0], "docs.parquet")) \
+        if seg_dirs else None
+    if schema is not None:
+        missing = [c for c in attr_cols if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"attribute column(s) {missing} not in the docmap "
+                f"(have: {schema.names}) — attributes must be declared "
+                f"at build time (attribute_cols=)")
+    upd_ref = ray.put(upd)
+
+    def _task(batch: pa.Table) -> pa.Table:
+        u = ray.get(upd_ref)
+        segs, counts = [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            path = os.path.join(seg_dir, "docs.parquet")
+            docs = pq.read_table(path)
+            df = docs.to_pandas()
+            merged = df[kcols].merge(
+                u, on=kcols, how="left", sort=False)
+            hit = merged[attr_cols[0]].notna()
+            n_hit = int(hit.sum())
+            if n_hit:
+                for c in attr_cols:
+                    vals = df[c].copy()
+                    vals[hit.to_numpy()] = merged.loc[hit, c].to_numpy()
+                    df[c] = vals.astype(df[c].dtype)
+                out = pa.Table.from_pandas(df, preserve_index=False) \
+                    .cast(docs.schema)
+                tmp = path + ".tmp"
+                pq.write_table(out, tmp)
+                os.replace(tmp, path)          # atomic docmap swap
+            segs.append(os.path.basename(seg_dir))
+            counts.append(n_hit)
+        return pa.table({"segment": pa.array(segs, pa.string()),
+                         "n_hit": pa.array(counts, pa.int64())})
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    res = seg_ds.map_batches(_task, batch_format="pyarrow",
+                             batch_size=seg_batch).to_pandas()
+    return {"n_updated_docs": int(res["n_hit"].sum())}
+
+
 def load_index_meta(index_dir: str) -> tuple[dict, dict, list[str]]:
     """(config dict, stats dict, segment dirs) of a finished index."""
     cfg = read_json(os.path.join(index_dir, "config.json"))
