@@ -3692,6 +3692,23 @@ def _q_farthest_points(sf_dir: str):
     return farthest_point_sample(ds, k=FPS_K)
 
 
+GET_DOC_IDS = [3, 57, 123, 326, 444]
+
+
+def _q_get_docs(sf_dir: str):
+    """Point lookup (GET-by-id): docmap rows of five known docs,
+    fetched by hash routing — only the owning segments are read, a
+    point lookup costs O(ids), never a scan of all segments."""
+    from vframe_ray.index.build import get_conversations
+    from vframe_ray.pipelines.flagship import documents_index
+    idx = documents_index(sf_dir)
+    ids = [str(i).zfill(10) for i in GET_DOC_IDS]
+    t = get_conversations(idx, ids).to_pandas()
+    t["doc_id"] = t["conv_id"].astype("int64")
+    return t[["doc_id", "turn_idx", "doclen"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_attr_update_sort(sf_dir: str):
     """Doc-values update end-to-end: hardlink-snapshot the attributed
     index, update_attributes bumps n_chars by 1000 for doc_id % 7 == 0
@@ -3961,6 +3978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings_audit": _q_quantize_audit,
         "farthest_point_sample": _q_farthest_points,
         "sorted_after_attr_update": _q_attr_update_sort,
+        "get_docs_by_id": _q_get_docs,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4179,6 +4197,12 @@ def oracle_sql() -> dict[str, str]:
         "sorted_after_attr_update": _sort_attr_sql(
             "CASE WHEN d.doc_id % 7 = 0 THEN d.n_chars + 1000 "
             "ELSE d.n_chars END"),
+        "get_docs_by_id": f"""{_TOK},
+ dl AS (SELECT _id, count(*)::INT AS dl FROM tok GROUP BY _id)
+SELECT d.doc_id, 0::INT AS turn_idx, coalesce(dl.dl, 0)::INT AS doclen
+FROM documents d LEFT JOIN dl ON dl._id = d.doc_id
+WHERE d.doc_id IN ({', '.join(str(i) for i in GET_DOC_IDS)})
+ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "farthest_point_sample": """
 WITH m AS (SELECT vec_id, embedding,

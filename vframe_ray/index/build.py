@@ -536,6 +536,66 @@ def update_attributes(index_dir: str, updates, *,
     return {"n_updated_docs": int(res["n_hit"].sum())}
 
 
+def get_conversations(index_dir: str, conv_ids: list[str]) -> pa.Table:
+    """Point lookup (the GET-by-id API real engines pair with search):
+    fetch the docmap rows of the given conversations.
+
+    Routing: the build partitions docs by ``hash64(conv_id) % S``
+    (assign_segment_ids), so when the index still has its build-time
+    layout — the manifest lists exactly seg-00000..seg-(S-1) — the
+    owning segment of every requested id is KNOWN and only those
+    segments are read: a point lookup costs O(requested ids), not a
+    scan of all S segments.  Extended or compacted indexes (extension
+    segments / merged names) fall back to the full segment list,
+    documented in delete_docs for the same reason.
+
+    Returns (conv_id, turn_idx, doclen) sorted by (conv_id, turn_idx).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    cfg_dict, _, seg_dirs = load_index_meta(index_dir)
+    want = sorted(set(conv_ids))
+    n_seg = int(cfg_dict.get("index", {}).get("num_segments",
+                                              len(seg_dirs)))
+    names = sorted(os.path.basename(d) for d in seg_dirs)
+    routable = names == [f"seg-{i:05d}" for i in range(n_seg)]
+    if routable and want:
+        h = pd.util.hash_array(np.array(want, dtype=object))
+        owners = {f"seg-{int(x % np.uint64(n_seg)):05d}" for x in h}
+        dirs = [d for d in seg_dirs
+                if os.path.basename(d) in owners]
+    else:
+        dirs = list(seg_dirs)
+    if not dirs or not want:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "doclen": pa.array([], pa.int32())})
+    want_ref = ray.put(pa.array(want, pa.string()))
+
+    def _task(batch: pa.Table) -> pa.Table:
+        vs = ray.get(want_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            d = pq.read_table(os.path.join(seg_dir, "docs.parquet"),
+                              columns=["conv_id", "turn_idx", "doclen"])
+            tables.append(d.filter(pc.is_in(d["conv_id"],
+                                            value_set=vs)))
+        return pa.concat_tables(tables)
+
+    from ..runtime import block_refs
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in dirs])
+    out = pa.concat_tables([t for t in ray.get(block_refs(
+        seg_ds.map_batches(_task, batch_format="pyarrow",
+                           batch_size=max(1, len(dirs) // 64))))
+        if t.num_rows]
+        or [pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "doclen": pa.array([], pa.int32())})])
+    return out.sort_by([("conv_id", "ascending"),
+                        ("turn_idx", "ascending")])
+
+
 def load_index_meta(index_dir: str) -> tuple[dict, dict, list[str]]:
     """(config dict, stats dict, segment dirs) of a finished index."""
     cfg = read_json(os.path.join(index_dir, "config.json"))
