@@ -3692,6 +3692,19 @@ def _q_farthest_points(sf_dir: str):
     return farthest_point_sample(ds, k=FPS_K)
 
 
+FACET_TOP_K = 5
+
+
+def _q_facet_top_terms(sf_dir: str):
+    """Per-source top-5 terms by occurrence (ties by term asc) — the
+    slice-vocabulary drill-down; one hash(source) exchange resolves
+    exact sums and the per-facet top-k in-bucket."""
+    from vframe_ray.stages.textquality import facet_top_terms
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["source", "text"])
+    return facet_top_terms(ds, k=FACET_TOP_K)
+
+
 GET_DOC_IDS = [3, 57, 123, 326, 444]
 
 
@@ -3979,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "farthest_point_sample": _q_farthest_points,
         "sorted_after_attr_update": _q_attr_update_sort,
         "get_docs_by_id": _q_get_docs,
+        "facet_top_terms": _q_facet_top_terms,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4197,6 +4211,18 @@ def oracle_sql() -> dict[str, str]:
         "sorted_after_attr_update": _sort_attr_sql(
             "CASE WHEN d.doc_id % 7 = 0 THEN d.n_chars + 1000 "
             "ELSE d.n_chars END"),
+        "facet_top_terms": f"""
+WITH t AS (SELECT source,
+                  unnest(list_filter(regexp_split_to_array(
+                      lower(text), '[^a-z0-9]+'), x -> x <> ''))
+                      AS term
+           FROM documents),
+ c AS (SELECT source, term, count(*)::BIGINT AS n
+       FROM t GROUP BY 1, 2),
+ r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY n DESC, term) AS rnk FROM c)
+SELECT source, rnk::BIGINT AS rnk, term, n
+FROM r WHERE rnk <= {FACET_TOP_K} ORDER BY source, rnk""",
         "get_docs_by_id": f"""{_TOK},
  dl AS (SELECT _id, count(*)::INT AS dl FROM tok GROUP BY _id)
 SELECT d.doc_id, 0::INT AS turn_idx, coalesce(dl.dl, 0)::INT AS doclen

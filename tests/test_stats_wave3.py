@@ -277,3 +277,18 @@ def test_farthest_point_sample_brute_and_invariance(ray_session):
             ray.data.from_arrow(t).repartition(parts), k=5)
         assert [tuple(r) for r in got.to_numpy()] == want
     assert len(set(got["id"])) == 5
+
+
+def test_facet_top_terms_brute_and_ties(ray_session):
+    from vframe_ray.stages.textquality import facet_top_terms
+    t = pa.table({"source": pa.array(["a"] * 3 + ["b"] * 2),
+                  "text": pa.array(["x x y z", "y y", "z",
+                                    "q q p p", "p"])})
+    # a: x=2 y=3... wait: a texts: 'x x y z','y y','z' -> x2 y3 z2
+    got = facet_top_terms(ray.data.from_arrow(t).repartition(2), k=2)
+    a = got[got["source"] == "a"]
+    assert list(a["term"]) == ["y", "x"]      # y3, then tie x2/z2 -> x
+    assert list(a["n"]) == [3, 2]
+    b = got[got["source"] == "b"]
+    assert list(b["term"]) == ["p", "q"]      # p3 > q2
+    assert list(b["rnk"]) == [1, 2]

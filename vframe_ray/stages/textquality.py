@@ -661,3 +661,61 @@ def source_token_drift(ds, *, source_col: str = "source",
     return pd.DataFrame({source_col: sources, "n_tokens": n_s,
                          "tv": tv}).sort_values(source_col) \
         .reset_index(drop=True)
+
+
+def facet_top_terms(ds, *, facet_col: str = "source",
+                    text_col: str = "text", k: int = 5, cfg=None):
+    """Per-facet top-k terms by occurrence count (ties by term asc) —
+    the "what does each slice talk about" vocabulary drill-down that
+    pairs with :func:`source_token_drift`'s single-number distance.
+
+    Scale shape: per-block (facet, term, cnt) combiner partials, ONE
+    hash(facet) exchange (a facet's whole term histogram co-locates, so
+    the per-bucket exact sums AND the per-facet top-k both resolve
+    in-bucket), driver merge = ≤ facets × k rows.
+
+    Returns pandas (facet_col, rnk, term, n) sorted by (facet, rnk).
+    """
+    import pandas as pd
+
+    from ..runtime import arrow_group, key_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+    tok = Tokenizer(cfg)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens = tok.tokenize_array(t[text_col])
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens).to_numpy(
+            zero_copy_only=False)
+        if not len(flat):
+            return pa.table({facet_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        fac = t[facet_col].to_numpy(zero_copy_only=False)[parents]
+        agg = pd.DataFrame({facet_col: fac, "term": flat}) \
+            .groupby([facet_col, "term"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        agg["__b"] = key_bucket_of(agg[facet_col].to_numpy(), nb)
+        return arrow_group(agg)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby([facet_col, "term"], as_index=False,
+                        sort=False)["cnt"].sum()
+        if not len(agg):
+            return arrow_group(pd.DataFrame(
+                {facet_col: pd.Series(dtype="object"),
+                 "rnk": pd.Series(dtype=np.int64),
+                 "term": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype=np.int64)}))
+        agg = agg.sort_values([facet_col, "cnt", "term"],
+                              ascending=[True, False, True])
+        agg["rnk"] = agg.groupby(facet_col, sort=False).cumcount() + 1
+        out = agg[agg["rnk"] <= k].rename(columns={"cnt": "n"})
+        return arrow_group(out[[facet_col, "rnk", "term", "n"]])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("__b").map_groups(reduce, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values([facet_col, "rnk"]).reset_index(drop=True)
