@@ -3692,6 +3692,21 @@ def _q_farthest_points(sf_dir: str):
     return farthest_point_sample(ds, k=FPS_K)
 
 
+PRIORITY_K = 100
+
+
+def _q_priority_sample(sf_dir: str):
+    """Weighted EXACT-k sample (sequential Poisson / priority
+    sampling): k smallest md5-uniform/weight priorities — higher value
+    means proportionally higher inclusion odds AND the sample is
+    exactly k rows; zero shuffles, per-block local top-k."""
+    from vframe_ray.stages.sampling import priority_sample
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id", "value", "event_type"])
+    return priority_sample(ds, weight_col="value", id_col="event_id",
+                           k=PRIORITY_K, extra_cols=("event_type",))
+
+
 FACET_TOP_K = 5
 
 
@@ -3993,6 +4008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_after_attr_update": _q_attr_update_sort,
         "get_docs_by_id": _q_get_docs,
         "facet_top_terms": _q_facet_top_terms,
+        "priority_sample_events": _q_priority_sample,
         "price_linregress": _q_linregress,
         "source_token_drift": _q_source_drift,
         "exact_price_percentiles": _q_exact_percentiles,
@@ -4211,6 +4227,15 @@ def oracle_sql() -> dict[str, str]:
         "sorted_after_attr_update": _sort_attr_sql(
             "CASE WHEN d.doc_id % 7 = 0 THEN d.n_chars + 1000 "
             "ELSE d.n_chars END"),
+        "priority_sample_events": f"""
+WITH p AS (SELECT event_id, value, event_type,
+                  ({_TH64.format(col='event_id::VARCHAR')}::DOUBLE
+                   / 18446744073709551616.0) / value AS priority
+           FROM events WHERE value > 0),
+ r AS (SELECT *, row_number() OVER (ORDER BY priority, event_id)
+              AS rnk FROM p)
+SELECT rnk::BIGINT AS rnk, event_id, value, priority, event_type
+FROM r WHERE rnk <= {PRIORITY_K} ORDER BY rnk""",
         "facet_top_terms": f"""
 WITH t AS (SELECT source,
                   unnest(list_filter(regexp_split_to_array(

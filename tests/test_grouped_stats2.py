@@ -266,3 +266,29 @@ def test_dedup_keep_best_picks_highest_quality(ray_session):
         best = sub.sort_values(["score_r", "doc_id"],
                                ascending=[False, True]).iloc[0]
         assert kept["doc_id"].iloc[0] == best["doc_id"]
+
+
+def test_priority_sample_exact_k_bias_invariance(ray_session):
+    """Weighted exact-k: always exactly k rows, repartition-invariant,
+    heavy-weight rows overrepresented, non-positive weights never
+    sampled."""
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.sampling import priority_sample
+    rng = np.random.default_rng(71)
+    n = 4000
+    w = np.where(np.arange(n) % 10 == 0, 50.0, 1.0)   # 10% heavy
+    w[:5] = 0.0                                       # excluded
+    w[5] = -3.0
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "w": pa.array(w)})
+    outs = []
+    for parts in (1, 7):
+        out = priority_sample(ray.data.from_arrow(t).repartition(parts),
+                              weight_col="w", id_col="id", k=400)
+        assert len(out) == 400
+        assert not set(out["id"]) & set(range(6))
+        outs.append(out.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    heavy_frac = (outs[0]["id"] % 10 == 0).mean()
+    assert heavy_frac > 0.5        # 10% of rows, 50x weight -> majority

@@ -184,3 +184,56 @@ def balance_downsample(ds, *, group_col: str, id_col: str,
                             k=k, extra_cols=extra_cols)
     out.attrs["k"] = k
     return out
+
+
+def priority_sample(ds, *, weight_col: str, id_col: str, k: int,
+                    extra_cols: tuple = ()):
+    """Weighted EXACT-k sampling without replacement (Ohlsson's
+    sequential Poisson / priority sampling): each row gets priority
+    ``u / w`` with ``u = md5_u64(str(id)) / 2^64`` — a deterministic
+    stand-in for Uniform(0,1) — and the k SMALLEST priorities win, so
+    higher weight means proportionally higher inclusion odds AND the
+    sample size is exactly k (the two properties weighted_hash_sample's
+    Poisson design and group_topk_sample's unweighted design each only
+    half-provide).  No ln/exp anywhere (the A-ES formulation was
+    rejected for measured 1-ulp libm drift): u is one u64→float64
+    conversion and the priority one IEEE division, identical in numpy
+    and DuckDB, so membership is bit-reproducible in SQL.
+
+    Scale shape: ZERO shuffles — per-block local k smallest priorities
+    (global top-k ⊆ union of local top-ks), driver merge ≤ blocks × k
+    rows.  Non-positive weights are dropped (inclusion probability 0).
+
+    Returns pandas (rnk, id_col, weight_col, priority, *extra_cols)
+    sorted by rnk 1..k (priority asc, id asc ties).
+    """
+    import ray
+
+    from ..runtime import block_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        u = md5_u64(pc.cast(ids, pa.string())).astype(np.float64) \
+            / 18446744073709551616.0
+        pri = np.where(w > 0.0, u / w, np.inf)
+        keep = np.flatnonzero(np.isfinite(pri))
+        idv = ids.to_numpy(zero_copy_only=False)
+        order = keep[np.lexsort((idv[keep], pri[keep]))][:k]
+        out = t.take(pa.array(np.sort(order)))
+        pri_kept = pri[np.sort(order)]
+        return out.append_column("priority", pa.array(pri_kept))
+
+    tabs = [t for t in ray.get(block_refs(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True))) if t.num_rows]
+    cols = ["rnk", id_col, weight_col, "priority", *extra_cols]
+    if not tabs:
+        return pd.DataFrame({c: pd.Series(dtype="object")
+                             for c in cols})
+    df = pa.concat_tables(tabs).to_pandas()
+    df = df.sort_values(["priority", id_col]).head(k) \
+        .reset_index(drop=True)
+    df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[cols]
