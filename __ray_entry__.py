@@ -1171,6 +1171,26 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def _containment_sql(threshold: float = 0.6, max_df: int = 1000) -> str:
+    """Exact pairwise containment |A∩B| / min(|A|,|B|) over shingles
+    with df <= max_df — mirrors stages/dedup.containment_pairs (same
+    hot-shingle rule, same single final float division)."""
+    return f"""{_TOK},{_shingle_cte(3)},
+ sz AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+ cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {max_df}),
+ inter AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+           WHERE a.s IN (SELECT s FROM cold)
+           GROUP BY a._id, b._id)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       i::BIGINT AS intersection,
+       sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b,
+       round(i::DOUBLE / least(sa.sz, sb.sz), 6) AS containment_r
+FROM inter JOIN sz sa ON sa._id = id_a JOIN sz sb ON sb._id = id_b
+WHERE i::DOUBLE / least(sa.sz, sb.sz) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def _minhash_ctes(recursive: bool = False) -> str:
     """CTE chain ending in ``cand`` (DISTINCT id_a < id_b LSH candidate
     pairs) — identical to minhash_candidates (stages/dedup.py): 31-bit
@@ -2159,6 +2179,20 @@ def _q_jaccard(sf_dir: str):
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return out[["id_a", "id_b", "jaccard_r"]].astype(
         {"id_a": "int64", "id_b": "int64"})
+
+
+def _q_containment(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.dedup import containment_pairs
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = containment_pairs(ds, n=3, threshold=0.6).to_pandas()
+    out["containment_r"] = out["containment"].round(6)
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out[["id_a", "id_b", "intersection", "size_a", "size_b",
+                "containment_r"]].astype(
+        {"id_a": "int64", "id_b": "int64", "intersection": "int64",
+         "size_a": "int64", "size_b": "int64"})
 
 
 def _q_cosine(sf_dir: str):
@@ -3990,6 +4024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-checked, stalest first, so each round re-verifies the
     # longest-unchecked operators (VERDICT r4 next-steps #5).
     return {
+        # --- NEW this session (r5 continuation): corpus-analysis wave ---
+        "containment_pairs": _q_containment,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5001,6 +5037,7 @@ FROM documents ORDER BY doc_id""",
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups "
             "FROM documents GROUP BY text ORDER BY doc_id"),
         "jaccard_pairs": _jaccard_sql(threshold=0.5, max_df=1000),
+        "containment_pairs": _containment_sql(threshold=0.6, max_df=1000),
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, w=4),
         "simhash": _simhash_sql(),

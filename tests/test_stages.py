@@ -58,6 +58,36 @@ def test_jaccard_pairs_exact(docs_ds):
     assert (0, 1) in got and got[(0, 1)] == 1.0
 
 
+def test_containment_pairs_subset_doc(ray_session):
+    # A short doc pasted inside a much longer one: low Jaccard (misses
+    # the 0.5 pair bar) but containment = 1.0 — the case the operator
+    # exists for.  Counts verified against a brute-force shingle oracle.
+    from vframe_ray.stages.dedup import (containment_pairs, jaccard_pairs,
+                                         _shingle_set)
+    from vframe_ray.analyze import Tokenizer
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"tok{i} word{i} thing{i}" for i in range(40))
+    texts = [quote, quote + " " + filler, "unrelated content entirely"]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    out = containment_pairs(ds, n=3, threshold=0.9).to_pandas()
+    got = {(int(a), int(b)): (int(i), int(sa), int(sb))
+           for a, b, i, sa, sb in zip(out["id_a"], out["id_b"],
+                                      out["intersection"], out["size_a"],
+                                      out["size_b"])}
+    tok = Tokenizer()
+    sh = [_shingle_set(tok.tokenize(t), 3) for t in texts]
+    inter01 = len(sh[0] & sh[1])
+    assert got == {(0, 1): (inter01, len(sh[0]), len(sh[1]))}
+    assert inter01 == len(sh[0])            # full containment
+    # same pair is BELOW the Jaccard bar — containment is not redundant
+    jac = jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    assert not len(jac)
+    cont = out["containment"].iloc[0]
+    assert cont == 1.0
+
+
 def test_minhash_finds_exact_dup(docs_ds):
     from vframe_ray.stages.dedup import minhash_candidates
     out = minhash_candidates(docs_ds).to_pandas()

@@ -210,25 +210,24 @@ def cross_contamination(test_ds, train_ds, *, n: int = 8,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  max_df: int = 1000):
-    """n-gram Jaccard duplicate pairs via shingle equi-join.
-
-    Any pair with Jaccard ≥ τ > 0 shares ≥ 1 shingle, so candidates are
-    generated by ``groupby(shingle)`` (an equi-join key, never
-    all-pairs), counted per pair, then verified with
-    |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
+def _pair_intersections(ds, *, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int = 1000):
+    """Shared candidate-pair machinery for :func:`jaccard_pairs` /
+    :func:`containment_pairs`: any pair sharing ≥ 1 shingle is a
+    candidate (``groupby(shingle)`` is an equi-join key, never
+    all-pairs); returns a Dataset of exact
+    (id_a, id_b, size_a, size_b, intersection) with id_a < id_b.
 
     Hot-shingle (boilerplate) skew: shingles shared by more than
     ``max_df`` documents contribute NOTHING to the intersection counts
-    (set sizes stay full), so the reported Jaccard is computed over
+    (set sizes stay full), so the reported overlap is computed over
     shared non-boilerplate shingles — EXACT whenever no shingle exceeds
     ``max_df``, conservative (never over-reports) otherwise.  Every
-    dropped bucket emits a marker row that is counted and logged in the
-    verify stage — never a silent cap (SURVEY.md §4; the deterministic
-    rule is replicated by the SQL oracle via HAVING count(*) <= max_df).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    dropped bucket emits a marker row (id_a = id_b = -1) that the
+    caller's verify stage counts and logs — never a silent cap
+    (SURVEY.md §4; the deterministic rule is replicated by the SQL
+    oracles via HAVING count(*) <= max_df).
     """
     sh = ds.map_batches(ShingleStage(n, id_col, text_col),
                         batch_format="pyarrow")
@@ -307,28 +306,48 @@ def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
                .rename(columns={"inter_partial": "intersection"}))
         return _arrow(out)
 
-    inter = (cand.map_batches(count_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-             .map_batches(add_pair_bucket, batch_format="pyarrow")
-             .groupby("__pb").map_groups(sum_bucket,
-                                         batch_format="pandas"))
+    return (cand.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("__pb").map_groups(sum_bucket,
+                                        batch_format="pandas"))
+
+
+def _drop_hot_markers(batch: pa.Table, max_df: int, op: str) -> pa.Table:
+    """Count + log the hot-shingle marker rows, then filter them out."""
+    markers = pc.equal(batch["id_a"], -1)
+    n_hot = pc.sum(pc.if_else(markers, batch["intersection"],
+                              pa.scalar(0, batch["intersection"].type))
+                   ).as_py() or 0
+    if n_hot:
+        logger.warning("%s: %d boilerplate shingles with df > %d "
+                       "excluded from intersections", op, n_hot, max_df)
+        print(f"[{op}] dropped {n_hot} shingles with df > {max_df}",
+              flush=True)
+        batch = batch.filter(pc.invert(markers))
+    return batch
+
+
+def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_df: int = 1000):
+    """n-gram Jaccard duplicate pairs via shingle equi-join.
+
+    Candidates and exact per-pair intersection counts come from
+    :func:`_pair_intersections` (including the deterministic
+    hot-shingle df ≤ ``max_df`` rule); a pair is kept when
+    |A∩B| / (|A|+|B|-|A∩B|) ≥ τ.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    inter = _pair_intersections(ds, n=n, id_col=id_col,
+                                text_col=text_col, max_df=max_df)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "jaccard": pa.array([], pa.float64())})
-        markers = pc.equal(batch["id_a"], -1)
-        n_hot = pc.sum(pc.if_else(markers, batch["intersection"],
-                                  pa.scalar(0, batch["intersection"].type))
-                       ).as_py() or 0
-        if n_hot:
-            logger.warning("jaccard_pairs: %d boilerplate shingles with "
-                           "df > %d excluded from intersections", n_hot,
-                           max_df)
-            print(f"[jaccard_pairs] dropped {n_hot} shingles with "
-                  f"df > {max_df}", flush=True)
-            batch = batch.filter(pc.invert(markers))
+        batch = _drop_hot_markers(batch, max_df, "jaccard_pairs")
         sa = batch["size_a"].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         sb = batch["size_b"].to_numpy(zero_copy_only=False) \
@@ -343,6 +362,54 @@ def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
             "id_b": pc.cast(batch["id_b"].filter(pa.array(keep)),
                             pa.int64()),
             "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return inter.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_pairs(ds, *, n: int = 3, threshold: float = 0.6,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int = 1000):
+    """Near-containment pairs: |A∩B| / min(|A|,|B|) ≥ τ over n-token
+    shingle sets — the quote / subset-duplication detector (a short doc
+    pasted inside a longer one has low Jaccard but containment ≈ 1, the
+    reason CCNet-style dedup pipelines track containment separately
+    from Jaccard).  Candidates and exact intersection counts are shared
+    with :func:`jaccard_pairs` via :func:`_pair_intersections`
+    (including the hot-shingle df ≤ ``max_df`` rule).
+
+    Returns (id_a, id_b, intersection, size_a, size_b, containment)
+    with id_a < id_b; intersection/sizes are exact int64, containment
+    is the single final float division (SQL-reproducible).
+    """
+    inter = _pair_intersections(ds, n=n, id_col=id_col,
+                                text_col=text_col, max_df=max_df)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "intersection": pa.array([], pa.int64()),
+                             "size_a": pa.array([], pa.int64()),
+                             "size_b": pa.array([], pa.int64()),
+                             "containment": pa.array([], pa.float64())})
+        batch = _drop_hot_markers(batch, max_df, "containment_pairs")
+        sa = batch["size_a"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sb = batch["size_b"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        inter_n = batch["intersection"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cont = inter_n.astype(np.float64) / np.minimum(sa, sb)
+        keep = cont >= threshold
+        ka = pa.array(keep)
+        return pa.table({
+            "id_a": pc.cast(batch["id_a"].filter(ka), pa.int64()),
+            "id_b": pc.cast(batch["id_b"].filter(ka), pa.int64()),
+            "intersection": pa.array(inter_n[keep], pa.int64()),
+            "size_a": pa.array(sa[keep], pa.int64()),
+            "size_b": pa.array(sb[keep], pa.int64()),
+            "containment": pa.array(cont[keep], pa.float64()),
         })
 
     return inter.map_batches(verify, batch_format="pyarrow")
