@@ -2195,6 +2195,15 @@ def _q_containment(sf_dir: str):
          "size_a": "int64", "size_b": "int64"})
 
 
+def _q_vocab_growth(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.stats import vocab_growth
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = vocab_growth(ds, n_checkpoints=10)
+    return out.sort_values("n_docs").reset_index(drop=True)
+
+
 def _q_cosine(sf_dir: str):
     import ray.data
     from vframe_ray.stages.similarity import cosine_topk
@@ -4026,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- NEW this session (r5 continuation): corpus-analysis wave ---
         "containment_pairs": _q_containment,
+        "vocab_growth": _q_vocab_growth,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5038,6 +5048,18 @@ FROM documents ORDER BY doc_id""",
             "FROM documents GROUP BY text ORDER BY doc_id"),
         "jaccard_pairs": _jaccard_sql(threshold=0.5, max_df=1000),
         "containment_pairs": _containment_sql(threshold=0.6, max_df=1000),
+        "vocab_growth": f"""{_TOK},
+ fs AS (SELECT term, min(_id) AS fd FROM tok GROUP BY term),
+ nn AS (SELECT count(*) AS c FROM documents),
+ rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents),
+ tg AS (SELECT DISTINCT (c * i) // 10 AS rn
+        FROM nn, (SELECT unnest(range(1,11)) AS i)
+        WHERE (c * i) // 10 >= 1),
+ cpb AS (SELECT tg.rn, rk.doc_id AS bid FROM tg JOIN rk USING (rn))
+SELECT cpb.rn::BIGINT AS n_docs,
+       (SELECT count(*) FROM fs WHERE fs.fd <= cpb.bid)::BIGINT AS vocab
+FROM cpb ORDER BY n_docs""",
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, w=4),
         "simhash": _simhash_sql(),

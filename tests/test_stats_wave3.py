@@ -292,3 +292,23 @@ def test_facet_top_terms_brute_and_ties(ray_session):
     b = got[got["source"] == "b"]
     assert list(b["term"]) == ["p", "q"]      # p3 > q2
     assert list(b["rnk"]) == [1, 2]
+
+
+def test_vocab_growth_monotone_and_exact(ray_session):
+    # 100 docs, doc i introduces term f"new{i}" plus shared filler —
+    # vocabulary grows by exactly 1 per doc after the first, so the
+    # curve is fully predictable at every decile checkpoint.
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.stats import vocab_growth
+    texts = [f"shared filler words new{i}" for i in range(100)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    # shuffled row order: first-seen must come from doc_id, not input order
+    perm = np.random.default_rng(7).permutation(100)
+    ds = ray.data.from_arrow(tbl.take(perm)).repartition(5)
+    out = vocab_growth(ds, n_checkpoints=10)
+    assert list(out["n_docs"]) == [10 * i for i in range(1, 11)]
+    # 3 shared terms + one new term per doc seen so far
+    assert list(out["vocab"]) == [3 + 10 * i for i in range(1, 11)]

@@ -1070,3 +1070,115 @@ def profile_table(ds, *, columns: list[str]):
     out = out.groupby("col", as_index=False)[
         ["n", "n_null", "n_distinct"]].sum()
     return out.sort_values("col").reset_index(drop=True)
+
+
+def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 n_checkpoints: int = 10):
+    """Heaps-law vocabulary-growth curve: distinct-term count among the
+    first ``⌊N·i/k⌋`` documents (ordered by ``id_col``) for i = 1..k —
+    the corpus-analysis report that sizes a tokenizer vocabulary and
+    spots crawl saturation (new data adding no new vocabulary).
+
+    Physical plan (exact, no corpus-sized driver state):
+
+    1. per-block (term, min id) partials — one np.unique + one
+       ``minimum.reduceat`` per block, one output row per distinct term
+       per block;
+    2. bucket by hash(term) + per-bucket vectorized min → the global
+       first-seen id per term;
+    3. checkpoint BOUNDARY ids come from a distributed ``sort(id)`` +
+       :func:`~vframe_ray.stages.scan.global_prefix_scan` rank — only
+       the k boundary rows ever reach the driver;
+    4. per-block k-bin histogram of first-seen vs the broadcast
+       boundaries, driver-combined (k-row result) and cumsummed.
+
+    Returns pandas (checkpoint, n_docs, vocab) with checkpoint = 1..k.
+    """
+    from ..analyze import Tokenizer
+    from ..runtime import num_hash_buckets
+    from .scan import global_prefix_scan
+    nb = num_hash_buckets()
+    tok = Tokenizer()
+    k = int(n_checkpoints)
+
+    def first_seen_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tokens = tok.tokenize_array(t[text_col])
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens) \
+            .to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "first_p": pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.int32())})
+        terms, codes = np.unique(flat, return_inverse=True)
+        order = np.argsort(codes, kind="stable")
+        doc_of = ids[parents][order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(codes[order]))[0] + 1])
+        firsts = np.minimum.reduceat(doc_of, starts)
+        h = pd.util.hash_array(terms.astype(object))
+        return pa.table({"term": pa.array(terms.astype(object),
+                                          pa.string()),
+                         "first_p": pa.array(firsts),
+                         "__b": pa.array((h % nb).astype(np.int32))})
+
+    def bucket_min(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("term", as_index=False, sort=False)[
+            "first_p"].min()
+        return pa.table({"term": pa.array(agg["term"].to_numpy(object),
+                                          pa.string()),
+                         "first": pa.array(
+                             agg["first_p"].to_numpy(np.int64))})
+
+    first_seen = (ds.map_batches(first_seen_partial,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                  .groupby("__b").map_groups(bucket_min,
+                                             batch_format="pandas"))
+
+    # checkpoint boundary ids: rank via sort + prefix scan of a ones col
+    ids_ds = ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True).sort(id_col)
+    scanned, grand = global_prefix_scan(ids_ds, ["one"])
+    n = int(grand[0])
+    targets = np.unique((np.arange(1, k + 1, dtype=np.int64) * n) // k)
+    targets = targets[targets >= 1]
+
+    def pick(t: pa.Table) -> pa.Table:
+        rn = t["cum_one"].to_numpy(zero_copy_only=False)
+        keep = np.isin(rn, targets)
+        return pa.table({"rn": pa.array(rn[keep]),
+                         "bid": pa.array(t[id_col].to_numpy(
+                             zero_copy_only=False)[keep]
+                             .astype(np.int64))})
+
+    bdf = scanned.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas() \
+        .sort_values("rn")
+    bounds = bdf["bid"].to_numpy(np.int64)        # ascending with rn
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        f = t["first"].to_numpy(zero_copy_only=False)
+        # bin j counts terms with bounds[j-1] < first <= bounds[j]
+        idx = np.searchsorted(bounds, f, side="left")
+        cnt = np.bincount(idx, minlength=len(bounds))[:len(bounds)]
+        return pa.table({"bin": pa.array(np.arange(len(bounds),
+                                                   dtype=np.int64)),
+                         "n_p": pa.array(cnt.astype(np.int64))})
+
+    hp = first_seen.map_batches(hist_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    hist = hp.groupby("bin", sort=True)["n_p"].sum() \
+        .reindex(range(len(bounds)), fill_value=0).to_numpy(np.int64)
+    vocab = np.cumsum(hist)
+    rn = bdf["rn"].to_numpy(np.int64)
+    # map back to checkpoint index i (duplicate targets collapse to the
+    # same rank when n < k; report one row per DISTINCT rank)
+    return pd.DataFrame({
+        "n_docs": rn.astype("int64"),
+        "vocab": vocab.astype("int64"),
+    })
