@@ -2204,6 +2204,16 @@ def _q_vocab_growth(sf_dir: str):
     return out.sort_values("n_docs").reset_index(drop=True)
 
 
+def _q_char_entropy(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.textquality import char_entropy
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = char_entropy(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_bytes": "int64"})
+
+
 def _q_cosine(sf_dir: str):
     import ray.data
     from vframe_ray.stages.similarity import cosine_topk
@@ -4036,6 +4046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW this session (r5 continuation): corpus-analysis wave ---
         "containment_pairs": _q_containment,
         "vocab_growth": _q_vocab_growth,
+        "char_entropy": _q_char_entropy,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5060,6 +5071,18 @@ FROM documents ORDER BY doc_id""",
 SELECT cpb.rn::BIGINT AS n_docs,
        (SELECT count(*) FROM fs WHERE fs.fd <= cpb.bid)::BIGINT AS vocab
 FROM cpb ORDER BY n_docs""",
+        # byte = character on the ASCII driver corpus; the pytest pins
+        # the byte definition on non-ASCII input
+        "char_entropy": """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents),
+ cc AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY 1, 2),
+ e AS (SELECT doc_id, sum(k)::BIGINT AS n, sum(k * ln(k)) AS s
+       FROM cc GROUP BY 1)
+SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
+       round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
+             6) AS entropy
+FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, w=4),
         "simhash": _simhash_sql(),

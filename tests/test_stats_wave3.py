@@ -312,3 +312,25 @@ def test_vocab_growth_monotone_and_exact(ray_session):
     assert list(out["n_docs"]) == [10 * i for i in range(1, 11)]
     # 3 shared terms + one new term per doc seen so far
     assert list(out["vocab"]) == [3 + 10 * i for i in range(1, 11)]
+
+
+def test_char_entropy_byte_definition(ray_session):
+    # closed-form cases incl. a non-ASCII doc: entropy is over UTF-8
+    # BYTES ('é' = 2 bytes), empty doc scores 0
+    import math
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.textquality import char_entropy
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["aaaa", "ab", "", "ééé"]),
+    })
+    out = char_entropy(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_bytes"]) == [4, 2, 0, 6]
+    assert out["entropy"][0] == 0.0                     # one symbol
+    assert out["entropy"][1] == round(math.log(2), 6)   # two equal
+    assert out["entropy"][2] == 0.0                     # empty
+    # 'ééé' = bytes c3 a9 ×3 → two symbols, 3 each, n=6: H = ln 2
+    assert out["entropy"][3] == round(math.log(2), 6)
