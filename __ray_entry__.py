@@ -4047,6 +4047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment,
         "vocab_growth": _q_vocab_growth,
         "char_entropy": _q_char_entropy,
+        "event_gap_stats": rel.event_gap_stats,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -4897,6 +4898,18 @@ WITH c AS (SELECT o_custkey,
 SELECT o_custkey, cents / 100.0 AS revenue, cum / 100.0 AS cum_revenue,
        cum::DOUBLE / (SELECT sum(cents) FROM c) AS cum_share
 FROM w ORDER BY cents DESC, o_custkey""",
+        "event_gap_stats": """
+WITH s AS (SELECT event_type,
+                  lead(event_type) OVER w AS next_type,
+                  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*)::BIGINT AS n, sum(gap_us)::BIGINT AS total_gap_us,
+       round((sum(gap_us)::DOUBLE / count(*)) / 1000000.0, 6)
+           AS mean_gap_s
+FROM s WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type""",
         "event_transition_counts": """
 WITH s AS (SELECT event_type,
                   lead(event_type) OVER (PARTITION BY user_id

@@ -346,3 +346,24 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
     pd.testing.assert_frame_equal(got, want)
     # the excluded brand never appears
     assert "Brand#3" not in set(got["p_brand"])
+
+
+def test_event_gap_stats_vs_scalar_oracle(events_dir):
+    from vframe_ray.pipelines.relational import event_gap_stats
+    got = event_gap_stats(events_dir)
+    ev = pd.read_parquet(f"{events_dir}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    rows = {}
+    for _, g in ev.groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ty = g["event_type"].to_numpy()
+        for i in range(len(g) - 1):
+            k = (ty[i], ty[i + 1])
+            n, s = rows.get(k, (0, 0))
+            rows[k] = (n + 1, s + int(t[i + 1] - t[i]))
+    want = pd.DataFrame(
+        [(a, b, n, s, round((s / n) / 1e6, 6))
+         for (a, b), (n, s) in sorted(rows.items())],
+        columns=["from_type", "to_type", "n", "total_gap_us",
+                 "mean_gap_s"])
+    pd.testing.assert_frame_equal(got, want)

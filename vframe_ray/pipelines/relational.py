@@ -2099,6 +2099,64 @@ def event_transition_counts(sf_dir: str):
         .reset_index(drop=True)
 
 
+def event_gap_stats(sf_dir: str):
+    """Inter-event latency per transition pair: for each user's
+    (ts, event_id)-ordered stream, the count and total/mean gap of
+    consecutive (from_type → to_type) steps — the "how long between a
+    view and the purchase" report.  Same single hash(user) exchange and
+    vectorized lexsort + shifted compare as
+    :func:`event_transition_counts`; gaps stay exact integer
+    microseconds through the whole reduce, so partial-sum association
+    cannot drift the value — the ONLY float work is the final
+    mean division, reproduced verbatim by the SQL oracle.
+
+    Returns pandas (from_type, to_type, n, total_gap_us, mean_gap_s)
+    sorted by (from_type, to_type)."""
+    from ..runtime import int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets(None)
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def pair_gaps(g: pd.DataFrame) -> pa.Table:
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        u_s, ty_s, ts_s = user[order], ty[order], ts[order]
+        nxt = u_s[1:] == u_s[:-1]
+        out = pd.DataFrame({"from_type": ty_s[:-1][nxt],
+                            "to_type": ty_s[1:][nxt],
+                            "gap": ts_s[1:][nxt] - ts_s[:-1][nxt]})
+        agg = out.groupby(["from_type", "to_type"], as_index=False,
+                          sort=False).agg(n_p=("gap", "size"),
+                                          gap_p=("gap", "sum"))
+        return pa.table({
+            "from_type": pa.array(agg["from_type"], pa.string()),
+            "to_type": pa.array(agg["to_type"], pa.string()),
+            "n_p": pa.array(agg["n_p"].to_numpy(np.int64)),
+            "gap_p": pa.array(agg["gap_p"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(bucketed, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(pair_gaps,
+                                        batch_format="pandas"))
+    out = _driver_combine(parts, ["from_type", "to_type"],
+                          [("n_p", "sum", "n"),
+                           ("gap_p", "sum", "total_gap_us")]).to_pandas()
+    out["mean_gap_s"] = np.round(
+        (out["total_gap_us"].to_numpy(np.int64).astype(np.float64)
+         / out["n"].to_numpy(np.int64)) / 1_000_000.0, 6)
+    return out.sort_values(["from_type", "to_type"]) \
+        .reset_index(drop=True)
+
+
 LATE_SHIP_DAYS = 90
 
 
