@@ -2204,6 +2204,14 @@ def _q_vocab_growth(sf_dir: str):
     return out.sort_values("n_docs").reset_index(drop=True)
 
 
+def _q_bigram_pmi(sf_dir: str):
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import bigram_pmi
+    from vframe_ray.stages.tokenize import tokenize
+    tokenized = tokenize(documents_as_transcripts(sf_dir))
+    return bigram_pmi(tokenized, k=20, min_count=5)
+
+
 def _q_char_entropy(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import char_entropy
@@ -4048,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "char_entropy": _q_char_entropy,
         "event_gap_stats": rel.event_gap_stats,
+        "bigram_pmi": _q_bigram_pmi,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5096,6 +5105,18 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "bigram_pmi": f"""{_TOK},
+ bg AS (SELECT a.term AS ta, b.term AS tb
+        FROM tok a JOIN tok b ON a._id = b._id AND b.pos = a.pos + 1),
+ bc AS (SELECT ta, tb, count(*) AS nb FROM bg GROUP BY 1, 2),
+ la AS (SELECT ta, sum(nb)::BIGINT AS na FROM bc GROUP BY 1),
+ rb AS (SELECT tb, sum(nb)::BIGINT AS nc FROM bc GROUP BY 1),
+ tt AS (SELECT sum(nb)::BIGINT AS t FROM bc)
+SELECT ta AS term_a, tb AS term_b, nb::BIGINT AS n_pair,
+       round(ln((nb::DOUBLE * t) / (na::DOUBLE * nc)), 6) AS pmi_r
+FROM bc JOIN la USING (ta) JOIN rb USING (tb), tt
+WHERE nb >= 5
+ORDER BY pmi_r DESC, term_a, term_b LIMIT 20""",
         "fingerprint": _fingerprint_sql(),
         "winnow_fingerprints": _winnow_sql(k=3, w=4),
         "simhash": _simhash_sql(),

@@ -334,3 +334,42 @@ def test_char_entropy_byte_definition(ray_session):
     assert out["entropy"][2] == 0.0                     # empty
     # 'ééé' = bytes c3 a9 ×3 → two symbols, 3 each, n=6: H = ln 2
     assert out["entropy"][3] == round(math.log(2), 6)
+
+
+def test_bigram_pmi_favors_fixed_phrase(ray_session):
+    # "san jose" always adjacent; "the" pairs with everything — PMI must
+    # rank the fixed phrase first even though "the X" bigrams are more
+    # frequent.  Counts verified against a scalar oracle.
+    import math
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.stats import bigram_pmi
+    from vframe_ray.stages.tokenize import tokenize
+    docs = (["san jose is the best city in the world"] * 6
+            + ["the city the world the best the san"] * 6)
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(docs))]),
+        "turn_idx": pa.array(np.zeros(len(docs), np.int32)),
+        "text": pa.array(docs),
+    })
+    out = bigram_pmi(tokenize(ray.data.from_arrow(tbl)),
+                     k=5, min_count=5)
+    # scalar oracle: full PMI table, same rounding and tie-break
+    toks = [d.split() for d in docs]
+    bgs = [(a, b) for t in toks for a, b in zip(t, t[1:])]
+    T = len(bgs)
+    from collections import Counter
+    cnt = Counter(bgs)
+    na = Counter(a for a, _ in bgs)
+    nc = Counter(b for _, b in bgs)
+    want = sorted(
+        ((round(math.log(n * T / (na[a] * nc[b])), 6), a, b, n)
+         for (a, b), n in cnt.items() if n >= 5),
+        key=lambda r: (-r[0], r[1], r[2]))[:5]
+    got = [(r.pmi_r, r.term_a, r.term_b, r.n_pair)
+           for r in out.itertuples()]
+    assert got == want
+    # the always-adjacent phrase pairs outrank every "the X" pair
+    assert ("san", "jose") in {(a, b) for _, a, b, _ in want}
+    assert all(a != "the" for _, a, _, _ in want)

@@ -427,20 +427,11 @@ def binned_quantiles(ds, *, key_col: str = "event_type",
             .groupby("__b").map_groups(combine, batch_format="pandas"))
 
 
-def top_bigrams(tokenized_ds, *, k: int = 20):
-    """Corpus-wide top-k adjacent-token bigrams (reference analog: the
-    summarize-json grouped histogram one level up — over token PAIRS).
-
-    Scale shape: per-block combiner collapses every occurrence to ≤ one
-    row per distinct bigram per block (np.unique — O(pairs seen)
-    memory), the bucketed :func:`salted_sum` kernel reduces partials
-    co-partitioned by bigram hash, a per-bucket local top-k bounds what
-    leaves each reducer, and the driver merges ≤ buckets×k tiny rows.
-    No all-to-all over occurrences, no dense vocab² anything.
-
-    Returns pandas (term_a, term_b, n_pair) sorted by
-    (n_pair desc, term_a, term_b), top k.
-    """
+def _bigram_counts(tokenized_ds):
+    """Exact corpus-wide (pair, n) adjacent-bigram counts: per-block
+    np.unique combiner (≤ one row per distinct bigram per block), then
+    the bucketed :func:`salted_sum` reduce co-partitioned by bigram
+    hash.  Shared by :func:`top_bigrams` / :func:`bigram_pmi`."""
     empty = pa.table({"pair": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64())})
 
@@ -465,7 +456,22 @@ def top_bigrams(tokenized_ds, *, k: int = 20):
 
     parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
                                      zero_copy_batch=True)
-    summed = salted_sum(parts, "pair", ["n"])
+    return salted_sum(parts, "pair", ["n"])
+
+
+def top_bigrams(tokenized_ds, *, k: int = 20):
+    """Corpus-wide top-k adjacent-token bigrams (reference analog: the
+    summarize-json grouped histogram one level up — over token PAIRS).
+
+    Scale shape: exact bigram counts from :func:`_bigram_counts`
+    (block combiner + bucketed reduce), a per-bucket local top-k bounds
+    what leaves each reducer, and the driver merges ≤ buckets×k tiny
+    rows.  No all-to-all over occurrences, no dense vocab² anything.
+
+    Returns pandas (term_a, term_b, n_pair) sorted by
+    (n_pair desc, term_a, term_b), top k.
+    """
+    summed = _bigram_counts(tokenized_ds)
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -1182,3 +1188,92 @@ def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text",
         "n_docs": rn.astype("int64"),
         "vocab": vocab.astype("int64"),
     })
+
+
+def bigram_pmi(tokenized_ds, *, k: int = 20, min_count: int = 5):
+    """Collocation strength: pointwise mutual information over
+    adjacent-token bigram EVENTS — PMI(a,b) = ln(n_ab·T / (n_a?·n_?b))
+    with T = total bigrams, n_a? = bigrams with ``a`` on the left,
+    n_?b = with ``b`` on the right.  Ranks fixed phrases ("new york")
+    above frequent-but-independent pairs, the standard collocation
+    score (Church & Hanks 1990).
+
+    Fully distributed: exact pair counts from :func:`_bigram_counts`,
+    marginals via two more :func:`salted_sum` reduces over the PAIR
+    table (distinct-bigram-bounded, never occurrence-sized), marginals
+    attached with two ``hash_join`` exchanges, then a per-block local
+    top-k so the driver merges ≤ blocks×k rows.  All counts are exact
+    int64; the ONLY float work is the final ln expression, reproduced
+    verbatim by the SQL oracle.
+
+    Returns pandas (term_a, term_b, n_pair, pmi_r) — pairs with
+    n_pair ≥ min_count, top-k by (pmi_r desc, term_a, term_b).
+    """
+    from ray.data.aggregate import Sum as _Sum
+    from .joins import hash_join
+    summed = _bigram_counts(tokenized_ds)
+    total = int(summed.aggregate(_Sum("n", alias_name="t"))["t"] or 0)
+
+    def split_cols(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern(t["pair"], " ", max_splits=1)
+        return pa.table({"term_a": pc.list_element(sp, 0),
+                         "term_b": pc.list_element(sp, 1),
+                         "n_pair": t["n"]})
+
+    pairs = summed.map_batches(split_cols, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    left = salted_sum(pairs.map_batches(
+        lambda t: pa.table({"term_a": t["term_a"],
+                            "n_left": t["n_pair"]}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        "term_a", ["n_left"])
+    right = salted_sum(pairs.map_batches(
+        lambda t: pa.table({"term_b": t["term_b"],
+                            "n_right": t["n_pair"]}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        "term_b", ["n_right"])
+    sch_p = pa.schema([("term_a", pa.string()), ("term_b", pa.string()),
+                       ("n_pair", pa.int64())])
+    j1 = hash_join(pairs, left, key="term_a",
+                   left_cols=["term_a", "term_b", "n_pair"],
+                   right_cols=["n_left"], left_schema=sch_p,
+                   right_schema=pa.schema([("term_a", pa.string()),
+                                           ("n_left", pa.int64())]))
+    sch_j1 = pa.schema([("term_a", pa.string()), ("term_b", pa.string()),
+                        ("n_pair", pa.int64()), ("n_left", pa.int64())])
+    j2 = hash_join(j1, right, key="term_b",
+                   left_cols=["term_a", "term_b", "n_pair", "n_left"],
+                   right_cols=["n_right"], left_schema=sch_j1,
+                   right_schema=pa.schema([("term_b", pa.string()),
+                                           ("n_right", pa.int64())]))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n_pair"] >= min_count]
+        if not len(df):
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "n_pair": pa.array([], pa.int64()),
+                             "pmi_r": pa.array([], pa.float64())})
+        nb = df["n_pair"].to_numpy(np.int64).astype(np.float64)
+        na = df["n_left"].to_numpy(np.int64).astype(np.float64)
+        nc = df["n_right"].to_numpy(np.int64).astype(np.float64)
+        pmi = np.round(np.log((nb * float(total)) / (na * nc)), 6)
+        out = pd.DataFrame({"term_a": df["term_a"].to_numpy(object),
+                            "term_b": df["term_b"].to_numpy(object),
+                            "n_pair": df["n_pair"].to_numpy(np.int64),
+                            "pmi_r": pmi})
+        out = out.sort_values(["pmi_r", "term_a", "term_b"],
+                              ascending=[False, True, True]).head(k)
+        return pa.table({"term_a": pa.array(out["term_a"], pa.string()),
+                         "term_b": pa.array(out["term_b"], pa.string()),
+                         "n_pair": pa.array(
+                             out["n_pair"].to_numpy(np.int64)),
+                         "pmi_r": pa.array(
+                             out["pmi_r"].to_numpy(np.float64))})
+
+    cand = j2.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas()
+    return cand.sort_values(["pmi_r", "term_a", "term_b"],
+                            ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
