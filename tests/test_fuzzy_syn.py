@@ -176,3 +176,59 @@ def test_suggest_corrections_df_ranking(ray_session, tmp_path):
     got2 = suggest_corrections(idx, ["vektor"], max_edits=2).to_pylist()
     assert got2 == [{"query_term": "vektor", "suggestion": "vector",
                      "df": 2}]
+
+
+def test_trigram_sidecar_prunes_leading_wildcard(ray_session, tmp_path):
+    """Leading-wildcard patterns with a 3+-char literal run resolve via
+    the trigram sidecar (pg_trgm scheme) — identical results to the
+    dictionary scan, sidecar invalidated when the dictionary changes."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vframe_ray.index import fuzzy
+    from vframe_ray.index.query import expand_like_patterns
+    idx = _planted_index(tmp_path)
+    # trigram path: run "ctor" -> grams {cto, tor}
+    exp = expand_like_patterns(idx, ["*ctor", "*ector?", "*tream"])
+    assert exp["*ctor"] == ["vector", "victor"]
+    assert exp["*ector?"] == ["vectors"]
+    assert exp["*tream"] == ["stream"]
+    t1 = fuzzy.trigram_table_dir(idx)
+    assert os.path.isdir(t1)             # sidecar was built on demand
+    # candidates are a verified superset: "*ctors" shares grams with
+    # vector/victor but only vectors matches
+    assert expand_like_patterns(idx, ["*ctors"])["*ctors"] == ["vectors"]
+    # no 3-char literal run -> scan fallback, still correct
+    assert expand_like_patterns(idx, ["*or"])["*or"] == \
+        ["vector", "victor"]
+    # property: sidecar path == brute regex over the dictionary
+    import re
+    gdir = os.path.join(idx, "global", "terms")
+    files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]
+    vocab = sorted(set(pq.ParquetDataset(files).read(
+        columns=["term"])["term"].to_pylist()))
+    rng = np.random.default_rng(11)
+    pats = []
+    for _ in range(25):
+        t = vocab[int(rng.integers(0, len(vocab)))]
+        i = int(rng.integers(0, max(1, len(t) - 3)))
+        pats.append("*" + t[i:i + 4] + ("*" if rng.random() < 0.5
+                                        else ""))
+    got = expand_like_patterns(idx, pats)
+    for p in pats:
+        rx = re.compile("^" + p.replace("*", ".*").replace("?", ".")
+                        + "$")
+        assert got[p] == sorted(v for v in vocab if rx.match(v)), p
+    # dictionary rewrite invalidates the sidecar fingerprint
+    extra = pa.table({"term": pa.array(["zzzctor"]),
+                      "df": pa.array([1], pa.int64()),
+                      "cf": pa.array([1], pa.int64())})
+    pq.write_table(extra, os.path.join(gdir, "part-zz.parquet"))
+    assert fuzzy.trigram_table_dir(idx) != t1
+    exp2 = expand_like_patterns(idx, ["*ctor"])
+    assert exp2["*ctor"] == ["vector", "victor", "zzzctor"]
+    assert not os.path.exists(t1)        # stale sidecar swept

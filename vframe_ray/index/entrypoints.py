@@ -1163,9 +1163,13 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
     One pruned read narrowed by each pattern's leading LITERAL prefix
     (the same OR-of-ranges pushdown as :func:`expand_prefix_terms`),
     then one vectorized Arrow ``match_like`` kernel per pattern — no
-    per-term Python.  A pattern that STARTS with a wildcard cannot
-    prune and scans the dictionary (Lucene's leading-wildcard caveat;
-    cost is per-query over the vocabulary, never over postings)."""
+    per-term Python.  A pattern that STARTS with a wildcard prunes via
+    the character-trigram sidecar instead (pg_trgm's scheme,
+    :func:`~vframe_ray.index.fuzzy.trigram_candidates`: terms
+    containing every literal trigram, then match_like verifies the
+    small candidate set); only a pattern with no 3+-char literal run
+    ever scans the dictionary (cost per query over the vocabulary,
+    never over postings)."""
     gdir = _terms_dir(index_dir)
     files = [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]
@@ -1175,16 +1179,38 @@ def expand_like_patterns(index_dir: str, patterns: list[str]
         return out
     import re as _re
     lits = {p: _re.match(r"[a-z0-9]*", p).group(0) for p in pats}
-    filt = None
-    if all(lits[p] for p in pats):
+    cand_map: dict[str, pa.Array] = {}
+    scan_pats: list[str] = []
+    lead_pats = [p for p in pats if not lits[p]]
+    if lead_pats:
+        from .fuzzy import trigram_candidates
+        for p, cand in trigram_candidates(index_dir, lead_pats).items():
+            if cand is None:
+                scan_pats.append(p)
+            else:
+                cand_map[p] = pa.array(cand, pa.string())
+    prefix_pats = [p for p in pats if lits[p]]
+    terms = None
+    if scan_pats:
+        # a no-trigram pattern forces the full read; reuse it for the
+        # prefix patterns too rather than reading twice
+        terms = pq.ParquetDataset(files) \
+            .read(columns=["term"])["term"].combine_chunks()
+        scan_pats = scan_pats + prefix_pats
+    elif prefix_pats:
         filt = [[("term", ">=", lits[p]), ("term", "<", lits[p] + "{")]
-                for p in pats]
-    terms = pq.ParquetDataset(files, filters=filt) \
-        .read(columns=["term"])["term"].combine_chunks()
-    for p in pats:
+                for p in prefix_pats]
+        terms = pq.ParquetDataset(files, filters=filt) \
+            .read(columns=["term"])["term"].combine_chunks()
+        scan_pats = prefix_pats
+    for p in scan_pats:
         like = p.replace("*", "%").replace("?", "_")
         out[p] = sorted(set(
             pc.filter(terms, pc.match_like(terms, like)).to_pylist()))
+    for p, cand in cand_map.items():
+        like = p.replace("*", "%").replace("?", "_")
+        out[p] = sorted(set(
+            pc.filter(cand, pc.match_like(cand, like)).to_pylist()))
     return out
 
 

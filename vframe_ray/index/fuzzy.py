@@ -198,3 +198,148 @@ def expand_fuzzy_terms(index_dir: str, terms: list[str],
                         if abs(len(c) - len(t)) <= max_edits
                         and _levenshtein_within(t, c, max_edits))
     return out
+
+
+# ------------------------------------------------- character trigrams
+#
+# Sidecar accelerating LEADING-wildcard patterns (``*ample``,
+# ``?atch*``): the dictionary-scan fallback in
+# entrypoints.expand_like_patterns is per-query O(|vocab|) (the Lucene
+# leading-wildcard trade); this is Postgres pg_trgm's scheme instead —
+# every term contributes its character 3-grams, a pattern's literal
+# runs contribute theirs, and any matching term must contain EVERY
+# pattern trigram, so the trigram table is a complete candidate
+# generator and one vectorized match_like over the (small) candidate
+# set verifies.  Same lifecycle as the SymSpell table above:
+# fingerprinted by the dictionary files, built once as a Ray Data
+# pipeline, predicate-pushdown read per query, stale copies swept.
+
+def term_trigrams(term: str) -> set[str]:
+    """Distinct interior character 3-grams (terms shorter than 3 have
+    none — correct for candidate generation: they can never contain a
+    pattern's 3-gram)."""
+    return {term[i:i + 3] for i in range(len(term) - 2)}
+
+
+def trigram_table_dir(index_dir: str) -> str:
+    """Fingerprinted sidecar path (``tri3-`` prefix keeps it disjoint
+    from the SymSpell ``d{n}-`` tables in the same fuzzy/ root)."""
+    files = _dict_files(index_dir)
+    fp = _table_fingerprint(files, 3)
+    return os.path.join(index_dir, "global", "fuzzy", f"tri3-{fp}")
+
+
+def build_trigram_table(index_dir: str,
+                        rows_per_group: int = 32768) -> str:
+    """Ensure the trigram sidecar exists; returns its directory.
+    Build/lifecycle mirrors :func:`build_deletion_table` exactly."""
+    import ray.data
+
+    out_dir = trigram_table_dir(index_dir)
+    if os.path.isdir(out_dir):
+        return out_dir
+    files = _dict_files(index_dir)
+    fuzzy_root = os.path.dirname(out_dir)
+    os.makedirs(fuzzy_root, exist_ok=True)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def gen(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        terms: list[str] = []
+        for term in t["term"].to_pylist():
+            for g in term_trigrams(term):
+                grams.append(g)
+                terms.append(term)
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "term": pa.array(terms, pa.string())})
+
+    if files:
+        (ray.data.read_parquet(files, columns=["term"])
+         .map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+         .sort("gram")
+         .write_parquet(tmp, row_group_size=rows_per_group))
+    else:
+        os.makedirs(tmp, exist_ok=True)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:                      # lost the race: keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
+    keep = os.path.basename(out_dir)
+    for d in os.listdir(fuzzy_root):
+        if d.startswith("tri3-") and d != keep and not d.endswith(".tmp"):
+            shutil.rmtree(os.path.join(fuzzy_root, d), ignore_errors=True)
+    return out_dir
+
+
+def trigram_candidates(index_dir: str, patterns: list[str]
+                       ) -> dict[str, "list[str] | None"]:
+    """Candidate dictionary terms per leading-wildcard pattern: terms
+    containing ALL trigrams of the pattern's literal runs (a complete
+    superset of the true matches — caller verifies with match_like).
+    ``None`` for a pattern with no 3+-char literal run (no trigram to
+    prune on → caller falls back to the dictionary scan)."""
+    import re as _re
+
+    qgrams: dict[str, set[str]] = {}
+    for p in patterns:
+        g: set[str] = set()
+        for run in _re.split(r"[*?]+", p):
+            g |= term_trigrams(run)
+        qgrams[p] = g
+    out: dict[str, list[str] | None] = {
+        p: (None if not qgrams[p] else []) for p in patterns}
+    need = [p for p in patterns if qgrams[p]]
+    if not need or not _dict_files(index_dir):
+        return out
+    table_dir = build_trigram_table(index_dir)
+    tfiles = [os.path.join(table_dir, f)
+              for f in sorted(os.listdir(table_dir))
+              if f.endswith(".parquet")]
+    if not tfiles:                       # empty dictionary
+        return out
+    all_grams = sorted(set().union(*(qgrams[p] for p in need)))
+    hit = _pruned_in_read(tfiles, "gram", all_grams)
+    by_gram: dict[str, set[str]] = {}
+    for g, tm in zip(hit["gram"].to_pylist(), hit["term"].to_pylist()):
+        by_gram.setdefault(g, set()).add(tm)
+    for p in need:
+        sets = [by_gram.get(g, set()) for g in qgrams[p]]
+        out[p] = sorted(set.intersection(*sets)) if sets else []
+    return out
+
+
+def _pruned_in_read(files: list[str], key: str,
+                    values: list[str]) -> pa.Table:
+    """``key IN values`` read that prunes row groups by parquet
+    min/max statistics BEFORE decoding.  ParquetDataset's own ``in``
+    filter decodes every row group the expression engine visits
+    (measured ~1.1 s over a 7M-row sidecar for a 32-value IN); the
+    stats walk touches only metadata, so the decode cost is
+    O(matching row groups) — the property the gram-sorted sidecar
+    layout exists to provide."""
+    import pyarrow.compute as _pc
+    varr = np.array(sorted(values), dtype=object)
+    vset = pa.array(varr, pa.string())
+    out: list[pa.Table] = []
+    for path in files:
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        kidx = md.schema.to_arrow_schema().get_field_index(key)
+        keep = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(kidx).statistics
+            if st is None or st.min is None or st.max is None:
+                keep.append(i)          # no stats: must read
+                continue
+            j = int(np.searchsorted(varr, st.min))
+            if j < len(varr) and varr[j] <= st.max:
+                keep.append(i)
+        if not keep:
+            continue
+        t = f.read_row_groups(keep, columns=[key, "term"])
+        out.append(t.filter(_pc.is_in(t[key], value_set=vset)))
+    if not out:
+        return pa.table({key: pa.array([], pa.string()),
+                         "term": pa.array([], pa.string())})
+    return pa.concat_tables(out)
