@@ -2212,6 +2212,35 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(tokenized, k=20, min_count=5)
 
 
+def _q_role_alternation(sf_dir: str):
+    """Transcript protocol check over documents lifted to conversations
+    (conv = source, order = doc_id) with a CONTENT-derived role —
+    role = roles[token_hash64(text) % 3], the md5 primitive the SQL
+    oracle shares — so violation counts are data-dependent, not a
+    structural constant."""
+    import ray.data
+
+    from vframe_ray.stages.hashing import dict_hash_u64
+    from vframe_ray.stages.sessionize import role_alternation_violations
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "text"])
+    roles = np.array(["user", "assistant", "tool"], dtype=object)
+
+    def lift(t: pa.Table) -> pa.Table:
+        h = dict_hash_u64(t["text"].combine_chunks())
+        return pa.table({
+            "conv_id": t["source"],
+            "turn_idx": t["doc_id"],
+            "role": pa.array(roles[(h % np.uint64(3)).astype(np.int64)],
+                             pa.string())})
+
+    lifted = ds.map_batches(lift, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = role_alternation_violations(lifted).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True).astype(
+        {"n_pairs": "int64", "n_violations": "int64"})
+
+
 def _q_char_entropy(sf_dir: str):
     import ray.data
     from vframe_ray.stages.textquality import char_entropy
@@ -4057,6 +4086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "event_gap_stats": rel.event_gap_stats,
         "bigram_pmi": _q_bigram_pmi,
+        "role_alternation": _q_role_alternation,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5105,6 +5135,20 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "role_alternation": f"""
+WITH r AS (SELECT source, doc_id,
+                  CASE ({_TH64.format(col='text')}) % 3
+                       WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                       ELSE 'tool' END AS role
+           FROM documents),
+ s AS (SELECT source, role,
+              lead(role) OVER (PARTITION BY source ORDER BY doc_id)
+                  AS nxt
+       FROM r)
+SELECT source AS conv_id, count(nxt)::BIGINT AS n_pairs,
+       sum(CASE WHEN role = nxt THEN 1 ELSE 0 END)::BIGINT
+           AS n_violations
+FROM s GROUP BY source ORDER BY conv_id""",
         "bigram_pmi": f"""{_TOK},
  bg AS (SELECT a.term AS ta, b.term AS tb
         FROM tok a JOIN tok b ON a._id = b._id AND b.pos = a.pos + 1),

@@ -367,3 +367,31 @@ def test_event_gap_stats_vs_scalar_oracle(events_dir):
         columns=["from_type", "to_type", "n", "total_gap_us",
                  "mean_gap_s"])
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_role_alternation_on_transcripts_corpus(ray_session):
+    # the north-star transcripts schema (conv_id, turn_idx, role, ...)
+    # from the seeded fixture corpus, verified against a scalar oracle
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.corpus import generate_transcripts
+    from vframe_ray.stages.sessionize import role_alternation_violations
+    tbl = generate_transcripts(3000, seed=5)
+    # shuffle input rows: adjacency must come from turn_idx, not order
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(tbl.num_rows)
+    ds = ray.data.from_arrow(tbl.take(pa.array(perm))).repartition(7)
+    got = role_alternation_violations(ds).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+    rows = []
+    for cid, g in df.groupby("conv_id", sort=True):
+        r = g["role"].to_numpy()
+        rows.append((cid, len(r) - 1,
+                     int((r[1:] == r[:-1]).sum())))
+    want = pd.DataFrame(rows, columns=["conv_id", "n_pairs",
+                                       "n_violations"])
+    want[["n_pairs", "n_violations"]] = \
+        want[["n_pairs", "n_violations"]].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_violations"].sum() > 0     # corpus has real stutters

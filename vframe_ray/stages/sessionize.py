@@ -393,3 +393,50 @@ def event_funnel(ds, *, steps: tuple = ("view", "click", "purchase"),
                            zero_copy_batch=True)
             .groupby("__b")
             .map_groups(funnel, batch_format="pandas"))
+
+
+def role_alternation_violations(ds, *, conv_col: str = "conv_id",
+                                order_col: str = "turn_idx",
+                                role_col: str = "role"):
+    """Per-conversation protocol check: count adjacent turns with the
+    SAME role (a user/assistant transcript should alternate; stuck
+    tool loops and double-posts show up here) — a structural-quality
+    feature every conversation-data pipeline filters on.
+
+    One hash(conv) exchange pruned to (conv, order, role); per bucket
+    one lexsort + shifted same-conv compare builds every adjacency
+    vectorized.  Returns a Dataset of
+    (conv_id, n_pairs, n_violations) — n_pairs = turns − 1.
+    """
+    nb = num_hash_buckets(None)
+    cols = [conv_col, order_col, role_col]
+    pruned = ds.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        conv = g[conv_col].to_numpy(dtype=object)
+        order = g[order_col].to_numpy()
+        role = g[role_col].to_numpy(dtype=object)
+        idx = np.lexsort((order, conv))
+        c_s, r_s = conv[idx], role[idx]
+        same_conv = c_s[1:] == c_s[:-1]
+        viol = same_conv & (r_s[1:] == r_s[:-1])
+        # per-conv reduction via run boundaries over the sorted keys
+        starts = np.concatenate(
+            [[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1])
+        uconv = c_s[starts]
+        npairs = np.add.reduceat(
+            np.concatenate([same_conv.astype(np.int64), [0]]), starts) \
+            if len(c_s) else np.zeros(0, np.int64)
+        nviol = np.add.reduceat(
+            np.concatenate([viol.astype(np.int64), [0]]), starts) \
+            if len(c_s) else np.zeros(0, np.int64)
+        return pa.table({
+            "conv_id": pa.array(uconv, pa.string()),
+            "n_pairs": pa.array(npairs.astype(np.int64)),
+            "n_violations": pa.array(nviol.astype(np.int64))})
+
+    return (pruned.map_batches(_str_bucket(conv_col, nb),
+                               batch_format="pyarrow")
+            .groupby("__b").map_groups(per_bucket,
+                                       batch_format="pandas"))
