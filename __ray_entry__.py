@@ -2212,6 +2212,16 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(tokenized, k=20, min_count=5)
 
 
+def _q_term_burstiness(sf_dir: str):
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import term_burstiness
+    from vframe_ray.stages.tokenize import tokenize
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return term_burstiness(tokenize(documents_as_transcripts(sf_dir)),
+                           n_docs, k=20)
+
+
 def _q_role_alternation(sf_dir: str):
     """Transcript protocol check over documents lifted to conversations
     (conv = source, order = doc_id) with a CONTENT-derived role —
@@ -4087,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_stats": rel.event_gap_stats,
         "bigram_pmi": _q_bigram_pmi,
         "role_alternation": _q_role_alternation,
+        "term_burstiness": _q_term_burstiness,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5135,6 +5146,16 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "term_burstiness": f"""{_TOK},
+ tfd AS (SELECT term, _id, count(*) AS tf FROM tok GROUP BY 1, 2),
+ agg AS (SELECT term, sum(tf)::BIGINT AS cf,
+                sum(tf * tf)::BIGINT AS sum_sq
+         FROM tfd GROUP BY 1),
+ nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ top AS (SELECT * FROM agg ORDER BY cf DESC, term LIMIT 20)
+SELECT term, cf, sum_sq,
+       round((sum_sq / n - (cf / n) * (cf / n)) / (cf / n), 6) AS vmr_r
+FROM top, nn ORDER BY cf DESC, term""",
         "role_alternation": f"""
 WITH r AS (SELECT source, doc_id,
                   CASE ({_TH64.format(col='text')}) % 3

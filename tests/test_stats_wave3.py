@@ -373,3 +373,28 @@ def test_bigram_pmi_favors_fixed_phrase(ray_session):
     # the always-adjacent phrase pairs outrank every "the X" pair
     assert ("san", "jose") in {(a, b) for _, a, b, _ in want}
     assert all(a != "the" for _, a, _, _ in want)
+
+
+def test_term_burstiness_scalar_oracle(ray_session):
+    # planted: "bursty" appears 9x in one doc only; "flat" once in
+    # every doc — same cf, VMR must separate them (bursty >> flat)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.stats import term_burstiness
+    from vframe_ray.stages.tokenize import tokenize
+    n = 9
+    texts = ["flat " + ("bursty " * n).strip()] + ["flat"] * (n - 1)
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(n)]),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "text": pa.array(texts)})
+    out = term_burstiness(tokenize(
+        ray.data.from_arrow(tbl).repartition(3)), n, k=5) \
+        .set_index("term")
+    assert out.loc["bursty", "cf"] == n and out.loc["flat", "cf"] == n
+    assert out.loc["bursty", "sum_sq"] == n * n
+    assert out.loc["flat", "sum_sq"] == n
+    # scalar VMR: mean=1 for both; flat var=0, bursty var=(n²/n - 1)
+    assert out.loc["flat", "vmr_r"] == 0.0
+    assert out.loc["bursty", "vmr_r"] == round(float(n) - 1.0, 6)

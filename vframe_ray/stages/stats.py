@@ -1277,3 +1277,64 @@ def bigram_pmi(tokenized_ds, *, k: int = 20, min_count: int = 5):
     return cand.sort_values(["pmi_r", "term_a", "term_b"],
                             ascending=[False, True, True]).head(k) \
         .reset_index(drop=True)
+
+
+def term_burstiness(tokenized_ds, n_docs: int, *, k: int = 20):
+    """Term burstiness: variance-to-mean ratio of per-document term
+    frequency over ALL docs (zeros included) for the top-k cf terms —
+    separates topical terms (bursty: absent from most docs, frequent
+    where present) from function words (VMR ≈ uniform).  Church &
+    Gale's burstiness diagnostic, a standard stopword/keyword signal.
+
+    Exact integer moments per term — Σtf and Σtf² from one per-block
+    np.unique combiner, reduced by :func:`salted_sum` — so partitioning
+    cannot drift the value; mean = Σtf/N, E[x²] = Σtf²/N,
+    VMR = (E[x²] − mean²)/mean is the single float expression the SQL
+    oracle reproduces.  Returns pandas (term, cf, sum_sq, vmr_r),
+    top-k by (cf desc, term), sorted the same way.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = batch["tokens"].combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(tokens) \
+            .to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64())})
+        terms, codes = np.unique(flat, return_inverse=True)
+        # per (term, doc) tf: docs are whole rows of THIS block, so
+        # block-local tf is global tf — pair-code bincount
+        ndocs_blk = int(parents.max()) + 1
+        pair = codes.astype(np.int64) * ndocs_blk + parents
+        upair, tf = np.unique(pair, return_counts=True)
+        tcode = (upair // ndocs_blk).astype(np.int64)
+        cf = np.bincount(tcode, weights=tf,
+                         minlength=len(terms)).astype(np.int64)
+        sq = np.bincount(tcode, weights=tf.astype(np.int64) ** 2,
+                         minlength=len(terms)).astype(np.int64)
+        return pa.table({"term": pa.array(terms.astype(object),
+                                          pa.string()),
+                         "cf": pa.array(cf), "sq": pa.array(sq)})
+
+    parts = tokenized_ds.map_batches(partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    summed = salted_sum(parts, "term", ["cf", "sq"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["cf", "term"],
+                                       ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = summed.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas().sort_values(["cf", "term"],
+                                 ascending=[False, True]).head(k)
+    cf = cand["cf"].to_numpy(np.int64).astype(np.float64)
+    sq = cand["sq"].to_numpy(np.int64).astype(np.float64)
+    n = float(n_docs)
+    mean = cf / n
+    vmr = np.round((sq / n - mean * mean) / mean, 6)
+    return pd.DataFrame({"term": cand["term"].to_numpy(object),
+                         "cf": cand["cf"].to_numpy(np.int64),
+                         "sum_sq": cand["sq"].to_numpy(np.int64),
+                         "vmr_r": vmr}).reset_index(drop=True)
