@@ -355,8 +355,42 @@ class QueryService:
         # parquet filter read was ~24 ms at 9.6M docs (VERDICT r3
         # serving push) — repeated vocabularies now skip it entirely
         self._df_cache: dict[str, int | None] = {}
+        # request cache (Elasticsearch request-cache analog): whole-call
+        # results for the plain search mode keyed by the canonical call
+        # payload.  Sound BY the service's visibility contract — index
+        # mutations (extend/compact/attr updates) only become visible to
+        # a live service via refresh_deletes()/restart, and
+        # refresh_deletes clears the cache.  LRU-bounded; 0 disables.
+        self.request_cache_size = 256
+        self._req_cache: "dict[str, pa.Table]" = {}
+        self._req_cache_hits = 0
+        self._req_cache_misses = 0
 
     _DF_CACHE_CAP = 1 << 20   # OOV-flood bound, same spirit as ABSENT_CAP
+
+    def _req_cache_key(self, mode: str, queries: list[dict],
+                       **kwargs) -> str:
+        import json as _json
+        return _json.dumps([mode, queries, kwargs], sort_keys=True,
+                           default=str)
+
+    def _req_cache_get(self, key: str) -> "pa.Table | None":
+        hit = self._req_cache.get(key)
+        if hit is not None:
+            self._req_cache_hits += 1
+            # LRU touch: re-insert at the back of the dict order
+            self._req_cache.pop(key)
+            self._req_cache[key] = hit
+        else:
+            self._req_cache_misses += 1
+        return hit
+
+    def _req_cache_put(self, key: str, table: pa.Table) -> None:
+        if self.request_cache_size <= 0:
+            return
+        while len(self._req_cache) >= self.request_cache_size:
+            self._req_cache.pop(next(iter(self._req_cache)))
+        self._req_cache[key] = table
 
     def _validate_predicates(self, predicates) -> None:
         for d in self.index_dirs:     # attrs must exist in EVERY index
@@ -380,6 +414,11 @@ class QueryService:
     def search(self, queries: list[dict], use_bmw: bool = True,
                predicates: list[str] | None = None,
                collapse: bool = False) -> pa.Table:
+        ck = self._req_cache_key("search", queries, use_bmw=use_bmw,
+                                 predicates=predicates, collapse=collapse)
+        cached = self._req_cache_get(ck)
+        if cached is not None:
+            return cached
         offsets = {int(q["query_id"]): int(q.get("offset", 0))
                    for q in queries}
         for q in queries:
@@ -401,8 +440,10 @@ class QueryService:
         merged = _merge_topk_driver(
             df, {q[0]: q[2] - offsets.get(q[0], 0) for q in parsed},
             offsets if any(offsets.values()) else None)
-        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+        out = pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
+        self._req_cache_put(ck, out)
+        return out
 
     def search_function_score(self, queries: list[dict], attr: str,
                               weight: float = 0.2,
@@ -985,7 +1026,10 @@ class QueryService:
 
     def refresh_deletes(self) -> int:
         """Make tombstones written after service start visible: every
-        shard re-reads its sidecars.  Returns total tombstoned docs."""
+        shard re-reads its sidecars.  Returns total tombstoned docs.
+        The request cache is dropped — its entries were computed under
+        the pre-refresh tombstone set."""
+        self._req_cache.clear()
         return sum(ray.get([a.reload_deletes.remote()
                             for a in self.actors]))
 
