@@ -2212,6 +2212,16 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(tokenized, k=20, min_count=5)
 
 
+def _q_ngram_novelty(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.dedup import ngram_novelty
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ngram_novelty(ds, n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_shingles": "int64", "n_novel": "int64"})
+
+
 def _q_term_burstiness(sf_dir: str):
     from vframe_ray.pipelines.flagship import documents_as_transcripts
     from vframe_ray.stages.stats import term_burstiness
@@ -4098,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "role_alternation": _q_role_alternation,
         "term_burstiness": _q_term_burstiness,
+        "ngram_novelty": _q_ngram_novelty,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5146,6 +5157,16 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "ngram_novelty": f"""{_TOK},{_shingle_cte(3)},
+ fs AS (SELECT s, min(_id) AS fd FROM sh GROUP BY s),
+ per AS (SELECT sh._id AS _id, count(*) AS n_sh,
+                sum(CASE WHEN fs.fd = sh._id THEN 1 ELSE 0 END)
+                    AS n_novel
+         FROM sh JOIN fs USING (s) GROUP BY sh._id)
+SELECT _id AS doc_id, n_sh::BIGINT AS n_shingles,
+       n_novel::BIGINT AS n_novel,
+       round(n_novel::DOUBLE / n_sh, 6) AS novelty_r
+FROM per ORDER BY doc_id""",
         "term_burstiness": f"""{_TOK},
  tfd AS (SELECT term, _id, count(*) AS tf FROM tok GROUP BY 1, 2),
  agg AS (SELECT term, sum(tf)::BIGINT AS cf,

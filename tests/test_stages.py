@@ -302,3 +302,25 @@ def test_hashed_features_properties(ray_session):
         got = {int(r.bucket): int(r.value)
                for r in out[out.doc_id == doc_id].itertuples()}
         assert got == want
+
+
+def test_ngram_novelty_first_copy_wins(ray_session):
+    # doc 0 and doc 5 identical: novelty 1.0 for doc 0, 0.0 for doc 5;
+    # doc 7 = half doc 0, half fresh — novelty strictly between
+    from vframe_ray.stages.dedup import ngram_novelty, _shingle_set
+    from vframe_ray.analyze import Tokenizer
+    quote = "the quick brown fox jumps over the lazy dog"
+    texts = {0: quote, 5: quote,
+             7: quote + " entirely new trailing words here now"}
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()))})
+    out = ngram_novelty(ray.data.from_arrow(tbl).repartition(3)) \
+        .to_pandas().set_index("doc_id")
+    tok = Tokenizer()
+    sh0 = _shingle_set(tok.tokenize(texts[0]), 3)
+    sh7 = _shingle_set(tok.tokenize(texts[7]), 3)
+    assert out.loc[0, "novelty_r"] == 1.0
+    assert out.loc[5, "novelty_r"] == 0.0
+    assert out.loc[7, "n_shingles"] == len(sh7)
+    assert out.loc[7, "n_novel"] == len(sh7 - sh0)
+    assert 0.0 < out.loc[7, "novelty_r"] < 1.0

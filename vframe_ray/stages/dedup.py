@@ -711,3 +711,68 @@ def near_dedup_embeddings(ds, *, threshold: float = 0.95,
         return _arrow(g[keep])
 
     return ds.groupby(conv_col).map_groups(dedup_group, batch_format="pandas")
+
+
+def ngram_novelty(ds, *, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Per-doc shingle novelty: the fraction of a doc's DISTINCT
+    n-token shingles whose global first occurrence (min id over the
+    corpus) is this doc — the crawl-saturation curve per document (a
+    late near-copy scores ≈ 0 novelty; fresh content scores ≈ 1).
+    Ties: a shingle first seen in several docs is novel only in the
+    LOWEST id (strictly "seen before" semantics for everyone later).
+
+    One shingle-hash exchange: each bucket holds every occurrence of
+    its shingles, so the per-bucket kernel computes the global min id
+    AND credits each (doc, shingle) pair as novel/not in the same pass
+    — no join-back.  Per-doc partial counts then bucket by hash(id)
+    (≤ one row per doc per shingle-bucket), and the final combine is
+    one vectorized sum per doc bucket.
+
+    Returns a Dataset of (id, n_shingles, n_novel, novelty_r);
+    novelty_r = round(n_novel / n_shingles, 6), docs with zero
+    shingles are absent (mirror LEFT JOIN + COALESCE in SQL when a
+    full roster is needed).
+    """
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+
+    sh = ds.map_batches(ShingleStage(n, id_col, text_col),
+                        batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["shingle"].to_pandas().to_numpy(dtype=object))
+        return t.append_column(
+            "__bucket", pa.array((h % nb).astype(np.int32)))
+
+    def bucket_novel(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy(np.int64)
+        codes, _ = pd.factorize(g["shingle"], sort=False)
+        nsh = codes.max() + 1 if len(codes) else 0
+        firsts = np.full(nsh, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(firsts, codes, ids)
+        novel = (firsts[codes] == ids).astype(np.int64)
+        agg = pd.DataFrame({"id": ids, "novel": novel}).groupby(
+            "id", as_index=False, sort=False).agg(
+            n_p=("novel", "size"), novel_p=("novel", "sum"))
+        out = arrow_group(agg)
+        return out.append_column("__db", pa.array(int_bucket_of(
+            agg["id"].to_numpy(np.int64), nb)))
+
+    def doc_combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("id", as_index=False, sort=False)[
+            ["n_p", "novel_p"]].sum()
+        novelty = np.round(agg["novel_p"].to_numpy(np.int64)
+                           / agg["n_p"].to_numpy(np.int64), 6)
+        return pa.table({
+            id_col: pa.array(agg["id"].to_numpy(np.int64)),
+            "n_shingles": pa.array(agg["n_p"].to_numpy(np.int64)),
+            "n_novel": pa.array(agg["novel_p"].to_numpy(np.int64)),
+            "novelty_r": pa.array(novelty, pa.float64())})
+
+    return (sh.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(bucket_novel,
+                                            batch_format="pandas")
+            .groupby("__db").map_groups(doc_combine,
+                                        batch_format="pandas"))
