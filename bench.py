@@ -306,6 +306,39 @@ def run_bench() -> dict:
         rel.q12_ship_latency(sf_dir)
         rel.q19_disjunctive_revenue(sf_dir)
 
+    def corpus_analysis(sf_dir):
+        # the round-5 corpus-analysis family at TRANSCRIPT scale
+        # (600k turns at sf0.1, not the 5k-row documents table):
+        # byte entropy (pure map), term burstiness (exact integer
+        # moments), and the role-alternation protocol check over the
+        # corpus's REAL role column.  The heavier siblings are one-off
+        # measured in BASELINE.md §2p rather than inflating the
+        # headline: vocab_growth 11.9 s, bigram_pmi 14.7 s, novelty
+        # 18.6 s at 600k turns / 32 cpus.
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        from vframe_ray.stages import stats as st
+        from vframe_ray.stages.sessionize import role_alternation_violations
+        from vframe_ray.stages.textquality import char_entropy
+        from vframe_ray.stages.tokenize import tokenize
+
+        def to_docs(t):
+            convno = _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 5),
+                              pa.int64())
+            did = _pc.add(_pc.multiply(convno, 100),
+                          _pc.cast(t["turn_idx"], pa.int64()))
+            return pa.table({"doc_id": did, "text": t["text"]})
+
+        docs = read_corpus().map_batches(to_docs, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        char_entropy(docs).count()
+        st.term_burstiness(tokenize(read_corpus()), n_turns, k=20)
+        roles = _read_parquet(cdir, columns=["conv_id", "turn_idx",
+                                             "role"],
+                              override_num_blocks=NUM_CPUS)
+        role_alternation_violations(roles).count()
+
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
                  ("top_orders", rel.top_orders),
@@ -347,7 +380,11 @@ def run_bench() -> dict:
                  ("knn_graph", entry_queries["knn_graph_embeddings"]),
                  # final wave: grouped robust stats / windows /
                  # regression / exact selection over orders+lineitem
-                 ("stats_suite", stats_suite)]
+                 ("stats_suite", stats_suite),
+                 # round-5 second session: the corpus-analysis family
+                 # at transcript scale (entropy, Heaps growth,
+                 # burstiness, bigram PMI, novelty, role alternation)
+                 ("corpus_analysis", corpus_analysis)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
