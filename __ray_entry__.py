@@ -2491,6 +2491,28 @@ def _q_hopping(sf_dir: str):
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
+FUNNEL_WINDOW_S = 21_600           # 6 h conversion window per step
+
+
+def _q_event_funnel_windowed(sf_dir: str):
+    """Funnel with a per-step conversion window (exact set DP — the
+    greedy chain is wrong under windows, pytest-pinned)."""
+    import pandas as pd
+
+    from vframe_ray.stages.sessionize import event_funnel_windowed
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["user_id", "ts", "event_type"])
+    parts = event_funnel_windowed(ds, steps=FUNNEL_STEPS,
+                                  window_s=FUNNEL_WINDOW_S).to_pandas()
+    sums = parts.groupby("step")["n_users_p"].sum() if len(parts) \
+        else pd.Series(dtype="int64")
+    return pd.DataFrame({
+        "step": pd.array(range(1, len(FUNNEL_STEPS) + 1), dtype="int32"),
+        "step_name": list(FUNNEL_STEPS),
+        "n_users": [int(sums.get(i, 0))
+                    for i in range(1, len(FUNNEL_STEPS) + 1)]})
+
+
 def _q_event_funnel(sf_dir: str):
     """Ordered conversion funnel over events: users reaching each step
     via a strictly-increasing timestamp chain (greedy-min chain —
@@ -4109,6 +4131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_alternation": _q_role_alternation,
         "term_burstiness": _q_term_burstiness,
         "ngram_novelty": _q_ngram_novelty,
+        "event_funnel_windowed": _q_event_funnel_windowed,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5853,6 +5876,31 @@ LEFT JOIN bstat ON bstat._id = d.doc_id
 ORDER BY d.doc_id""",
         # funnel: greedy earliest chain — min ts per step strictly after
         # the previous step's bound
+        # chain-reachable completion-time SETS (c1/c2/c3), not greedy
+        # min chains — under a window the earliest chain can fail while
+        # a later one converts
+        "event_funnel_windowed": f"""
+WITH c1 AS (SELECT DISTINCT user_id, ts FROM events
+            WHERE event_type = 'view'),
+ c2 AS (SELECT DISTINCT e.user_id, e.ts FROM events e
+        JOIN c1 ON c1.user_id = e.user_id AND e.ts > c1.ts
+         AND epoch_us(e.ts) - epoch_us(c1.ts)
+             <= {FUNNEL_WINDOW_S} * 1000000::BIGINT
+        WHERE e.event_type = 'click'),
+ c3 AS (SELECT DISTINCT e.user_id, e.ts FROM events e
+        JOIN c2 ON c2.user_id = e.user_id AND e.ts > c2.ts
+         AND epoch_us(e.ts) - epoch_us(c2.ts)
+             <= {FUNNEL_WINDOW_S} * 1000000::BIGINT
+        WHERE e.event_type = 'purchase')
+SELECT 1::INT AS step, 'view' AS step_name,
+       (SELECT count(DISTINCT user_id) FROM c1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::INT, 'click',
+       (SELECT count(DISTINCT user_id) FROM c2)::BIGINT
+UNION ALL
+SELECT 3::INT, 'purchase',
+       (SELECT count(DISTINCT user_id) FROM c3)::BIGINT
+ORDER BY step""",
         "event_funnel": """
 WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
             WHERE event_type = 'view' GROUP BY user_id),

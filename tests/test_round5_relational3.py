@@ -395,3 +395,41 @@ def test_role_alternation_on_transcripts_corpus(ray_session):
         want[["n_pairs", "n_violations"]].astype("int64")
     pd.testing.assert_frame_equal(got, want)
     assert got["n_violations"].sum() > 0     # corpus has real stutters
+
+
+def test_windowed_funnel_beats_greedy_chain(ray_session):
+    # user 1: view@0 AND view@50, click@60, window 30 — the greedy
+    # earliest chain (0 -> 60, gap 60) fails; the DP converts via the
+    # view@50.  user 2: only the early view — must NOT convert.
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.sessionize import event_funnel_windowed
+    base = pd.Timestamp("2024-06-01")
+    rows = [(1, base, "view"), (1, base + pd.Timedelta(seconds=50), "view"),
+            (1, base + pd.Timedelta(seconds=60), "click"),
+            (2, base, "view"), (2, base + pd.Timedelta(seconds=60), "click")]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows])})
+    parts = event_funnel_windowed(
+        ray.data.from_arrow(tbl), steps=("view", "click"),
+        window_s=30).to_pandas()
+    sums = parts.groupby("step")["n_users_p"].sum()
+    assert int(sums[1]) == 2         # both users viewed
+    assert int(sums[2]) == 1         # only user 1 converts (via view@50)
+
+
+def test_windowed_funnel_matches_plain_when_window_huge(events_dir):
+    # an effectively infinite window degenerates to the plain funnel
+    import ray.data
+    from vframe_ray.stages.sessionize import (event_funnel,
+                                              event_funnel_windowed)
+    ds = ray.data.read_parquet(f"{events_dir}/events.parquet")
+    sums = event_funnel_windowed(ds, steps=("view", "click"),
+                                 window_s=10**9).to_pandas() \
+        .groupby("step")["n_users_p"].sum()
+    sums_p = event_funnel(ds, steps=("view", "click")).to_pandas() \
+        .groupby("step")["n_users_p"].sum()
+    assert list(sums) == list(sums_p)

@@ -440,3 +440,65 @@ def role_alternation_violations(ds, *, conv_col: str = "conv_id",
                                batch_format="pyarrow")
             .groupby("__b").map_groups(per_bucket,
                                        batch_format="pandas"))
+
+
+def event_funnel_windowed(ds, *, steps: tuple = ("view", "click",
+                                                 "purchase"),
+                          window_s: int = 86_400,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type"):
+    """Funnel with a per-step conversion window: a user converts
+    through step i+1 iff SOME step-i completion c and a step-(i+1)
+    event t satisfy c < t ≤ c + window.  The plain funnel's greedy
+    earliest-chain is WRONG here (an early step-1 can overflow the
+    window while a later one converts — pytest pins the case), so each
+    bucket runs the exact set DP instead: C₁ = step-1 times, C_{i+1} =
+    step-(i+1) times with some C_i element inside their window — the
+    chain-reachable completion-time sets, computed with one
+    merge + window filter + distinct per step (the loop is over the
+    CONFIG-sized step list; the merge explosion is bounded by per-user
+    occurrences per step, the documented assumption).
+
+    Same single hash(user) exchange and ≤ len(steps) partial rows per
+    bucket as :func:`event_funnel`.  Returns (step, n_users_p)
+    partials; callers sum per step."""
+    import pyarrow.compute as pc
+    nb = num_hash_buckets(None)
+    steps = list(steps)
+    win_us = np.int64(int(window_s) * 1_000_000)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[type_col],
+                              value_set=pa.array(steps, pa.string())))
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "__b": pa.array(int_bucket_of(k, nb)),
+            key_col: t[key_col], ts_col: t[ts_col],
+            type_col: t[type_col]})
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        g = pd.DataFrame({key_col: g[key_col].to_numpy(np.int64),
+                          "__ts": ts_us,
+                          type_col: g[type_col].to_numpy(object)})
+        counts = []
+        C = g.loc[g[type_col] == steps[0], [key_col, "__ts"]] \
+            .drop_duplicates()
+        counts.append(C[key_col].nunique())
+        for s in steps[1:]:
+            e = g.loc[g[type_col] == s, [key_col, "__ts"]] \
+                .drop_duplicates() \
+                .merge(C.rename(columns={"__ts": "__c"}), on=key_col)
+            ok = (e["__ts"] > e["__c"]) & \
+                 (e["__ts"] <= e["__c"] + win_us)
+            C = e.loc[ok, [key_col, "__ts"]].drop_duplicates()
+            counts.append(C[key_col].nunique())
+        return _arrow(pd.DataFrame({
+            "step": np.arange(1, len(steps) + 1, dtype=np.int32),
+            "n_users_p": np.array(counts, dtype=np.int64)}))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__b")
+            .map_groups(funnel, batch_format="pandas"))
