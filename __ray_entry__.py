@@ -2212,6 +2212,14 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(tokenized, k=20, min_count=5)
 
 
+def _q_zipf_fit(sf_dir: str):
+    from vframe_ray.pipelines.flagship import documents_as_transcripts
+    from vframe_ray.stages.stats import zipf_fit
+    from vframe_ray.stages.tokenize import tokenize
+    return zipf_fit(tokenize(documents_as_transcripts(sf_dir)),
+                    top_v=25)
+
+
 def _q_ngram_novelty(sf_dir: str):
     import ray.data
     from vframe_ray.stages.dedup import ngram_novelty
@@ -4132,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": _q_term_burstiness,
         "ngram_novelty": _q_ngram_novelty,
         "event_funnel_windowed": _q_event_funnel_windowed,
+        "zipf_fit": _q_zipf_fit,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5180,6 +5189,21 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "zipf_fit": f"""{_TOK},
+ cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+ r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn
+       FROM cf),
+ t AS (SELECT ln(rn::DOUBLE) AS x, ln(c::DOUBLE) AS y
+       FROM r WHERE rn <= 25),
+ s AS (SELECT count(*)::DOUBLE AS v, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx
+       FROM t)
+SELECT v::BIGINT AS n_terms,
+       round(-((v * sxy - sx * sy) / (v * sxx - sx * sx)), 6)
+           AS alpha_r,
+       round((sy - ((v * sxy - sx * sy) / (v * sxx - sx * sx)) * sx)
+             / v, 6) AS intercept_r
+FROM s""",
         "ngram_novelty": f"""{_TOK},{_shingle_cte(3)},
  fs AS (SELECT s, min(_id) AS fd FROM sh GROUP BY s),
  per AS (SELECT sh._id AS _id, count(*) AS n_sh,

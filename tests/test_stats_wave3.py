@@ -398,3 +398,34 @@ def test_term_burstiness_scalar_oracle(ray_session):
     # scalar VMR: mean=1 for both; flat var=0, bursty var=(n²/n - 1)
     assert out.loc["flat", "vmr_r"] == 0.0
     assert out.loc["bursty", "vmr_r"] == round(float(n) - 1.0, 6)
+
+
+def test_zipf_fit_recovers_planted_exponent(ray_session):
+    # plant cf(r) = round(C / r^0.8): the OLS on ln-ln must recover
+    # alpha ~ 0.8; verified against numpy.polyfit on the same points
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from vframe_ray.stages.stats import zipf_fit
+    from vframe_ray.stages.tokenize import tokenize
+    rng = np.random.default_rng(13)
+    V, C = 40, 5000
+    counts = np.maximum(1, np.round(
+        C / np.arange(1, V + 1) ** 0.8)).astype(int)
+    texts = []
+    for i, c in enumerate(counts):
+        toks = [f"t{i:03d}"] * int(c)
+        texts.append(" ".join(toks))
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(V)]),
+        "turn_idx": pa.array(np.zeros(V, np.int32)),
+        "text": pa.array(texts)})
+    out = zipf_fit(tokenize(ray.data.from_arrow(tbl).repartition(4)),
+                   top_v=V)
+    assert int(out["n_terms"][0]) == V
+    x = np.log(np.arange(1, V + 1))
+    y = np.log(counts.astype(float))
+    slope, icept = np.polyfit(x, y, 1)
+    assert abs(out["alpha_r"][0] - (-slope)) < 1e-6
+    assert abs(out["intercept_r"][0] - icept) < 1e-6
+    assert 0.75 < out["alpha_r"][0] < 0.85

@@ -1350,3 +1350,43 @@ def term_burstiness(tokenized_ds, n_docs: int, *, k: int = 20):
                          "cf": cand["cf"].to_numpy(np.int64),
                          "sum_sq": cand["sq"].to_numpy(np.int64),
                          "vmr_r": vmr}).reset_index(drop=True)
+
+
+def zipf_fit(tokenized_ds, *, top_v: int = 100):
+    """Zipf exponent of the corpus: OLS slope of ln(cf) on ln(rank)
+    over the top ``top_v`` terms by collection frequency — the one-row
+    corpus health number (natural text ≈ −1; templated/boilerplate
+    corpora flatten, spam steepens).
+
+    The heavy part — exact term cf — is the distributed
+    :func:`term_stats` reduce with a per-bucket local top-k, so the
+    driver sees ≤ buckets×top_v rows; the ln/OLS epilogue runs over
+    top_v values with the same float expression the SQL oracle uses.
+
+    Returns pandas with one row: (n_terms, alpha_r, intercept_r)."""
+    summed = term_stats(tokenized_ds)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["cf", "term"],
+                                       ascending=[False, True]) \
+            .head(top_v)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = summed.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas().sort_values(["cf", "term"],
+                                 ascending=[False, True]).head(top_v)
+    v = len(cand)
+    if not v:
+        return pd.DataFrame({"n_terms": pd.array([0], dtype="int64"),
+                             "alpha_r": [float("nan")],
+                             "intercept_r": [float("nan")]})
+    x = np.log(np.arange(1, v + 1, dtype=np.float64))
+    y = np.log(cand["cf"].to_numpy(np.int64).astype(np.float64))
+    vf = float(v)
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (vf * sxy - sx * sy) / (vf * sxx - sx * sx)
+    icept = (sy - slope * sx) / vf
+    return pd.DataFrame({"n_terms": pd.array([v], dtype="int64"),
+                         "alpha_r": [round(-slope, 6)],
+                         "intercept_r": [round(icept, 6)]})
