@@ -2212,6 +2212,17 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(tokenized, k=20, min_count=5)
 
 
+def _q_label_centroids(sf_dir: str):
+    import ray.data
+    from vframe_ray.stages.similarity import label_centroids
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "label", "embedding"])
+    out = label_centroids(ds).to_pandas()
+    return out.sort_values(["label", "dim"]).reset_index(drop=True) \
+        .astype({"label": "int64", "dim": "int64", "n_vecs": "int64",
+                 "sum_code": "int64"})
+
+
 def _q_zipf_fit(sf_dir: str):
     from vframe_ray.pipelines.flagship import documents_as_transcripts
     from vframe_ray.stages.stats import zipf_fit
@@ -4141,6 +4152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "event_funnel_windowed": _q_event_funnel_windowed,
         "zipf_fit": _q_zipf_fit,
+        "label_centroids": _q_label_centroids,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5189,6 +5201,24 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "label_centroids": """
+WITH e AS (SELECT label, vec_id,
+                  unnest(embedding) AS x,
+                  unnest(generate_series(0, len(embedding) - 1)) AS dim
+           FROM embeddings),
+ mx AS (SELECT vec_id, max(abs(x::DOUBLE)) AS m FROM e GROUP BY vec_id),
+ c AS (SELECT e.label, e.dim,
+              CASE WHEN mx.m > 0
+                   THEN floor(x::DOUBLE * 127.0 / mx.m + 0.5)
+                   ELSE 0.0 END AS code
+       FROM e JOIN mx USING (vec_id)),
+ a AS (SELECT label, dim, count(*) AS n_vecs,
+              sum(code)::BIGINT AS sum_code
+       FROM c GROUP BY 1, 2)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       n_vecs::BIGINT AS n_vecs, sum_code,
+       round(sum_code::DOUBLE / n_vecs, 6) AS centroid_r
+FROM a ORDER BY label, dim""",
         "zipf_fit": f"""{_TOK},
  cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
  r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn

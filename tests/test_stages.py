@@ -324,3 +324,40 @@ def test_ngram_novelty_first_copy_wins(ray_session):
     assert out.loc[7, "n_shingles"] == len(sh7)
     assert out.loc[7, "n_novel"] == len(sh7 - sh0)
     assert 0.0 < out.loc[7, "novelty_r"] < 1.0
+
+
+def test_label_centroids_exact_and_invariant(ray_session):
+    # exact int sums vs a numpy scalar oracle; partitioning must not
+    # change a single value (int64 sums); all-zero vector -> 0 codes
+    from vframe_ray.stages.similarity import label_centroids
+    rng = np.random.default_rng(19)
+    n, dim = 60, 8
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    M[7] = 0.0                                   # all-zero vector
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "label": pa.array(labels),
+                    "embedding": pa.array(M.tolist(),
+                                          pa.list_(pa.float32()))})
+    x = M.astype(np.float64)
+    maxabs = np.abs(x).max(axis=1)
+    safe = np.where(maxabs > 0, maxabs, 1.0)
+    codes = np.floor(x * 127.0 / safe[:, None] + 0.5)
+    codes[maxabs == 0] = 0.0
+    codes = codes.astype(np.int64)
+    outs = []
+    for parts in (1, 5):
+        out = label_centroids(
+            ray.data.from_arrow(tbl).repartition(parts)).to_pandas() \
+            .sort_values(["label", "dim"]).reset_index(drop=True)
+        outs.append(out)
+        for lb in range(3):
+            m = labels == lb
+            want = codes[m].sum(axis=0)
+            got = out[out["label"] == lb].sort_values("dim")
+            assert list(got["sum_code"]) == list(want)
+            assert (got["n_vecs"] == int(m.sum())).all()
+            np.testing.assert_array_equal(
+                got["centroid_r"].to_numpy(),
+                np.round(want / m.sum(), 6))
+    pd.testing.assert_frame_equal(outs[0], outs[1])

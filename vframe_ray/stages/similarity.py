@@ -860,3 +860,71 @@ def farthest_point_sample(ds, *, k: int, id_col: str = "vec_id",
 
     import pandas as pd
     return pd.DataFrame(picks, columns=["rnk", "id", "mindist"])
+
+
+def label_centroids(ds, *, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    bits_max: int = 127):
+    """Per-label centroid over INT8-quantized embedding codes — the
+    class-prototype table an embedding-quality report starts from
+    (label separability, drift between snapshots).  Codes use the
+    floor-half-up rule of :func:`quantize_embeddings_audit`, so
+    per-(label, dim) sums are EXACT int64 however the corpus is
+    partitioned; the only float is the final centroid division.
+
+    One vectorized pass: a block reduces to ≤ |labels|·dim partial
+    rows (bincount over label·dim composite codes), a bucketed
+    key-hash reduce sums partials, and each row divides once.
+    Returns a Dataset of (label, dim, n_vecs, sum_code, centroid_r)
+    — |labels|·dim rows total.
+    """
+    from .stats import salted_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if not n:
+            return pa.table({"__ld": pa.array([], pa.int64()),
+                             "n_p": pa.array([], pa.int64()),
+                             "sum_p": pa.array([], pa.int64())})
+        flat = pc.list_flatten(t[vec_col].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // n
+        x = flat.reshape(n, dim)
+        maxabs = np.abs(x).max(axis=1)
+        safe = np.where(maxabs > 0.0, maxabs, 1.0)
+        codes = np.floor(x * float(bits_max) / safe[:, None] + 0.5)
+        codes[maxabs == 0.0] = 0.0
+        codes = codes.astype(np.int64)
+        labels = t[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ld = (labels[:, None] * dim
+              + np.arange(dim, dtype=np.int64)[None, :]).ravel()
+        uld, inv = np.unique(ld, return_inverse=True)
+        sums = np.bincount(inv, weights=codes.ravel(),
+                           minlength=len(uld)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uld)).astype(np.int64)
+        return pa.table({"__ld": pa.array(uld),
+                         "n_p": pa.array(cnt),
+                         "sum_p": pa.array(sums)})
+
+    # dim rides inside the composite key; recover it from the data
+    head = ds.take(1)
+    dim = len(head[0][vec_col]) if head else 0
+    summed = salted_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), "__ld", ["n_p", "sum_p"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ld = t["__ld"].to_numpy(zero_copy_only=False)
+        n = t["n_p"].to_numpy(zero_copy_only=False)
+        s = t["sum_p"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": pa.array((ld // dim).astype(np.int64)),
+            "dim": pa.array((ld % dim).astype(np.int64)),
+            "n_vecs": pa.array(n.astype(np.int64)),
+            "sum_code": pa.array(s.astype(np.int64)),
+            "centroid_r": pa.array(np.round(
+                s.astype(np.float64) / n, 6), pa.float64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
