@@ -4153,6 +4153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel_windowed": _q_event_funnel_windowed,
         "zipf_fit": _q_zipf_fit,
         "label_centroids": _q_label_centroids,
+        "user_activity_gini": rel.user_activity_gini,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5201,6 +5202,17 @@ SELECT d.doc_id, coalesce(e.n, 0)::BIGINT AS n_bytes,
        round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n ELSE 0.0 END,
              6) AS entropy
 FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+        "user_activity_gini": """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS x FROM events
+           GROUP BY user_id),
+ r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+ s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              sum(i * x)::BIGINT AS sixi
+       FROM r)
+SELECT n AS n_users, sx AS total_events,
+       round((2.0 * sixi) / (n::DOUBLE * sx)
+             - (n + 1)::DOUBLE / n, 6) AS gini_r
+FROM s""",
         "label_centroids": """
 WITH e AS (SELECT label, vec_id,
                   unnest(embedding) AS x,

@@ -433,3 +433,38 @@ def test_windowed_funnel_matches_plain_when_window_huge(events_dir):
     sums_p = event_funnel(ds, steps=("view", "click")).to_pandas() \
         .groupby("step")["n_users_p"].sum()
     assert list(sums) == list(sums_p)
+
+
+def test_gini_closed_forms(ray_session, tmp_path):
+    # uniform counts -> G = 0 exactly; extreme concentration -> G near
+    # (n-1)/n; verified against the scalar rank formula
+    from vframe_ray.pipelines.relational import user_activity_gini
+    d = tmp_path / "gini"
+    d.mkdir()
+
+    def write(counts):
+        rows = []
+        eid = 0
+        for u, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, u))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "user_id"])
+        df["ts"] = pd.Timestamp("2024-01-01")
+        df["event_type"] = "view"
+        df["value"] = 0.5
+        df["props"] = "{}"
+        df.to_parquet(d / "events.parquet", index=False)
+
+    write([5] * 12)                                   # uniform
+    out = user_activity_gini(str(d))
+    assert int(out["n_users"][0]) == 12
+    assert out["gini_r"][0] == 0.0
+    counts = [1] * 9 + [991]                          # concentrated
+    write(counts)
+    out = user_activity_gini(str(d))
+    x = np.sort(np.array(counts))
+    n, sx = len(x), x.sum()
+    sixi = int((np.arange(1, n + 1) * x).sum())
+    want = round((2.0 * sixi) / (float(n) * sx) - (n + 1) / float(n), 6)
+    assert out["gini_r"][0] == want and want > 0.85

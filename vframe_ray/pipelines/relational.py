@@ -4635,3 +4635,64 @@ def event_trigram_paths(sf_dir: str, k: int = TRIGRAM_K):
     out = out.sort_values(["n", "t1", "t2", "t3"],
                           ascending=[False, True, True, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def user_activity_gini(sf_dir: str):
+    """Gini coefficient of events-per-user — the one-row inequality
+    number every abuse/engagement report leads with (0 = uniform
+    activity, →1 = a few users generate everything).
+
+    Exact end-to-end: per-user counts via one hash(user) exchange,
+    a DISTRIBUTED sort on (count asc, user asc), global ranks from
+    :func:`~vframe_ray.stages.scan.global_prefix_scan` (n and Σx ride
+    along as the scan's grand totals), and Σ i·x_i accumulates as
+    per-block int64 partials — the classic rank formula
+    G = 2·Σi·x_i / (n·Σx) − (n+1)/n 
+    is then ONE float expression, reproduced verbatim by the oracle.
+
+    Returns pandas with one row: (n_users, total_events, gini_r)."""
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    from ..stages.scan import global_prefix_scan
+    nb = num_hash_buckets(None)
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")]) \
+            .rename_columns(["user_id", "x"])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        return g.add_column(0, "__b", pa.array(
+            int_bucket_of(u.astype(np.int64), nb)))
+
+    def exact(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("user_id", as_index=False, sort=False)["x"].sum()
+        out = arrow_group(agg)
+        return out.append_column("one", pa.array(
+            np.ones(len(agg), dtype=np.int64)))
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("__b").map_groups(exact, batch_format="pandas"))
+    ranked = counts.sort(["x", "user_id"])
+    scanned, grand = global_prefix_scan(ranked, ["one", "x"])
+    n, sx = int(grand[0]), int(grand[1])
+    if not n:
+        return pd.DataFrame({"n_users": pd.array([0], dtype="int64"),
+                             "total_events": pd.array([0],
+                                                      dtype="int64"),
+                             "gini_r": [float("nan")]})
+
+    def ixi_partial(t: pa.Table) -> pa.Table:
+        i = t["cum_one"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array(
+            [int((i.astype(np.int64) * x.astype(np.int64)).sum())],
+            pa.int64())})
+
+    parts = scanned.map_batches(ixi_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    sixi = int(parts["p"].sum())
+    gini = round((2.0 * sixi) / (float(n) * sx) - (n + 1) / float(n), 6)
+    return pd.DataFrame({"n_users": pd.array([n], dtype="int64"),
+                         "total_events": pd.array([sx], dtype="int64"),
+                         "gini_r": [gini]})
