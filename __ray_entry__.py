@@ -3478,6 +3478,24 @@ def _q_dedup_clusters(sf_dir: str):
     return cc
 
 
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster SIZE distribution — the one-glance "how bad is
+    duplication" report (many pairs vs few giant clusters).  The heavy
+    work is the same LSH + connected-components path as
+    dedup_clusters; the histogram is an edge-sized epilogue."""
+    import pandas as pd
+
+    from vframe_ray.stages.graph import minhash_dedup_clusters
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    cc = minhash_dedup_clusters(ds, n=3)
+    sizes = cc.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({"size": hist.index.astype("int64"),
+                         "n_clusters": hist.to_numpy("int64")}) \
+        .reset_index(drop=True)
+
+
 def _q_asof_prior_view(sf_dir: str):
     """Backward as-of join (stages/joins.py): each purchase event ->
     latest same-user view at or before it; oracle = DuckDB ASOF LEFT
@@ -4154,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "label_centroids": _q_label_centroids,
         "user_activity_gini": rel.user_activity_gini,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5298,6 +5317,17 @@ ORDER BY pmi_r DESC, term_a, term_b LIMIT 20""",
         "minhash_candidates": _minhash_sql(),
         "near_dedup_conversations": _near_dedup_sql(threshold=0.8),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_cluster_sizes": f"""{_minhash_ctes(recursive=True)},
+ edges AS (SELECT id_a AS a, id_b AS b FROM cand
+           UNION SELECT id_b, id_a FROM cand),
+ reach(a, b) AS (SELECT a, b FROM edges
+                 UNION SELECT r.a, e.b
+                 FROM reach r JOIN edges e ON e.a = r.b),
+ lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+ cs AS (SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY cluster_id)
+SELECT sz::BIGINT AS size, count(*)::BIGINT AS n_clusters
+FROM cs GROUP BY sz ORDER BY size""",
         "stratified_sample": f"""
 SELECT doc_id, lang FROM documents
 WHERE ({_TH64.format(col='doc_id::VARCHAR')} % 10000)
