@@ -100,3 +100,42 @@ def test_sort_by_attr_matches_brute(ray_session, tmp_path):
                   key=lambda x: (-x[0], x[1]))
     assert list(zip(got["score"].astype(int), got["conv_id"])) == want
     assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_empty_predicate_mask_skips_postings_read(ray_session, tmp_path):
+    """A call-level predicate no doc in a segment satisfies returns
+    empty WITHOUT reading postings (zone-style segment skip) — and the
+    result equals the unskipped path's."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from tests.util import SMALL_CFG
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+    from vframe_ray.index.searcher import SegmentSearcher
+
+    idx = str(tmp_path / "zskip")
+    rows = [{"conv_id": f"c{i}", "turn_idx": 0,
+             "text": "alpha beta gamma", "lang": "en" if i % 2 else "de"}
+            for i in range(10)]
+    build_index(ray.data.from_items(rows), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    q = [{"query_id": 0, "query_text": "alpha", "k": 10}]
+    # impossible predicate: no doc matches anywhere
+    out = search_index(idx, q, predicates=["lang == 'zz'"])
+    assert out.num_rows == 0
+    # per-segment: the skip path must not populate the postings cache
+    from vframe_ray.config import EngineConfig
+    from vframe_ray.index.build import load_index_meta
+    from vframe_ray.index.entrypoints import _global_df_for_terms
+    cfg_dict, stats, seg_dirs = load_index_meta(idx)
+    cfg = EngineConfig.from_dict(cfg_dict)
+    gdf = _global_df_for_terms(idx, {"alpha"})
+    s = SegmentSearcher(seg_dirs[0], cfg.bm25, stats["n_docs"],
+                        stats["avgdl"], gdf, cfg.index.block_size)
+    t = s.search([(0, ["alpha"], 10)], predicates=["lang == 'zz'"])
+    assert t.num_rows == 0 and not s._postings_cache
+    # sanity: without the impossible predicate the same segment scores
+    # normally and the postings read happens
+    t2 = s.search([(0, ["alpha"], 10)])
+    assert t2.num_rows > 0 and s._postings_cache

@@ -1485,10 +1485,21 @@ class SegmentSearcher:
         is the global one.  All candidates are scored (k_eff = n_cand)
         before the vectorized collapse.
         """
+        doc_mask = self._base_mask(predicates)
+        if doc_mask is not None and not doc_mask.any():
+            # zone-style segment skip: no doc here satisfies the
+            # call-level predicate (common when the filtered attribute
+            # correlates with the build partitioning — time-ranged
+            # extends, conv-hash routing), so skip the postings read
+            # entirely; per-query filters only ever AND with this mask
+            return pa.table({
+                "query_id": pa.array([], pa.int32()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "score": pa.array([], pa.float64())})
         all_terms = sorted(set().union(*[set(q[1]) for q in queries])
                            ) if queries else []
         postings = self.load_terms_cached(all_terms)
-        doc_mask = self._base_mask(predicates)
         # per-QUERY predicates (optional 4th tuple element — the
         # filter-context-per-request shape): each distinct filter list
         # compiles once per call and ANDs with the global mask
