@@ -3478,6 +3478,57 @@ def _q_dedup_clusters(sf_dir: str):
     return cc
 
 
+def _q_source_neardup_matrix(sf_dir: str):
+    """Which sources copy from each other: near-dup pairs (n-gram
+    Jaccard ≥ 0.5, the jaccard_pairs kernel) rolled up by the UNORDERED
+    source pair — the provenance matrix that catches mirrors and
+    syndication before training-mix weighting.  (Exact-TEXT cross-source
+    dups — stages/dedup.cross_source_dups — are pytest-verified on
+    planted data; this corpus has no byte-identical cross-source texts,
+    so the driver row uses the near-dup variant.)"""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data
+    from vframe_ray.stages.dedup import jaccard_pairs
+    from vframe_ray.stages.joins import hash_join
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pairs = jaccard_pairs(ds, n=3, threshold=0.5).map_batches(
+        lambda t: t.drop_columns(["jaccard"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    # doc -> source stays DISTRIBUTED (two keyed exchanges), never a
+    # driver materialization of the corpus-growing documents table
+    docs_a = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"]).map_batches(
+        lambda t: t.rename_columns(["id_a", "sa"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs_b = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"]).map_batches(
+        lambda t: t.rename_columns(["id_b", "sb"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sch_p = _pa.schema([("id_a", _pa.int64()), ("id_b", _pa.int64())])
+    j1 = hash_join(pairs, docs_a, key="id_a",
+                   left_cols=["id_a", "id_b"], right_cols=["sa"],
+                   left_schema=sch_p,
+                   right_schema=_pa.schema([("id_a", _pa.int64()),
+                                            ("sa", _pa.string())]))
+    j2 = hash_join(j1, docs_b, key="id_b",
+                   left_cols=["id_b", "sa"], right_cols=["sb"],
+                   left_schema=_pa.schema([("id_a", _pa.int64()),
+                                           ("id_b", _pa.int64()),
+                                           ("sa", _pa.string())]),
+                   right_schema=_pa.schema([("id_b", _pa.int64()),
+                                            ("sb", _pa.string())]))
+    m = j2.to_pandas()                 # ≤ near-dup pairs — tiny
+    lo = m[["sa", "sb"]].min(axis=1)
+    hi = m[["sa", "sb"]].max(axis=1)
+    out = pd.DataFrame({"source_a": lo, "source_b": hi}) \
+        .groupby(["source_a", "source_b"], as_index=False).size() \
+        .rename(columns={"size": "n_pairs"})
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True).astype({"n_pairs": "int64"})
+
+
 def _q_dedup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster SIZE distribution — the one-glance "how bad is
     duplication" report (many pairs vs few giant clusters).  The heavy
@@ -4173,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "user_activity_gini": rel.user_activity_gini,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "source_neardup_matrix": _q_source_neardup_matrix,
         # --- NEW this session: grouped robust stats + window/rank family ---
         "bm25_span_first": _q_span_first,
         "term_vectors": _q_term_vectors,
@@ -5317,6 +5369,22 @@ ORDER BY pmi_r DESC, term_a, term_b LIMIT 20""",
         "minhash_candidates": _minhash_sql(),
         "near_dedup_conversations": _near_dedup_sql(threshold=0.8),
         "dedup_clusters": _dedup_clusters_sql(),
+        "source_neardup_matrix": f"""{_TOK},{_shingle_cte(3)},
+ sz AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+ cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+ inter AS (SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a._id < b._id
+           WHERE a.s IN (SELECT s FROM cold)
+           GROUP BY a._id, b._id),
+ p AS (SELECT id_a, id_b FROM inter
+       JOIN sz sa ON sa._id = id_a JOIN sz sb ON sb._id = id_b
+       WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+ m AS (SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b
+       FROM p JOIN documents da ON da.doc_id = p.id_a
+              JOIN documents db ON db.doc_id = p.id_b)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
         "dedup_cluster_sizes": f"""{_minhash_ctes(recursive=True)},
  edges AS (SELECT id_a AS a, id_b AS b FROM cand
            UNION SELECT id_b, id_a FROM cand),

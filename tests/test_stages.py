@@ -361,3 +361,20 @@ def test_label_centroids_exact_and_invariant(ray_session):
                 got["centroid_r"].to_numpy(),
                 np.round(want / m.sum(), 6))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_cross_source_dups_planted(ray_session):
+    # texts planted across sources: t0 in A+B, t1 in A+B+C, t2 only in
+    # A (twice — within-source dup must NOT appear in the cross matrix)
+    from vframe_ray.stages.dedup import cross_source_dups
+    rows = [("A", "t0"), ("B", "t0"),
+            ("A", "t1"), ("B", "t1"), ("C", "t1"),
+            ("A", "t2"), ("A", "t2"),
+            ("B", "unique b"), ("C", "unique c")]
+    tbl = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+    out = cross_source_dups(ray.data.from_arrow(tbl).repartition(3))
+    got = {(a, b): int(n) for a, b, n in
+           zip(out["source_a"], out["source_b"], out["n_texts"])}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}

@@ -776,3 +776,68 @@ def ngram_novelty(ds, *, n: int = 3, id_col: str = "doc_id",
                                             batch_format="pandas")
             .groupby("__db").map_groups(doc_combine,
                                         batch_format="pandas"))
+
+
+def cross_source_dups(ds, *, id_col: str = "doc_id",
+                      source_col: str = "source",
+                      text_col: str = "text"):
+    """Cross-source duplication matrix: for each UNORDERED source pair,
+    how many distinct texts occur in BOTH — the provenance report that
+    finds mirror sites / syndicated content before training-mix
+    weighting.  Exact over full text equality (sha256), symmetric
+    pairs reported once as (source_a < source_b).
+
+    One hash(text_sha) exchange; each bucket reduces its hashes to
+    distinct (sha, source) pairs and emits the per-sha source-pair
+    expansions — bounded by |sources per sha|² per duplicate, never a
+    corpus-wide explosion.  Partial pair counts driver-combine
+    (≤ |sources|² rows).  Returns pandas
+    (source_a, source_b, n_texts) sorted.
+    """
+    from ..runtime import num_hash_buckets
+    nb = num_hash_buckets()
+
+    def pruned(t: pa.Table) -> pa.Table:
+        t = pa.table({source_col: t[source_col], text_col: t[text_col]})
+        t = add_content_hash(t, text_col)
+        h = pd.util.hash_array(t["text_sha"].to_pandas()
+                               .to_numpy(dtype=object))
+        return pa.table({
+            "__b": pa.array((h % nb).astype(np.int32)),
+            "sha": t["text_sha"], source_col: t[source_col]})
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["sha", source_col])
+        cnt = d.groupby("sha", sort=False)[source_col].nunique()
+        multi = d[d["sha"].isin(cnt[cnt > 1].index)]
+        a_out, b_out = [], []
+        for _, sub in multi.groupby("sha", sort=False):
+            ss = sorted(sub[source_col])
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    a_out.append(ss[i])
+                    b_out.append(ss[j])
+        out = pd.DataFrame({"source_a": a_out, "source_b": b_out})
+        agg = out.groupby(["source_a", "source_b"], as_index=False,
+                          sort=False).size() if len(out) else \
+            pd.DataFrame({"source_a": [], "source_b": [], "size": []})
+        return pa.table({
+            "source_a": pa.array(agg["source_a"], pa.string()),
+            "source_b": pa.array(agg["source_b"], pa.string()),
+            "n_p": pa.array(agg["size"].to_numpy(np.int64)
+                            if len(agg) else
+                            np.empty(0, np.int64))})
+
+    parts = (ds.map_batches(pruned, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("__b").map_groups(bucket_pairs,
+                                        batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_texts": pd.Series([], dtype="int64")})
+    out = parts.groupby(["source_a", "source_b"], as_index=False)[
+        "n_p"].sum().rename(columns={"n_p": "n_texts"})
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True).astype({"n_texts": "int64"})
