@@ -204,6 +204,10 @@ def run_bench() -> dict:
     def _stage_query():
         from vframe_ray.index.query import QueryService
         svc = QueryService(idx_dir, n_actors=NUM_CPUS)
+        # identical repeated batches would hit the request cache and
+        # measure dict lookups — this KPI is SCORING throughput
+        svc.request_cache_size = 0
+        svc._req_cache.clear()
         try:
             svc.search(queries)               # warm the service (heaps,
             svc.search(queries)               # postings + decode caches)

@@ -53,6 +53,12 @@ def main() -> int:
 
     queries = generate_queries()
     svc = QueryService(args.index_dir, n_actors=args.actors)
+    # this bench repeats IDENTICAL batches — with the request cache on
+    # it would measure dict lookups, not the scoring path.  The cached
+    # number is ~memory speed by construction; what BASELINE.md quotes
+    # is steady-state SCORING throughput.
+    svc.request_cache_size = 0
+    svc._req_cache.clear()
     try:
         for _ in range(2):                       # warm caches untimed
             res = svc.search(queries)
