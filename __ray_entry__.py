@@ -2290,6 +2290,17 @@ def _q_char_entropy(sf_dir: str):
         {"doc_id": "int64", "n_bytes": "int64"})
 
 
+def _q_unigram_xent(sf_dir: str):
+    """Per-doc cross-entropy under the corpus unigram LM (CCNet-style
+    perplexity-proxy quality signal, unigram MLE so SQL-exact)."""
+    from vframe_ray.stages.textquality import unigram_cross_entropy
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = unigram_cross_entropy(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64"})
+
+
 def _q_cosine(sf_dir: str):
     import ray.data
     from vframe_ray.stages.similarity import cosine_topk
@@ -4213,6 +4224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed in r5; the judge's r4 next-steps #1/#3/#4 name a green
         # --- r5 driver row as the done criterion, so these four go FIRST
         # --- (json_field_rollup is the one red r4 row — BIGINT cast) ---
+        # --- NEW this session (r5 third session): LLM-quality wave ---
+        "unigram_cross_entropy": _q_unigram_xent,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5261,6 +5274,20 @@ FROM documents ORDER BY doc_id""",
 SELECT cpb.rn::BIGINT AS n_docs,
        (SELECT count(*) FROM fs WHERE fs.fd <= cpb.bid)::BIGINT AS vocab
 FROM cpb ORDER BY n_docs""",
+        # corpus unigram-LM cross-entropy: cf/tf are exact integers; the
+        # engine orders each doc's tf*ln(cf) contributions by value
+        # before the float sum (partition-invariant), DuckDB sums in its
+        # own order — both land inside round(..., 6)
+        "unigram_cross_entropy": f"""{_TOK},
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok GROUP BY _id, term),
+ cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+ tot AS (SELECT count(*)::DOUBLE AS c FROM tok),
+ per AS (SELECT tf._id AS _id, sum(tf)::BIGINT AS n_tokens,
+                sum(tf * ln(cf)) AS s
+         FROM tf JOIN cf USING (term) GROUP BY tf._id)
+SELECT _id::BIGINT AS doc_id, n_tokens,
+       round(ln((SELECT c FROM tot)) - s / n_tokens, 6) AS h_r
+FROM per ORDER BY doc_id""",
         # byte = character on the ASCII driver corpus; the pytest pins
         # the byte definition on non-ASCII input
         "char_entropy": """

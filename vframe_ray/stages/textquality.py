@@ -783,3 +783,115 @@ def char_entropy(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "entropy": pa.array(np.round(ent, round_to))})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_cross_entropy(ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", round_to: int = 6,
+                          corpus_total: int | None = None):
+    """Per-doc cross-entropy (nats/token) under the CORPUS unigram LM —
+    the perplexity-proxy quality signal of the CCNet / RedPajama
+    filtering stacks (there a 5-gram KenLM; here the unigram MLE so
+    the score is exactly reproducible in SQL): docs made of common
+    words score low, rare-token noise scores high.
+
+        h(d) = -(1/L_d) * sum_pos ln(cf(t) / C)
+             =  ln C - (sum_t tf_t * ln cf_t) / L_d
+
+    Scale shape — mirror of :func:`~vframe_ray.stages.dedup.
+    ngram_novelty`'s two-exchange plan: per-block (doc, term, tf)
+    partials (a doc is whole inside its block, so block tf = doc tf)
+    co-partition by hash(term); each term bucket holds EVERY row of
+    its terms, so global cf is computed in-bucket and the per-row
+    ``tf * ln cf`` contribution attached in the same pass — no vocab
+    broadcast, no join-back.  Rows then re-bucket by hash(doc); the
+    per-doc reduce orders each doc's contributions by value before the
+    float sum, so the accumulation order is a pure function of the doc
+    — never of block boundaries or bucket count (partition-invariant,
+    like every float op here).
+
+    ``corpus_total`` (C = total corpus tokens) is one cheap pre-pass
+    when omitted; a caller with a built index reads it for free from
+    ``global/stats.json``'s ``total_len`` and passes it in.
+
+    Returns a Dataset of (id_col, n_tokens, h_r); empty docs have no
+    tokens and are absent (mirror a LEFT JOIN in SQL for a roster).
+    """
+    import pandas as pd
+
+    from ..runtime import arrow_group, int_bucket_of, num_hash_buckets
+    nb = num_hash_buckets()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        toks = tok.tokenize_array(pc.fill_null(t[text_col], ""))
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if not len(flat):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        parents = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        terms, codes = np.unique(flat.to_numpy(zero_copy_only=False),
+                                 return_inverse=True)
+        ndocs_blk = t.num_rows
+        pair = codes.astype(np.int64) * ndocs_blk + parents
+        upair, tfc = np.unique(pair, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids[(upair % ndocs_blk)]),
+            "term": pa.array(terms[(upair // ndocs_blk)].astype(object),
+                             pa.string()),
+            "tf": pa.array(tfc.astype(np.int64))})
+
+    if corpus_total is None:
+        def blk_total(t: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array(
+                [int(pa.compute.sum(t["tf"]).as_py() or 0)], pa.int64())})
+        corpus_total = int(
+            ds.map_batches(tf_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(blk_total, batch_format="pyarrow")
+            .sum("n") or 0)
+    ln_c = float(np.log(float(corpus_total)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["term"].to_pandas().to_numpy(dtype=object))
+        return t.append_column(
+            "__kb", pa.array((h % nb).astype(np.int32)))
+
+    def term_bucket(g: pd.DataFrame) -> pa.Table:
+        codes, _ = pd.factorize(g["term"], sort=False)
+        tf = g["tf"].to_numpy(np.int64)
+        cf = np.bincount(codes, weights=tf).astype(np.int64)
+        contrib = tf * np.log(cf[codes].astype(np.float64))
+        ids = g[id_col].to_numpy(np.int64)
+        out = arrow_group(pd.DataFrame(
+            {"id": ids, "tf": tf, "c": contrib}))
+        return out.append_column(
+            "__db", pa.array(int_bucket_of(ids, nb)))
+
+    def doc_combine(g: pd.DataFrame) -> pa.Table:
+        ids = g["id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.float64)
+        tf = g["tf"].to_numpy(np.int64)
+        order = np.lexsort((c, ids))
+        ids, c, tf = ids[order], c[order], tf[order]
+        cuts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        s = np.add.reduceat(c, cuts)
+        n_tok = np.add.reduceat(tf, cuts)
+        h = np.round(ln_c - s / n_tok.astype(np.float64), round_to)
+        return pa.table({id_col: pa.array(ids[cuts]),
+                         "n_tokens": pa.array(n_tok.astype(np.int64)),
+                         "h_r": pa.array(h, pa.float64())})
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__kb").map_groups(term_bucket,
+                                        batch_format="pandas")
+            .groupby("__db").map_groups(doc_combine,
+                                        batch_format="pandas"))
