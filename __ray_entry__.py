@@ -3923,6 +3923,107 @@ def _q_farthest_points(sf_dir: str):
     return farthest_point_sample(ds, k=FPS_K)
 
 
+SEMDEDUP_THRESHOLD = 0.4          # τ = 2/5; int predicate uses (2, 5)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: FPS-center clustering + within-cluster cosine≥τ drop
+    (keep-first).  Every comparison is exact int64 over the shared
+    int8 codes, so the iterative-geometry pipeline value-hashes
+    against a chained-CTE oracle."""
+    from vframe_ray.stages.similarity import semantic_dedup
+    ds = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=FPS_K,
+                         threshold=SEMDEDUP_THRESHOLD).to_pandas()
+    out["kept"] = out["kept"].astype("int64")
+    return out.astype({"vec_id": "int64", "cluster": "int64"})
+
+
+def _semantic_dedup_sql(k: int = 4, tn: int = 2, td: int = 5,
+                        dim: int = 64) -> str:
+    """Chained-CTE SemDeDup oracle: the farthest_point_sample greedy
+    chain (identical CTEs), then exact int64 nearest-center assignment
+    (ties → lowest center rank) and the all-integer within-cluster
+    cosine predicate ``dot > 0 AND td²·dot² ≥ tn²·|a|²·|b|²``."""
+    steps = []
+    prev_d = "d1"
+    sel = ["(SELECT id FROM s1)"]
+    for r in range(2, k + 1):
+        excl = " UNION ALL ".join(
+            f"SELECT {s} AS vec_id" if s.startswith("(") else
+            f"SELECT vec_id FROM {s}" for s in sel)
+        steps.append(f"""
+ p{r} AS (SELECT vec_id FROM {prev_d}
+        WHERE vec_id NOT IN ({excl})
+        ORDER BY dd DESC, vec_id LIMIT 1),
+ dp{r} AS (SELECT e.vec_id, sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+         FROM e JOIN e s ON s.i = e.i
+                        AND s.vec_id = (SELECT vec_id FROM p{r})
+         GROUP BY e.vec_id),
+ d{r} AS (SELECT {prev_d}.vec_id, least({prev_d}.dd, dp{r}.dd) AS dd
+        FROM {prev_d} JOIN dp{r} ON dp{r}.vec_id = {prev_d}.vec_id)""")
+        prev_d = f"d{r}"
+        sel.append(f"p{r}")
+    centers = " UNION ALL ".join(
+        ["SELECT 1 AS rnk, (SELECT id FROM s1) AS cid"]
+        + [f"SELECT {r} AS rnk, (SELECT vec_id FROM p{r}) AS cid"
+           for r in range(2, k + 1)])
+    return f"""
+WITH m AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                                          v -> abs(v::DOUBLE)))
+                      AS maxabs
+           FROM embeddings),
+ c AS (SELECT vec_id,
+              CASE WHEN maxabs > 0 THEN
+                list_transform(embedding,
+                               v -> floor(v::DOUBLE * 127.0 / maxabs
+                                          + 0.5))
+              ELSE list_transform(embedding, v -> 0.0) END AS cd
+       FROM m),
+ e AS (SELECT vec_id, i, cd[i]::BIGINT AS v
+       FROM c, generate_series(1, {dim}) g(i)),
+ s1 AS (SELECT min(vec_id) AS id FROM c),
+ d1 AS (SELECT e.vec_id, sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+        FROM e JOIN e s ON s.i = e.i
+                       AND s.vec_id = (SELECT id FROM s1)
+        GROUP BY e.vec_id),{','.join(steps)},
+ centers AS ({centers}),
+ dist AS (SELECT e.vec_id, c.rnk,
+                 sum((e.v - s.v) * (e.v - s.v))::BIGINT AS dd
+          FROM e
+          JOIN centers c ON true
+          JOIN e s ON s.vec_id = c.cid AND s.i = e.i
+          GROUP BY e.vec_id, c.rnk),
+ asn AS (SELECT vec_id, rnk AS cluster FROM (
+           SELECT vec_id, rnk,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, rnk) AS rn
+           FROM dist) WHERE rn = 1),
+ nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM e
+         GROUP BY vec_id),
+ dropped AS (SELECT DISTINCT b.vec_id FROM asn a
+             JOIN asn b ON a.cluster = b.cluster
+                       AND a.vec_id < b.vec_id
+             JOIN (SELECT ea.vec_id AS ia, eb.vec_id AS ib,
+                          sum(ea.v * eb.v)::BIGINT AS dot
+                   FROM e ea JOIN e eb ON ea.i = eb.i
+                                      AND ea.vec_id < eb.vec_id
+                   GROUP BY ea.vec_id, eb.vec_id) g
+                  ON g.ia = a.vec_id AND g.ib = b.vec_id
+             JOIN nrm na ON na.vec_id = a.vec_id
+             JOIN nrm nb ON nb.vec_id = b.vec_id
+             WHERE g.dot > 0
+               AND {td * td} * g.dot * g.dot
+                   >= {tn * tn} * na.n2 * nb.n2)
+SELECT c.vec_id::BIGINT AS vec_id, asn.cluster::BIGINT AS cluster,
+       (CASE WHEN c.vec_id IN (SELECT vec_id FROM dropped)
+             THEN 0 ELSE 1 END)::BIGINT AS kept
+FROM c JOIN asn USING (vec_id)
+ORDER BY vec_id"""
+
+
 PRIORITY_K = 100
 
 
@@ -4226,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (json_field_rollup is the one red r4 row — BIGINT cast) ---
         # --- NEW this session (r5 third session): LLM-quality wave ---
         "unigram_cross_entropy": _q_unigram_xent,
+        "semantic_dedup": _q_semantic_dedup,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4503,6 +4605,7 @@ FROM documents d LEFT JOIN dl ON dl._id = d.doc_id
 WHERE d.doc_id IN ({', '.join(str(i) for i in GET_DOC_IDS)})
 ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
+        "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
         "farthest_point_sample": """
 WITH m AS (SELECT vec_id, embedding,
                   list_max(list_transform(embedding,

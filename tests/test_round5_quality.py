@@ -79,3 +79,63 @@ def test_unigram_cross_entropy_corpus_total_passthrough(ray_session):
                               corpus_total=8).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_semantic_dedup_planted_duplicates(ray_session):
+    # two planted near-identical vectors: same cluster, higher id
+    # dropped; an isolated vector survives
+    import ray.data
+    from vframe_ray.stages.similarity import semantic_dedup
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8))
+    base[7] = base[2] + 1e-3 * rng.normal(size=8)     # near-dup of 2
+    base[13] = -base[4]                               # anti-parallel: NOT a dup
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32()))})
+    out = semantic_dedup(ray.data.from_arrow(tbl), k=3,
+                         threshold=0.9).to_pandas().set_index("vec_id")
+    assert out.loc[7, "cluster"] == out.loc[2, "cluster"]
+    assert not out.loc[7, "kept"]          # higher id of the pair drops
+    assert out.loc[2, "kept"]              # keep-first
+    assert out.loc[13, "kept"]             # negative dot can never drop
+    assert len(out) == 20
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    import ray.data
+    from vframe_ray.stages.similarity import semantic_dedup
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(60, 8))
+    x[30:40] = x[0:10] + 1e-4 * rng.normal(size=(10, 8))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float32()))})
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        outs.append(semantic_dedup(ds, k=4, threshold=0.95).to_pandas()
+                    .sort_values("vec_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert (~outs[0]["kept"]).sum() >= 10  # the planted copies drop
+
+
+def test_semantic_dedup_strip_rows_invariant(ray_session):
+    # the strip-chunked Gram product must not change results
+    import ray.data
+    from vframe_ray.stages.similarity import semantic_dedup
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(50, 6))
+    x[25:] = x[:25] * 1.0001
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+    a = semantic_dedup(ds, k=2, threshold=0.9,
+                       strip_rows=4).to_pandas()
+    b = semantic_dedup(ds, k=2, threshold=0.9,
+                       strip_rows=4096).to_pandas()
+    assert a.equals(b)

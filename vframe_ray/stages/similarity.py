@@ -928,3 +928,132 @@ def label_centroids(ds, *, label_col: str = "label",
 
     return summed.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _int8_codes(x: np.ndarray, bits_max: int = 127) -> np.ndarray:
+    """Per-row int8 quantization codes (floor-half-up rule shared with
+    :func:`quantize_embeddings_audit` / :func:`farthest_point_sample`):
+    ``floor(x * bits_max / max|row| + 0.5)`` as exact int64; all-zero
+    rows code to 0."""
+    x = x.astype(np.float64, copy=False)
+    if x.size == 0:
+        return x.astype(np.int64)
+    maxabs = np.abs(x).max(axis=1)
+    safe = np.where(maxabs > 0.0, maxabs, 1.0)
+    c = np.floor(x * float(bits_max) / safe[:, None] + 0.5)
+    c[maxabs == 0.0] = 0.0
+    return c.astype(np.int64)
+
+
+def semantic_dedup(ds, *, k: int = 4, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bits_max: int = 127,
+                   strip_rows: int = 2048) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then drop within-cluster semantic near-duplicates
+    — the pairwise work collapses from corpus² to cluster², which is
+    the entire point of the method at web scale.
+
+    Exactness (what makes a value-hash SQL oracle possible for a
+    geometric pipeline): centers come from
+    :func:`farthest_point_sample` (exact-int greedy k-center, k-means
+    without the float iteration); every vector assigns to its nearest
+    center by exact int64 squared distance over the shared int8 codes
+    (ties → lowest center rank); a member is DROPPED iff a LOWER-id
+    member of its cluster has cosine ≥ τ, decided by the all-integer
+    predicate ``dot > 0 AND den²·dot² ≥ num²·|a|²·|b|²`` with
+    τ = num/den parsed exactly from the decimal literal — no float
+    ever enters a comparison.  (int64-safe for den ≤ ~1000 at
+    dim·bits_max² ≤ ~1e6, asserted.)
+
+    Scale shape: k-1 broadcast passes for the centers (FPS contract),
+    ONE assignment map_batches with the k center codes broadcast, ONE
+    keyed exchange on cluster id.  Per-cluster work is quadratic BY
+    DESIGN (SemDeDup's own contract — pick k so N/k fits a reducer);
+    the Gram product runs in ``strip_rows`` row strips so memory is
+    O(strip × cluster), and the keep-first rule (not transitive
+    closure) matches :func:`~vframe_ray.stages.dedup.dedup_exact`.
+
+    Returns (id_col, cluster, kept) for every vector, sorted by id;
+    cluster = 1-based FPS rank of the assigned center.
+    """
+    from fractions import Fraction
+
+    import pandas as pd
+    import ray
+
+    from ..runtime import arrow_group
+
+    fr = Fraction(str(threshold))
+    tn, td = fr.numerator, fr.denominator
+    if tn <= 0:
+        raise ValueError("threshold must be positive")
+    gmax = 1.0
+    picks = farthest_point_sample(ds, k=k, id_col=id_col,
+                                  vec_col=vec_col, bits_max=bits_max)
+    center_ids = picks["id"].to_numpy(np.int64)          # rank order
+    if not len(center_ids):
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "kept": pa.array([], pa.bool_())})
+    idset = pa.array(sorted(int(i) for i in center_ids), pa.int64())
+
+    def grab(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset)
+        return t.filter(mask).select([id_col, vec_col])
+
+    ctr = ds.map_batches(grab, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .set_index(id_col).loc[center_ids]
+    C = _int8_codes(np.stack(ctr[vec_col].to_numpy()), bits_max)
+    dim = C.shape[1]
+    # integer-predicate overflow guard: td²·dot² and tn²·|a|²·|b|²
+    # must fit int64
+    gmax = float(dim) * float(bits_max) ** 2
+    if max(td, tn) ** 2 * gmax ** 2 >= 2.0 ** 63:
+        raise ValueError("threshold denominator too large for the "
+                         "int64 predicate at this dim/bits_max")
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        X = _int8_codes(list_column_matrix(t[vec_col]), bits_max)
+        if not len(X):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: t[vec_col],
+                             "cluster": pa.array([], pa.int64())})
+        d = ((X * X).sum(1)[:, None] + (Cm * Cm).sum(1)[None, :]
+             - 2 * (X @ Cm.T))
+        cl = (np.argmin(d, axis=1) + 1).astype(np.int64)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         vec_col: t[vec_col],
+                         "cluster": pa.array(cl)})
+
+    def bucket(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = _int8_codes(np.stack(g[vec_col].to_numpy()[order]), bits_max)
+        n2 = (X * X).sum(1)
+        dropped = np.zeros(len(ids), bool)
+        for lo in range(0, len(ids), strip_rows):
+            hi = min(lo + strip_rows, len(ids))
+            G = X[lo:hi] @ X.T                       # strip × cluster
+            lhs = (td * td) * (G.astype(np.int64) ** 2)
+            rhs = (tn * tn) * (n2[lo:hi, None] * n2[None, :])
+            dup = (G > 0) & (lhs >= rhs)
+            # lower-id witnesses only: column j < row index
+            cols = np.arange(len(ids))[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            dropped[lo:hi] = (dup & (cols < rows)).any(axis=1)
+        return arrow_group(pd.DataFrame({
+            id_col: ids,
+            "cluster": g["cluster"].to_numpy(np.int64)[order],
+            "kept": ~dropped}))
+
+    out = (ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cluster").map_groups(bucket, batch_format="pandas")
+           .to_pandas().sort_values(id_col).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
