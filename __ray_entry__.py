@@ -3923,6 +3923,45 @@ def _q_farthest_points(sf_dir: str):
     return farthest_point_sample(ds, k=FPS_K)
 
 
+def _q_fuzzy_repair(sf_dir: str):
+    """Edit-distance-1 dirty-key repair: every event's type is
+    deterministically corrupted (middle character deleted), then
+    fuzzy-joined back to the clean type roster via the SymSpell
+    delete-neighborhood join; output = repaired row count per clean
+    type.  Counts aggregate distributed (salted_sum over per-block
+    dirty-key partials); only DISTINCT keys reach the pair stage."""
+    import pandas as pd
+
+    from vframe_ray.stages.joins import fuzzy_match_pairs
+    from vframe_ray.stages.stats import salted_sum
+
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        s = t["event_type"].to_pandas()
+        uniq = pd.unique(s)
+        m = {u: (u[: len(u) // 2] + u[len(u) // 2 + 1:]) for u in uniq}
+        return pa.table({"dk": pa.array(s.map(m).to_numpy(object),
+                                        pa.string()),
+                         "n": pa.array(np.ones(len(s), np.int64))})
+
+    dirty = ds.map_batches(corrupt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = salted_sum(dirty, "dk", ["n"]).to_pandas()[["dk", "n"]]
+    roster = ds.map_batches(
+        lambda t: pa.table({"t": pc.unique(t["event_type"]
+                                           .combine_chunks())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = fuzzy_match_pairs(dirty, roster, left_key="dk",
+                              right_key="t").to_pandas()
+    out = pairs.merge(counts, on="dk").groupby("t", as_index=False) \
+        .agg(n_rows=("n", "sum")) \
+        .rename(columns={"t": "event_type"}) \
+        .sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_rows": "int64"})
+
+
 SEMDEDUP_THRESHOLD = 0.4          # τ = 2/5; int predicate uses (2, 5)
 
 
@@ -4328,6 +4367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW this session (r5 third session): LLM-quality wave ---
         "unigram_cross_entropy": _q_unigram_xent,
         "semantic_dedup": _q_semantic_dedup,
+        "fuzzy_repair_event_types": _q_fuzzy_repair,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4606,6 +4646,22 @@ WHERE d.doc_id IN ({', '.join(str(i) for i in GET_DOC_IDS)})
 ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
+        # middle-char-deleted dirty keys repaired by levenshtein<=1;
+        # the engine's SymSpell delete-neighborhood candidates + banded
+        # DP must reproduce DuckDB's levenshtein exactly
+        "fuzzy_repair_event_types": """
+WITH dirty AS (SELECT substr(event_type, 1, len(event_type) // 2)
+                      || substr(event_type, len(event_type) // 2 + 2)
+                          AS dk
+               FROM events),
+ types AS (SELECT DISTINCT event_type AS t FROM events),
+ pairs AS (SELECT d.dk, t.t
+           FROM (SELECT DISTINCT dk FROM dirty) d
+           JOIN types t ON levenshtein(d.dk, t.t) <= 1),
+ cnt AS (SELECT dk, count(*) AS n FROM dirty GROUP BY dk)
+SELECT p.t AS event_type, sum(cnt.n)::BIGINT AS n_rows
+FROM pairs p JOIN cnt USING (dk)
+GROUP BY p.t ORDER BY event_type""",
         "farthest_point_sample": """
 WITH m AS (SELECT vec_id, embedding,
                   list_max(list_transform(embedding,

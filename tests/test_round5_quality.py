@@ -139,3 +139,54 @@ def test_semantic_dedup_strip_rows_invariant(ray_session):
     b = semantic_dedup(ds, k=2, threshold=0.9,
                        strip_rows=4096).to_pandas()
     assert a.equals(b)
+
+
+def test_fuzzy_match_pairs_vs_levenshtein(ray_session):
+    # hostile cases: transposition is distance 2 (excluded), dupes on
+    # both sides collapse, short keys behave, equal keys match
+    import duckdb
+    import ray.data
+    from vframe_ray.stages.joins import fuzzy_match_pairs
+    L = ["view", "vew", "clik", "purchase", "purchsae", "error",
+         "errors", "x", "ab", "viiew"]
+    R = ["view", "click", "purchase", "error", "checkout", "a", "b",
+         "ba"]
+    out = fuzzy_match_pairs(
+        ray.data.from_arrow(pa.table({"dk": pa.array(L * 3)}))
+        .repartition(4),
+        ray.data.from_arrow(pa.table({"t": pa.array(R)})),
+        left_key="dk", right_key="t").to_pandas() \
+        .sort_values(["dk", "t"]).reset_index(drop=True)
+    ora = duckdb.connect().execute(
+        """SELECT l.dk, r.t
+           FROM (SELECT DISTINCT unnest(?::VARCHAR[]) dk) l,
+                (SELECT DISTINCT unnest(?::VARCHAR[]) t) r
+           WHERE levenshtein(l.dk, r.t) <= 1
+           ORDER BY l.dk, r.t""", [L, R]).df()
+    ora.columns = ["dk", "t"]
+    assert out.equals(ora)
+    assert ("purchsae", "purchase") not in set(
+        zip(out["dk"], out["t"]))          # transposition = distance 2
+
+
+def test_fuzzy_match_pairs_distance2(ray_session):
+    # max_edits=2 picks up the transposition the d=1 join excludes
+    import duckdb
+    import ray.data
+    from vframe_ray.stages.joins import fuzzy_match_pairs
+    L = ["purchsae", "vew", "xyz"]
+    R = ["purchase", "view", "abc"]
+    out = fuzzy_match_pairs(
+        ray.data.from_arrow(pa.table({"dk": pa.array(L)})),
+        ray.data.from_arrow(pa.table({"t": pa.array(R)})),
+        left_key="dk", right_key="t", max_edits=2).to_pandas() \
+        .sort_values(["dk", "t"]).reset_index(drop=True)
+    ora = duckdb.connect().execute(
+        """SELECT l.dk, r.t
+           FROM (SELECT DISTINCT unnest(?::VARCHAR[]) dk) l,
+                (SELECT DISTINCT unnest(?::VARCHAR[]) t) r
+           WHERE levenshtein(l.dk, r.t) <= 2
+           ORDER BY l.dk, r.t""", [L, R]).df()
+    ora.columns = ["dk", "t"]
+    assert out.equals(ora)
+    assert ("purchsae", "purchase") in set(zip(out["dk"], out["t"]))

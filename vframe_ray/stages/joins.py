@@ -492,3 +492,92 @@ def nearest_join(left, right, *, key: str, left_on: str, right_on: str,
 
     return unioned.groupby("__bucket").map_groups(match,
                                                   batch_format="pandas")
+
+
+def fuzzy_match_pairs(left, right, *, left_key: str, right_key: str,
+                      max_edits: int = 1,
+                      num_buckets: int | None = None):
+    """Distributed edit-distance string join (the dirty-key lookup
+    enrichment: misspelled names / codes matched to a clean roster):
+    DISTINCT key pairs (lk, rk) with Levenshtein(lk, rk) ≤ d.
+
+    Candidate generation is the SymSpell deletion-neighborhood rule
+    shared with :mod:`vframe_ray.index.fuzzy`: two strings within
+    distance d MUST share a delete-≤d variant, so pairing inside one
+    hash(variant) bucket is a complete candidate generator, and the
+    length-pruned banded DP (:func:`~vframe_ray.index.fuzzy.
+    _levenshtein_within`) verifies — candidates only, never the cross
+    product.  Physical plan: per-block DISTINCT keys per side → variant
+    rows → ONE hash(variant) exchange pairing L×R per variant → ONE
+    hash(pair) exchange for the global pair-dedup + verify.  Work is
+    over DISTINCT keys (callers attach rows afterwards with
+    :func:`hash_join` or a broadcast — same composition rule as
+    ``jaccard_pairs``).
+
+    Degenerate-key note: very short keys share tiny delete
+    neighborhoods (the empty string is a delete of every 1-char key),
+    so a roster of 1–2-char codes degrades toward all-pairs — inherent
+    to distance-1 semantics on short strings, not to the plan.
+
+    Returns a Dataset of (left_key, right_key) distinct verified pairs.
+    """
+    import pyarrow.compute as pc
+
+    from ..index.fuzzy import _levenshtein_within, deletion_variants
+    nb = num_buckets or _num_buckets()
+
+    def variant_rows(key_col, side):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = pc.drop_null(t[key_col])
+            uniq = pc.unique(keys.combine_chunks() if isinstance(
+                keys, pa.ChunkedArray) else keys).to_pylist()
+            vs, ks = [], []
+            for k in uniq:
+                for v in deletion_variants(str(k), max_edits):
+                    vs.append(v)
+                    ks.append(str(k))
+            return pa.table({
+                "v": pa.array(vs, pa.string()),
+                "k": pa.array(ks, pa.string()),
+                "side": pa.array(np.full(len(vs), side, np.int8))})
+        return fn
+
+    lv = left.map_batches(variant_rows(left_key, 0),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rv = right.map_batches(variant_rows(right_key, 1),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_vbucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["v"].to_pandas().to_numpy(dtype=object))
+        return t.append_column("__vb",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def pair_in_bucket(g: pd.DataFrame) -> pa.Table:
+        # block-level duplicate (v, k, side) rows collapse first; then
+        # per variant the L×R expansion (candidates, verified later)
+        g = g.drop_duplicates(["v", "k", "side"])
+        lft = g[g["side"] == 0]
+        rgt = g[g["side"] == 1]
+        m = lft.merge(rgt, on="v")[["k_x", "k_y"]] \
+            .drop_duplicates()
+        out = pd.DataFrame({"lk": m["k_x"].to_numpy(object),
+                            "rk": m["k_y"].to_numpy(object)})
+        t = _arrow(out)
+        h = pd.util.hash_array(
+            (out["lk"] + "\x00" + out["rk"]).to_numpy(dtype=object))
+        return t.append_column("__pb",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["lk", "rk"])
+        keep = [bool(_levenshtein_within(a, b, max_edits))
+                for a, b in zip(g["lk"], g["rk"])]
+        out = g.loc[keep, ["lk", "rk"]].rename(
+            columns={"lk": left_key, "rk": right_key})
+        return _arrow(out)
+
+    return (lv.union(rv)
+            .map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("__vb").map_groups(pair_in_bucket,
+                                        batch_format="pandas")
+            .groupby("__pb").map_groups(verify, batch_format="pandas"))
