@@ -2301,6 +2301,18 @@ def _q_unigram_xent(sf_dir: str):
         {"doc_id": "int64", "n_tokens": "int64"})
 
 
+def _q_flesch(sf_dir: str):
+    """Flesch Reading Ease with pinned counting rules (analyzer words,
+    [.!?]+ sentence runs min 1, [aeiouy]+ syllable runs min 1/token)."""
+    from vframe_ray.stages.textquality import flesch_reading_ease
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = flesch_reading_ease(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_words": "int64", "n_sentences": "int64",
+         "n_syllables": "int64"})
+
+
 def _q_cosine(sf_dir: str):
     import ray.data
     from vframe_ray.stages.similarity import cosine_topk
@@ -4368,6 +4380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_cross_entropy": _q_unigram_xent,
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_repair_event_types": _q_fuzzy_repair,
+        "flesch_reading_ease": _q_flesch,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5433,6 +5446,22 @@ FROM documents ORDER BY doc_id""",
 SELECT cpb.rn::BIGINT AS n_docs,
        (SELECT count(*) FROM fs WHERE fs.fd <= cpb.bid)::BIGINT AS vocab
 FROM cpb ORDER BY n_docs""",
+        # Flesch Reading Ease: every count is an exact integer (RE2 run
+        # counts on both sides); the formula is the one float expression
+        "flesch_reading_ease": f"""{_TOK},
+ w AS (SELECT _id, count(*) AS w,
+              sum(greatest(len(regexp_extract_all(term, '[aeiouy]+')),
+                           1)) AS syl
+       FROM tok GROUP BY _id),
+ s AS (SELECT doc_id AS _id,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS sents
+       FROM documents)
+SELECT w._id::BIGINT AS doc_id, w.w::BIGINT AS n_words,
+       s.sents::BIGINT AS n_sentences, w.syl::BIGINT AS n_syllables,
+       round(206.835 - 1.015 * w.w / s.sents - 84.6 * w.syl / w.w, 6)
+           AS fre_r
+FROM w JOIN s USING (_id) ORDER BY doc_id""",
         # corpus unigram-LM cross-entropy: cf/tf are exact integers; the
         # engine orders each doc's tf*ln(cf) contributions by value
         # before the float sum (partition-invariant), DuckDB sums in its

@@ -190,3 +190,27 @@ def test_fuzzy_match_pairs_distance2(ray_session):
     ora.columns = ["dk", "t"]
     assert out.equals(ora)
     assert ("purchsae", "purchase") in set(zip(out["dk"], out["t"]))
+
+
+def test_flesch_reading_ease_closed_form(ray_session):
+    # pinned counting rules on hand-computable docs
+    import ray.data
+    from vframe_ray.stages.textquality import flesch_reading_ease
+    texts = [
+        "The cat sat.",        # w=3 s=1 syl=1+1+1=3
+        "Hello!! Bye?",        # w=2 s=2 syl(hello)=2 syl(bye)=1 -> 3
+        "123 xyz",             # no vowels: min-1 rule -> syl=2, s=1(min)
+        "",                    # absent
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = flesch_reading_ease(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [0, 1, 2]
+    assert list(out["n_words"]) == [3, 2, 2]
+    assert list(out["n_sentences"]) == [1, 2, 1]
+    assert list(out["n_syllables"]) == [3, 3, 2]
+    fre0 = round(206.835 - 1.015 * 3 / 1 - 84.6 * 3 / 3, 6)
+    fre1 = round(206.835 - 1.015 * 2 / 2 - 84.6 * 3 / 2, 6)
+    assert out["fre_r"][0] == pytest.approx(fre0, abs=1e-9)
+    assert out["fre_r"][1] == pytest.approx(fre1, abs=1e-9)

@@ -895,3 +895,54 @@ def unigram_cross_entropy(ds, *, id_col: str = "doc_id",
                                         batch_format="pandas")
             .groupby("__db").map_groups(doc_combine,
                                         batch_format="pandas"))
+
+
+def flesch_reading_ease(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", round_to: int = 6):
+    """Flesch Reading Ease per doc — the classic readability score
+    quality-filter stacks use as a cheap fluency prior.  Counting
+    rules pinned so the value is SQL-exact:
+
+    - words      = analyzer tokens (the shared ``[a-z0-9]+`` rule)
+    - sentences  = runs of ``[.!?]+`` in the raw text, min 1
+    - syllables  = runs of ``[aeiouy]+`` per token, min 1 per token
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    every count is an exact integer and the formula is the single
+    float expression the oracle reproduces.  Fully vectorized (one
+    ``count_substring_regex`` over the flattened token array + one
+    over the raw text), zero shuffle — streams per block.
+
+    Returns (id_col, n_words, n_sentences, n_syllables, fre_r); docs
+    with zero tokens are absent (mirror a LEFT JOIN for a roster).
+    """
+    def fn(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        texts = pc.fill_null(t[text_col].combine_chunks()
+                             if isinstance(t[text_col], pa.ChunkedArray)
+                             else t[text_col], "")
+        n = t.num_rows
+        parents, flat, counts = flat_tokens(tok, texts)
+        sents = np.maximum(
+            pc.count_substring_regex(texts, r"[.!?]+")
+            .to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        syl_tok = np.maximum(
+            pc.count_substring_regex(flat, r"[aeiouy]+")
+            .to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        syl = np.bincount(parents, weights=syl_tok,
+                          minlength=n).astype(np.int64)
+        keep = counts > 0
+        w = counts[keep].astype(np.float64)
+        fre = np.round(206.835 - 1.015 * w / sents[keep]
+                       - 84.6 * syl[keep] / w, round_to)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_words": pa.array(counts[keep].astype(np.int64)),
+            "n_sentences": pa.array(sents[keep]),
+            "n_syllables": pa.array(syl[keep]),
+            "fre_r": pa.array(fre, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
