@@ -2313,6 +2313,35 @@ def _q_flesch(sf_dir: str):
          "n_syllables": "int64"})
 
 
+_C4_SUFFIXES = (" {x}.", " lorem ipsum.", ".", "", "!")
+
+
+def _q_c4_rules(sf_dir: str):
+    """C4-style doc filter: per-rule 0/1 flags + the AND verdict.  The
+    synthetic corpus carries no punctuation, so the query injects a
+    deterministic ``doc_id % 5`` suffix (brace / lorem / clean-period /
+    none / bang) — every rule is exercised in both directions
+    (the documents_as_transcripts_punct pattern: hostile surface form
+    derived in the query, mirrored verbatim in the SQL)."""
+    from vframe_ray.stages.textquality import c4_rule_filter
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        suf = np.array(_C4_SUFFIXES, dtype=object)[ids % 5]
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), pa.array(suf, pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    out = c4_rule_filter(
+        ds.map_batches(corrupt, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        min_tokens=40).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns})
+
+
 def _q_cosine(sf_dir: str):
     import ray.data
     from vframe_ray.stages.similarity import cosine_topk
@@ -4381,6 +4410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_repair_event_types": _q_fuzzy_repair,
         "flesch_reading_ease": _q_flesch,
+        "c4_rule_filter": _q_c4_rules,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5446,6 +5476,37 @@ FROM documents ORDER BY doc_id""",
 SELECT cpb.rn::BIGINT AS n_docs,
        (SELECT count(*) FROM fs WHERE fs.fd <= cpb.bid)::BIGINT AS vocab
 FROM cpb ORDER BY n_docs""",
+        # C4 doc-level rules: token floor, terminal punctuation after
+        # rstrip, no curly brace, no lorem ipsum — all-integer flags
+        "c4_rule_filter": f"""
+WITH docs_c AS (SELECT doc_id,
+                       text || CASE doc_id % 5
+                               WHEN 0 THEN ' {{x}}.'
+                               WHEN 1 THEN ' lorem ipsum.'
+                               WHEN 2 THEN '.'
+                               WHEN 3 THEN ''
+                               ELSE '!' END AS text
+                FROM documents),
+{sql_tokens_cte('docs_c', 'text', 'doc_id')},
+ dl AS (SELECT _id, count(*) AS n FROM tok GROUP BY _id),
+ f AS (SELECT d.doc_id,
+              CASE WHEN coalesce(dl.n, 0) >= 40 THEN 1 ELSE 0 END
+                  AS rule_len,
+              CASE WHEN regexp_matches(rtrim(d.text, E' \\t\\n\\r'),
+                                       '[.!?"]$') THEN 1 ELSE 0 END
+                  AS rule_punct,
+              CASE WHEN d.text NOT LIKE '%{{%' THEN 1 ELSE 0 END
+                  AS rule_brace,
+              CASE WHEN lower(d.text) NOT LIKE '%lorem ipsum%'
+                   THEN 1 ELSE 0 END AS rule_lorem
+       FROM docs_c d LEFT JOIN dl ON dl._id = d.doc_id)
+SELECT doc_id::BIGINT AS doc_id, rule_len::BIGINT AS rule_len,
+       rule_punct::BIGINT AS rule_punct,
+       rule_brace::BIGINT AS rule_brace,
+       rule_lorem::BIGINT AS rule_lorem,
+       (rule_len * rule_punct * rule_brace * rule_lorem)::BIGINT
+           AS kept
+FROM f ORDER BY doc_id""",
         # Flesch Reading Ease: every count is an exact integer (RE2 run
         # counts on both sides); the formula is the one float expression
         "flesch_reading_ease": f"""{_TOK},

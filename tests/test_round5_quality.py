@@ -214,3 +214,25 @@ def test_flesch_reading_ease_closed_form(ray_session):
     fre1 = round(206.835 - 1.015 * 2 / 2 - 84.6 * 3 / 2, 6)
     assert out["fre_r"][0] == pytest.approx(fre0, abs=1e-9)
     assert out["fre_r"][1] == pytest.approx(fre1, abs=1e-9)
+
+
+def test_c4_rule_filter_flags(ray_session):
+    import ray.data
+    from vframe_ray.stages.textquality import c4_rule_filter
+    texts = [
+        "the quick brown fox jumps over.",   # all pass
+        "short.",                            # len fails (min 5)
+        "code block sample here {brace}.",   # brace fails
+        "this has Lorem Ipsum filler text.", # lorem fails (case-insens)
+        "five whole words without ending",   # punct fails
+        'quoted ending works fine here "',   # quote counts as terminal
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = c4_rule_filter(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["kept"]) == [1, 0, 0, 0, 0, 1]
+    assert list(out["rule_len"]) == [1, 0, 1, 1, 1, 1]
+    assert list(out["rule_brace"]) == [1, 1, 0, 1, 1, 1]
+    assert list(out["rule_lorem"]) == [1, 1, 1, 0, 1, 1]
+    assert list(out["rule_punct"]) == [1, 1, 1, 1, 0, 1]
