@@ -4003,6 +4003,91 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_bm25_mmr(sf_dir: str):
+    """MMR diversity re-rank over BM25 candidates (rounded-rel +
+    int8-code cosine contract — see stages/similarity.mmr_rerank)."""
+    from vframe_ray.pipelines.flagship import bm25_mmr
+    return bm25_mmr(sf_dir)
+
+
+def _mmr_sql() -> str:
+    """Chained-CTE MMR oracle: the shared BM25 chain produces the
+    candidate sets with ROUNDED rel; int8 codes give integer cosine
+    numerators; the greedy unrolls MMR_K−1 steps per query (the
+    FPS-oracle trick, partitioned by query_id)."""
+    from vframe_ray.pipelines.flagship import MMR_K, MMR_QUERIES
+    lam = 0.5
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev = f"sel{r - 1}"
+        steps.append(f""",
+ pick{r} AS (SELECT query_id, doc_id, {r} AS rnk, rel, maxcos FROM (
+    SELECT c.query_id, c.doc_id, c.rel, mx.m AS maxcos,
+           row_number() OVER (PARTITION BY c.query_id
+               ORDER BY {lam} * c.rel - {1.0 - lam} * mx.m DESC,
+                        c.doc_id) AS rn
+    FROM cand c
+    JOIN (SELECT cs.query_id, cs.ia AS doc_id, max(cs.v) AS m
+          FROM cosmat cs JOIN {prev} s
+               ON s.query_id = cs.query_id AND s.doc_id = cs.ib
+          GROUP BY cs.query_id, cs.ia) mx
+         ON mx.query_id = c.query_id AND mx.doc_id = c.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.query_id = c.query_id
+                        AND s.doc_id = c.doc_id)
+   ) WHERE rn = 1),
+ sel{r} AS MATERIALIZED (SELECT * FROM {prev}
+ UNION ALL SELECT * FROM pick{r})""")
+    return f"""{_bm25_scores_prefix(MMR_QUERIES)},
+ cand AS MATERIALIZED (SELECT r.query_id AS query_id, r.doc_id AS doc_id,
+                 round(r.score, 6) AS rel FROM (
+    SELECT s.query_id, s.doc_id, s.score,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.score DESC, s.doc_id) AS rn
+    FROM scores s) r JOIN qk ON qk.query_id = r.query_id
+    WHERE r.rn <= qk.k),
+ m AS (SELECT vec_id, embedding,
+              list_max(list_transform(embedding,
+                                      v -> abs(v::DOUBLE))) AS maxabs
+       FROM embeddings
+       WHERE vec_id IN (SELECT doc_id FROM cand)),
+ c8 AS (SELECT vec_id,
+              CASE WHEN maxabs > 0 THEN
+                list_transform(embedding,
+                               v -> floor(v::DOUBLE * 127.0 / maxabs
+                                          + 0.5))
+              ELSE list_transform(embedding, v -> 0.0) END AS cd
+       FROM m),
+ e AS (SELECT vec_id, i, cd[i]::BIGINT AS v
+       FROM c8, generate_series(1, 64) g(i)),
+ nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS n2 FROM e
+         GROUP BY vec_id),
+ cosmat AS MATERIALIZED (SELECT a.query_id, a.doc_id AS ia, b.doc_id AS ib,
+                   CASE WHEN na.n2 * nb.n2 = 0 THEN 0.0
+                        ELSE dt.d / sqrt((na.n2 * nb.n2)::DOUBLE) END
+                       AS v
+            FROM cand a
+            JOIN cand b ON b.query_id = a.query_id
+                       AND b.doc_id <> a.doc_id
+            JOIN (SELECT ea.vec_id AS ia, eb.vec_id AS ib,
+                         sum(ea.v * eb.v)::BIGINT AS d
+                  FROM e ea JOIN e eb ON ea.i = eb.i
+                  GROUP BY ea.vec_id, eb.vec_id) dt
+                 ON dt.ia = a.doc_id AND dt.ib = b.doc_id
+            JOIN nrm na ON na.vec_id = a.doc_id
+            JOIN nrm nb ON nb.vec_id = b.doc_id),
+ sel1 AS (SELECT query_id, doc_id, 1 AS rnk, rel,
+                 0.0 AS maxcos FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
+    FROM cand) WHERE rn = 1){''.join(steps)}
+SELECT query_id::INT AS query_id, rnk::INT AS rank,
+       doc_id::BIGINT AS doc_id, rel AS rel_r,
+       round(maxcos, 6) AS maxcos_r
+FROM sel{MMR_K} ORDER BY query_id, rank"""
+
+
 SEMDEDUP_THRESHOLD = 0.4          # τ = 2/5; int predicate uses (2, 5)
 
 
@@ -4411,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_repair_event_types": _q_fuzzy_repair,
         "flesch_reading_ease": _q_flesch,
         "c4_rule_filter": _q_c4_rules,
+        "bm25_mmr": _q_bm25_mmr,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4689,6 +4775,7 @@ WHERE d.doc_id IN ({', '.join(str(i) for i in GET_DOC_IDS)})
 ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
+        "bm25_mmr": _mmr_sql(),
         # middle-char-deleted dirty keys repaired by levenshtein<=1;
         # the engine's SymSpell delete-neighborhood candidates + banded
         # DP must reproduce DuckDB's levenshtein exactly

@@ -236,3 +236,32 @@ def test_c4_rule_filter_flags(ray_session):
     assert list(out["rule_brace"]) == [1, 1, 0, 1, 1, 1]
     assert list(out["rule_lorem"]) == [1, 1, 1, 0, 1, 1]
     assert list(out["rule_punct"]) == [1, 1, 1, 1, 0, 1]
+
+
+def test_mmr_rerank_prefers_diversity(ray_session, tmp_path):
+    # candidate 1 is a near-copy of the seed (slightly lower rel);
+    # candidate 2 is orthogonal with much lower rel. Plain relevance
+    # order would pick the copy second; MMR must pick the orthogonal
+    # vector second and defer the copy.
+    import pyarrow.parquet as pq
+    from vframe_ray.stages.similarity import mmr_rerank
+    vecs = {
+        10: [1.0, 0.0, 0.0, 0.0],      # seed (max rel)
+        11: [0.999, 0.01, 0.0, 0.0],   # near-copy of seed
+        12: [0.0, 1.0, 0.0, 0.0],      # orthogonal
+        13: [0.0, 0.0, 1.0, 0.0],      # orthogonal
+    }
+    tbl = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float32()))})
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, path)
+    cand = {0: (np.array([10, 11, 12, 13], np.int64),
+                np.array([2.0, 1.9, 1.2, 1.0], np.float64))}
+    out = mmr_rerank(cand, path, k=4, lam=0.5)
+    assert list(out["vec_id"]) == [10, 12, 13, 11]
+    assert out["maxcos_r"][0] == 0.0            # seed convention
+    assert out["maxcos_r"].iloc[-1] > 0.99      # the copy's redundancy
+    # rank-1 rel passes through rounded, not rescaled
+    assert out["rel_r"][0] == 2.0

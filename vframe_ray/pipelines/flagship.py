@@ -1568,3 +1568,40 @@ def bm25_function_score(sf_dir: str) -> pa.Table:
         "doc_id": pc.cast(res["conv_id"], pa.int64()),
         "score_r": pc.round(res["score"], ndigits=6),
     })
+
+
+MMR_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "k": 12},
+    {"query_id": 1, "query_text": "hash join sort", "k": 12},
+    {"query_id": 2, "query_text": "the customer", "k": 10},
+]
+MMR_K = 5
+
+
+def bm25_mmr(sf_dir: str) -> pa.Table:
+    """Diversity-aware retrieval: BM25 top-N candidate recall, then the
+    MMR greedy (stages/similarity.mmr_rerank) picks MMR_K results per
+    query trading rounded relevance against int8-code cosine redundancy
+    (lam = 0.5).  Assumes doc_id == vec_id alignment."""
+    import numpy as np
+
+    from ..index.query import search_index
+    from ..stages.similarity import mmr_rerank
+
+    index_dir = documents_index(sf_dir)
+    res = search_index(index_dir, MMR_QUERIES)
+    df = res.to_pandas()
+    cand = {}
+    for qid, g in df.groupby("query_id"):
+        ids = np.asarray([int(c) for c in g["conv_id"]], np.int64)
+        rel = np.round(g["score"].to_numpy(np.float64), 6)
+        cand[int(qid)] = (ids, rel)
+    out = mmr_rerank(cand, os.path.join(sf_dir, "embeddings.parquet"),
+                     k=MMR_K)
+    return pa.table({
+        "query_id": pa.array(out["query_id"].astype("int32")),
+        "rank": pa.array(out["rank"].astype("int32")),
+        "doc_id": pa.array(out["vec_id"].astype("int64")),
+        "rel_r": pa.array(out["rel_r"].astype("float64")),
+        "maxcos_r": pa.array(out["maxcos_r"].astype("float64")),
+    })

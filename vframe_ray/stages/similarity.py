@@ -1057,3 +1057,80 @@ def semantic_dedup(ds, *, k: int = 4, threshold: float = 0.9,
            .groupby("cluster").map_groups(bucket, batch_format="pandas")
            .to_pandas().sort_values(id_col).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def mmr_rerank(candidates: "dict[int, tuple]", emb_path: str, *,
+               k: int = 5, lam: float = 0.5, bits_max: int = 127,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> "pd.DataFrame":
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity-aware selection stage of retrieval pipelines:
+    greedily pick k results maximizing
+    ``lam·rel − (1−lam)·max_cos_to_selected``.
+
+    Exactness contract (what lets the greedy hash-match a chained-CTE
+    oracle): ``rel`` is the ROUNDED BM25 score (6 dp — the engine and
+    the SQL BM25 chain agree on it by construction), cosine is
+    ``dot / sqrt(|a|²·|b|²)`` over the shared int8 codes — integer
+    numerators, one float expression — and every argmax breaks ties by
+    smallest doc id.  The seed is the max-rel candidate.  The reported
+    redundancy column is ``maxcos_r`` (the max-cos term at selection
+    time, 0 for the seed) rather than the mmr value itself: with a
+    6-dp-rounded rel, ``lam·rel`` sits EXACTLY on a .5e-6 rounding
+    boundary whenever rel's 6th digit is odd, where numpy's half-even
+    and SQL's half-away rules disagree — maxcos has no constructed
+    boundary.  The mmr value is derivable from the two columns.
+
+    Scale shape: the heavy recall work already happened in the index;
+    one pushdown-filtered parquet read fetches ONLY candidate vectors
+    (≤ queries·N rows), and the greedy runs over ≤N candidates per
+    query — driver-side by design, like
+    :func:`rerank_by_embedding`.
+
+    ``candidates``: query_id → (ids int64 array, rel float array).
+    Returns (query_id, rank, id_col, rel_r, mmr_r).
+    """
+    import pyarrow.parquet as pq
+
+    need = sorted({int(i) for ids, _ in candidates.values()
+                   for i in ids})
+    t = pq.ParquetDataset(emb_path, filters=[(id_col, "in", need)]) \
+        .read(columns=[id_col, vec_col])
+    ids_all = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    C = _int8_codes(list_column_matrix(t[vec_col]), bits_max)
+    n2 = (C * C).sum(1)
+    pos = {int(i): j for j, i in enumerate(ids_all)}
+    rows = []
+    for qid in sorted(candidates):
+        cids, rel = candidates[qid]
+        cids = np.asarray(cids, dtype=np.int64)
+        rel = np.asarray(rel, dtype=np.float64)
+        keep = np.array([int(c) in pos for c in cids], bool)
+        cids, rel = cids[keep], rel[keep]
+        order = np.argsort(cids)                # ties → smallest id
+        cids, rel = cids[order], rel[order]
+        if not len(cids):
+            continue
+        idx = np.array([pos[int(c)] for c in cids], np.int64)
+        Cq, nq = C[idx], n2[idx]
+        den = np.sqrt((nq[:, None] * nq[None, :]).astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0.0, (Cq @ Cq.T) / den, 0.0)
+        sel = [int(np.argmax(rel))]             # first max = smallest id
+        mcs = [0.0]                  # seed: empty selected set
+        avail = np.ones(len(cids), bool)
+        avail[sel[0]] = False
+        while len(sel) < k and avail.any():
+            mc = cos[:, sel].max(axis=1)
+            mmr = lam * rel - (1.0 - lam) * mc
+            mmr[~avail] = -np.inf
+            j = int(np.argmax(mmr))
+            sel.append(j)
+            mcs.append(float(mc[j]))
+            avail[j] = False
+        for r, (j, m) in enumerate(zip(sel, mcs), 1):
+            rows.append((qid, r, int(cids[j]), float(rel[j]),
+                         round(m, 6)))
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col,
+                                       "rel_r", "maxcos_r"])
