@@ -343,6 +343,33 @@ def run_bench() -> dict:
                               override_num_blocks=NUM_CPUS)
         role_alternation_violations(roles).count()
 
+    def quality_wave(sf_dir):
+        # round-5 third session at TRANSCRIPT scale: unigram-LM
+        # cross-entropy (two keyed exchanges + the C pre-pass), Flesch
+        # readability and the C4 rule filter (both pure maps), over the
+        # 600k-turn corpus; plus the edit-distance repair join over the
+        # full events table (distinct-key SymSpell candidates).
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        from vframe_ray.stages.textquality import (c4_rule_filter,
+                                                   flesch_reading_ease,
+                                                   unigram_cross_entropy)
+
+        def to_docs(t):
+            convno = _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 5),
+                              pa.int64())
+            did = _pc.add(_pc.multiply(convno, 100),
+                          _pc.cast(t["turn_idx"], pa.int64()))
+            return pa.table({"doc_id": did, "text": t["text"]})
+
+        docs = read_corpus().map_batches(to_docs, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        unigram_cross_entropy(docs).count()
+        flesch_reading_ease(docs).count()
+        c4_rule_filter(docs).count()
+        entry_queries["fuzzy_repair_event_types"](sf_dir)
+
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
                  ("top_orders", rel.top_orders),
@@ -388,7 +415,10 @@ def run_bench() -> dict:
                  # round-5 second session: the corpus-analysis family
                  # at transcript scale (entropy, Heaps growth,
                  # burstiness, bigram PMI, novelty, role alternation)
-                 ("corpus_analysis", corpus_analysis)]
+                 ("corpus_analysis", corpus_analysis),
+                 # round-5 third session: the LLM-quality wave at
+                 # transcript scale + the fuzzy repair join
+                 ("quality_wave", quality_wave)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
