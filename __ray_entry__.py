@@ -4003,6 +4003,34 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_dedup_normalized(sf_dir: str):
+    """Normalized-text exact dedup over a corpus doubled with hostile
+    variants (uppercased, spaces → '! ', doc_id + 1000000): every
+    original survives keep-first, every variant dies IFF the
+    normalization rule (lowercase + non-alnum collapse) is exact —
+    the documents_as_transcripts_punct adversarial pattern."""
+    from vframe_ray.stages.dedup import dedup_normalized
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def doubled(t: pa.Table) -> pa.Table:
+        hostile = pa.table({
+            "doc_id": pc.add(pc.cast(t["doc_id"], pa.int64()), 1000000),
+            "text": pc.utf8_upper(pc.replace_substring(
+                pc.fill_null(t["text"], ""), pattern=" ",
+                replacement="! "))})
+        base = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": pc.fill_null(t["text"], "")})
+        return pa.concat_tables([base, hostile])
+
+    out = dedup_normalized(
+        ds.map_batches(doubled, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_cols=["doc_id"]).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id") \
+        .reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def _q_bm25_mmr(sf_dir: str):
     """MMR diversity re-rank over BM25 candidates (rounded-rel +
     int8-code cosine contract — see stages/similarity.mmr_rerank)."""
@@ -4497,6 +4525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flesch_reading_ease": _q_flesch,
         "c4_rule_filter": _q_c4_rules,
         "bm25_mmr": _q_bm25_mmr,
+        "dedup_normalized": _q_dedup_normalized,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4776,6 +4805,23 @@ ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
         "bm25_mmr": _mmr_sql(),
+        # doubled corpus (base + uppercased '! '-separated hostile
+        # variant at doc_id+1000000); dedup key = analyzer tokens
+        # joined by ' ' — keep-first by doc_id
+        "dedup_normalized": f"""
+WITH docs2 AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000,
+                      upper(replace(text, ' ', '! ')) FROM documents),
+{sql_tokens_cte('docs2', 'text', 'doc_id')},
+ norm AS (SELECT d.doc_id,
+                 coalesce(t.norm, '') AS norm
+          FROM docs2 d LEFT JOIN
+               (SELECT _id, array_to_string(
+                            list(term ORDER BY pos), ' ') AS norm
+                FROM tok GROUP BY _id) t ON t._id = d.doc_id),
+ keep AS (SELECT norm, min(doc_id) AS doc_id FROM norm GROUP BY norm)
+SELECT doc_id::BIGINT AS doc_id FROM keep ORDER BY doc_id""",
         # middle-char-deleted dirty keys repaired by levenshtein<=1;
         # the engine's SymSpell delete-neighborhood candidates + banded
         # DP must reproduce DuckDB's levenshtein exactly

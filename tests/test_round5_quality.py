@@ -265,3 +265,21 @@ def test_mmr_rerank_prefers_diversity(ray_session, tmp_path):
     assert out["maxcos_r"].iloc[-1] > 0.99      # the copy's redundancy
     # rank-1 rel passes through rounded, not rescaled
     assert out["rel_r"][0] == 2.0
+
+
+def test_dedup_normalized_rule(ray_session):
+    # punctuation / case / whitespace variants collapse; genuinely
+    # different texts survive; keep-first by id
+    import ray.data
+    from vframe_ray.stages.dedup import dedup_normalized
+    texts = ["Hello,   world!", "hello world", "HELLO *** WORLD",
+             "hello worlds", "", "   "]
+    tbl = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = dedup_normalized(ray.data.from_arrow(tbl).repartition(3),
+                           key_cols=["doc_id"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # 0,1,2 normalize identically -> keep 0; 4 and 5 normalize to ""
+    # -> keep 4; 3 is distinct
+    assert list(out["doc_id"]) == [0, 3, 4]
+    assert list(out.columns) == ["doc_id", "text"]   # helpers dropped

@@ -841,3 +841,34 @@ def cross_source_dups(ds, *, id_col: str = "doc_id",
         "n_p"].sum().rename(columns={"n_p": "n_texts"})
     return out.sort_values(["source_a", "source_b"]) \
         .reset_index(drop=True).astype({"n_texts": "int64"})
+
+
+def dedup_normalized(ds, key_cols: list[str], *, text_col: str = "text"):
+    """Exact dedup over NORMALIZED text — the C4/RefinedWeb
+    normalization step: lowercase, every non-alphanumeric run
+    collapsed to a single space, leading/trailing runs stripped.  That
+    rule is exactly the analyzer token stream joined by spaces, so the
+    engine reuses ``tokenize_array`` + one ``binary_join`` per block
+    and the SQL mirror is ``array_to_string(list(term ORDER BY pos),
+    ' ')`` over the shared tok CTE — one normalization definition on
+    both sides.  Physically :func:`dedup_exact` on the derived column
+    (hash-bucketed keep-first by ``key_cols``); the helper columns are
+    dropped from the output.
+    """
+    from ..analyze import Tokenizer
+
+    def add_norm(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        toks = tok.tokenize_array(pc.fill_null(t[text_col], ""))
+        return t.append_column("__norm", pc.binary_join(toks, " "))
+
+    normed = ds.map_batches(add_norm, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    kept = dedup_exact(normed, key_cols, text_col="__norm")
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in ("__norm", "text_sha")
+                               if c in t.column_names])
+
+    return kept.map_batches(strip, batch_format="pyarrow",
+                            zero_copy_batch=True)
