@@ -847,14 +847,15 @@ def unigram_cross_entropy(ds, *, id_col: str = "doc_id",
             "tf": pa.array(tfc.astype(np.int64))})
 
     if corpus_total is None:
+        # cheap pre-pass: token counts only (skips tf_rows' np.unique)
         def blk_total(t: pa.Table) -> pa.Table:
-            return pa.table({"n": pa.array(
-                [int(pa.compute.sum(t["tf"]).as_py() or 0)], pa.int64())})
+            tok = Tokenizer()
+            toks = tok.tokenize_array(pc.fill_null(t[text_col], ""))
+            n = pc.sum(pc.list_value_length(toks)).as_py()
+            return pa.table({"n": pa.array([int(n or 0)], pa.int64())})
         corpus_total = int(
-            ds.map_batches(tf_rows, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .map_batches(blk_total, batch_format="pyarrow")
-            .sum("n") or 0)
+            ds.map_batches(blk_total, batch_format="pyarrow",
+                           zero_copy_batch=True).sum("n") or 0)
     ln_c = float(np.log(float(corpus_total)))
 
     def add_bucket(t: pa.Table) -> pa.Table:
