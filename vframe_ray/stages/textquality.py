@@ -856,7 +856,9 @@ def unigram_cross_entropy(ds, *, id_col: str = "doc_id",
         corpus_total = int(
             ds.map_batches(blk_total, batch_format="pyarrow",
                            zero_copy_batch=True).sum("n") or 0)
-    ln_c = float(np.log(float(corpus_total)))
+    # empty corpus: no doc ever reaches doc_combine, but keep ln
+    # finite so numpy stays warning-free on the driver
+    ln_c = float(np.log(float(max(corpus_total, 1))))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
