@@ -4003,6 +4003,19 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_analyze_tokens(sf_dir: str):
+    """ES _analyze parity: the (doc, pos, term) token stream of the
+    first 20 documents under the shared analyzer rule — SQL mirror is
+    the tok CTE itself."""
+    from vframe_ray.stages.textops import analyze_tokens
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"],
+                               filter=(pc.field("doc_id") < 20))
+    out = analyze_tokens(ds).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64", "pos": "int64"})
+
+
 def _q_dedup_normalized(sf_dir: str):
     """Normalized-text exact dedup over a corpus doubled with hostile
     variants (uppercased, spaces → '! ', doc_id + 1000000): every
@@ -4526,6 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rule_filter": _q_c4_rules,
         "bm25_mmr": _q_bm25_mmr,
         "dedup_normalized": _q_dedup_normalized,
+        "analyze_tokens": _q_analyze_tokens,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4822,6 +4836,11 @@ WITH docs2 AS (SELECT doc_id, text FROM documents
                 FROM tok GROUP BY _id) t ON t._id = d.doc_id),
  keep AS (SELECT norm, min(doc_id) AS doc_id FROM norm GROUP BY norm)
 SELECT doc_id::BIGINT AS doc_id FROM keep ORDER BY doc_id""",
+        # the tok CTE IS the oracle: one analyzer rule, three
+        # executions (Python re, Arrow kernels, SQL)
+        "analyze_tokens": f"""{_TOK}
+SELECT _id::BIGINT AS doc_id, pos::BIGINT AS pos, term
+FROM tok WHERE _id < 20 ORDER BY doc_id, pos""",
         # middle-char-deleted dirty keys repaired by levenshtein<=1;
         # the engine's SymSpell delete-neighborhood candidates + banded
         # DP must reproduce DuckDB's levenshtein exactly

@@ -283,3 +283,16 @@ def test_dedup_normalized_rule(ray_session):
     # -> keep 4; 3 is distinct
     assert list(out["doc_id"]) == [0, 3, 4]
     assert list(out.columns) == ["doc_id", "text"]   # helpers dropped
+
+
+def test_analyze_tokens_positions(ray_session):
+    import ray.data
+    from vframe_ray.stages.textops import analyze_tokens
+    tbl = pa.table({
+        "doc_id": pa.array([5, 7, 9], pa.int64()),
+        "text": pa.array(["Hello, World! 42", "", "one"]),
+    })
+    out = analyze_tokens(ray.data.from_arrow(tbl).repartition(2)) \
+        .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    assert list(zip(out["doc_id"], out["pos"], out["term"])) == [
+        (5, 0, "hello"), (5, 1, "world"), (5, 2, "42"), (9, 0, "one")]

@@ -116,3 +116,40 @@ def decimate(ds, every_n: int, *, idx_col: str = "turn_idx"):
         # pyarrow 16; numpy modulo on the zero-copy column instead
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def analyze_tokens(ds, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """The Elasticsearch ``_analyze`` surface: explode each doc into
+    its (id, pos, term) token stream under the shared analyzer rule —
+    the introspection endpoint users hit to understand WHY a query
+    did or didn't match.  One vectorized flatten per block, zero
+    shuffle; the SQL mirror is the shared tok CTE itself (one
+    analyzer definition, three executions: Python re, Arrow kernels,
+    SQL — tests pin all three equal)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..analyze import Tokenizer
+    from .hashing import flat_tokens
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tok = Tokenizer()
+        texts = pc.fill_null(t[text_col].combine_chunks()
+                             if isinstance(t[text_col], pa.ChunkedArray)
+                             else t[text_col], "")
+        parents, flat, counts = flat_tokens(tok, texts)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        # position = token ordinal within its row
+        pos = np.arange(len(parents), dtype=np.int64)
+        if len(counts):
+            starts = np.repeat(np.cumsum(counts) - counts, counts)
+            pos = pos - starts
+        return pa.table({id_col: pa.array(ids[parents]),
+                         "pos": pa.array(pos),
+                         "term": flat})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
