@@ -4003,6 +4003,18 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_quality_mix(sf_dir: str):
+    """Training-mix report: (source, entropy-quality NTILE) doc and
+    token counts — distributed sort + prefix-scan rank, no
+    single-process rank anywhere."""
+    from vframe_ray.stages.stats import quality_mix_report
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+    out = quality_mix_report(ds, k=5)
+    return out.astype({"tile": "int64", "n_docs": "int64",
+                       "n_tokens": "int64"})
+
+
 def _q_analyze_tokens(sf_dir: str):
     """ES _analyze parity: the (doc, pos, term) token stream of the
     first 20 documents under the shared analyzer rule — SQL mirror is
@@ -4540,6 +4552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_mmr": _q_bm25_mmr,
         "dedup_normalized": _q_dedup_normalized,
         "analyze_tokens": _q_analyze_tokens,
+        "quality_mix_report": _q_quality_mix,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4841,6 +4854,27 @@ SELECT doc_id::BIGINT AS doc_id FROM keep ORDER BY doc_id""",
         "analyze_tokens": f"""{_TOK}
 SELECT _id::BIGINT AS doc_id, pos::BIGINT AS pos, term
 FROM tok WHERE _id < 20 ORDER BY doc_id, pos""",
+        # source × entropy-quality NTILE(5) mix report; sort key is
+        # the 6-dp-rounded entropy both sides agree on, ties by doc_id
+        "quality_mix_report": f"""{_TOK},
+ dl AS (SELECT _id, count(*)::BIGINT AS n_tok FROM tok GROUP BY _id),
+ ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents),
+ cc AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY 1, 2),
+ e AS (SELECT doc_id, sum(k)::BIGINT AS n, sum(k * ln(k)) AS s
+       FROM cc GROUP BY 1),
+ f AS (SELECT d.doc_id, d.source, coalesce(dl.n_tok, 0) AS n_tok,
+              round(CASE WHEN e.n > 0 THEN ln(e.n) - e.s / e.n
+                         ELSE 0.0 END, 6) AS ent_r
+       FROM documents d
+       LEFT JOIN e USING (doc_id)
+       LEFT JOIN dl ON dl._id = d.doc_id),
+ tiled AS (SELECT source, n_tok,
+                  ntile(5) OVER (ORDER BY ent_r DESC, doc_id) AS tile
+           FROM f)
+SELECT source, tile::BIGINT AS tile, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens
+FROM tiled GROUP BY source, tile ORDER BY source, tile""",
         # middle-char-deleted dirty keys repaired by levenshtein<=1;
         # the engine's SymSpell delete-neighborhood candidates + banded
         # DP must reproduce DuckDB's levenshtein exactly

@@ -296,3 +296,26 @@ def test_analyze_tokens_positions(ray_session):
         .to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
     assert list(zip(out["doc_id"], out["pos"], out["term"])) == [
         (5, 0, "hello"), (5, 1, "world"), (5, 2, "42"), (9, 0, "one")]
+
+
+def test_quality_mix_report_closed_form(ray_session):
+    # 2 sources x 10 docs with strictly decreasing entropy by doc_id:
+    # tiles are fully predictable, tokens count exactly
+    import ray.data
+    from vframe_ray.stages.stats import quality_mix_report
+    # entropy strictly decreases as repetition increases
+    texts = ["abcdefghij"[: 10 - i] + "z" * i for i in range(10)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["web" if i % 2 == 0 else "book"
+                            for i in range(10)])})
+    out = quality_mix_report(
+        ray.data.from_arrow(tbl).repartition(3), k=5)
+    # rank == doc_id + 1 (entropy strictly decreasing), so tile =
+    # (doc_id // 2) + 1; each tile holds one web (even id) + one book
+    assert len(out) == 10
+    assert (out.groupby("tile")["n_docs"].sum() == 2).all()
+    web = out[out["source"] == "web"]
+    assert list(web["tile"]) == [1, 2, 3, 4, 5]
+    assert (out["n_tokens"] > 0).all()

@@ -1390,3 +1390,95 @@ def zipf_fit(tokenized_ds, *, top_v: int = 100):
     return pd.DataFrame({"n_terms": pd.array([v], dtype="int64"),
                          "alpha_r": [round(-slope, 6)],
                          "intercept_r": [round(icept, 6)]})
+
+
+def quality_mix_report(ds, *, k: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       source_col: str = "source") -> "pd.DataFrame":
+    """Training-mix report: document and token counts per (source,
+    quality-tile) — the "what is actually in my training mix" table a
+    data curator reads before setting sampling weights.  Quality =
+    per-doc byte entropy (the boilerplate detector of
+    :func:`~vframe_ray.stages.textquality.char_entropy`); tiles are a
+    GLOBAL NTILE(k) over (entropy desc, id) with the SQL
+    remainder-to-leading-tiles rule.
+
+    Composes three exact primitives with no new shuffle machinery:
+    the entropy+token kernel (one zero-shuffle map), a distributed
+    sort + :func:`~vframe_ray.stages.scan.global_prefix_scan` rank
+    (only O(blocks) scalars touch the driver), and per-block
+    (source, tile) partials driver-combined (≤ sources·k·blocks
+    rows).  The sort key is the ROUNDED entropy (6 dp) — the value
+    engine and SQL agree on exactly — with id tie-breaks.
+
+    Returns pandas (source, tile, n_docs, n_tokens) sorted.
+    """
+    from ..analyze import Tokenizer
+    from .scan import global_prefix_scan
+    from .textquality import _string_bytes
+
+    def features(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        texts = pc.fill_null(t[text_col].combine_chunks()
+                             if isinstance(t[text_col], pa.ChunkedArray)
+                             else t[text_col], "")
+        nrows = t.num_rows
+        counts = tok.doc_lengths(tok.tokenize_array(texts)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        data, lens = _string_bytes(texts)
+        if len(data):
+            row_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            cnt = np.bincount(row_idx * 256 + data.astype(np.int64),
+                              minlength=nrows * 256).reshape(nrows, 256)
+            n = lens.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                clogc = np.where(cnt > 0, cnt * np.log(
+                    np.where(cnt > 0, cnt, 1)), 0.0).sum(axis=1)
+                ent = np.where(lens > 0,
+                               np.log(np.where(lens > 0, lens, 1))
+                               - clogc / np.where(n > 0, n, 1.0), 0.0)
+        else:
+            ent = np.zeros(nrows, np.float64)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            source_col: t[source_col],
+            "n_tokens": pa.array(counts),
+            "ent_r": pa.array(np.round(ent, 6), pa.float64()),
+            "one": pa.array(np.ones(nrows, np.int64))})
+
+    feats = ds.map_batches(features, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ranked = feats.sort(["ent_r", id_col], descending=[True, False])
+    scanned, grand = global_prefix_scan(ranked, ["one"])
+    n = int(grand[0])
+
+    def _ntile(ranks: np.ndarray) -> np.ndarray:
+        # SQL NTILE(k): first n%k tiles get one extra row
+        q, rem = divmod(n, k)
+        head = rem * (q + 1)
+        safe_q = max(q, 1)
+        return np.where(ranks <= head,
+                        (ranks - 1) // (q + 1) + 1,
+                        rem + (ranks - head - 1) // safe_q + 1) \
+            .astype(np.int64)
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({source_col: pa.array([], pa.string()),
+                             "tile": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        rank = t["cum_one"].to_numpy(zero_copy_only=False)
+        g = pa.table({source_col: t[source_col],
+                      "tile": pa.array(_ntile(rank)),
+                      "n_tokens": t["n_tokens"]}) \
+            .group_by([source_col, "tile"]) \
+            .aggregate([([], "count_all"), ("n_tokens", "sum")])
+        return g.rename_columns([source_col, "tile", "n_docs",
+                                 "n_tokens"])
+
+    parts = scanned.map_batches(tile_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    out = parts.groupby([source_col, "tile"], as_index=False) \
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+    return out.sort_values([source_col, "tile"]).reset_index(drop=True)
