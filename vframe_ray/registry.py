@@ -119,6 +119,15 @@ def _register_builtins() -> None:
         "repetition_features": textquality.repetition_features,
         "event_funnel": sessionize.event_funnel,
         "duplicate_chunk_fraction": chunking.duplicate_chunk_fraction,
+        # round-5 third session: LLM-quality wave
+        "unigram_cross_entropy": textquality.unigram_cross_entropy,
+        "flesch_reading_ease": textquality.flesch_reading_ease,
+        "c4_rule_filter": textquality.c4_rule_filter,
+        "char_entropy": textquality.char_entropy,
+        "dedup_normalized": dedup.dedup_normalized,
+        "ngram_novelty": dedup.ngram_novelty,
+        "analyze_tokens": textops.analyze_tokens,
+        "dup_span_coverage": chunking.dup_span_coverage,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)
