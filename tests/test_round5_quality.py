@@ -319,3 +319,38 @@ def test_quality_mix_report_closed_form(ray_session):
     web = out[out["source"] == "web"]
     assert list(web["tile"]) == [1, 2, 3, 4, 5]
     assert (out["n_tokens"] > 0).all()
+
+
+# ---------------- property tests (pure kernels, no Ray) ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdef", min_size=0, max_size=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _words, st.integers(min_value=1, max_value=2))
+def test_symspell_candidates_complete(a, b, d):
+    # the fuzzy join's candidate rule: any pair within levenshtein d
+    # MUST share a delete-<=d variant (else the join would silently
+    # miss it) — the completeness half; the banded DP is the precision
+    # half and is itself property-tested in test_fuzzy_syn.py
+    from vframe_ray.index.fuzzy import (_levenshtein_within,
+                                        deletion_variants)
+    if _levenshtein_within(a, b, d):
+        assert deletion_variants(a, d) & deletion_variants(b, d), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcdeyuioz0123", min_size=1,
+                        max_size=12), min_size=1, max_size=20))
+def test_vowel_group_counts_match_re(tokens):
+    # flesch's syllable rule: Arrow's RE2 run count == Python re
+    import re
+    import pyarrow.compute as pc2
+    arrow = pc2.count_substring_regex(
+        pa.array(tokens, pa.string()), r"[aeiouy]+") \
+        .to_numpy(zero_copy_only=False)
+    scalar = [len(re.findall(r"[aeiouy]+", t)) for t in tokens]
+    assert list(arrow) == scalar
