@@ -4003,6 +4003,49 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_bm25_boosting(sf_dir: str):
+    """ES boosting query: negative-match demotion before the top-k."""
+    from vframe_ray.pipelines.flagship import bm25_boosting
+    return bm25_boosting(sf_dir)
+
+
+def _boosting_sql() -> str:
+    """Boosting oracle: the shared BM25 chain over the POSITIVE texts,
+    then one CASE multiply per (query, negative-match) and the ordinary
+    rank/cut."""
+    from vframe_ray.pipelines.flagship import BOOSTING_QUERIES
+    tok = Tokenizer()
+    pseudo = [{"query_id": q["query_id"], "query_text": q["positive"],
+               "k": q["k"]} for q in BOOSTING_QUERIES]
+    nterms, nbs = [], []
+    for q in BOOSTING_QUERIES:
+        for t in sorted(set(tok.tokenize(q["negative"]))):
+            nterms.append(f"({q['query_id']}, '{t}')")
+        nbs.append(f"({q['query_id']}, {q['negative_boost']})")
+    return f"""{_bm25_scores_prefix(pseudo)},
+ nq(query_id, term) AS (VALUES {', '.join(nterms)}),
+ nbt(query_id, nb) AS (VALUES {', '.join(nbs)}),
+ negm AS (SELECT DISTINCT nq.query_id, tok._id AS doc_id
+          FROM nq JOIN tok ON tok.term = nq.term),
+ demoted AS (SELECT s.query_id, s.doc_id,
+                    CASE WHEN negm.doc_id IS NOT NULL
+                         THEN s.score * nbt.nb ELSE s.score END AS score
+             FROM scores s
+             JOIN nbt ON nbt.query_id = s.query_id
+             LEFT JOIN negm ON negm.query_id = s.query_id
+                           AND negm.doc_id = s.doc_id),
+ ranked AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM demoted)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, rank"""
+
+
 def _q_quality_mix(sf_dir: str):
     """Training-mix report: (source, entropy-quality NTILE) doc and
     token counts — distributed sort + prefix-scan rank, no
@@ -4553,6 +4596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": _q_dedup_normalized,
         "analyze_tokens": _q_analyze_tokens,
         "quality_mix_report": _q_quality_mix,
+        "bm25_boosting": _q_bm25_boosting,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4832,6 +4876,7 @@ ORDER BY d.doc_id""",
         "dedup_keep_best": _dedup_keep_best_sql(),
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
         "bm25_mmr": _mmr_sql(),
+        "bm25_boosting": _boosting_sql(),
         # doubled corpus (base + uppercased '! '-separated hostile
         # variant at doc_id+1000000); dedup key = analyzer tokens
         # joined by ' ' — keep-first by doc_id

@@ -354,3 +354,39 @@ def test_vowel_group_counts_match_re(tokens):
         .to_numpy(zero_copy_only=False)
     scalar = [len(re.findall(r"[aeiouy]+", t)) for t in tokens]
     assert list(arrow) == scalar
+
+
+def test_boosting_demotes_but_keeps(ray_session, tmp_path):
+    # a doc matching the negative query must stay in the results but
+    # fall below an otherwise-lower-scored clean doc
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import (search_boosting_index,
+                                        search_index)
+    rows = [
+        ("c0", 0, "alpha alpha alpha beta error"),   # best alpha + error
+        ("c1", 0, "alpha alpha gamma"),              # clean
+        ("c2", 0, "alpha delta"),                    # clean, weakest
+        ("c3", 0, "unrelated text"),
+    ]
+    tbl = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([r[1] for r in rows],
+                                         pa.int32()),
+                    "text": pa.array([r[2] for r in rows])})
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), idx,
+                EngineConfig(index=IndexConfig(num_segments=2)))
+    plain = search_index(idx, [{"query_id": 0, "query_text": "alpha",
+                                "k": 4}]).to_pandas()
+    assert plain.iloc[0]["conv_id"] == "c0"          # wins untamed
+    boosted = search_boosting_index(idx, [{
+        "query_id": 0, "positive": "alpha", "negative": "error",
+        "negative_boost": 0.1, "k": 4}]).to_pandas()
+    ids = list(boosted["conv_id"])
+    assert "c0" in ids                               # kept, not dropped
+    assert ids.index("c0") > ids.index("c1")         # but demoted
+    # demoted score = 0.1 x plain score, exactly
+    ps = float(plain[plain.conv_id == "c0"]["score"].iloc[0])
+    bs = float(boosted[boosted.conv_id == "c0"]["score"].iloc[0])
+    assert bs == pytest.approx(0.1 * ps, rel=1e-12)

@@ -1846,3 +1846,96 @@ def search_federated(index_dirs: list[str], queries: list[dict],
     out = pa.Table.from_pandas(
         merged.sort_values(["query_id", "rank"]), preserve_index=False)
     return out.cast(_RESULT_SCHEMA)
+
+
+def search_boosting_index(index_dir: str, queries: list[dict],
+                          cfg: EngineConfig | None = None, *,
+                          predicates: list[str] | None = None
+                          ) -> pa.Table:
+    """Boosting query (the Elasticsearch ``boosting`` compound): rank
+    by the POSITIVE query's BM25 score, but docs matching the NEGATIVE
+    query keep their relevance demoted by ``negative_boost`` — softer
+    than must_not, which drops them outright.
+
+    queries: [{"query_id", "positive", "negative", "negative_boost",
+    "k"}] → (query_id, rank, conv_id, turn_idx, score), global order
+    (score desc, conv_id, turn_idx).
+
+    Exact top-k with the standard scatter-gather: each segment scores
+    its positive candidates, demotes the negative matchers (one
+    ``np.isin`` against the segment's negative-candidate ids — the
+    demotion happens BEFORE the local top-k cut, so the per-segment
+    top-k is a superset-safe merge input), and emits only its local
+    top-k; the driver merge is the shared
+    :func:`~vframe_ray.index.searcher._merge_topk_driver`.
+    """
+    import pandas as pd
+
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
+        else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q.get("positive", "")))),
+               sorted(set(tok.tokenize(q.get("negative", "")))),
+               float(q.get("negative_boost", 0.5)),
+               int(q.get("k", 10)))
+              for q in queries]
+    all_terms = set().union(*[set(p) | set(n) for _, p, n, _, _
+                              in parsed]) if parsed else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            terms_all = sorted(set().union(
+                *[set(p) | set(n) for _, p, n, _, _ in qs])) if qs else []
+            postings = s.load_terms_cached(terms_all)
+            doc_mask = s._base_mask(predicates)
+            for qid, pos, neg, nb, k in qs:
+                cand, scores = s._sparse_scores(pos, postings,
+                                                doc_mask=doc_mask)
+                if cand.size == 0:
+                    continue
+                if neg:
+                    candn, _ = s._sparse_scores(neg, postings)
+                    if candn.size:
+                        scores = np.where(np.isin(cand, candn),
+                                          scores * nb, scores)
+                df = pd.DataFrame({
+                    "query_id": np.full(cand.size, qid, dtype=np.int32),
+                    "conv_id": s.r.conv_id.take(pa.array(cand))
+                    .to_numpy(zero_copy_only=False),
+                    "turn_idx": s.r.turn_idx.take(pa.array(cand))
+                    .to_numpy(zero_copy_only=False).astype(np.int32),
+                    "score": scores,
+                }).sort_values(["score", "conv_id", "turn_idx"],
+                               ascending=[False, True, True]).head(k)
+                tables.append(pa.Table.from_pandas(
+                    df, preserve_index=False))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "score": pa.array([], pa.float64())})
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    hits = seg_ds.map_batches(_task, batch_format="pyarrow",
+                              batch_size=seg_batch)
+    ks = {qid: k for qid, _, _, _, k in parsed}
+    merged = _merge_topk_driver(hits.to_pandas(), ks)
+    return pa.Table.from_pandas(merged, preserve_index=False)

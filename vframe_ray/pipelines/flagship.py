@@ -1605,3 +1605,31 @@ def bm25_mmr(sf_dir: str) -> pa.Table:
         "rel_r": pa.array(out["rel_r"].astype("float64")),
         "maxcos_r": pa.array(out["maxcos_r"].astype("float64")),
     })
+
+
+BOOSTING_QUERIES = [
+    # demote docs that also mention 'error'
+    {"query_id": 0, "positive": "spark window merge",
+     "negative": "error", "negative_boost": 0.3, "k": 10},
+    # no negative matches in corpus -> pure positive ranking
+    {"query_id": 1, "positive": "vector filter",
+     "negative": "zzqqmissing", "negative_boost": 0.5, "k": 8},
+    # heavy demotion: negative term shared by many positives
+    {"query_id": 2, "positive": "hash join sort",
+     "negative": "the", "negative_boost": 0.1, "k": 10},
+]
+
+
+def bm25_boosting(sf_dir: str) -> pa.Table:
+    """ES boosting-query parity: positive BM25 ranking with
+    negative-match demotion (index/entrypoints.search_boosting_index),
+    demoted BEFORE the per-segment top-k cut so the merge is exact."""
+    from ..index.query import search_boosting_index
+    index_dir = documents_index(sf_dir)
+    res = search_boosting_index(index_dir, BOOSTING_QUERIES)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
