@@ -202,3 +202,26 @@ def test_service_parity_function_score(ray_session, tmp_path):
         assert want.num_rows > 0
     finally:
         svc.shutdown()
+
+
+def test_service_parity_boosting(ray_session, tmp_path):
+    from vframe_ray.index.query import search_boosting_index
+    idx = str(tmp_path / "boosting_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        qs = [{"query_id": 0, "positive": "apple banana",
+               "negative": "rare", "negative_boost": 0.2, "k": 6},
+              {"query_id": 1, "positive": "cherry",
+               "negative": "zzmissing", "negative_boost": 0.5, "k": 4}]
+        one = search_boosting_index(idx, qs).to_pandas()
+        served = svc.search_boosting(qs).to_pandas()
+        assert one.equals(served)
+        # mixed-mode batch parity too
+        mixed = svc.search_mixed([{"mode": "boosting", "queries": qs}])
+        assert mixed[0].to_pandas().equals(one)
+        # demotion really happened: c4 ("apple rare rare") not rank 1
+        assert one.iloc[0]["conv_id"] != "c4"
+        assert "c4" in set(one[one.query_id == 0]["conv_id"])
+    finally:
+        svc.shutdown()

@@ -1869,8 +1869,6 @@ def search_boosting_index(index_dir: str, queries: list[dict],
     top-k; the driver merge is the shared
     :func:`~vframe_ray.index.searcher._merge_topk_driver`.
     """
-    import pandas as pd
-
     from .build import load_index_meta
     cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
     cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
@@ -1900,31 +1898,7 @@ def search_boosting_index(index_dir: str, queries: list[dict],
         for seg_dir in batch["seg_dir"].to_pylist():
             s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
                                 avgdl, gdf_l, block_size=block_size)
-            terms_all = sorted(set().union(
-                *[set(p) | set(n) for _, p, n, _, _ in qs])) if qs else []
-            postings = s.load_terms_cached(terms_all)
-            doc_mask = s._base_mask(predicates)
-            for qid, pos, neg, nb, k in qs:
-                cand, scores = s._sparse_scores(pos, postings,
-                                                doc_mask=doc_mask)
-                if cand.size == 0:
-                    continue
-                if neg:
-                    candn, _ = s._sparse_scores(neg, postings)
-                    if candn.size:
-                        scores = np.where(np.isin(cand, candn),
-                                          scores * nb, scores)
-                df = pd.DataFrame({
-                    "query_id": np.full(cand.size, qid, dtype=np.int32),
-                    "conv_id": s.r.conv_id.take(pa.array(cand))
-                    .to_numpy(zero_copy_only=False),
-                    "turn_idx": s.r.turn_idx.take(pa.array(cand))
-                    .to_numpy(zero_copy_only=False).astype(np.int32),
-                    "score": scores,
-                }).sort_values(["score", "conv_id", "turn_idx"],
-                               ascending=[False, True, True]).head(k)
-                tables.append(pa.Table.from_pandas(
-                    df, preserve_index=False))
+            tables.append(s.search_boosting(qs, predicates=predicates))
         if not tables:
             return pa.table({"query_id": pa.array([], pa.int32()),
                              "conv_id": pa.array([], pa.string()),

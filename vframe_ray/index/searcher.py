@@ -1148,6 +1148,48 @@ class SegmentSearcher:
             "score": pa.array(score_out, pa.float64()),
         })
 
+    def search_boosting(self, queries: list[tuple],
+                        predicates: list[str] | None = None) -> pa.Table:
+        """Boosting compound (ES ``boosting`` query) over this segment:
+        positive BM25 scores with negative-query matchers demoted by
+        ``negative_boost`` BEFORE the local top-k cut, so the
+        cross-segment merge stays exact.
+
+        queries: [(query_id, pos_terms, neg_terms, negative_boost, k)].
+        """
+        terms_all = sorted(set().union(
+            *[set(p) | set(n) for _, p, n, _, _ in queries])) \
+            if queries else []
+        postings = self.load_terms_cached(terms_all)
+        doc_mask = self._base_mask(predicates)
+        tables = []
+        for qid, pos, neg, nb, k in queries:
+            cand, scores = self._sparse_scores(pos, postings,
+                                               doc_mask=doc_mask)
+            if cand.size == 0:
+                continue
+            if neg:
+                candn, _ = self._sparse_scores(neg, postings)
+                if candn.size:
+                    scores = np.where(np.isin(cand, candn),
+                                      scores * nb, scores)
+            order = np.lexsort((cand, -scores))[:k]
+            idx = pa.array(cand[order])
+            tables.append(pa.table({
+                "query_id": pa.array(
+                    np.full(len(order), qid, dtype=np.int32)),
+                "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+                "turn_idx": pc.cast(self.r.turn_idx.take(idx),
+                                    pa.int32()),
+                "score": pa.array(scores[order], pa.float64()),
+            }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "score": pa.array([], pa.float64())})
+        return pa.concat_tables(tables)
+
     def search_boolean(self, queries: list[tuple],
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.

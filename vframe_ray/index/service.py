@@ -254,6 +254,21 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
         return out
 
+    def search_boosting(self, parsed: list[tuple],
+                        idf_map: dict[str, float],
+                        predicates: list[str] | None = None):
+        if not self.searchers:
+            return self._EMPTY
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.search_boosting(parsed, predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            out = self._shard_topk(out,
+                                   {q[0]: q[4] for q in parsed})
+        return out
+
     def search_mixed(self, ops: list[dict], idf_map: dict[str, float],
                      predicates: list[str] | None = None):
         """ONE round trip for a heterogeneous query batch (VERDICT r3
@@ -283,6 +298,9 @@ class _ShardSearcher:
                                                       predicates))
             elif mode == "boosted":
                 out.append(self.search_boosted(parsed, idf_map, predicates))
+            elif mode == "boosting":
+                out.append(self.search_boosting(parsed, idf_map,
+                                                predicates))
             elif mode == "after":
                 out.append(self.search_after(parsed, idf_map, predicates))
             elif mode == "facets":
@@ -756,6 +774,30 @@ class QueryService:
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
 
+    def search_boosting(self, queries: list[dict],
+                        predicates: list[str] | None = None) -> pa.Table:
+        """Served boosting compound: queries [{"query_id", "positive",
+        "negative", "negative_boost", "k"}] — positive BM25 ranking
+        with negative matchers demoted, demotion before every local
+        top-k cut (exact; parity-tested vs the one-shot path)."""
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q.get("positive", "")))),
+                   sorted(set(self.tok.tokenize(q.get("negative", "")))),
+                   float(q.get("negative_boost", 0.5)),
+                   int(q.get("k", 10))) for q in queries]
+        if predicates:
+            self._validate_predicates(predicates)
+        terms = set(t for q in parsed for t in (*q[1], *q[2]))
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df)
+                   for t, df in gdf.items()}
+        futs = [a.search_boosting.remote(parsed, idf_map, predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        merged = _merge_topk_driver(df, {q[0]: q[4] for q in parsed})
+        return pa.Table.from_pandas(merged, preserve_index=False).cast(
+            _RESULT_SCHEMA)
+
     def search_after(self, queries: list[dict],
                      predicates: list[str] | None = None) -> pa.Table:
         """Served cursor pagination: queries [{"query_id", "query_text",
@@ -960,6 +1002,19 @@ class QueryService:
                 merges.append(("topk", {qid: k for qid, _, k in parsed},
                                None))
                 all_terms |= {t for _, tb, _ in parsed for t, _ in tb}
+            elif mode == "boosting":
+                parsed = [(int(q["query_id"]),
+                           sorted(set(self.tok.tokenize(
+                               q.get("positive", "")))),
+                           sorted(set(self.tok.tokenize(
+                               q.get("negative", "")))),
+                           float(q.get("negative_boost", 0.5)),
+                           int(q.get("k", 10))) for q in qs]
+                ops.append({"mode": mode, "parsed": parsed})
+                merges.append(("topk", {q[0]: q[4] for q in parsed},
+                               None))
+                all_terms |= {t for q in parsed
+                              for t in (*q[1], *q[2])}
             elif mode == "after":
                 parsed = [(int(q["query_id"]),
                            sorted(set(self.tok.tokenize(q["query_text"]))),
