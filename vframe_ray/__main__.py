@@ -129,6 +129,11 @@ def cmd_query(args) -> int:
         res = q_.facet_ranges_index(args.index, qs,
                                     bin_width=args.range_facet,
                                     predicates=preds)
+    elif args.demote:
+        res = q_.search_boosting_index(args.index, [
+            {"query_id": i, "positive": q, "negative": args.demote,
+             "negative_boost": args.demote_boost, "k": args.k}
+            for i, q in enumerate(args.query or [])], predicates=preds)
     elif boosted:
         res = q_.search_boosted_index(args.index, qs, predicates=preds)
     elif args.must or args.must_not:
@@ -309,6 +314,12 @@ def main(argv=None) -> int:
     q.add_argument("--after", metavar="SCORE,CONV,TURN",
                    help="cursor pagination: results ranked after this "
                         "(score, conv_id, turn_idx)")
+    q.add_argument("--demote", metavar="NEGATIVE_QUERY",
+                   help="boosting compound: demote (not drop) docs "
+                        "matching this negative query")
+    q.add_argument("--demote-boost", type=float, default=0.5,
+                   help="multiplier applied to demoted docs' scores "
+                        "(default 0.5)")
     q.add_argument("--explain", action="store_true",
                    help="per-term BM25 contribution rows for the top-k "
                         "hits (rows sum to the ranked score)")
