@@ -4003,6 +4003,18 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_prepare_training_data(sf_dir: str):
+    """The composed LLM data-prep flagship: normalized dedup → length
+    gate → self-calibrating cross-entropy gate → chunking → per-source
+    mix report; ONE SQL oracle spans the whole chain."""
+    from vframe_ray.pipelines.flagship import prepare_training_data
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "source"])
+    out = prepare_training_data(ds)
+    return out.astype({"n_docs": "int64", "n_chunks": "int64",
+                       "n_tokens": "int64"})
+
+
 def _q_bm25_boosting(sf_dir: str):
     """ES boosting query: negative-match demotion before the top-k."""
     from vframe_ray.pipelines.flagship import bm25_boosting
@@ -4597,6 +4609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_tokens": _q_analyze_tokens,
         "quality_mix_report": _q_quality_mix,
         "bm25_boosting": _q_bm25_boosting,
+        "prepare_training_data": _q_prepare_training_data,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4877,6 +4890,37 @@ ORDER BY d.doc_id""",
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
         "bm25_mmr": _mmr_sql(),
         "bm25_boosting": _boosting_sql(),
+        # the composed data-prep chain in one statement: normalized
+        # dedup keep-first, >=40-token gate, cross-entropy over the
+        # SURVIVORS (tok2) with the self-calibrating rounded-mean
+        # threshold, ceil(n/32) chunk counts, per-source rollup
+        "prepare_training_data": f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS n_tok FROM tok GROUP BY _id),
+ nrm AS (SELECT d.doc_id, coalesce(t.norm, '') AS norm
+         FROM documents d LEFT JOIN
+              (SELECT _id, array_to_string(
+                           list(term ORDER BY pos), ' ') AS norm
+               FROM tok GROUP BY _id) t ON t._id = d.doc_id),
+ keep1 AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+ surv AS (SELECT k.doc_id FROM keep1 k
+          JOIN dl ON dl._id = k.doc_id WHERE dl.n_tok >= 40),
+ tok2 AS (SELECT tok._id, tok.term FROM tok
+          JOIN surv ON surv.doc_id = tok._id),
+ tf AS (SELECT _id, term, count(*) AS tf FROM tok2 GROUP BY _id, term),
+ cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok2 GROUP BY term),
+ tot AS (SELECT count(*)::DOUBLE AS c FROM tok2),
+ per AS (SELECT tf._id AS _id, sum(tf)::BIGINT AS n_tokens,
+                round(ln((SELECT c FROM tot))
+                      - sum(tf * ln(cf)) / sum(tf), 6) AS h_r
+         FROM tf JOIN cf USING (term) GROUP BY tf._id),
+ thr AS (SELECT round(avg(h_r), 6) AS t FROM per),
+ good AS (SELECT _id AS doc_id, n_tokens FROM per, thr
+          WHERE h_r <= thr.t)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum((g.n_tokens - 1) // 32 + 1)::BIGINT AS n_chunks,
+       sum(g.n_tokens)::BIGINT AS n_tokens
+FROM good g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY d.source ORDER BY d.source""",
         # doubled corpus (base + uppercased '! '-separated hostile
         # variant at doc_id+1000000); dedup key = analyzer tokens
         # joined by ' ' — keep-first by doc_id

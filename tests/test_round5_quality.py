@@ -390,3 +390,27 @@ def test_boosting_demotes_but_keeps(ray_session, tmp_path):
     ps = float(plain[plain.conv_id == "c0"]["score"].iloc[0])
     bs = float(boosted[boosted.conv_id == "c0"]["score"].iloc[0])
     assert bs == pytest.approx(0.1 * ps, rel=1e-12)
+
+
+def test_prepare_training_data_gates(ray_session):
+    # planted corpus: a duplicate pair (dedup kills the higher id), a
+    # short doc (length gate), and a rare-token doc that lands above
+    # the mean cross-entropy (quality gate)
+    import ray.data
+    from vframe_ray.pipelines.flagship import prepare_training_data
+    common = " ".join(["alpha beta gamma delta"] * 12)   # 48 tokens
+    rare = " ".join(f"zx{i}q" for i in range(48))        # 48 uniques
+    texts = [common, common.upper(), "tiny doc", common + " beta",
+             rare]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["a", "a", "a", "b", "b"])})
+    out = prepare_training_data(ray.data.from_arrow(tbl),
+                                min_tokens=40, chunk_size=32)
+    # doc1 deduped (variant of doc0), doc2 too short, doc4 above-mean
+    # entropy -> survivors are doc0 (src a) and doc3 (src b)
+    assert list(out["source"]) == ["a", "b"]
+    assert list(out["n_docs"]) == [1, 1]
+    assert list(out["n_tokens"]) == [48, 49]
+    assert list(out["n_chunks"]) == [2, 2]     # ceil(48/32), ceil(49/32)

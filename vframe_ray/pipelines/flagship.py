@@ -1633,3 +1633,92 @@ def bm25_boosting(sf_dir: str) -> pa.Table:
         "doc_id": pc.cast(res["conv_id"], pa.int64()),
         "score_r": pc.round(res["score"], ndigits=6),
     })
+
+
+def prepare_training_data(ds, *, min_tokens: int = 40,
+                          chunk_size: int = 32,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          source_col: str = "source"):
+    """End-to-end training-data preparation — the composed pipeline a
+    user of this engine actually runs, wired from the shipped stages
+    with NO new kernels:
+
+    1. exact dedup over NORMALIZED text, keep-first by id
+       (:func:`~vframe_ray.stages.dedup.dedup_normalized`);
+    2. length gate: >= ``min_tokens`` analyzer tokens;
+    3. self-calibrating quality gate: per-doc unigram-LM cross-entropy
+       over the SURVIVING corpus
+       (:func:`~vframe_ray.stages.textquality.unigram_cross_entropy`),
+       keep ``h_r <= round(mean(h_r), 6)`` — the q22-style
+       computed-over-the-same-rows threshold;
+    4. chunk the keepers into ``chunk_size``-token windows
+       (:func:`~vframe_ray.stages.chunking.chunk_documents`,
+       stride = size, no overlap);
+    5. report (source, n_docs, n_chunks, n_tokens).
+
+    Shuffle ledger: one text-hash exchange (dedup), two keyed
+    exchanges inside cross-entropy, one ``hash_join`` to re-attach
+    text for chunking, one to attach source — every stage's scale
+    contract documented at its definition.  Returns pandas sorted by
+    source.
+    """
+    import pandas as pd
+
+    from ..analyze import Tokenizer
+    from ..stages.chunking import chunk_documents
+    from ..stages.dedup import dedup_normalized
+    from ..stages.joins import hash_join
+    from ..stages.textquality import unigram_cross_entropy
+
+    kept = dedup_normalized(ds, key_cols=[id_col], text_col=text_col)
+
+    def length_gate(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        n = tok.doc_lengths(tok.tokenize_array(
+            pc.fill_null(t[text_col], ""))) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n >= min_tokens))
+
+    surv = kept.map_batches(length_gate, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    h = unigram_cross_entropy(surv, id_col=id_col, text_col=text_col) \
+        .materialize()
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array([float(pc.sum(t["h_r"]).as_py() or 0.0)]),
+            "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = h.map_batches(h_partial, batch_format="pyarrow").to_pandas()
+    n_surv = int(parts["n"].sum())
+    thr = round(float(parts["s"].sum()) / n_surv, 6) if n_surv else 0.0
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["h_r"], thr))
+
+    good = h.map_batches(quality_gate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    # re-attach text (and source) for chunking: both sides distributed
+    good_docs = hash_join(good, surv, key=id_col,
+                          left_cols=[id_col, "n_tokens"],
+                          right_cols=[text_col, source_col])
+    chunks = chunk_documents(good_docs, size=chunk_size,
+                             stride=chunk_size, id_col=id_col,
+                             text_col=text_col)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(id_col).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "n_chunks"])
+
+    per_doc = hash_join(
+        good_docs, chunks.map_batches(chunk_partial,
+                                      batch_format="pyarrow"),
+        key=id_col, left_cols=[id_col, source_col, "n_tokens"],
+        right_cols=["n_chunks"],
+        post=lambda df: df.groupby([id_col, source_col, "n_tokens"],
+                                   as_index=False)["n_chunks"].sum())
+    agg = per_doc.to_pandas().groupby(source_col, as_index=False).agg(
+        n_docs=(id_col, "nunique"), n_chunks=("n_chunks", "sum"),
+        n_tokens=("n_tokens", "sum"))
+    return agg.sort_values(source_col).reset_index(drop=True)
