@@ -414,3 +414,28 @@ def test_prepare_training_data_gates(ray_session):
     assert list(out["n_docs"]) == [1, 1]
     assert list(out["n_tokens"]) == [48, 49]
     assert list(out["n_chunks"]) == [2, 2]     # ceil(48/32), ceil(49/32)
+
+
+def test_dedup_normalized_large_string_column(ray_session):
+    # large_string corpora (what big parquet writers emit) must not
+    # crash the normalize join: binary_join lacks a
+    # (large_list<large_string>, scalar) kernel
+    import ray.data
+    from vframe_ray.stages.dedup import dedup_normalized
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["Alpha beta!", "alpha   BETA", "gamma"],
+                         pa.large_string())})
+    out = dedup_normalized(ray.data.from_arrow(tbl),
+                           key_cols=["doc_id"]).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 2]
+
+
+def test_shingles_large_string_short_rows(ray_session):
+    # the short-row whole-doc shingle join on a large_string column
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.hashing import shingle_rows
+    texts = pa.array(["one two", "a b c d e"], pa.large_string())
+    parents, strings, sizes = shingle_rows(Tokenizer(), texts, 3)
+    assert "one two" in strings.to_pylist()

@@ -860,6 +860,12 @@ def dedup_normalized(ds, key_cols: list[str], *, text_col: str = "text"):
     def add_norm(t: pa.Table) -> pa.Table:
         tok = Tokenizer()
         toks = tok.tokenize_array(pc.fill_null(t[text_col], ""))
+        if pa.types.is_large_list(toks.type) and \
+                pa.types.is_large_string(toks.type.value_type):
+            # binary_join has no (large_list<large_string>, scalar)
+            # kernel; the item type drives the dispatch — keep the
+            # large offsets, shrink only the items
+            toks = toks.cast(pa.large_list(pa.string()))
         return t.append_column("__norm", pc.binary_join(toks, " "))
 
     normed = ds.map_batches(add_norm, batch_format="pyarrow",

@@ -146,11 +146,15 @@ def shingle_rows(tokenizer, texts, n: int,
     ntok = len(flat)
     pieces_parents: list[np.ndarray] = []
     pieces_str: list[pa.Array] = []
+    # join kernels require the separator to match the token type
+    # (large_string corpora tokenize to large_string — a plain " "
+    # scalar has no matching kernel)
+    sep = pa.scalar(" ", flat.type) if ntok else " "
 
     if ntok >= n:
         # full windows: positions i..i+n-1 within one row
         joined = pc.binary_join_element_wise(
-            *[flat.slice(j, ntok - n + 1) for j in range(n)], " ")
+            *[flat.slice(j, ntok - n + 1) for j in range(n)], sep)
         valid = parents[: ntok - n + 1] == parents[n - 1:]
         if valid.any():
             vmask = pa.array(valid)
@@ -161,6 +165,11 @@ def shingle_rows(tokenizer, texts, n: int,
     if short.any():
         # whole-row join for rows shorter than the window
         short_lists = toks.take(pa.array(np.flatnonzero(short)))
+        if pa.types.is_large_list(short_lists.type) and \
+                pa.types.is_large_string(short_lists.type.value_type):
+            # binary_join has no (large_list<large_string>, scalar)
+            # kernel (surfaces only on large_string corpora)
+            short_lists = short_lists.cast(pa.large_list(pa.string()))
         pieces_parents.append(np.flatnonzero(short))
         pieces_str.append(pc.binary_join(short_lists, " "))
 
@@ -169,9 +178,15 @@ def shingle_rows(tokenizer, texts, n: int,
                 np.empty(0, dtype=np.int64))
 
     all_parents = np.concatenate(pieces_parents)
-    all_str = pa.concat_arrays([p.combine_chunks() if
-                                isinstance(p, pa.ChunkedArray) else p
-                                for p in pieces_str])
+    # normalize every piece to plain string so the concat (and every
+    # downstream block schema) is type-stable regardless of whether the
+    # input column was string or large_string; per-block shingle bytes
+    # stay far under the 2 GB small-offset limit (blocks are bounded)
+    pieces_str = [p.combine_chunks() if isinstance(p, pa.ChunkedArray)
+                  else p for p in pieces_str]
+    pieces_str = [p.cast(pa.string()) if p.type != pa.string() else p
+                  for p in pieces_str]
+    all_str = pa.concat_arrays(pieces_str)
     # distinct per row: dictionary codes + lexsort + adjacent-dup drop
     denc = pc.dictionary_encode(all_str)
     if isinstance(denc, pa.ChunkedArray):
