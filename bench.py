@@ -370,6 +370,31 @@ def run_bench() -> dict:
         c4_rule_filter(docs).count()
         entry_queries["fuzzy_repair_event_types"](sf_dir)
 
+    def data_prep(sf_dir):
+        # the composed LLM data-prep flagship at transcript scale:
+        # normalized dedup -> length gate -> self-calibrating
+        # cross-entropy gate -> chunking -> per-source mix report
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        from vframe_ray.pipelines.flagship import prepare_training_data
+
+        def to_docs(t):
+            convno = _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 5),
+                              pa.int64())
+            did = _pc.add(_pc.multiply(convno, 100),
+                          _pc.cast(t["turn_idx"], pa.int64()))
+            src = _pc.binary_join_element_wise(
+                pa.array(["s"] * t.num_rows),
+                _pc.cast(_pc.cast(_pc.bit_wise_and(convno, 7),
+                                  pa.int32()), pa.string()), "")
+            return pa.table({"doc_id": did, "text": t["text"],
+                             "source": src})
+
+        docs = read_corpus().map_batches(to_docs, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        prepare_training_data(docs)
+
     pipelines = [("q1_pricing_summary", rel.q1_pricing_summary),
                  ("revenue_by_nation", rel.revenue_by_nation),
                  ("top_orders", rel.top_orders),
@@ -418,7 +443,10 @@ def run_bench() -> dict:
                  ("corpus_analysis", corpus_analysis),
                  # round-5 third session: the LLM-quality wave at
                  # transcript scale + the fuzzy repair join
-                 ("quality_wave", quality_wave)]
+                 ("quality_wave", quality_wave),
+                 # the composed dedup->gate->chunk flagship (one run,
+                 # five stages, two hash_joins) at 600k docs
+                 ("data_prep", data_prep)]
     for name, fn in pipelines:
         def _stage(fn=fn, name=name):
             fn(SF_DIR)                            # untimed warmup
