@@ -6,8 +6,6 @@ behavior change)."""
 
 from __future__ import annotations
 
-import heapq
-import math
 import os
 
 import numpy as np
@@ -21,7 +19,6 @@ import ray.data
 
 from ..analyze import Tokenizer
 from ..config import BM25Config, EngineConfig
-from .codec import TermPostings, decode_all, decode_block
 from .scatter import _SearcherStage, validate_predicates
 from .searcher import (_RESULT_SCHEMA, SegmentSearcher,
                        _collapse_hits_impl, _global_df_for_terms,

@@ -44,7 +44,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..analyze import Tokenizer
 from ..config import BM25Config, EngineConfig
 from .codec import TermPostings, decode_all, decode_block
 from .segment import SegmentReader
