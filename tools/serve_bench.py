@@ -42,6 +42,11 @@ def main() -> int:
     ap.add_argument("--mixed", action="store_true",
                     help="also bench the heterogeneous search_mixed "
                          "batch vs one call per mode")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="ALSO measure throughput with this many driver "
+                         "threads issuing calls concurrently (the "
+                         "scale-out number: sequential calls are "
+                         "latency-bound and cannot show cpu scaling)")
     args = ap.parse_args()
 
     import ray
@@ -70,6 +75,36 @@ def main() -> int:
               f"({el / args.reps * 1000:.1f} ms per "
               f"{len(queries)}-query call)  rows={res.num_rows} "
               f"hash={_hash(res)}")
+        if args.concurrent:
+            # throughput under concurrency: T threads x reps calls each
+            # (ray.get releases the GIL, so driver threads overlap the
+            # actors' scoring work); this is the number that scales
+            # with cpus — single-stream q/s is bounded by call latency
+            import threading
+            T = args.concurrent
+            outs: list = [None] * T
+
+            def worker(i):
+                for _ in range(args.reps):
+                    outs[i] = svc.search(queries)
+
+            for i in range(T):                    # warm
+                outs[i] = svc.search(queries)
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(T)]
+            t0 = time.time()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            el_c = time.time() - t0
+            nq = len(queries) * args.reps * T
+            par = all(_hash(o) == _hash(res) for o in outs)
+            print(f"concurrent x{T}: {nq / el_c:.1f} q/s aggregate "
+                  f"({el_c / args.reps * 1000:.1f} ms per wave)  "
+                  f"parity={par}")
+            if not par:
+                return 1
         if args.check:
             want = search_index(args.index_dir, queries)
             ok = _hash(want) == _hash(res) and want.num_rows == res.num_rows
