@@ -4003,6 +4003,33 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """MOSS-style doc pairing over winnowed fingerprints (≥2 shared
+    selected hashes; hot fingerprints df>1000 excluded)."""
+    from vframe_ray.stages.dedup import winnow_pairs
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    out = winnow_pairs(ds, min_shared=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype({"id_a": "int64", "id_b": "int64",
+                 "n_shared": "int64"})
+
+
+def _winnow_pairs_sql(min_shared: int = 2, max_df: int = 1000) -> str:
+    """Pairs over the winnow-fingerprint oracle: shared distinct fp
+    counts with the same hot-fingerprint exclusion rule."""
+    return f"""
+WITH fpt AS ({_winnow_sql(3, 4)}),
+ df AS (SELECT fp, count(DISTINCT doc_id) AS df FROM fpt GROUP BY fp),
+ dfp AS (SELECT DISTINCT f.doc_id, f.fp FROM fpt f
+         JOIN df USING (fp) WHERE df.df <= {max_df}),
+ pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS n
+        FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, n::BIGINT AS n_shared
+FROM pr WHERE n >= {min_shared} ORDER BY id_a, id_b"""
+
+
 def _q_prepare_training_data(sf_dir: str):
     """The composed LLM data-prep flagship: normalized dedup → length
     gate → self-calibrating cross-entropy gate → chunking → per-source
@@ -4610,6 +4637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_mix_report": _q_quality_mix,
         "bm25_boosting": _q_bm25_boosting,
         "prepare_training_data": _q_prepare_training_data,
+        "winnow_pairs": _q_winnow_pairs,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4890,6 +4918,7 @@ ORDER BY d.doc_id""",
         "semantic_dedup": _semantic_dedup_sql(k=FPS_K, tn=2, td=5),
         "bm25_mmr": _mmr_sql(),
         "bm25_boosting": _boosting_sql(),
+        "winnow_pairs": _winnow_pairs_sql(),
         # the composed data-prep chain in one statement: normalized
         # dedup keep-first, >=40-token gate, cross-entropy over the
         # SURVIVORS (tok2) with the self-calibrating rounded-mean

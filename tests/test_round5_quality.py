@@ -439,3 +439,25 @@ def test_shingles_large_string_short_rows(ray_session):
     texts = pa.array(["one two", "a b c d e"], pa.large_string())
     parents, strings, sizes = shingle_rows(Tokenizer(), texts, 3)
     assert "one two" in strings.to_pylist()
+
+
+def test_winnow_pairs_planted_shared_run(ray_session):
+    # the winnowing guarantee: a shared run of >= w+k-1 tokens (here
+    # 4+3-1=6) must produce at least one shared selected hash; two
+    # long-run copies must pair, unrelated docs must not
+    import ray.data
+    from vframe_ray.stages.dedup import winnow_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        "intro words " + shared + " tail one",
+        "different prefix " + shared + " other ending",
+        "totally unrelated content with many words here",
+        "another separate document about nothing shared",
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = winnow_pairs(ray.data.from_arrow(tbl).repartition(2),
+                       min_shared=1).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)

@@ -878,3 +878,63 @@ def dedup_normalized(ds, key_cols: list[str], *, text_col: str = "text"):
 
     return kept.map_batches(strip, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def winnow_pairs(ds, *, k: int = 3, w: int = 4, min_shared: int = 2,
+                 max_df: int = 1000, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """MOSS-style plagiarism pairing over WINNOWED fingerprints
+    (Schleimer et al. 2003): doc pairs sharing ≥ ``min_shared``
+    distinct selected hashes.  Winnowing keeps ~2/(w+1) of the k-gram
+    hashes while guaranteeing any shared run of ≥ w+k−1 tokens yields
+    a shared selection — the sub-quadratic alternative to full-shingle
+    Jaccard when only LONG shared runs matter.
+
+    Same physical plan as :func:`jaccard_pairs`: one hash(fp) exchange
+    pairs docs per fingerprint (fingerprints held by > ``max_df`` docs
+    are excluded — the deterministic hot-key rule, mirrored in SQL),
+    pair partials re-bucket by hash(pair) for the exact shared count.
+    Returns a Dataset of (id_a, id_b, n_shared), n_shared ≥ min_shared.
+    """
+    from ..runtime import arrow_group, num_hash_buckets, pair_bucket_of
+    from .textquality import WinnowStage
+    nb = num_hash_buckets()
+
+    fps = ds.map_batches(WinnowStage(k, w, id_col, text_col),
+                         batch_format="pyarrow")
+
+    def distinct_fp(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col, "fp"]).aggregate([])
+        h = g["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(nb)
+        return g.append_column("__fb", pa.array(b.astype(np.int32)))
+
+    def pair_in_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates([id_col, "fp"])
+        df_per_fp = g.groupby("fp")[id_col].transform("size")
+        g = g[df_per_fp <= max_df]
+        m = g.merge(g, on="fp")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        agg = m.groupby([f"{id_col}_x", f"{id_col}_y"],
+                        as_index=False).size()
+        out = pd.DataFrame({
+            "id_a": agg[f"{id_col}_x"].to_numpy(np.int64),
+            "id_b": agg[f"{id_col}_y"].to_numpy(np.int64),
+            "n_p": agg["size"].to_numpy(np.int64)})
+        t = arrow_group(out)
+        return t.append_column("__pb", pa.array(pair_bucket_of(
+            out["id_a"].to_numpy(np.int64),
+            out["id_b"].to_numpy(np.int64), nb)))
+
+    def pair_combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["id_a", "id_b"], as_index=False)["n_p"].sum()
+        agg = agg[agg["n_p"] >= min_shared].rename(
+            columns={"n_p": "n_shared"})
+        return arrow_group(agg.sort_values(["id_a", "id_b"]))
+
+    return (fps.map_batches(distinct_fp, batch_format="pyarrow")
+            .groupby("__fb").map_groups(pair_in_bucket,
+                                        batch_format="pandas")
+            .groupby("__pb").map_groups(pair_combine,
+                                        batch_format="pandas"))
