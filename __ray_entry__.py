@@ -4003,6 +4003,53 @@ def _q_fuzzy_repair(sf_dir: str):
     return out.astype({"n_rows": "int64"})
 
 
+_CONT_SUFFIX = " continuation content words here"
+
+
+def _q_continuation_pairs(sf_dir: str):
+    """Split-document detection over a corpus doubled with derived
+    continuation records (doc_id+1000000 starts with the base doc's
+    last 5 tokens): every ≥5-token base doc must pair with its
+    continuation — data-dependent via the actual token streams."""
+    from vframe_ray.analyze import Tokenizer
+    from vframe_ray.stages.dedup import continuation_pairs
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        toks = tok.tokenize_array(pc.fill_null(t["text"], ""))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = n >= 5
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        starts = np.zeros(len(n), np.int64)
+        np.cumsum(n[:-1], out=starts[1:])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        e0 = (starts + n)[keep]
+        sep = pa.scalar(" ", flat.type)
+        tail = pc.binary_join_element_wise(
+            *[flat.take(pa.array(e0 - 5 + j)) for j in range(5)], sep)
+        derived = pa.table({
+            "doc_id": pa.array((ids + 1000000).astype(np.int64)),
+            "text": pc.binary_join_element_wise(
+                tail.cast(pa.string()),
+                pa.scalar(_CONT_SUFFIX[1:]), " ")})
+        base = pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": pc.cast(pc.fill_null(t["text"], ""),
+                                         pa.string())})
+        return pa.concat_tables([base, derived])
+
+    out = continuation_pairs(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True), k=5).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype({"id_a": "int64", "id_b": "int64"})
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style doc pairing over winnowed fingerprints (≥2 shared
     selected hashes; hot fingerprints df>1000 excluded)."""
@@ -4638,6 +4685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": _q_bm25_boosting,
         "prepare_training_data": _q_prepare_training_data,
         "winnow_pairs": _q_winnow_pairs,
+        "continuation_pairs": _q_continuation_pairs,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4919,6 +4967,25 @@ ORDER BY d.doc_id""",
         "bm25_mmr": _mmr_sql(),
         "bm25_boosting": _boosting_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
+        # doubled corpus: derived continuation records start with the
+        # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
+        "continuation_pairs": f"""{_TOK},
+ arr AS (SELECT _id, list(term ORDER BY pos) AS a FROM tok GROUP BY _id),
+ docs3 AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT _id + 1000000,
+                  array_to_string(a[len(a)-4:len(a)], ' ')
+                  || '{_CONT_SUFFIX}'
+           FROM arr WHERE len(a) >= 5),
+{sql_tokens_cte('docs3', 'text', 'doc_id').replace(' tok AS (', ' tok2 AS (', 1)},
+ arr2 AS (SELECT _id, list(term ORDER BY pos) AS a FROM tok2
+          GROUP BY _id),
+ keys AS (SELECT _id, array_to_string(a[1:5], ' ') AS head,
+                 array_to_string(a[len(a)-4:len(a)], ' ') AS tail
+          FROM arr2 WHERE len(a) >= 5)
+SELECT t._id::BIGINT AS id_a, h._id::BIGINT AS id_b
+FROM keys t JOIN keys h ON t.tail = h.head AND t._id <> h._id
+ORDER BY id_a, id_b""",
         # the composed data-prep chain in one statement: normalized
         # dedup keep-first, >=40-token gate, cross-entropy over the
         # SURVIVORS (tok2) with the self-calibrating rounded-mean

@@ -461,3 +461,17 @@ def test_winnow_pairs_planted_shared_run(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert (0, 1) in pairs
     assert not any(2 in p or 3 in p for p in pairs)
+
+
+def test_continuation_pairs_directed(ray_session):
+    import ray.data
+    from vframe_ray.stages.dedup import continuation_pairs
+    texts = ["one two three four five six seven",
+             "five six seven eight nine ten more",   # continues doc 0
+             "unrelated words entirely different here now",
+             "short"]                                 # < k: no key
+    tbl = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    out = continuation_pairs(ray.data.from_arrow(tbl).repartition(2),
+                             k=3).to_pandas()
+    assert list(zip(out["id_a"], out["id_b"])) == [(0, 1)]  # directed

@@ -938,3 +938,75 @@ def winnow_pairs(ds, *, k: int = 3, w: int = 4, min_shared: int = 2,
                                         batch_format="pandas")
             .groupby("__pb").map_groups(pair_combine,
                                         batch_format="pandas"))
+
+
+def continuation_pairs(ds, *, k: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Crawl-concatenation / split-document detector: DIRECTED pairs
+    (a, b) where doc a's LAST ``k`` analyzer tokens equal doc b's
+    FIRST ``k`` tokens — the signature of one source page split
+    across two crawl records (b continues a).  Docs with fewer than
+    ``k`` tokens have no key and never pair.
+
+    One hash(key) exchange: each doc emits one tail-key row and one
+    head-key row; a bucket joins tails × heads on the exact key text
+    (a ≠ b).  A pair can arise from exactly ONE key string, so
+    in-bucket distinct is globally distinct — no second exchange.
+    Returns a Dataset of (id_a, id_b) sorted within blocks.
+    """
+    from ..runtime import arrow_group, num_hash_buckets
+    nb = num_hash_buckets()
+
+    def keys(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        toks = tok.tokenize_array(pc.fill_null(t[text_col], ""))
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = n >= k
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int8())})
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        starts = np.zeros(len(n), np.int64)
+        np.cumsum(n[:-1], out=starts[1:])
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)[keep]
+        s0, e0 = starts[keep], (starts + n)[keep]
+        sep = pa.scalar(" ", flat.type)
+        # k shifted takes aligned at row starts / row ends (list_slice
+        # rejects negative starts, so tails go through the flat array)
+        head = pc.binary_join_element_wise(
+            *[flat.take(pa.array(s0 + j)) for j in range(k)], sep)
+        tail = pc.binary_join_element_wise(
+            *[flat.take(pa.array(e0 - k + j)) for j in range(k)], sep)
+        return pa.table({
+            id_col: pa.array(np.concatenate([ids, ids])),
+            "key": pa.concat_arrays([
+                tail.cast(pa.string()), head.cast(pa.string())]),
+            "side": pa.array(np.r_[np.zeros(len(ids), np.int8),
+                                   np.ones(len(ids), np.int8)])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t["key"].to_pandas().to_numpy(object))
+        return t.append_column("__kb",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def pair_bucket(g: pd.DataFrame) -> pa.Table:
+        tails = g[g["side"] == 0]
+        heads = g[g["side"] == 1]
+        m = tails.merge(heads, on="key")
+        m = m[m[f"{id_col}_x"] != m[f"{id_col}_y"]]
+        out = pd.DataFrame({
+            "id_a": m[f"{id_col}_x"].to_numpy(np.int64),
+            "id_b": m[f"{id_col}_y"].to_numpy(np.int64)}) \
+            .drop_duplicates().sort_values(["id_a", "id_b"])
+        return arrow_group(out)
+
+    return (ds.map_batches(keys, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__kb").map_groups(pair_bucket,
+                                        batch_format="pandas"))
