@@ -4050,6 +4050,39 @@ def _q_continuation_pairs(sf_dir: str):
         .astype({"id_a": "int64", "id_b": "int64"})
 
 
+def _q_top_hits(sf_dir: str):
+    """ES top_hits aggregation: best matching turns per (query, lang
+    facet) bucket."""
+    from vframe_ray.pipelines.flagship import search_top_hits
+    return search_top_hits(sf_dir)
+
+
+def _top_hits_sql() -> str:
+    """top_hits oracle: the shared BM25 chain over the positive texts,
+    facet + conversation identity from documents (conv = source,
+    turn = rank of doc_id within source), rank per (query, facet)."""
+    from vframe_ray.pipelines.flagship import TOP_HITS_QUERIES
+    pseudo = [{"query_id": q["query_id"], "query_text": q["query_text"],
+               "k": q["h"]} for q in TOP_HITS_QUERIES]
+    return f"""{_bm25_scores_prefix(pseudo)},
+ conv AS (SELECT doc_id, source, lang,
+                 (row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) - 1) AS turn
+          FROM documents),
+ ranked AS (SELECT s.query_id, c.lang AS facet, c.source AS conv_id,
+                   c.turn AS turn_idx, s.score,
+                   row_number() OVER (
+                       PARTITION BY s.query_id, c.lang
+                       ORDER BY s.score DESC, c.source, c.turn) AS rank
+            FROM scores s JOIN conv c ON c.doc_id = s.doc_id)
+SELECT r.query_id::INT AS query_id, r.facet, r.rank::INT AS rank,
+       r.conv_id, r.turn_idx::INT AS turn_idx,
+       round(r.score, 6) AS score_r
+FROM ranked r JOIN qk ON qk.query_id = r.query_id
+WHERE r.rank <= qk.k
+ORDER BY query_id, facet, rank"""
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style doc pairing over winnowed fingerprints (≥2 shared
     selected hashes; hot fingerprints df>1000 excluded)."""
@@ -4686,6 +4719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prepare_training_data": _q_prepare_training_data,
         "winnow_pairs": _q_winnow_pairs,
         "continuation_pairs": _q_continuation_pairs,
+        "search_top_hits": _q_top_hits,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -4967,6 +5001,7 @@ ORDER BY d.doc_id""",
         "bm25_mmr": _mmr_sql(),
         "bm25_boosting": _boosting_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
+        "search_top_hits": _top_hits_sql(),
         # doubled corpus: derived continuation records start with the
         # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
         "continuation_pairs": f"""{_TOK},

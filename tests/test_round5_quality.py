@@ -475,3 +475,36 @@ def test_continuation_pairs_directed(ray_session):
     out = continuation_pairs(ray.data.from_arrow(tbl).repartition(2),
                              k=3).to_pandas()
     assert list(zip(out["id_a"], out["id_b"])) == [(0, 1)]  # directed
+
+
+def test_top_hits_by_facet(ray_session, tmp_path):
+    # per-facet top-h: each lang bucket gets its own best docs; a
+    # bucket with fewer matches returns what it has
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import top_hits_index
+    rows = [
+        ("a", 0, "alpha alpha alpha", "en"),
+        ("b", 0, "alpha alpha", "en"),
+        ("c", 0, "alpha", "en"),
+        ("d", 0, "alpha beta", "de"),
+        ("e", 0, "gamma", "de"),
+    ]
+    tbl = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([r[1] for r in rows],
+                                         pa.int32()),
+                    "text": pa.array([r[2] for r in rows]),
+                    "lang": pa.array([r[3] for r in rows])})
+    idx = str(tmp_path / "th_idx")
+    build_index(ray.data.from_arrow(tbl), idx,
+                EngineConfig(index=IndexConfig(num_segments=2)),
+                attribute_cols=["lang"])
+    out = top_hits_index(idx, [{"query_id": 0, "query_text": "alpha",
+                                "h": 2}], "lang").to_pandas()
+    en = out[out.facet == "en"]
+    de = out[out.facet == "de"]
+    assert list(en["conv_id"]) == ["a", "b"]       # top-2 by tf
+    assert list(en["rank"]) == [1, 2]
+    assert list(de["conv_id"]) == ["d"]            # only one de match
+    assert "e" not in set(out["conv_id"])          # non-matching doc

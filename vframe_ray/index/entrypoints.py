@@ -1910,3 +1910,74 @@ def search_boosting_index(index_dir: str, queries: list[dict],
     ks = {qid: k for qid, _, _, _, k in parsed}
     merged = _merge_topk_driver(hits.to_pandas(), ks)
     return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def top_hits_index(index_dir: str, queries: list[dict], facet_col: str,
+                   cfg: EngineConfig | None = None, *,
+                   predicates: list[str] | None = None) -> pa.Table:
+    """ES ``top_hits`` aggregation: per query and FACET VALUE, the
+    top-``h`` matching docs by BM25 — "the best examples in every
+    category" in one call.
+
+    queries: [{"query_id", "query_text", "h"}] →
+    (query_id, facet, rank, conv_id, turn_idx, score) sorted by
+    (query_id, facet, rank); rank order (score desc, conv_id,
+    turn_idx) within its (query, facet) bucket.  Exact: each segment
+    emits ≤ h rows per (query, facet) (a doc's facet value is a docmap
+    attribute, constant across segments), the driver merges
+    ≤ h · segments · facets rows per query.
+    """
+    import pandas as pd
+
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
+        else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("h", 3))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
+        if parsed else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        tables = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            tables.append(s.top_hits_by_facet(qs, facet_col,
+                                              predicates=predicates))
+        return pa.concat_tables(tables)
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    df = seg_ds.map_batches(_task, batch_format="pyarrow",
+                            batch_size=seg_batch).to_pandas()
+    hs = {qid: h for qid, _, h in parsed}
+    out_schema = pa.schema([
+        ("query_id", pa.int32()), ("facet", pa.string()),
+        ("rank", pa.int32()), ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()), ("score", pa.float64())])
+    if df.empty:
+        return pa.table({f.name: [] for f in out_schema},
+                        schema=out_schema)
+    df = df.sort_values(["query_id", "facet", "score", "conv_id",
+                         "turn_idx"],
+                        ascending=[True, True, False, True, True]) \
+        .reset_index(drop=True)
+    df["rank"] = (df.groupby(["query_id", "facet"], sort=False)
+                  .cumcount() + 1).astype("int32")
+    df = df[df["rank"] <= df["query_id"].map(hs)]
+    df = df[["query_id", "facet", "rank", "conv_id", "turn_idx",
+             "score"]].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)

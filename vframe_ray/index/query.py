@@ -37,7 +37,7 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           sort_by_attr_index,
                           span_first_search_index,
                           search_boolean_index, search_boosted_index,
-                          search_boosting_index,
+                          search_boosting_index, top_hits_index,
                           search_fields_index, search_fuzzy_index,
                           search_federated,
                           search_index, search_like_index,

@@ -1189,6 +1189,49 @@ class SegmentSearcher:
                              "score": pa.array([], pa.float64())})
         return pa.concat_tables(tables)
 
+    def top_hits_by_facet(self, queries: list[tuple], facet_col: str,
+                          predicates: list[str] | None = None
+                          ) -> pa.Table:
+        """ES ``top_hits``-per-bucket aggregation over this segment:
+        for each (query, facet value) the top-``h`` matching docs by
+        BM25 — the "best example per category" search report.
+
+        queries: [(query_id, terms, h)].  Emits ≤ h rows per (query,
+        facet) per segment — superset-safe for the cross-segment merge
+        (a doc's facet value never changes across segments)."""
+        import pandas as pd
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        attr = self.r.docs[facet_col]
+        tables = []
+        for qid, terms, h in queries:
+            cand, scores = self._sparse_scores(terms, postings,
+                                               doc_mask=doc_mask)
+            if cand.size == 0:
+                continue
+            idx = pa.array(cand)
+            df = pd.DataFrame({
+                "facet": attr.take(idx)
+                .to_numpy(zero_copy_only=False).astype(object),
+                "conv_id": self.r.conv_id.take(idx)
+                .to_numpy(zero_copy_only=False).astype(object),
+                "turn_idx": self.r.turn_idx.take(idx)
+                .to_numpy(zero_copy_only=False).astype(np.int64),
+                "score": scores})
+            df = df.sort_values(["facet", "score", "conv_id", "turn_idx"],
+                                ascending=[True, False, True, True])
+            df = df.groupby("facet", sort=False).head(int(h))
+            df.insert(0, "query_id", np.int32(qid))
+            tables.append(pa.Table.from_pandas(df, preserve_index=False)
+                          .cast(_TOP_HITS_SCHEMA))
+        if not tables:
+            return pa.table(
+                {f.name: [] for f in _TOP_HITS_SCHEMA},
+                schema=_TOP_HITS_SCHEMA)
+        return pa.concat_tables(tables)
+
     def search_boolean(self, queries: list[tuple],
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.
@@ -1618,6 +1661,11 @@ def _collapse_hits_impl(searcher, hits, k):
 
 _RESULT_SCHEMA = pa.schema([
     ("query_id", pa.int32()), ("rank", pa.int32()),
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("score", pa.float64())])
+
+_TOP_HITS_SCHEMA = pa.schema([
+    ("query_id", pa.int32()), ("facet", pa.string()),
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
     ("score", pa.float64())])
 

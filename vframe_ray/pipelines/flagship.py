@@ -1722,3 +1722,26 @@ def prepare_training_data(ds, *, min_tokens: int = 40,
         n_docs=(id_col, "nunique"), n_chunks=("n_chunks", "sum"),
         n_tokens=("n_tokens", "sum"))
     return agg.sort_values(source_col).reset_index(drop=True)
+
+
+TOP_HITS_QUERIES = [
+    {"query_id": 0, "query_text": "spark window merge", "h": 3},
+    {"query_id": 1, "query_text": "the customer", "h": 2},
+]
+
+
+def search_top_hits(sf_dir: str) -> pa.Table:
+    """ES top_hits-per-bucket parity over the conversation-shaped index:
+    per query and ``lang`` facet, the top-h matching turns by BM25
+    (index/entrypoints.top_hits_index)."""
+    from ..index.query import top_hits_index
+    index_dir = conversations_index(sf_dir)
+    res = top_hits_index(index_dir, TOP_HITS_QUERIES, "lang")
+    return pa.table({
+        "query_id": res["query_id"],
+        "facet": res["facet"],
+        "rank": res["rank"],
+        "conv_id": res["conv_id"],
+        "turn_idx": res["turn_idx"],
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
