@@ -4083,6 +4083,78 @@ WHERE r.rank <= qk.k
 ORDER BY query_id, facet, rank"""
 
 
+def _q_retrieval_eval(sf_dir: str):
+    """AP@k / NDCG@k of the BM25 ranking vs conjunctive pseudo-qrels."""
+    from vframe_ray.pipelines.flagship import retrieval_eval
+    return retrieval_eval(sf_dir)
+
+
+def _retrieval_eval_sql() -> str:
+    """Eval oracle: the shared BM25 chain ranked to k, relevance = the
+    doc matches EVERY query term (count of distinct matched terms =
+    |terms|), AP/NDCG closed forms with log2 discounts."""
+    from vframe_ray.pipelines.flagship import EVAL_QUERIES
+    tok = Tokenizer()
+    nts = [f"({q['query_id']}, "
+           f"{len(set(tok.tokenize(q['query_text'])))})"
+           for q in EVAL_QUERIES]
+    return f"""{_bm25_scores_prefix(EVAL_QUERIES)},
+ nt(query_id, nt) AS (VALUES {', '.join(nts)}),
+ relset AS (SELECT q.query_id, tf._id AS doc_id
+            FROM q JOIN tf ON tf.term = q.term
+            JOIN nt ON nt.query_id = q.query_id
+            GROUP BY q.query_id, tf._id, nt.nt
+            HAVING count(DISTINCT tf.term) = nt.nt),
+ nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM relset
+          GROUP BY query_id),
+ ranked AS (SELECT s.query_id, s.doc_id, s.score,
+                   row_number() OVER (PARTITION BY s.query_id
+                                      ORDER BY s.score DESC, s.doc_id)
+                       AS rnk
+            FROM scores s),
+ top AS (SELECT r.query_id, r.rnk,
+                CASE WHEN rs.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS rel
+         FROM ranked r JOIN qk ON qk.query_id = r.query_id
+         LEFT JOIN relset rs ON rs.query_id = r.query_id
+                            AND rs.doc_id = r.doc_id
+         WHERE r.rnk <= qk.k),
+ cum AS (SELECT query_id, rnk, rel,
+                sum(rel) OVER (PARTITION BY query_id ORDER BY rnk)
+                    AS crel
+         FROM top),
+ m AS (SELECT c.query_id,
+              sum(CASE WHEN c.rel = 1
+                       THEN c.crel::DOUBLE / c.rnk ELSE 0 END) AS apn,
+              sum(c.rel::DOUBLE / log2(c.rnk + 1)) AS dcg,
+              count(*)::BIGINT AS n_ret
+       FROM cum c GROUP BY c.query_id),
+ idcg AS (SELECT n.query_id,
+                 sum(1.0 / log2(g.i + 1)) AS v
+          FROM (SELECT qk.query_id,
+                       least(coalesce(nrel.n_rel, 0), qk.k) AS lim
+                FROM qk LEFT JOIN nrel USING (query_id)) n
+          JOIN (SELECT unnest(generate_series(
+                    1, (SELECT max(k) FROM qk))) AS i) g
+               ON g.i <= n.lim
+          GROUP BY n.query_id)
+SELECT qk.query_id::INT AS query_id,
+       coalesce(nrel.n_rel, 0)::BIGINT AS n_rel,
+       coalesce(m.n_ret, 0)::BIGINT AS n_ret,
+       round(CASE WHEN coalesce(nrel.n_rel, 0) > 0
+                  THEN coalesce(m.apn, 0)
+                       / least(nrel.n_rel, qk.k) ELSE 0.0 END, 6)
+           AS ap_r,
+       round(CASE WHEN coalesce(nrel.n_rel, 0) > 0
+                  THEN coalesce(m.dcg, 0) / idcg.v ELSE 0.0 END, 6)
+           AS ndcg_r
+FROM qk
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN m ON m.query_id = qk.query_id
+LEFT JOIN idcg ON idcg.query_id = qk.query_id
+ORDER BY query_id"""
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style doc pairing over winnowed fingerprints (≥2 shared
     selected hashes; hot fingerprints df>1000 excluded)."""
@@ -4720,6 +4792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,
         "continuation_pairs": _q_continuation_pairs,
         "search_top_hits": _q_top_hits,
+        "retrieval_eval": _q_retrieval_eval,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5002,6 +5075,7 @@ ORDER BY d.doc_id""",
         "bm25_boosting": _boosting_sql(),
         "winnow_pairs": _winnow_pairs_sql(),
         "search_top_hits": _top_hits_sql(),
+        "retrieval_eval": _retrieval_eval_sql(),
         # doubled corpus: derived continuation records start with the
         # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
         "continuation_pairs": f"""{_TOK},

@@ -508,3 +508,45 @@ def test_top_hits_by_facet(ray_session, tmp_path):
     assert list(en["rank"]) == [1, 2]
     assert list(de["conv_id"]) == ["d"]            # only one de match
     assert "e" not in set(out["conv_id"])          # non-matching doc
+
+
+def test_retrieval_eval_closed_form(ray_session, tmp_path):
+    # hand-checkable ranking: relevance = contains ALL terms; one
+    # high-tf doc missing a term must cost AP/NDCG exactly
+    import math
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import (retrieval_eval_index,
+                                        search_index)
+    rows = [
+        ("a", "alpha alpha alpha alpha alpha"),   # high tf, NOT rel
+        ("b", "alpha beta"),                      # rel
+        ("c", "alpha beta filler words"),         # rel
+        ("d", "unrelated"),
+    ]
+    tbl = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([0] * 4, pa.int32()),
+                    "text": pa.array([r[1] for r in rows])})
+    idx = str(tmp_path / "ev_idx")
+    build_index(ray.data.from_arrow(tbl), idx,
+                EngineConfig(index=IndexConfig(num_segments=2)))
+    out = retrieval_eval_index(idx, [
+        {"query_id": 0, "query_text": "alpha beta", "k": 4}]).to_pandas()
+    r = out.iloc[0]
+    assert r["n_rel"] == 2
+    ranked = search_index(idx, [{"query_id": 0,
+                                 "query_text": "alpha beta",
+                                 "k": 4}]).to_pandas()
+    order = list(ranked["conv_id"])
+    rel = [1 if c in ("b", "c") else 0 for c in order]
+    csum, ap = 0, 0.0
+    for i, rl in enumerate(rel, 1):
+        csum += rl
+        if rl:
+            ap += csum / i
+    ap /= 2
+    dcg = sum(rl / math.log2(i + 1) for i, rl in enumerate(rel, 1))
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2))
+    assert r["ap_r"] == pytest.approx(round(ap, 6), abs=1e-9)
+    assert r["ndcg_r"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)

@@ -1981,3 +1981,103 @@ def top_hits_index(index_dir: str, queries: list[dict], facet_col: str,
     df = df[["query_id", "facet", "rank", "conv_id", "turn_idx",
              "score"]].reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+
+def retrieval_eval_index(index_dir: str, queries: list[dict],
+                         cfg: EngineConfig | None = None, *,
+                         predicates: list[str] | None = None
+                         ) -> pa.Table:
+    """Retrieval-quality evaluation over pseudo-qrels: per query,
+    AP@k and NDCG@k of the BM25 ranking where a doc is RELEVANT iff it
+    contains ALL query terms (the conjunctive pseudo-judgment —
+    deterministic, corpus-derived, SQL-mirrorable; the harness every
+    ranking change should be measured with).
+
+    queries: [{"query_id", "query_text", "k"}] →
+    (query_id, n_rel, n_ret, ap_r, ndcg_r) sorted by query_id.
+
+    AP@k  = Σ_{i ≤ k, rel_i} (cum_rel_i / i) / min(n_rel, k)
+    NDCG@k = Σ_{i ≤ k} rel_i/log2(i+1) / Σ_{i ≤ min(n_rel,k)} 1/log2(i+1)
+    (0 when n_rel = 0).  The ranked rows come from the ordinary
+    scatter-gather with a per-doc rel flag attached in-segment
+    (:meth:`SegmentSearcher.search_with_rel`); n_rel sums exact
+    per-segment conjunctive counts.  All metric arithmetic runs on the
+    driver over ≤ queries·k rows.
+    """
+    import pandas as pd
+
+    from .build import load_index_meta
+    cfg_dict, stats, seg_dirs = load_index_meta(index_dir)
+    cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
+        else cfg.validate()
+    if predicates:
+        validate_predicates(index_dir, predicates)
+    tok = Tokenizer(cfg.analyzer)
+    parsed = [(int(q["query_id"]),
+               sorted(set(tok.tokenize(q["query_text"]))),
+               int(q.get("k", 10))) for q in queries]
+    all_terms = set().union(*[set(t) for _, t, _ in parsed]) \
+        if parsed else set()
+    gdf = _global_df_for_terms(index_dir, all_terms)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    parsed_ref = ray.put(parsed)
+    gdf_ref = ray.put(gdf)
+    bm25_dict = {"k1": cfg.bm25.k1, "b": cfg.bm25.b}
+    block_size = cfg.index.block_size
+
+    def _task(batch: pa.Table) -> pa.Table:
+        qs = ray.get(parsed_ref)
+        gdf_l = ray.get(gdf_ref)
+        hit_t, cnt_t = [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            s = SegmentSearcher(seg_dir, BM25Config(**bm25_dict), n_docs,
+                                avgdl, gdf_l, block_size=block_size)
+            hit_t.append(s.search_with_rel(qs, predicates=predicates))
+            cnt_t.append(s.must_counts(qs, predicates=predicates))
+        hits = pa.concat_tables(hit_t)
+        cnts = pa.concat_tables(cnt_t)
+        # ship both through one table: count rows carry rank sentinel
+        cnts = pa.table({
+            "query_id": cnts["query_id"],
+            "conv_id": pa.nulls(cnts.num_rows, pa.string()),
+            "turn_idx": pa.array(np.full(cnts.num_rows, -1, np.int32)),
+            "score": pc.cast(cnts["n"], pa.float64()),
+            "rel": pa.array(np.full(cnts.num_rows, -1, np.int8))})
+        return pa.concat_tables([hits, cnts])
+
+    seg_ds = ray.data.from_items([{"seg_dir": d} for d in seg_dirs])
+    seg_batch = max(1, len(seg_dirs) // 64)
+    df = seg_ds.map_batches(_task, batch_format="pyarrow",
+                            batch_size=seg_batch).to_pandas()
+    ks = {qid: k for qid, _, k in parsed}
+    is_cnt = df["rel"] == -1
+    n_rel = df[is_cnt].groupby("query_id")["score"].sum().astype(int)
+    merged = _merge_topk_driver(
+        df[~is_cnt].drop(columns="rel").copy(), ks)
+    # rel flags re-attach by (query, conv, turn) — unique result keys
+    rel_map = df[~is_cnt].set_index(
+        ["query_id", "conv_id", "turn_idx"])["rel"]
+    rel_map = rel_map[~rel_map.index.duplicated()]
+    merged["rel"] = rel_map.reindex(pd.MultiIndex.from_frame(
+        merged[["query_id", "conv_id", "turn_idx"]])).to_numpy()
+    rows = []
+    for qid, _terms, k in parsed:
+        g = merged[merged["query_id"] == qid]
+        rel = g["rel"].to_numpy(np.int64)
+        nr = int(n_rel.get(qid, 0))
+        i = np.arange(1, len(rel) + 1, dtype=np.float64)
+        if nr > 0 and len(rel):
+            ap = float((np.cumsum(rel) / i)[rel == 1].sum()) \
+                / min(nr, k)
+            disc = 1.0 / np.log2(i + 1)
+            idcg = float(
+                (1.0 / np.log2(np.arange(1, min(nr, k) + 1,
+                                         dtype=np.float64) + 1)).sum())
+            ndcg = float((rel * disc).sum()) / idcg
+        else:
+            ap, ndcg = 0.0, 0.0
+        rows.append((qid, nr, len(rel), round(ap, 6), round(ndcg, 6)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_rel", "n_ret",
+                                      "ap_r", "ndcg_r"]) \
+        .sort_values("query_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

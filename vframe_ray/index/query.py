@@ -38,6 +38,7 @@ from .entrypoints import (expand_prefix_terms, explain_index,
                           span_first_search_index,
                           search_boolean_index, search_boosted_index,
                           search_boosting_index, top_hits_index,
+                          retrieval_eval_index,
                           search_fields_index, search_fuzzy_index,
                           search_federated,
                           search_index, search_like_index,

@@ -1232,6 +1232,81 @@ class SegmentSearcher:
                 schema=_TOP_HITS_SCHEMA)
         return pa.concat_tables(tables)
 
+    def search_with_rel(self, queries: list[tuple],
+                        predicates: list[str] | None = None
+                        ) -> pa.Table:
+        """Ranked search rows PLUS a binary relevance flag (doc holds
+        ALL query terms) — the per-segment kernel of the retrieval-
+        quality evaluation (AP / NDCG over pseudo-qrels).  queries:
+        [(query_id, terms, k)]; emits the local top-k with ``rel``
+        attached (the flag is a pure doc property, so attaching it
+        before the cut cannot change the ranking)."""
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        tables = []
+        for qid, terms, k in queries:
+            cand, scores = self._sparse_scores(terms, postings,
+                                               doc_mask=doc_mask)
+            if cand.size == 0:
+                continue
+            must = self._must_docs(terms, postings, doc_mask)
+            rel = np.isin(cand, must)
+            order = np.lexsort((cand, -scores))[:k]
+            idx = pa.array(cand[order])
+            tables.append(pa.table({
+                "query_id": pa.array(
+                    np.full(len(order), qid, dtype=np.int32)),
+                "conv_id": pc.cast(self.r.conv_id.take(idx), pa.string()),
+                "turn_idx": pc.cast(self.r.turn_idx.take(idx),
+                                    pa.int32()),
+                "score": pa.array(scores[order], pa.float64()),
+                "rel": pa.array(rel[order].astype(np.int8)),
+            }))
+        if not tables:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "score": pa.array([], pa.float64()),
+                             "rel": pa.array([], pa.int8())})
+        return pa.concat_tables(tables)
+
+    def _must_docs(self, terms: list[str],
+                   postings: dict, doc_mask: "np.ndarray | None"
+                   ) -> np.ndarray:
+        """Segment-local doc ids containing EVERY term (empty when any
+        term is absent from the segment... which does NOT mean the doc
+        set is empty globally — doc sets are segment-disjoint, so the
+        global must-set is the union of per-segment must-sets)."""
+        sets = []
+        for t in terms:
+            if t not in postings:
+                return np.empty(0, np.int64)
+            sets.append(self._decode_cached(t, postings[t])[0])
+        out = sets[0]
+        for s in sets[1:]:
+            out = out[np.isin(out, s)]
+        if doc_mask is not None and out.size:
+            out = out[doc_mask[out]]
+        return out
+
+    def must_counts(self, queries: list[tuple],
+                    predicates: list[str] | None = None) -> pa.Table:
+        """(query_id, n) partials: docs holding ALL the query's terms in
+        this segment (sums exactly across segments)."""
+        all_terms = sorted(set().union(*[set(t) for _, t, _ in queries])
+                           ) if queries else []
+        postings = self.load_terms_cached(all_terms)
+        doc_mask = self._base_mask(predicates)
+        qids, ns = [], []
+        for qid, terms, _k in queries:
+            qids.append(qid)
+            ns.append(int(self._must_docs(terms, postings,
+                                          doc_mask).size))
+        return pa.table({"query_id": pa.array(qids, pa.int32()),
+                         "n": pa.array(ns, pa.int64())})
+
     def search_boolean(self, queries: list[tuple],
                        predicates: list[str] | None = None) -> pa.Table:
         """Boolean (Lucene bool-query analog) search over this segment.

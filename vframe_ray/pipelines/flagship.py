@@ -1745,3 +1745,25 @@ def search_top_hits(sf_dir: str) -> pa.Table:
         "turn_idx": res["turn_idx"],
         "score_r": pc.round(res["score"], ndigits=6),
     })
+
+
+EVAL_QUERIES = [
+    # mid: conjunctive docs exist but BM25's tf-sum ranking mostly
+    # misses them in the top-10 — the discriminative case
+    {"query_id": 0, "query_text": "dup stream vector window sort",
+     "k": 10},
+    # saturating: conjunctions are common, top-10 all relevant
+    {"query_id": 1, "query_text": "spark window merge join filter sort",
+     "k": 10},
+    # zero: no doc holds all three terms
+    {"query_id": 2, "query_text": "vector gram spill", "k": 10},
+]
+
+
+def retrieval_eval(sf_dir: str) -> pa.Table:
+    """Search-quality evaluation harness over conjunctive pseudo-qrels
+    (index/entrypoints.retrieval_eval_index): AP@k / NDCG@k of the
+    BM25 ranking where relevance = doc holds ALL query terms."""
+    from ..index.query import retrieval_eval_index
+    index_dir = documents_index(sf_dir)
+    return retrieval_eval_index(index_dir, EVAL_QUERIES)
