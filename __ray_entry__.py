@@ -4155,6 +4155,70 @@ LEFT JOIN idcg ON idcg.query_id = qk.query_id
 ORDER BY query_id"""
 
 
+def _q_bm25_prf(sf_dir: str):
+    """Pseudo-relevance-feedback expansion: two deterministic BM25
+    rounds with top-tf expansion terms from the feedback docs."""
+    from vframe_ray.pipelines.flagship import bm25_prf
+    return bm25_prf(sf_dir)
+
+
+def _prf_sql() -> str:
+    """Two-round PRF oracle: the shared BM25 chain at feedback depth D
+    selects the pseudo-relevant docs, their top-M non-query terms (tf
+    sum desc, term asc) expand the term set, and a second BM25 chain
+    ranks the expanded query."""
+    from vframe_ray.pipelines.flagship import PRF_D, PRF_M, PRF_QUERIES
+    k1, b = _BM25_PARAMS["k1"], _BM25_PARAMS["b"]
+    pseudo = [{"query_id": q["query_id"], "query_text": q["query_text"],
+               "k": PRF_D} for q in PRF_QUERIES]
+    qk2 = ", ".join(f"({q['query_id']}, {q['k']})" for q in PRF_QUERIES)
+    return f"""{_bm25_scores_prefix(pseudo)},
+ fb AS (SELECT query_id, doc_id FROM (
+     SELECT s.query_id, s.doc_id,
+            row_number() OVER (PARTITION BY s.query_id
+                               ORDER BY s.score DESC, s.doc_id) AS rn
+     FROM scores s) WHERE rn <= {PRF_D}),
+ fbtf AS (SELECT f.query_id, t.term, count(*) AS s
+          FROM fb f JOIN tok t ON t._id = f.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM q
+                            WHERE q.query_id = f.query_id
+                              AND q.term = t.term)
+          GROUP BY f.query_id, t.term),
+ expn AS (SELECT query_id, term FROM (
+     SELECT query_id, term,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY s DESC, term) AS rn
+     FROM fbtf) WHERE rn <= {PRF_M}),
+ q2 AS (SELECT query_id, term FROM q
+        UNION SELECT query_id, term FROM expn),
+ qk2(query_id, k) AS (VALUES {qk2}),
+ tf2 AS (SELECT _id, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM q2) GROUP BY _id, term),
+ df2 AS (SELECT term, count(DISTINCT _id) AS df FROM tok
+         WHERE term IN (SELECT term FROM q2) GROUP BY term),
+ scores2 AS (
+   SELECT q2.query_id, tf2._id AS doc_id,
+          sum(ln(1 + (stats.n - df2.df + 0.5) / (df2.df + 0.5))
+              * (tf2.tf * ({k1} + 1.0))
+              / (tf2.tf + {k1} * (1.0 - {b}
+                                  + {b} * dl_all.dl / stats.avgdl))
+             ) AS score
+   FROM q2 JOIN tf2 ON tf2.term = q2.term
+          JOIN df2 ON df2.term = q2.term
+          JOIN dl_all ON dl_all._id = tf2._id, stats
+   GROUP BY q2.query_id, tf2._id),
+ ranked2 AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id)
+                        AS rank
+             FROM scores2)
+SELECT r.query_id::INT AS query_id, r.rank::INT AS rank,
+       r.doc_id::BIGINT AS doc_id, round(r.score, 6) AS score_r
+FROM ranked2 r JOIN qk2 ON qk2.query_id = r.query_id
+WHERE r.rank <= qk2.k
+ORDER BY query_id, rank"""
+
+
 def _q_winnow_pairs(sf_dir: str):
     """MOSS-style doc pairing over winnowed fingerprints (≥2 shared
     selected hashes; hot fingerprints df>1000 excluded)."""
@@ -4793,6 +4857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "continuation_pairs": _q_continuation_pairs,
         "search_top_hits": _q_top_hits,
         "retrieval_eval": _q_retrieval_eval,
+        "bm25_prf": _q_bm25_prf,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5076,6 +5141,7 @@ ORDER BY d.doc_id""",
         "winnow_pairs": _winnow_pairs_sql(),
         "search_top_hits": _top_hits_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
+        "bm25_prf": _prf_sql(),
         # doubled corpus: derived continuation records start with the
         # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
         "continuation_pairs": f"""{_TOK},

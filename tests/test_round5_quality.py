@@ -550,3 +550,23 @@ def test_retrieval_eval_closed_form(ray_session, tmp_path):
     idcg = sum(1 / math.log2(i + 1) for i in (1, 2))
     assert r["ap_r"] == pytest.approx(round(ap, 6), abs=1e-9)
     assert r["ndcg_r"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+
+
+def test_prf_expands_and_changes_ranking(ray_session):
+    # PRF must actually add terms (the expanded result differs from the
+    # plain search for at least one query on the seeded corpus)
+    from vframe_ray.pipelines.flagship import (PRF_QUERIES, bm25_prf,
+                                               documents_index)
+    from vframe_ray.index.query import search_index
+    sf = "/root/testdata/sf0.001"
+    exp = bm25_prf(sf).to_pandas()
+    plain = search_index(documents_index(sf), PRF_QUERIES).to_pandas()
+    plain["doc_id"] = plain["conv_id"].astype("int64")
+    changed = False
+    for q in PRF_QUERIES:
+        a = list(exp[exp.query_id == q["query_id"]]["doc_id"])
+        b = list(plain[plain.query_id == q["query_id"]]["doc_id"])
+        assert len(a) == len(b) == q["k"]
+        if a != b:
+            changed = True
+    assert changed

@@ -1767,3 +1767,69 @@ def retrieval_eval(sf_dir: str) -> pa.Table:
     from ..index.query import retrieval_eval_index
     index_dir = documents_index(sf_dir)
     return retrieval_eval_index(index_dir, EVAL_QUERIES)
+
+
+PRF_QUERIES = [
+    {"query_id": 0, "query_text": "spark window", "k": 10},
+    {"query_id": 1, "query_text": "hash join", "k": 10},
+    {"query_id": 2, "query_text": "vector", "k": 10},
+]
+PRF_D = 5          # feedback depth (docs)
+PRF_M = 3          # expansion terms added
+
+
+def bm25_prf(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback expansion (Rocchio / RM3-lite): run
+    the query, take the top ``PRF_D`` docs as pseudo-relevant, add the
+    ``PRF_M`` terms with the highest total tf across them (original
+    terms excluded, ties by term asc), and re-search with the expanded
+    term set — the classic recall-boosting second pass, fully
+    deterministic so the two-round pipeline is SQL-mirrorable.
+
+    Feedback docs re-read via ONE pushdown-filtered parquet read
+    (≤ queries × D docs — the term_vectors finalists discipline);
+    everything else is two ordinary scatter-gather searches.
+    Returns (query_id, rank, doc_id, score_r).
+    """
+    import pandas as pd
+
+    from ..analyze import Tokenizer
+    from ..index.query import search_index
+    index_dir = documents_index(sf_dir)
+    tok = Tokenizer()
+    initial = search_index(index_dir, [
+        {"query_id": q["query_id"], "query_text": q["query_text"],
+         "k": PRF_D} for q in PRF_QUERIES]).to_pandas()
+    initial["doc_id"] = initial["conv_id"].astype("int64")
+    doc_ids = sorted(set(initial["doc_id"]))
+    docs = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         filter=pc.field("doc_id").isin(doc_ids)) \
+        .to_pandas() if doc_ids else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "text": pd.Series(dtype="object")})
+    tf_by_doc = {int(r.doc_id): pd.Series(
+        tok.tokenize(r.text)).value_counts()
+        for r in docs.itertuples()}
+    expanded = []
+    for q in PRF_QUERIES:
+        orig = set(tok.tokenize(q["query_text"]))
+        fb = initial[initial["query_id"] == q["query_id"]]["doc_id"]
+        sums: dict[str, int] = {}
+        for d in fb:
+            for t, n in tf_by_doc.get(int(d), {}).items():
+                if t not in orig:
+                    sums[t] = sums.get(t, 0) + int(n)
+        top = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp = [t for t, _ in top[:PRF_M]]
+        expanded.append({
+            "query_id": q["query_id"],
+            "query_text": " ".join(sorted(orig | set(exp))),
+            "k": q["k"]})
+    res = search_index(index_dir, expanded)
+    return pa.table({
+        "query_id": res["query_id"],
+        "rank": res["rank"],
+        "doc_id": pc.cast(res["conv_id"], pa.int64()),
+        "score_r": pc.round(res["score"], ndigits=6),
+    })
