@@ -4127,6 +4127,7 @@ def _retrieval_eval_sql() -> str:
               sum(CASE WHEN c.rel = 1
                        THEN c.crel::DOUBLE / c.rnk ELSE 0 END) AS apn,
               sum(c.rel::DOUBLE / log2(c.rnk + 1)) AS dcg,
+              min(CASE WHEN c.rel = 1 THEN c.rnk END) AS frel,
               count(*)::BIGINT AS n_ret
        FROM cum c GROUP BY c.query_id),
  idcg AS (SELECT n.query_id,
@@ -4147,7 +4148,9 @@ SELECT qk.query_id::INT AS query_id,
            AS ap_r,
        round(CASE WHEN coalesce(nrel.n_rel, 0) > 0
                   THEN coalesce(m.dcg, 0) / idcg.v ELSE 0.0 END, 6)
-           AS ndcg_r
+           AS ndcg_r,
+       round(CASE WHEN m.frel IS NOT NULL
+                  THEN 1.0 / m.frel ELSE 0.0 END, 6) AS mrr_r
 FROM qk
 LEFT JOIN nrel USING (query_id)
 LEFT JOIN m ON m.query_id = qk.query_id

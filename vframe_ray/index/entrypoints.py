@@ -2074,10 +2074,13 @@ def retrieval_eval_index(index_dir: str, queries: list[dict],
                 (1.0 / np.log2(np.arange(1, min(nr, k) + 1,
                                          dtype=np.float64) + 1)).sum())
             ndcg = float((rel * disc).sum()) / idcg
+            first = np.flatnonzero(rel == 1)
+            mrr = 1.0 / (int(first[0]) + 1) if first.size else 0.0
         else:
-            ap, ndcg = 0.0, 0.0
-        rows.append((qid, nr, len(rel), round(ap, 6), round(ndcg, 6)))
+            ap, ndcg, mrr = 0.0, 0.0, 0.0
+        rows.append((qid, nr, len(rel), round(ap, 6), round(ndcg, 6),
+                     round(mrr, 6)))
     out = pd.DataFrame(rows, columns=["query_id", "n_rel", "n_ret",
-                                      "ap_r", "ndcg_r"]) \
+                                      "ap_r", "ndcg_r", "mrr_r"]) \
         .sort_values("query_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
