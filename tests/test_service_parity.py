@@ -225,3 +225,20 @@ def test_service_parity_boosting(ray_session, tmp_path):
         assert "c4" in set(one[one.query_id == 0]["conv_id"])
     finally:
         svc.shutdown()
+
+
+def test_service_parity_top_hits(ray_session, tmp_path):
+    from vframe_ray.index.query import top_hits_index
+    idx = str(tmp_path / "th_svc_idx")
+    build_index(ray.data.from_items(ROWS), idx, SMALL_CFG,
+                attribute_cols=["lang"])
+    svc = QueryService(idx, n_actors=2)
+    try:
+        qs = [{"query_id": 0, "query_text": "apple banana", "h": 2},
+              {"query_id": 1, "query_text": "rare", "h": 1}]
+        one = top_hits_index(idx, qs, "lang").to_pandas()
+        served = svc.top_hits(qs, "lang").to_pandas()
+        assert one.equals(served)
+        assert set(one["facet"]) >= {"en", "de"}
+    finally:
+        svc.shutdown()

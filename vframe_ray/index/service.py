@@ -254,6 +254,39 @@ class _ShardSearcher:
             out = self._shard_topk(out, {qid: k for qid, _, k, _ in parsed})
         return out
 
+    def top_hits(self, parsed: list[tuple], facet_col: str,
+                 idf_map: dict[str, float],
+                 predicates: list[str] | None = None):
+        from .searcher import _TOP_HITS_SCHEMA
+        if not self.searchers:
+            return pa.table({f.name: [] for f in _TOP_HITS_SCHEMA},
+                            schema=_TOP_HITS_SCHEMA)
+        rows = []
+        for s in self.searchers:
+            s.idf = idf_map
+            rows.append(s.top_hits_by_facet(parsed,
+                                            facet_col,
+                                            predicates=predicates))
+        out = pa.concat_tables(rows)
+        if len(rows) > 1:
+            # per-(query, facet) local cut — same superset-safety as
+            # the segment-level cut (facet is a doc property)
+            import pandas as pd
+            df = out.to_pandas()
+            hs = {q[0]: q[2] for q in parsed}
+            df = df.sort_values(["query_id", "facet", "score",
+                                 "conv_id", "turn_idx"],
+                                ascending=[True, True, False, True,
+                                           True])
+            df = df.groupby(["query_id", "facet"], sort=False) \
+                .head(max(hs.values()) if hs else 0)
+            keep = df.groupby(["query_id", "facet"],
+                              sort=False).cumcount() < \
+                df["query_id"].map(hs).to_numpy()
+            out = pa.Table.from_pandas(df[keep], preserve_index=False) \
+                .cast(_TOP_HITS_SCHEMA)
+        return out
+
     def search_boosting(self, parsed: list[tuple],
                         idf_map: dict[str, float],
                         predicates: list[str] | None = None):
@@ -779,6 +812,47 @@ class QueryService:
         merged = _merge_topk_driver(df, {qid: k for qid, _, k in parsed})
         return pa.Table.from_pandas(merged, preserve_index=False).cast(
             _RESULT_SCHEMA)
+
+    def top_hits(self, queries: list[dict], facet_col: str,
+                 predicates: list[str] | None = None) -> pa.Table:
+        """Served top_hits-per-bucket: queries [{"query_id",
+        "query_text", "h"}] → (query_id, facet, rank, conv_id,
+        turn_idx, score); parity with the one-shot
+        :func:`~vframe_ray.index.entrypoints.top_hits_index`."""
+        import pandas as pd
+        parsed = [(int(q["query_id"]),
+                   sorted(set(self.tok.tokenize(q["query_text"]))),
+                   int(q.get("h", 3))) for q in queries]
+        if predicates:
+            self._validate_predicates(predicates)
+        terms = set(t for _, ts, _ in parsed for t in ts)
+        gdf = self._gdf_cached(terms)
+        idf_map = {t: idf(self.stats["n_docs"], df)
+                   for t, df in gdf.items()}
+        parsed_ref = ray.put(parsed)
+        futs = [a.top_hits.remote(parsed_ref, facet_col, idf_map,
+                                  predicates)
+                for a in self.actors]
+        df = pa.concat_tables(ray.get(futs)).to_pandas()
+        hs = {qid: h for qid, _, h in parsed}
+        out_schema = pa.schema([
+            ("query_id", pa.int32()), ("facet", pa.string()),
+            ("rank", pa.int32()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()), ("score", pa.float64())])
+        if df.empty:
+            return pa.table({f.name: [] for f in out_schema},
+                            schema=out_schema)
+        df = df.sort_values(["query_id", "facet", "score", "conv_id",
+                             "turn_idx"],
+                            ascending=[True, True, False, True, True]) \
+            .reset_index(drop=True)
+        df["rank"] = (df.groupby(["query_id", "facet"], sort=False)
+                      .cumcount() + 1).astype("int32")
+        df = df[df["rank"] <= df["query_id"].map(hs)]
+        df = df[["query_id", "facet", "rank", "conv_id", "turn_idx",
+                 "score"]].reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .cast(out_schema)
 
     def search_boosting(self, queries: list[dict],
                         predicates: list[str] | None = None) -> pa.Table:
