@@ -570,3 +570,41 @@ def test_prf_expands_and_changes_ranking(ray_session):
         if a != b:
             changed = True
     assert changed
+
+
+def test_index_alias_blue_green(ray_session, tmp_path):
+    # blue-green reindex: queries through an alias flip atomically
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import search_index
+    from vframe_ray.state.manifest import alias_resolve, alias_set
+    cfg = EngineConfig(index=IndexConfig(num_segments=2))
+
+    def mk(path, texts):
+        tbl = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "text": pa.array(texts)})
+        build_index(ray.data.from_arrow(tbl), str(path), cfg)
+        return str(path)
+
+    blue = mk(tmp_path / "blue", ["alpha beta", "alpha gamma"])
+    green = mk(tmp_path / "green",
+               ["delta epsilon", "delta zeta", "delta eta"])
+    alias = str(tmp_path / "live.alias")
+    alias_set(alias, blue)
+    assert alias_resolve(alias) == blue
+    q = [{"query_id": 0, "query_text": "alpha delta", "k": 5}]
+    r1 = search_index(alias, q).to_pandas()
+    assert len(r1) == 2 and set(r1["conv_id"]) == {"c0", "c1"}
+    alias_set(alias, green)                      # atomic flip
+    r2 = search_index(alias, q).to_pandas()
+    assert len(r2) == 3                          # the flip really took
+    # alias-to-alias is rejected
+    a2 = str(tmp_path / "second.alias")
+    alias_set(a2, blue)
+    alias_set(alias, a2)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        alias_resolve(alias)

@@ -272,6 +272,16 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Set or show an index alias (blue-green serving indirection)."""
+    from .state.manifest import alias_resolve, alias_set
+    if args.set:
+        alias_set(args.alias, args.set)
+    print(json.dumps({"alias": args.alias,
+                      "index": alias_resolve(args.alias)}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .index.build import load_index_meta
     cfg, stats, segs = load_index_meta(args.index)
@@ -390,6 +400,13 @@ def main(argv=None) -> int:
     c.add_argument("--turns", type=int, default=10_000)
     c.add_argument("--seed", type=int, default=42)
     c.set_defaults(fn=cmd_corpus)
+
+    al = sub.add_parser("alias", help="set/show an index alias "
+                        "(atomic blue-green flip)")
+    al.add_argument("--alias", required=True)
+    al.add_argument("--set", metavar="INDEX_DIR",
+                    help="point the alias at this index")
+    al.set_defaults(fn=cmd_alias)
 
     s = sub.add_parser("stats", help="show index stats")
     s.add_argument("--index", required=True)

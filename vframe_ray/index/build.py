@@ -597,7 +597,12 @@ def get_conversations(index_dir: str, conv_ids: list[str]) -> pa.Table:
 
 
 def load_index_meta(index_dir: str) -> tuple[dict, dict, list[str]]:
-    """(config dict, stats dict, segment dirs) of a finished index."""
+    """(config dict, stats dict, segment dirs) of a finished index.
+    ``index_dir`` may be an ALIAS file (state.manifest.alias_set) —
+    every query entry point resolves it here, so a blue-green reindex
+    is one atomic alias swap."""
+    from ..state.manifest import alias_resolve
+    index_dir = alias_resolve(index_dir)
     cfg = read_json(os.path.join(index_dir, "config.json"))
     man = read_json(os.path.join(index_dir, "manifest.json"))
     segs = [os.path.join(index_dir, "segments", s) for s in man["segments"]]

@@ -148,7 +148,10 @@ def swap_terms_dir(gdir: str, new_terms_dir: str, run_id: str) -> None:
 def terms_dir(index_dir: str) -> str:
     """Path of the global dictionary, healing an interrupted swap
     first — readers opening an index that crashed mid-swap see the new
-    dictionary instead of ENOENT."""
+    dictionary instead of ENOENT.  Accepts an alias file (resolved
+    here so the fuzzy/prefix/wildcard dictionary paths follow the
+    same indirection as load_index_meta)."""
+    index_dir = alias_resolve(index_dir)
     gdir = os.path.join(index_dir, "global")
     recover_terms_swap(gdir)
     return os.path.join(gdir, "terms")
@@ -233,3 +236,35 @@ def completed_segment(seg_dir: str, fingerprint: str | None = None) -> bool:
         return False
     return all(os.path.exists(os.path.join(seg_dir, f))
                for f in ("docs.parquet", "terms.parquet"))
+
+
+# ------------------------------------------------------------- aliases
+
+def alias_set(alias_path: str, index_dir: str) -> None:
+    """Atomically point ``alias_path`` (a small json file) at an index
+    directory — the Elasticsearch index-alias indirection that makes
+    blue-green reindexing a single atomic swap: build the new index
+    under a fresh dir, flip the alias, retire the old dir at leisure.
+    The write is tmp + ``os.replace`` so a reader never sees a torn
+    alias."""
+    import json
+    import os
+    tmp = alias_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"alias_to": os.path.abspath(index_dir)}, f)
+    os.replace(tmp, alias_path)
+
+
+def alias_resolve(path: str) -> str:
+    """Resolve ``path`` if it is an alias FILE (one hop — aliases to
+    aliases are rejected to keep resolution O(1) and loop-free);
+    directories and non-alias paths pass through unchanged."""
+    import json
+    import os
+    if os.path.isfile(path):
+        with open(path) as f:
+            target = json.load(f)["alias_to"]
+        if os.path.isfile(target):
+            raise ValueError(f"alias {path!r} points at another alias")
+        return target
+    return path
