@@ -608,3 +608,41 @@ def test_index_alias_blue_green(ray_session, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         alias_resolve(alias)
+
+
+def test_alias_service_binds_at_construction(ray_session, tmp_path):
+    # a running service must NOT half-see an alias flip (segments from
+    # blue, dictionary from green); it binds wholly at construction
+    import ray.data
+    from vframe_ray.config import EngineConfig, IndexConfig
+    from vframe_ray.index.build import build_index
+    from vframe_ray.index.query import QueryService
+    from vframe_ray.state.manifest import alias_set
+    cfg = EngineConfig(index=IndexConfig(num_segments=2))
+
+    def mk(path, texts):
+        tbl = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "text": pa.array(texts)})
+        build_index(ray.data.from_arrow(tbl), str(path), cfg)
+        return str(path)
+
+    blue = mk(tmp_path / "blue", ["alpha beta", "alpha gamma"])
+    green = mk(tmp_path / "green", ["delta one", "delta two",
+                                    "delta three"])
+    alias = str(tmp_path / "live.alias")
+    alias_set(alias, blue)
+    svc = QueryService(alias, n_actors=2)
+    try:
+        q = [{"query_id": 0, "query_text": "alpha delta", "k": 5}]
+        assert svc.search(q).num_rows == 2          # blue
+        alias_set(alias, green)                     # flip mid-service
+        assert svc.search(q).num_rows == 2          # still wholly blue
+        svc2 = QueryService(alias, n_actors=2)
+        try:
+            assert svc2.search(q).num_rows == 3     # fresh binds green
+        finally:
+            svc2.shutdown()
+    finally:
+        svc.shutdown()

@@ -368,10 +368,16 @@ class QueryService:
         the UNION of the per-index dictionaries; did-you-mean and
         autocomplete rank candidates by df SUMMED across indexes."""
         from .build import load_index_meta
+        from ..state.manifest import alias_resolve
         dirs = [index_dir] if isinstance(index_dir, str) \
             else list(index_dir)
         if not dirs:
             raise ValueError("QueryService needs at least one index")
+        # resolve aliases ONCE: the service binds wholly to the target
+        # at construction (segments AND dictionary); an alias flip is
+        # picked up by constructing a fresh service, never half-seen
+        # by a running one
+        dirs = [alias_resolve(d) for d in dirs]
         metas = [load_index_meta(d) for d in dirs]
         cfg_dict, stats, seg_dirs = metas[0]
         self.cfg = EngineConfig.from_dict(cfg_dict) if cfg is None \
