@@ -4158,6 +4158,59 @@ LEFT JOIN idcg ON idcg.query_id = qk.query_id
 ORDER BY query_id"""
 
 
+def _q_image_ahash_dedup(sf_dir: str):
+    """Perceptual-hash dedup over REAL decoded pixels (the reference's
+    skip-phash analog): each doc becomes an 8×8 gray BMP whose pixel
+    pattern is a ROTATION by doc_id % 64 — docs congruent mod 64 are
+    visually identical and must share an aHash; keep-first per hash.
+    The decode path must parse real BMP bytes for the closed-form
+    oracle to match."""
+    from vframe_ray.stages.multimodal import bmp_encode, image_ahash
+
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    idx8 = np.arange(64, dtype=np.int64).reshape(8, 8)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids:
+            v = (4 * ((idx8 + int(d) % 64) % 64)).astype(np.uint8)
+            img = np.stack([v, v, v], axis=-1)
+            payloads.append(bmp_encode(img))
+        return pa.table({
+            "media_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    out = image_ahash(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out["doc_id"] = out["media_id"].astype(np.int64)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["keep"] = (out["doc_id"] == out.groupby("ahash")["doc_id"]
+                   .transform("min")).astype("int64")
+    return out[["doc_id", "ahash", "keep"]].astype(
+        {"doc_id": "int64", "ahash": "int64"})
+
+
+def _image_ahash_sql() -> str:
+    """Closed-form aHash oracle: pixel k of doc d is
+    4·((k + d%64) % 64); the blue mean is 126, so bit k is set iff
+    (k + d%64) % 64 ≥ 32.  The 64-bit pack sums HUGEINT weights and
+    reinterprets to int64 (the engine's uint64 view)."""
+    pw = ", ".join(f"({k}, {1 << k})" for k in range(64))
+    return f"""
+WITH pw(k, w) AS (VALUES {pw}),
+ h AS (SELECT d.doc_id,
+              sum(CASE WHEN ((pw.k + d.doc_id % 64) % 64) >= 32
+                       THEN pw.w ELSE 0 END)::HUGEINT AS hu
+       FROM documents d CROSS JOIN pw GROUP BY d.doc_id),
+ hh AS (SELECT doc_id, {_u64_to_i64('hu')} AS ahash FROM h)
+SELECT doc_id::BIGINT AS doc_id, ahash::BIGINT AS ahash,
+       (CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY ahash)
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM hh ORDER BY doc_id"""
+
+
 def _q_bm25_prf(sf_dir: str):
     """Pseudo-relevance-feedback expansion: two deterministic BM25
     rounds with top-tf expansion terms from the feedback docs."""
@@ -4861,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_top_hits": _q_top_hits,
         "retrieval_eval": _q_retrieval_eval,
         "bm25_prf": _q_bm25_prf,
+        "image_ahash_dedup": _q_image_ahash_dedup,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5145,6 +5199,7 @@ ORDER BY d.doc_id""",
         "search_top_hits": _top_hits_sql(),
         "retrieval_eval": _retrieval_eval_sql(),
         "bm25_prf": _prf_sql(),
+        "image_ahash_dedup": _image_ahash_sql(),
         # doubled corpus: derived continuation records start with the
         # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
         "continuation_pairs": f"""{_TOK},
