@@ -4158,6 +4158,14 @@ LEFT JOIN idcg ON idcg.query_id = qk.query_id
 ORDER BY query_id"""
 
 
+def _q_mix_weights(sf_dir: str):
+    """Temperature-scaled per-source sampling weights (alpha = 0.7)."""
+    from vframe_ray.stages.stats import mix_weights
+    ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "source"])
+    return mix_weights(ds, alpha=0.7).astype({"n_tokens": "int64"})
+
+
 def _q_image_ahash_dedup(sf_dir: str):
     """Perceptual-hash dedup over REAL decoded pixels (the reference's
     skip-phash analog): each doc becomes an 8×8 gray BMP whose pixel
@@ -4915,6 +4923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_eval": _q_retrieval_eval,
         "bm25_prf": _q_bm25_prf,
         "image_ahash_dedup": _q_image_ahash_dedup,
+        "mix_weights": _q_mix_weights,
         "json_field_rollup": rel.json_field_rollup,
         "q5_local_supplier_revenue": rel.q5_local_supplier_revenue,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -5200,6 +5209,17 @@ ORDER BY d.doc_id""",
         "retrieval_eval": _retrieval_eval_sql(),
         "bm25_prf": _prf_sql(),
         "image_ahash_dedup": _image_ahash_sql(),
+        # n_s^alpha / sum over per-source token counts (alpha = 0.7)
+        "mix_weights": f"""{_TOK},
+ dl AS (SELECT _id, count(*) AS n FROM tok GROUP BY _id),
+ per AS (SELECT d.source, sum(coalesce(dl.n, 0))::BIGINT AS n_tokens
+         FROM documents d LEFT JOIN dl ON dl._id = d.doc_id
+         GROUP BY d.source),
+ tot AS (SELECT sum(pow(n_tokens::DOUBLE, 0.7)) AS z FROM per)
+SELECT source, n_tokens,
+       round(pow(n_tokens::DOUBLE, 0.7) / (SELECT z FROM tot), 6)
+           AS weight_r
+FROM per ORDER BY source""",
         # doubled corpus: derived continuation records start with the
         # base doc's last 5 tokens; pairs = tail(a) == head(b), a != b
         "continuation_pairs": f"""{_TOK},

@@ -675,3 +675,21 @@ def test_image_ahash_identity_and_poison(ray_session):
 def pd_isna(x):
     import pandas as pd
     return pd.isna(x)
+
+
+def test_mix_weights_smoothing(ray_session):
+    # alpha<1 upweights the small source relative to proportional
+    import ray.data
+    from vframe_ray.stages.stats import mix_weights
+    texts = ["w " * 100] * 9 + ["w " * 10]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(["big"] * 9 + ["small"])})
+    out = mix_weights(ray.data.from_arrow(tbl).repartition(3),
+                      alpha=0.5).set_index("source")
+    assert out.loc["big", "n_tokens"] == 900
+    assert out.loc["small", "n_tokens"] == 10
+    prop = 10 / 910
+    assert out.loc["small", "weight_r"] > prop      # smoothed up
+    assert abs(out["weight_r"].sum() - 1.0) < 2e-6

@@ -1482,3 +1482,40 @@ def quality_mix_report(ds, *, k: int = 5, id_col: str = "doc_id",
     out = parts.groupby([source_col, "tile"], as_index=False) \
         .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
     return out.sort_values([source_col, "tile"]).reset_index(drop=True)
+
+
+def mix_weights(ds, *, alpha: float = 0.7, id_col: str = "doc_id",
+                text_col: str = "text",
+                source_col: str = "source") -> "pd.DataFrame":
+    """Temperature-scaled sampling weights per source — the multinomial
+    mix table of multi-corpus training (alpha < 1 upweights small
+    sources, the standard smoothing): w_s = n_s^alpha / Σ_t n_t^alpha
+    over per-source TOKEN counts.
+
+    One zero-shuffle map emits per-block (source, n_tokens) partials;
+    :func:`salted_sum` reduces them; the |sources|-row epilogue
+    (power + normalize) runs on the driver, mirrored verbatim in SQL.
+    Returns pandas (source, n_tokens, weight_r) sorted by source.
+    """
+    from ..analyze import Tokenizer
+
+    def partial(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        n = tok.doc_lengths(tok.tokenize_array(
+            pc.fill_null(t[text_col], ""))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({source_col: t[source_col],
+                      "n": pa.array(n)}) \
+            .group_by(source_col).aggregate([("n", "sum")])
+        return g.rename_columns([source_col, "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = salted_sum(parts, source_col, ["n"]).to_pandas()
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    p = np.power(n, alpha)
+    w = np.round(p / p.sum(), 6)
+    out = pd.DataFrame({source_col: agg[source_col].to_numpy(object),
+                        "n_tokens": agg["n"].to_numpy(np.int64),
+                        "weight_r": w})
+    return out.sort_values(source_col).reset_index(drop=True)
