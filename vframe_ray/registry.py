@@ -128,6 +128,9 @@ def _register_builtins() -> None:
         "ngram_novelty": dedup.ngram_novelty,
         "analyze_tokens": textops.analyze_tokens,
         "dup_span_coverage": chunking.dup_span_coverage,
+        "winnow_pairs": dedup.winnow_pairs,
+        "continuation_pairs": dedup.continuation_pairs,
+        "image_ahash": multimodal.image_ahash,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)
