@@ -1700,9 +1700,12 @@ def prepare_training_data(ds, *, min_tokens: int = 40,
     good = h.map_batches(quality_gate, batch_format="pyarrow",
                          zero_copy_batch=True)
     # re-attach text (and source) for chunking: both sides distributed
+    # materialized: consumed twice below (chunking + the final join) —
+    # lazy lineage would re-execute the exchange per consumer
     good_docs = hash_join(good, surv, key=id_col,
                           left_cols=[id_col, "n_tokens"],
-                          right_cols=[text_col, source_col])
+                          right_cols=[text_col, source_col]) \
+        .materialize()
     chunks = chunk_documents(good_docs, size=chunk_size,
                              stride=chunk_size, id_col=id_col,
                              text_col=text_col)
