@@ -4167,13 +4167,13 @@ def _q_mix_weights(sf_dir: str):
 
 
 def _q_image_ahash_dedup(sf_dir: str):
-    """Perceptual-hash dedup over REAL decoded pixels (the reference's
-    skip-phash analog): each doc becomes an 8×8 gray BMP whose pixel
-    pattern is a ROTATION by doc_id % 64 — docs congruent mod 64 are
-    visually identical and must share an aHash; keep-first per hash.
-    The decode path must parse real BMP bytes for the closed-form
-    oracle to match."""
-    from vframe_ray.stages.multimodal import bmp_encode, image_ahash
+    """Perceptual-hash dedup over REAL decoded pixels: each doc is an
+    8x8 gray BMP whose pixel pattern is a ROTATION by doc_id % 64 —
+    docs congruent mod 64 are visually identical and must share an
+    aHash (the shared :func:`multimodal.image_ahash` block-average
+    rule); keep-first per hash.  The decode path must parse real BMP
+    bytes for the closed-form oracle to match."""
+    from vframe_ray.stages.multimodal import ImageAhashStage, bmp_encode
 
     ds = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
                        columns=["doc_id"])
@@ -4190,9 +4190,11 @@ def _q_image_ahash_dedup(sf_dir: str):
             "media_id": pa.array([str(d) for d in ids], pa.string()),
             "payload": pa.array(payloads, pa.binary())})
 
-    out = image_ahash(
-        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(ImageAhashStage(), batch_format="pyarrow") \
+        .to_pandas()
     out["doc_id"] = out["media_id"].astype(np.int64)
+    out["ahash"] = out["ahash"].to_numpy(np.uint64).astype(np.int64)
     out = out.sort_values("doc_id").reset_index(drop=True)
     out["keep"] = (out["doc_id"] == out.groupby("ahash")["doc_id"]
                    .transform("min")).astype("int64")
@@ -4201,11 +4203,13 @@ def _q_image_ahash_dedup(sf_dir: str):
 
 
 def _image_ahash_sql() -> str:
-    """Closed-form aHash oracle: pixel k of doc d is
-    4·((k + d%64) % 64); the blue mean is 126, so bit k is set iff
-    (k + d%64) % 64 ≥ 32.  The 64-bit pack sums HUGEINT weights and
-    reinterprets to int64 (the engine's uint64 view)."""
-    pw = ", ".join(f"({k}, {1 << k})" for k in range(64))
+    """Closed-form aHash oracle for the rotation corpus: gray pixel k
+    of doc d is 4*((k + d%64) % 64); the block-average bit rule
+    (cell*64 > total, integer compare) reduces to
+    ((k + d%64) % 64) >= 32, and the engine packs bit k at weight
+    2^(63-k) (numpy packbits big-endian) — HUGEINT weights
+    reinterpreted to the int64 view."""
+    pw = ", ".join(f"({k}, {1 << (63 - k)})" for k in range(64))
     return f"""
 WITH pw(k, w) AS (VALUES {pw}),
  h AS (SELECT d.doc_id,

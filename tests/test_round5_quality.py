@@ -650,9 +650,9 @@ def test_alias_service_binds_at_construction(ray_session, tmp_path):
 
 def test_image_ahash_identity_and_poison(ray_session):
     # identical pixel content -> identical hash; different rotation ->
-    # different hash; corrupt payload -> poison row with null hash
+    # different hash; corrupt payload -> poison row (hash 0, error set)
     import ray.data
-    from vframe_ray.stages.multimodal import bmp_encode, image_ahash
+    from vframe_ray.stages.multimodal import ImageAhashStage, bmp_encode
     idx8 = np.arange(64, dtype=np.int64).reshape(8, 8)
 
     def img(rot):
@@ -663,18 +663,13 @@ def test_image_ahash_identity_and_poison(ray_session):
         "media_id": pa.array(["a", "b", "c", "bad"], pa.string()),
         "payload": pa.array([img(5), img(5), img(9), b"not a bmp"],
                             pa.binary())})
-    out = image_ahash(ray.data.from_arrow(tbl)).to_pandas() \
-        .set_index("media_id")
+    out = ray.data.from_arrow(tbl) \
+        .map_batches(ImageAhashStage(), batch_format="pyarrow") \
+        .to_pandas().set_index("media_id")
     assert out.loc["a", "ahash"] == out.loc["b", "ahash"]
     assert out.loc["a", "ahash"] != out.loc["c", "ahash"]
-    assert pd_isna(out.loc["bad", "ahash"])
-    assert "Error" in str(out.loc["bad", "error"]) or \
-        out.loc["bad", "error"] is not None
-
-
-def pd_isna(x):
-    import pandas as pd
-    return pd.isna(x)
+    assert out.loc["bad", "ahash"] == 0
+    assert out.loc["bad", "error"]
 
 
 def test_mix_weights_smoothing(ray_session):

@@ -130,7 +130,7 @@ def _register_builtins() -> None:
         "dup_span_coverage": chunking.dup_span_coverage,
         "winnow_pairs": dedup.winnow_pairs,
         "continuation_pairs": dedup.continuation_pairs,
-        "image_ahash": multimodal.image_ahash,
+        "image_dup_pairs": multimodal.image_dup_pairs,
     }.items():
         if name not in _REGISTRY:
             register(name, fn)

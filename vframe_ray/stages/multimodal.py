@@ -691,56 +691,3 @@ def image_dup_pairs(ds, *, concurrency=None, batch_size: int = 64):
     return hashed.map_batches(bucket, batch_format="pyarrow",
                               zero_copy_batch=True) \
         .groupby("__b").map_groups(pairs, batch_format="pandas")
-
-
-class AHashStage:
-    """Average-hash (aHash) over REAL decoded pixels — the reference's
-    perceptual-hash dedup key (src/commands/pipe/skip-phash.py computes
-    a 64-bit perceptual hash per frame and drops near-repeats) with an
-    actual from-bytes decode: 64 bits, bit k set iff blue-channel pixel
-    ``(k // w, k % w)`` ≥ the image's blue mean (exact: integer pixels
-    vs an exact float64 mean for any image under 2^53 total).  Packed
-    little-endian by pixel index into an int64 (uint64 two's-complement
-    view — the engine's standard SQL-portable 64-bit carrier).
-    Identical images hash equal by construction; banding the 64 bits
-    into (t+1) chunks is the standard hamming-≤t scale path (same rule
-    as the SimHash tables) and is deliberately not applied at
-    hamming-0.  Corrupt payloads poison-row (ahash null).
-    """
-
-    def __init__(self):
-        self.decoder = BmpDecoder()
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, hashes, errs = [], [], []
-        shifts = np.arange(64, dtype=np.uint64)
-        for mid, payload in zip(batch["media_id"].to_pylist(),
-                                batch["payload"].to_pylist()):
-            ids.append(mid)
-            try:
-                img = self.decoder.decode(payload)
-                b = img[..., 2].astype(np.float64).ravel()
-                if b.size != 64:
-                    raise ValueError("aHash requires 8x8 images "
-                                     f"(got {img.shape})")
-                bits = (b >= b.mean()).astype(np.uint64)
-                h = np.uint64(0)
-                h = (bits << shifts).sum(dtype=np.uint64)
-                hashes.append(int(np.int64(h)))
-                errs.append(None)
-            except Exception as e:
-                hashes.append(None)
-                errs.append(f"{type(e).__name__}: {e}")
-        return pa.table({
-            "media_id": pa.array(ids, pa.string()),
-            "ahash": pa.array(hashes, pa.int64()),
-            "error": pa.array(errs, pa.string())})
-
-
-def image_ahash(ds, *, concurrency=None, batch_size: int = 64):
-    """Actor-pool aHash over (media_id, payload) rows."""
-    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-        return ds.map_batches(AHashStage, **kwargs)
-    return ds.map_batches(AHashStage(), **kwargs)
