@@ -688,3 +688,46 @@ def test_mix_weights_smoothing(ray_session):
     prop = 10 / 910
     assert out.loc["small", "weight_r"] > prop      # smoothed up
     assert abs(out["weight_r"].sum() - 1.0) < 2e-6
+
+
+def test_new_wave_partition_invariance(ray_session):
+    # winnow/continuation pair sets must never depend on block layout
+    import ray.data
+    from vframe_ray.stages.dedup import continuation_pairs, winnow_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = ([f"lead {i} words " + shared + f" tail {i}"
+              for i in range(6)]
+             + ["one two three four five six",
+                "four five six seven eight nine"])
+    tbl = pa.table({"doc_id": pa.array(np.arange(8, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    for op, kw in ((winnow_pairs, {"min_shared": 1}),
+                   (continuation_pairs, {"k": 3})):
+        outs = []
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            outs.append(op(ds, **kw).to_pandas()
+                        .sort_values(list(op(ds, **kw).to_pandas()
+                                          .columns))
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1]), op.__name__
+
+
+def test_new_wave_empty_inputs(ray_session):
+    # every new-wave op must return a schema-stable empty/identity
+    # result on an empty corpus rather than raising
+    import ray.data
+    from vframe_ray.stages.dedup import (continuation_pairs,
+                                         dedup_normalized, winnow_pairs)
+    from vframe_ray.stages.textquality import (c4_rule_filter,
+                                               flesch_reading_ease,
+                                               unigram_cross_entropy)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    ds = ray.data.from_arrow(empty)
+    assert unigram_cross_entropy(ds).count() == 0
+    assert flesch_reading_ease(ds).count() == 0
+    assert c4_rule_filter(ds).count() == 0
+    assert dedup_normalized(ds, key_cols=["doc_id"]).count() == 0
+    assert winnow_pairs(ds).count() == 0
+    assert continuation_pairs(ds).count() == 0
