@@ -129,6 +129,16 @@ def cmd_query(args) -> int:
         res = q_.facet_ranges_index(args.index, qs,
                                     bin_width=args.range_facet,
                                     predicates=preds)
+    elif args.facet_top:
+        res = q_.top_hits_index(args.index, [
+            {"query_id": i, "query_text": q, "h": args.k}
+            for i, q in enumerate(args.query or [])],
+            args.facet_top, predicates=preds)
+    elif args.eval:
+        res = q_.retrieval_eval_index(args.index, [
+            {"query_id": i, "query_text": q, "k": args.k}
+            for i, q in enumerate(args.query or [])],
+            predicates=preds)
     elif args.demote:
         res = q_.search_boosting_index(args.index, [
             {"query_id": i, "positive": q, "negative": args.demote,
@@ -324,6 +334,12 @@ def main(argv=None) -> int:
     q.add_argument("--after", metavar="SCORE,CONV,TURN",
                    help="cursor pagination: results ranked after this "
                         "(score, conv_id, turn_idx)")
+    q.add_argument("--facet-top", metavar="FACET_COL",
+                   help="top_hits aggregation: best -k docs per facet "
+                        "value of this docmap column")
+    q.add_argument("--eval", action="store_true",
+                   help="retrieval-quality metrics (AP/NDCG/MRR vs "
+                        "conjunctive pseudo-qrels) instead of results")
     q.add_argument("--demote", metavar="NEGATIVE_QUERY",
                    help="boosting compound: demote (not drop) docs "
                         "matching this negative query")
