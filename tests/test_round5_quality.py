@@ -731,3 +731,25 @@ def test_new_wave_empty_inputs(ray_session):
     assert dedup_normalized(ds, key_cols=["doc_id"]).count() == 0
     assert winnow_pairs(ds).count() == 0
     assert continuation_pairs(ds).count() == 0
+
+
+def test_fuzzy_match_pairs_unicode(ray_session):
+    # the engine's edit distance is over CODEPOINTS (python slicing in
+    # deletion_variants + the banded DP): 'cafe' ~ 'café' is distance
+    # 1. DuckDB's levenshtein counts BYTES ('é' = 2), so the ASCII
+    # driver oracle is exact but unicode keys diverge by design — this
+    # test pins the engine's (more linguistic) codepoint semantics
+    import ray.data
+    from vframe_ray.stages.joins import fuzzy_match_pairs
+    L = ["café", "cafe", "naïve", "naive", "über"]
+    R = ["café", "naïve", "uber", "apfel"]
+    out = fuzzy_match_pairs(
+        ray.data.from_arrow(pa.table({"dk": pa.array(L)})),
+        ray.data.from_arrow(pa.table({"t": pa.array(R)})),
+        left_key="dk", right_key="t").to_pandas()
+    pairs = set(zip(out["dk"], out["t"]))
+    assert ("cafe", "café") in pairs       # substitution across accents
+    assert ("naive", "naïve") in pairs
+    assert ("über", "uber") in pairs
+    assert ("café", "café") in pairs       # exact still matches
+    assert not any(b == "apfel" for _, b in pairs)

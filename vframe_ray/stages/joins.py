@@ -519,6 +519,11 @@ def fuzzy_match_pairs(left, right, *, left_key: str, right_key: str,
     so a roster of 1–2-char codes degrades toward all-pairs — inherent
     to distance-1 semantics on short strings, not to the plan.
 
+    Unicode note: distance is over CODEPOINTS ('cafe' ~ 'café' = 1);
+    DuckDB's ``levenshtein`` counts BYTES, so the SQL oracle is exact
+    on ASCII keys and intentionally diverges on multibyte ones
+    (pinned in tests/test_round5_quality.py).
+
     Returns a Dataset of (left_key, right_key) distinct verified pairs.
     """
     import pyarrow.compute as pc
